@@ -1,0 +1,220 @@
+"""Deduplication operators (exact + near-dup) for training-data pipelines.
+
+Scale design (100 TB):
+
+- Exact dedup is a hash group-by on a 128-bit content fingerprint --
+  one shuffle on uniformly distributed keys, no skew by construction.
+- MinHash-LSH near-dup: shingle -> H minhashes -> B bands; candidate
+  generation is an equi-join on (band, signature) buckets, so the
+  shuffle carries only (bucket, doc_id) pairs, never the documents.
+  Verification joins the (small) candidate pair list back to the
+  shingle sets -- the classic two-stage candidate/verify plan from the
+  distributed similarity-join literature (see PAPERS.md).
+- All hash functions are md5-derived and therefore deterministic and
+  engine-portable: the DuckDB oracle reproduces the exact same
+  signatures, making even the LSH path exactly checkable.
+- No Python UDFs anywhere: shingling, hashing, min-reduction and
+  banding are nested built-in higher-order functions (codegen'd).
+
+Hash: h(s) = first 60 bits of md5(s), as a signed long (always >= 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS  # 4 -> s-curve threshold ~0.71
+SHINGLE_N = 3
+SIMHASH_BITS = 32
+
+
+def _hash64(c: Column) -> Column:
+    """Portable 60-bit hash: decimal value of md5's first 15 hex chars."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+
+def shingles_col(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = F.split(normalized_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct text
+    with the kept (min) doc_id and the duplicate count.
+
+    Parity note: this is the engine-side generalization of the
+    reference's deterministic-key dedup (event_id sha256,
+    reference src/events.rs:76-86 + ON CONFLICT upsert
+    src/warehouse.rs:227-229) applied to document content.
+    """
+    return (
+        df.groupBy(F.md5(normalized_text(text_col)).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min doc_id) per distinct normalized text."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(normalized_text(text_col))).orderBy("doc_id")
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = MINHASH_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, min over shingles of
+    h64(s ':' shingle). One narrow projection, fully codegen'd."""
+    sh = shingles_col(text_col)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: _hash64(F.concat_ws(":", s.cast("string"), g)))
+        ),
+    )
+    return df.select("doc_id", sig.alias("minhash"))
+
+
+def _band_rows(sig_df: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> DataFrame:
+    """(doc_id, band, band_sig) rows: md5 over each band's slice."""
+    band_sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.concat_ws(",", F.slice(F.col("minhash"), b * rows + 1, rows))),
+    )
+    return sig_df.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact verify.
+
+    Stage 1 (candidates): docs sharing any (band, band_sig) bucket --
+    equi-join shuffling only bucket keys. Stage 2 (verify): exact
+    Jaccard over distinct shingle sets for the candidate pairs only.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >=
+    threshold, rounded to 4 decimals.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes)
+    b = _band_rows(sigs, bands, rows)
+    left = b.alias("l")
+    right = b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = df.select("doc_id", shingles_col(text_col).alias("sh"))
+    a = sh.alias("sa")
+    bb = sh.alias("sb")
+    verified = (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(bb, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+                / (
+                    F.size(F.col("sa.sh"))
+                    + F.size(F.col("sb.sh"))
+                    - F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+                )
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join (non-probabilistic
+    baseline for minhash_lsh_pairs): candidates = pairs sharing at
+    least one shingle (inverted-index join), then exact Jaccard.
+
+    At scale the shingle join is the standard PPJoin-family prefix
+    filter degenerate (full inverted index); use minhash_lsh_pairs when
+    the corpus is large -- this operator is the exact oracle twin.
+    """
+    sh = df.select("doc_id", shingles_col(text_col).alias("sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    cand = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a, b = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    return (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter)).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash fingerprint over token hashes.
+
+    bit j of the fingerprint = 1 iff sum over distinct tokens of
+    (+1 if bit j of h64(token) set else -1) > 0. 32 bits keeps every
+    intermediate in signed-long range and the oracle SQL portable.
+    """
+    toks = F.array_distinct(F.split(normalized_text(text_col), " "))
+    th = F.transform(toks, _hash64)
+    def vote(mask: Column) -> Column:
+        return F.aggregate(
+            th, F.lit(0), lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+        )
+
+    fp = F.lit(0).cast("long")
+    for j in range(bits):  # static bit positions -> plain column arithmetic
+        mask = F.lit(1 << j).cast("long")
+        fp = fp + F.when(vote(mask) > 0, mask).otherwise(F.lit(0).cast("long"))
+    return df.select("doc_id", fp.alias("simhash"))
+
+
+def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (doc_a < doc_b, cos >= threshold).
+
+    Brute-force O(n^2) cross join -- correct baseline; at 100 TB use
+    the LSH-bucketed plan in operators/similarity.py to cut candidates.
+    """
+    from solana_data_etl_pipeline_spark.operators.similarity import cosine_expr
+
+    v = emb_df.select(F.col("vec_id"), F.col("embedding"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )

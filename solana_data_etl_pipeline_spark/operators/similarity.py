@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two plans:
+
+- `knn_bruteforce`: exact top-k cosine neighbors. The query side is
+  broadcast (queries are few), the corpus side streams -- one narrow
+  pass over the corpus per batch of queries plus a per-query top-k
+  (window row_number). Correct baseline at any scale where queries fit
+  in a broadcast.
+
+- `knn_lsh`: random-hyperplane LSH (sign-bit buckets) + within-bucket
+  exact rerank -- the IVF/LSH scale path: candidate generation touches
+  only same-bucket vectors, cutting the cross product by ~2^planes.
+  Hyperplanes are a fixed deterministic matrix (seeded), embedded as
+  literals so the plan is reproducible across engines (the DuckDB
+  oracle uses the same matrix).
+
+All arithmetic is built-in higher-order functions on double-cast
+arrays (JVM-side); no Python UDFs in the scoring path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_dvec(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: coefficient (p, d) is
+    derived from a tiny LCG on (p*dim+d), mapped to [-1, 1). Matches
+    the oracle SQL byte-for-byte because it is embedded as literals."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (1103515245 * (p * dim + d + 12345) + 12345) % (2**31)
+            row.append(round(x / float(2**30) - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff dot(plane_p, emb) >= 0."""
+    bits = []
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        d = F.aggregate(F.zip_with(plane, _dvec(emb), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(d >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    corpus: (vec_id, embedding); queries: (query_id, embedding).
+    Excludes self-matches when ids collide. Returns
+    (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cos = cosine_expr(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = LSH_PLANES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket, then
+    exact cosine rerank. Recall < 1 by design; deterministic given the
+    fixed plane matrix, so still exactly oracle-checkable."""
+    planes = lsh_planes(n_planes, dim)
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        bucket_expr(F.col("embedding"), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col("query_id"),
+        F.col("embedding").alias("q_emb"),
+        bucket_expr(F.col("embedding"), planes).alias("bucket"),
+    )
+    cos = cosine_expr(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(emb_df: DataFrame) -> DataFrame:
+    """Per-label centroid of embeddings (IVF coarse-quantizer training
+    analog): element-wise mean via posexplode + group-by -- shuffles
+    (label, dim, value) cells once; output is one row per centroid
+    cell, which keeps the result scalar-typed (engine-portable)."""
+    exploded = emb_df.select("label", F.posexplode(_dvec(F.col("embedding"))).alias("dim", "val"))
+    return exploded.groupBy("label", "dim").agg(F.round(F.avg("val"), 6).alias("centroid_val"))

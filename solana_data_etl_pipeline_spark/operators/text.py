@@ -1,0 +1,116 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage-codegen) -- no Python UDFs. Each operator is a pure
+``DataFrame -> DataFrame`` plan over a documents table with at least
+(doc_id, text); designed to run as a single narrow projection or one
+partial+final aggregation, so they scale linearly to 100 TB with zero
+shuffle (per-doc ops) or one shuffle (grouped stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic so the oracle SQL can
+# mirror them verbatim.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_col(text_col))
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Per-document token count (whitespace tokenizer)."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+def bpe_ish_token_counts(df: DataFrame) -> DataFrame:
+    """Subword-ish token count: BPE-like segmentation approximated with
+    a regex that splits words, digits runs, and punctuation -- the
+    standard cheap proxy when no tokenizer model is shippable."""
+    pieces = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    return df.select("doc_id", F.size(pieces).cast("long").alias("n_bpe_tokens"))
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Heuristic document quality signals: length, mean token length,
+    stopword ratio, alpha ratio. All codegen'd expressions."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z]", ""))
+    return df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(F.length(F.trim("text")) / F.greatest(n_tokens, F.lit(1)), 4).alias("avg_token_len"),
+        F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 4).alias("alpha_ratio"),
+    )
+
+
+def language_id(df: DataFrame) -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker hit
+    counts, ties broken by fixed language order, 'und' when no marker
+    hits. Deterministic and SQL-mirrorable."""
+    toks = tokens_col()
+
+    def marker_hits(markers: list[str]):
+        # nb: a plain 1-arg lambda (default-arg tricks change the arity
+        # PySpark infers for higher-order functions)
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = [marker_hits(markers).alias(f"score_{lang}") for lang, markers in LANG_MARKERS.items()]
+    scored = df.select("doc_id", "lang", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # first language reaching the max wins (fixed order)
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+
+
+def language_stats(df: DataFrame) -> DataFrame:
+    """Corpus stats per labeled language (one partial+final agg)."""
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(F.size(tokens_col())).cast("long").alias("total_tokens"),
+            F.count_distinct("source").alias("sources"),
+        )
+    )
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact-dup key) and
+    a 64-bit prefix convenient for range-partitioned joins."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm)
+    return df.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
+    )

@@ -1,0 +1,188 @@
+"""Relational query suite over the star schema.
+
+The reference's only documented join is `fact LEFT JOIN dim_programs`
+(reference docs/SCHEMA.md:362-370); its schema is explicitly designed
+to minimize joins. For a complete engine we implement the full
+relational operator surface -- multi-way joins, semi/anti joins,
+windows, having-filters, top-k -- as declarative plans over the
+TPC-H-style testdata tables.
+
+Scale notes: dimension tables (region/nation/customer/supplier/part)
+are broadcast explicitly -- at 100 TB the fact tables (lineitem,
+orders) must never shuffle for a dim join. The orders<->lineitem joins
+are key-partitioned shuffles on the same key (orderkey) so AQE can
+plan them as a single exchange reuse; aggregations are
+partial+final (map-side combine) by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary report (scan -> hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + top-10 (broadcast customer)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: fact joined through 4 broadcast dims -> revenue per nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + scalar aggregate (pushdown showcase)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: semi-join (EXISTS) + group-by priority.
+
+    Adapted to this schema: an order is 'late' if any of its lineitems
+    shipped more than 90 days after the order date.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate").isNotNull()).select("l_orderkey", "l_shipdate")
+    late_orders = (
+        orders.join(late, (orders.o_orderkey == late.l_orderkey), "inner")
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+    )
+    return late_orders.groupBy("o_orderpriority").agg(F.count("*").alias("late_order_count"))
+
+
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documented-join parity: fact LEFT JOIN dim -> per-segment stats
+    (reference docs/SCHEMA.md:362-370's fact->dim left join shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("mktsegment"))
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        )
+    )
+
+
+def big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: agg -> HAVING -> join back to dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: top-3 orders per customer by price
+    (row_number over partitioned window -- beyond the reference, which
+    has no window functions, SURVEY.md section 2.6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+    )
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + conditional agg: per-nation supplier vs customer
+    account balances (set-op flavored union of two dim scans)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    c = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("customers"), F.round(F.sum("c_acctbal"), 2).alias("customer_balance")
+    )
+    s = supp.groupBy("s_nationkey").agg(
+        F.count("*").alias("suppliers"), F.round(F.sum("s_acctbal"), 2).alias("supplier_balance")
+    )
+    return (
+        nation.join(F.broadcast(c), nation.n_nationkey == c.c_nationkey, "left")
+        .join(F.broadcast(s), nation.n_nationkey == s.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+            F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"),
+        )
+    )

@@ -1,0 +1,600 @@
+"""Driver-facing query suite: every implemented operator as a
+``(spark, sf_dir) -> DataFrame`` callable plus its DuckDB oracle SQL.
+
+This is the engine's coverage manifest (SURVEY.md section 2): the
+reference analytics surface (A1-A13) over the normalized event model,
+the relational operator surface (joins/windows/semi-joins/top-k), and
+the LLM-data-pipeline extensions (dedup, similarity, text analysis,
+multimodal). Spark plans and SQL strings are written against the same
+deterministic semantics -- fixed ``as_of`` scalar, explicit tie-breaks,
+portable md5-based hashes, rounded floats -- so results hash-match
+across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solana_data_etl_pipeline_spark.operators import dedup as D
+from solana_data_etl_pipeline_spark.operators import multimodal as M
+from solana_data_etl_pipeline_spark.operators import similarity as V
+from solana_data_etl_pipeline_spark.operators import text as X
+from solana_data_etl_pipeline_spark.plans import analytics as A
+from solana_data_etl_pipeline_spark.plans import relational as R
+from solana_data_etl_pipeline_spark.plans.testdata_model import NORM_SQL, as_of, load_table, normalized_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (oracle side)
+
+# shingle CTE: word 3-grams over normalized text, distinct per doc.
+SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])
+                        for i in range(0, greatest(len(tk) - 3, 0) + 1)]) AS sh
+  FROM toks
+)
+"""
+
+H64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+COSINE_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+def _planes_sql() -> str:
+    planes = V.lsh_planes()
+    rows = ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in planes)
+    return f"[{rows}]"
+
+
+BUCKET_SQL = (
+    "CAST(list_sum([CASE WHEN list_dot_product(m[p+1], {v}) >= 0 "
+    "THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END for p in range(0, 8)]) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# analytics suite (normalized events)
+
+
+def _analytic(plan) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return plan(normalized_events(spark, sf_dir), as_of(spark, sf_dir))
+
+    return run
+
+
+ANALYTICS_QUERIES: dict[str, QueryFn] = {
+    "transaction_volume": _analytic(A.transaction_volume),
+    "hourly_volume": _analytic(A.hourly_volume),
+    "active_programs": _analytic(A.active_programs),
+    "token_transfer_stats": _analytic(A.token_transfer_stats),
+    "top_tokens": _analytic(A.top_tokens),
+    "failed_transactions": _analytic(A.failed_transactions),
+    "top_errors": _analytic(A.top_errors),
+    "wallet_activity": _analytic(A.wallet_activity),
+    "top_wallets": _analytic(A.top_wallets),
+    "program_trends": _analytic(A.program_trends),
+}
+
+ANALYTICS_SQL: dict[str, str] = {
+    "transaction_volume": f"""
+WITH {NORM_SQL},
+base AS (SELECT n.*, a.t FROM norm n, tmax a)
+SELECT period_type, tx_count FROM (
+  SELECT 'total' AS period_type, count(*) AS tx_count FROM base WHERE event_type = 'transaction'
+  UNION ALL
+  SELECT 'today', count(*) FROM base
+   WHERE event_type = 'transaction' AND CAST(block_time AS DATE) = CAST(t AS DATE)
+  UNION ALL
+  SELECT 'week', count(*) FROM base
+   WHERE event_type = 'transaction' AND block_time >= CAST(CAST(t AS DATE) - INTERVAL 7 DAY AS TIMESTAMP)
+  UNION ALL
+  SELECT 'month', count(*) FROM base
+   WHERE event_type = 'transaction' AND block_time >= CAST(CAST(t AS DATE) - INTERVAL 30 DAY AS TIMESTAMP)
+)
+""",
+    "hourly_volume": f"""
+WITH {NORM_SQL}
+SELECT CAST(block_time AS DATE) AS event_date,
+       CAST(EXTRACT(hour FROM block_time) AS INTEGER) AS hour_of_day,
+       count(*) AS tx_count
+FROM norm, tmax
+WHERE event_type = 'transaction' AND block_time >= t - INTERVAL 24 HOUR AND block_time <= t
+GROUP BY 1, 2
+""",
+    "active_programs": f"""
+WITH {NORM_SQL}
+SELECT program_id, count(*) AS tx_count,
+       count(DISTINCT wallet) AS unique_wallets,
+       max(block_time) AS last_seen
+FROM norm
+WHERE event_type = 'program_instruction' AND program_id IS NOT NULL
+GROUP BY program_id
+ORDER BY tx_count DESC, program_id
+LIMIT 50
+""",
+    "token_transfer_stats": f"""
+WITH {NORM_SQL}
+SELECT count(*) AS total_transfers,
+       count(DISTINCT token_mint) AS unique_mints,
+       count(DISTINCT from_wallet) AS unique_senders,
+       count(DISTINCT to_wallet) AS unique_receivers
+FROM norm WHERE event_type = 'token_transfer'
+""",
+    "top_tokens": f"""
+WITH {NORM_SQL}
+SELECT token_mint, count(*) AS transfer_count,
+       count(DISTINCT from_wallet) AS unique_senders
+FROM norm
+WHERE event_type = 'token_transfer' AND token_mint IS NOT NULL
+GROUP BY token_mint
+ORDER BY transfer_count DESC, token_mint
+LIMIT 20
+""",
+    "failed_transactions": f"""
+WITH {NORM_SQL}
+SELECT total_transactions, failed_transactions,
+       round(failed_transactions * 100.0 / greatest(total_transactions, 1), 2) AS failure_rate
+FROM (
+  SELECT count(*) AS total_transactions,
+         CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS failed_transactions
+  FROM norm WHERE event_type = 'transaction'
+)
+""",
+    "top_errors": f"""
+WITH {NORM_SQL}
+SELECT coalesce(err_type, 'unknown') AS error_type, count(*) AS error_count
+FROM norm WHERE failed
+GROUP BY 1
+ORDER BY error_count DESC, error_type
+LIMIT 10
+""",
+    "wallet_activity": f"""
+WITH {NORM_SQL}
+SELECT count(DISTINCT wallet) AS active_wallets_total,
+       count(DISTINCT CASE WHEN CAST(block_time AS DATE) = CAST(t AS DATE) THEN wallet END) AS active_wallets_today,
+       count(DISTINCT CASE WHEN block_time >= CAST(CAST(t AS DATE) - INTERVAL 7 DAY AS TIMESTAMP) THEN wallet END) AS active_wallets_week
+FROM norm, tmax
+WHERE event_type = 'transaction' AND wallet IS NOT NULL
+""",
+    "top_wallets": f"""
+WITH {NORM_SQL}
+SELECT wallet, count(*) AS tx_count, min(block_time) AS first_seen, max(block_time) AS last_seen
+FROM norm
+WHERE event_type = 'transaction' AND wallet IS NOT NULL
+GROUP BY wallet
+ORDER BY tx_count DESC, wallet
+LIMIT 20
+""",
+    "program_trends": f"""
+WITH {NORM_SQL},
+daily AS (
+  SELECT program_id, CAST(block_time AS DATE) AS event_date, count(*) AS tx_count
+  FROM norm, tmax
+  WHERE event_type = 'program_instruction' AND program_id IS NOT NULL
+    AND block_time >= CAST(CAST(t AS DATE) - INTERVAL 30 DAY AS TIMESTAMP)
+  GROUP BY 1, 2
+),
+totals AS (SELECT program_id, sum(tx_count) AS total FROM daily GROUP BY 1),
+top AS (SELECT program_id FROM totals ORDER BY total DESC, program_id LIMIT 10)
+SELECT d.program_id, d.event_date, d.tx_count
+FROM daily d JOIN top USING (program_id)
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# relational suite
+
+RELATIONAL_QUERIES: dict[str, QueryFn] = {
+    "pricing_summary": R.pricing_summary,
+    "shipping_priority": R.shipping_priority,
+    "region_revenue": R.region_revenue,
+    "revenue_change": R.revenue_change,
+    "late_shipment_priority": R.late_shipment_priority,
+    "segment_order_stats": R.segment_order_stats,
+    "big_spenders": R.big_spenders,
+    "customer_order_ranks": R.customer_order_ranks,
+    "nation_trade_balance": R.nation_trade_balance,
+}
+
+RELATIONAL_SQL: dict[str, str] = {
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "region_revenue": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "revenue_change": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "late_shipment_priority": """
+SELECT o_orderpriority, count(*) AS late_order_count
+FROM (
+  SELECT DISTINCT o_orderkey, o_orderpriority
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_shipdate IS NOT NULL
+    AND l_shipdate > CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS TIMESTAMP)
+)
+GROUP BY o_orderpriority
+""",
+    "segment_order_stats": """
+SELECT coalesce(c_mktsegment, 'unknown') AS mktsegment,
+       count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       round(avg(o_totalprice), 4) AS avg_order_value
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+    "big_spenders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, round(total_qty, 2) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    "customer_order_ranks": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank_in_customer
+  FROM orders
+) WHERE rank_in_customer <= 3
+""",
+    "nation_trade_balance": """
+WITH c AS (
+  SELECT c_nationkey, count(*) AS customers, round(sum(c_acctbal), 2) AS customer_balance
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey, count(*) AS suppliers, round(sum(s_acctbal), 2) AS supplier_balance
+  FROM supplier GROUP BY 1
+)
+SELECT n_name,
+       coalesce(customers, 0) AS customers,
+       coalesce(customer_balance, 0.0) AS customer_balance,
+       coalesce(suppliers, 0) AS suppliers,
+       coalesce(supplier_balance, 0.0) AS supplier_balance
+FROM nation
+LEFT JOIN c ON n_nationkey = c_nationkey
+LEFT JOIN s ON n_nationkey = s_nationkey
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# text analysis suite (documents)
+
+
+def _docs(plan) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return plan(load_table(spark, sf_dir, "documents"))
+
+    return run
+
+
+TEXT_QUERIES: dict[str, QueryFn] = {
+    "token_counts": _docs(X.token_counts),
+    "bpe_token_counts": _docs(X.bpe_ish_token_counts),
+    "quality_scores": _docs(X.quality_scores),
+    "language_id": _docs(X.language_id),
+    "language_stats": _docs(X.language_stats),
+    "doc_fingerprints": _docs(X.fingerprints),
+}
+
+_STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+TEXT_SQL: dict[str, str] = {
+    "token_counts": """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+    "bpe_token_counts": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+    "quality_scores": f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       round(length(trim(text)) / greatest(len(tk), 1), 4) AS avg_token_len,
+       round(len(list_filter(tk, x -> x IN ({_STOPLIST}))) / greatest(len(tk), 1), 4) AS stopword_ratio,
+       round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio
+FROM t
+""",
+    "language_id": f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["en"])}))) AS score_en,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["de"])}))) AS score_de,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["es"])}))) AS score_es,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["fr"])}))) AS score_fr
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
+       END AS predicted_lang
+FROM s
+""",
+    "language_stats": """
+SELECT lang, count(*) AS doc_count,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens,
+       count(DISTINCT source) AS sources
+FROM documents
+GROUP BY lang
+""",
+    "doc_fingerprints": f"""
+SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint,
+       ('0x' || substr(md5({_NORM_TEXT}), 1, 15))::BIGINT AS fingerprint64
+FROM documents
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (documents + embeddings)
+
+DEDUP_QUERIES: dict[str, QueryFn] = {
+    "dedup_exact": _docs(D.exact_duplicates),
+    "dedup_minhash_lsh": _docs(lambda df: D.minhash_lsh_pairs(df, threshold=0.2)),
+    "dedup_ngram_jaccard": _docs(lambda df: D.ngram_jaccard_pairs(df, threshold=0.2)),
+    "simhash_fingerprints": _docs(D.simhash),
+    "dedup_embedding_cosine": (
+        lambda spark, sf_dir: D.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.8)
+    ),
+}
+
+_H64_SHINGLE = H64_SQL.format(x="CAST(s AS VARCHAR) || ':' || g")
+
+DEDUP_SQL: dict[str, str] = {
+    "dedup_exact": f"""
+SELECT md5({_NORM_TEXT}) AS content_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY 1
+""",
+    "dedup_minhash_lsh": f"""
+WITH {SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         [list_min([{_H64_SHINGLE} for g in sh]) for s in range(0, {D.MINHASH_HASHES})] AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band, md5(array_to_string(mh[b*{D.MINHASH_ROWS}+1 : b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], ',')) AS band_sig
+  FROM sigs, UNNEST(range(0, {D.MINHASH_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id
+) WHERE jac >= 0.2
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {SHINGLES_SQL},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id
+) WHERE jac >= 0.2
+""",
+    "simhash_fingerprints": f"""
+WITH t AS (
+  SELECT doc_id,
+         [{H64_SQL.format(x="w")} for w in list_distinct(string_split({_NORM_TEXT}, ' '))] AS th
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in th]) > 0
+                      THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                      for j in range(0, {D.SIMHASH_BITS})]) AS BIGINT) AS simhash
+FROM t
+""",
+    "dedup_embedding_cosine": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {COSINE_SQL.format(a="a.v", b="b.v")} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# similarity suite (embeddings)
+
+
+def _knn(fn, k: int = 10) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+        return fn(emb, queries_df, k)
+
+    return run
+
+
+SIMILARITY_QUERIES: dict[str, QueryFn] = {
+    "knn_bruteforce": _knn(V.knn_bruteforce),
+    "knn_lsh": _knn(V.knn_lsh),
+    "label_centroids": (lambda spark, sf_dir: V.label_centroids(load_table(spark, sf_dir, "embeddings"))),
+}
+
+SIMILARITY_SQL: dict[str, str] = {
+    "knn_bruteforce": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {COSINE_SQL.format(a="qv", b="cv")} AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+    "knn_lsh": f"""
+WITH P AS (SELECT {_planes_sql()} AS m),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {BUCKET_SQL.format(v="v")} AS bucket FROM e, P
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {COSINE_SQL.format(a="q.qv", b="c.v")} AS cosine
+  FROM b c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+    "label_centroids": """
+SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+GROUP BY label, i
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# multimodal suite (binary payloads built from documents)
+
+
+def _media(plan) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return plan(M.attach_binary(load_table(spark, sf_dir, "documents")))
+
+    return run
+
+
+MULTIMODAL_QUERIES: dict[str, QueryFn] = {
+    "media_stats": _media(M.media_stats),
+    "media_frame_sample": _media(M.frame_sample),
+    # mapInPandas path: no SQL twin -> driver records a rows-only check.
+    "media_features": _media(
+        lambda media: M.extract_features(media).select(
+            "media_id", "modality", "byte_len", F.round(F.element_at("feature", 1), 4).alias("f0")
+        )
+    ),
+}
+
+MULTIMODAL_SQL: dict[str, str] = {
+    "media_stats": """
+SELECT 'text' AS modality, count(*) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+       count(DISTINCT text) AS distinct_payloads
+FROM documents
+""",
+    "media_frame_sample": """
+WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L FROM documents)
+SELECT doc_id AS media_id, CAST(o // 64 AS INT) AS frame_idx, o AS byte_offset
+FROM m, UNNEST(range(0, greatest(L, 1), 64)) AS u(o)
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# public manifest
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(ANALYTICS_QUERIES)
+    out.update(RELATIONAL_QUERIES)
+    out.update(TEXT_QUERIES)
+    out.update(DEDUP_QUERIES)
+    out.update(SIMILARITY_QUERIES)
+    out.update(MULTIMODAL_QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(ANALYTICS_SQL)
+    out.update(RELATIONAL_SQL)
+    out.update(TEXT_SQL)
+    out.update(DEDUP_SQL)
+    out.update(SIMILARITY_SQL)
+    out.update(MULTIMODAL_SQL)
+    return out
