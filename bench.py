@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference analytics surface (single-scan agg plans)
+    "transaction_volume",
+    "hourly_volume",
+    "active_programs",
+    "token_transfer_stats",
+    "top_tokens",
+    "failed_transactions",
+    "top_errors",
+    "wallet_activity",
+    "top_wallets",
+    "program_trends",
+    # relational surface
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "revenue_change",
+    "late_shipment_priority",
+    "segment_order_stats",
+    "big_spenders",
+    "customer_order_ranks",
+    # extensions
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_fingerprints",
+    "knn_bruteforce",
+    "knn_lsh",
+    "media_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from solana_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from __spark_entry__ import queries
+
+    qs = queries()
+    # warm-up: JVM/codegen spin-up + file listing, not counted
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink materializes every column (count() would let Catalyst
+        # prune the computed expressions away and under-measure)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,24 @@ MINHASH_ROWS = MINHASH_HASHES // MINHASH_BANDS  # 4 -> s-curve threshold ~0.71
 SHINGLE_N = 3
 SIMHASH_BITS = 32
 
+# Affine minhash family h_s(x) = (A[s]*x + B[s]) mod MINHASH_MOD over a
+# 31-bit base hash: one expensive md5 per shingle, then pure integer
+# arithmetic per seed (classic universal-hash minhash; products stay
+# within signed-64 range). Constants from a fixed LCG so the oracle SQL
+# can embed the identical literals.
+MINHASH_MOD = 2147483647
+_BASE_MOD = 2**31
+
+
+def minhash_coeffs(num_hashes: int = MINHASH_HASHES) -> tuple[list[int], list[int]]:
+    a, b = [], []
+    for s in range(num_hashes):
+        x = (1103515245 * (2 * s + 1) + 12345) % _BASE_MOD
+        y = (1103515245 * (2 * s + 2) + 54321) % _BASE_MOD
+        a.append(x | 1)
+        b.append(y)
+    return a, b
+
 
 def _hash64(c: Column) -> Column:
     """Portable 60-bit hash: decimal value of md5's first 15 hex chars."""
@@ -72,17 +90,28 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = MINHASH_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: for seed s, min over shingles of
-    h64(s ':' shingle). One narrow projection, fully codegen'd."""
-    sh = shingles_col(text_col)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: _hash64(F.concat_ws(":", s.cast("string"), g)))
-        ),
+    """Per-doc MinHash signature via explode -> hash-once -> per-seed
+    affine rehash -> groupBy min.
+
+    Scale shape: the only shuffle is the (doc_id)-keyed min aggregation,
+    which combines map-side (partial min), so the exchange carries one
+    row per (doc, seed-vector) -- not per shingle. The md5 runs exactly
+    once per shingle occurrence; seeds reuse it with integer math.
+    """
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    a, b = minhash_coeffs(num_hashes)
+    inv = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.explode(shingles_col(text_col)).alias("g")
     )
-    return df.select("doc_id", sig.alias("minhash"))
+    hashed = inv.select("doc_id", (_hash64(F.col("g")) % F.lit(_BASE_MOD)).alias("base"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a[s]) * F.col("base") + F.lit(b[s])) % F.lit(MINHASH_MOD)).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return mins.select("doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("minhash"))
 
 
 def _band_rows(sig_df: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> DataFrame:
@@ -124,7 +153,11 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = df.select("doc_id", shingles_col(text_col).alias("sh"))
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    sh = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", shingles_col(text_col).alias("sh")
+    )
     a = sh.alias("sa")
     bb = sh.alias("sb")
     verified = (
@@ -157,7 +190,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", threshold: float 
     filter degenerate (full inverted index); use minhash_lsh_pairs when
     the corpus is large -- this operator is the exact oracle twin.
     """
-    sh = df.select("doc_id", shingles_col(text_col).alias("sh"))
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    sh = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", shingles_col(text_col).alias("sh")
+    )
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     l, r = inv.alias("l"), inv.alias("r")
     cand = (
@@ -187,18 +224,25 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     (+1 if bit j of h64(token) set else -1) > 0. 32 bits keeps every
     intermediate in signed-long range and the oracle SQL portable.
     """
-    toks = F.array_distinct(F.split(normalized_text(text_col), " "))
-    th = F.transform(toks, _hash64)
-    def vote(mask: Column) -> Column:
-        return F.aggregate(
-            th, F.lit(0), lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-        )
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
 
+    inv = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("w"),
+    )
+    hashed = inv.select("doc_id", _hash64(F.col("w")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
     fp = F.lit(0).cast("long")
-    for j in range(bits):  # static bit positions -> plain column arithmetic
-        mask = F.lit(1 << j).cast("long")
-        fp = fp + F.when(vote(mask) > 0, mask).otherwise(F.lit(0).cast("long"))
-    return df.select("doc_id", fp.alias("simhash"))
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -409,7 +409,26 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     ),
 }
 
-_H64_SHINGLE = H64_SQL.format(x="CAST(s AS VARCHAR) || ':' || g")
+def _minhash_sigs_sql() -> str:
+    """Mirror of dedup.minhash_signatures: md5 base hash once per
+    shingle, affine rehash per seed, per-doc min."""
+    a, b = D.minhash_coeffs()
+    mins = ",\n           ".join(
+        f"min(({a[s]} * base + {b[s]}) % {D.MINHASH_MOD}) AS h{s}" for s in range(D.MINHASH_HASHES)
+    )
+    arr = ", ".join(f"h{s}" for s in range(D.MINHASH_HASHES))
+    base = H64_SQL.format(x="g") + " % 2147483648"
+    return f"""
+sigs AS (
+  SELECT doc_id, [{arr}] AS mh FROM (
+    SELECT doc_id,
+           {mins}
+    FROM (SELECT doc_id, {base} AS base
+          FROM (SELECT doc_id, unnest(sh) AS g FROM sh))
+    GROUP BY doc_id
+  )
+)"""
+
 
 DEDUP_SQL: dict[str, str] = {
     "dedup_exact": f"""
@@ -420,11 +439,7 @@ GROUP BY 1
 """,
     "dedup_minhash_lsh": f"""
 WITH {SHINGLES_SQL},
-sigs AS (
-  SELECT doc_id,
-         [list_min([{_H64_SHINGLE} for g in sh]) for s in range(0, {D.MINHASH_HASHES})] AS mh
-  FROM sh
-),
+{_minhash_sigs_sql()},
 bands AS (
   SELECT doc_id, b AS band, md5(array_to_string(mh[b*{D.MINHASH_ROWS}+1 : b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], ',')) AS band_sig
   FROM sigs, UNNEST(range(0, {D.MINHASH_BANDS})) AS u(b)
