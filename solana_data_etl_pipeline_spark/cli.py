@@ -1,0 +1,101 @@
+"""CLI entry points (reference O8, src/main.rs:13-66).
+
+Subcommands mirror the reference: backfill / incremental / health /
+analytics. `--fixtures` swaps the network RPC client for the offline
+deterministic fixture chain so every command is runnable without
+credentials or connectivity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+from solana_data_etl_pipeline_spark.config import Config
+
+
+def _client(args):
+    if args.fixtures:
+        from solana_data_etl_pipeline_spark.sources.fixtures import FixtureRpcClient
+
+        return FixtureRpcClient(tip=args.fixture_tip)
+    from solana_data_etl_pipeline_spark.sources.rpc import RpcClient
+
+    return RpcClient()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="solana-etl-spark")
+    parser.add_argument("--warehouse-path", default=None, help="override WAREHOUSE_PATH")
+    parser.add_argument("--fixtures", action="store_true", help="use the offline fixture chain")
+    parser.add_argument("--fixture-tip", type=int, default=100)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_back = sub.add_parser("backfill", help="bulk ingest a slot range")
+    p_back.add_argument("--start-slot", type=int, required=True)
+    p_back.add_argument("--end-slot", type=int, required=True)
+    p_back.add_argument("--workers", type=int, default=4)
+
+    p_inc = sub.add_parser("incremental", help="continuous delta ingest")
+    p_inc.add_argument("--interval", type=int, default=30)
+    p_inc.add_argument("--max-iterations", type=int, default=None)
+
+    sub.add_parser("health", help="source connectivity check")
+
+    p_ana = sub.add_parser("analytics", help="recompute analytics tables")
+    p_ana.add_argument("--as-of", default=None, help="ISO timestamp; default = max block_time")
+
+    args = parser.parse_args(argv)
+    config = Config.load()
+    if args.warehouse_path:
+        config.warehouse.path = args.warehouse_path
+    if getattr(args, "interval", None) is not None and args.command == "incremental":
+        config.etl.interval_seconds = args.interval
+
+    from solana_data_etl_pipeline_spark.session import get_spark
+    from solana_data_etl_pipeline_spark.sinks.warehouse import create_warehouse
+
+    spark = get_spark("solana-etl-cli")
+    warehouse = create_warehouse(spark, config.warehouse)
+
+    if args.command == "health":
+        from solana_data_etl_pipeline_spark.streaming.incremental import run_health_check
+
+        ok = run_health_check(_client(args))
+        print("healthy" if ok else "unhealthy")
+        return 0 if ok else 1
+
+    if args.command == "backfill":
+        from solana_data_etl_pipeline_spark.streaming.incremental import run_backfill
+
+        client = _client(args)
+        n = run_backfill(spark, warehouse, lambda: client, args.start_slot, args.end_slot, config)
+        print(f"backfill wrote {n} events")
+        return 0
+
+    if args.command == "incremental":
+        from solana_data_etl_pipeline_spark.streaming.incremental import run_incremental
+
+        run_incremental(spark, warehouse, _client(args), config, max_iterations=args.max_iterations)
+        return 0
+
+    if args.command == "analytics":
+        from solana_data_etl_pipeline_spark.plans.canonical import run_analytics
+
+        events = warehouse.read_events()
+        if args.as_of:
+            as_of = dt.datetime.fromisoformat(args.as_of)
+        else:
+            row = events.agg({"block_time": "max"}).first()
+            as_of = row[0] or dt.datetime(1970, 1, 1)
+        results = run_analytics(events, as_of, output_path=warehouse.path)
+        for name in results:
+            print(f"analytics_{name}: written")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
