@@ -58,12 +58,30 @@ def normalized_text(text_col: str = "text") -> Column:
     return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
 
 
-def shingles_col(text_col: str = "text", n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = F.split(normalized_text(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalized_text(text_col), " ")
+
+
+def shingles_from_tokens(tk: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-PROJECTED token
+    array column.
+
+    The token expression is referenced n times per gram inside the
+    `transform` lambda; higher-order functions evaluate interpreted
+    (no common-subexpression elimination), so callers MUST pass a bound
+    attribute -- never the raw split/regexp expression -- or the
+    tokenizer re-runs O(n * grams) times per row."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]))
     return F.array_distinct(grams)
+
+
+def shingles_col(text_col: str = "text", n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of the normalized text. Prefer the
+    tokens_col + shingles_from_tokens two-step in performance paths
+    (see shingles_from_tokens docstring)."""
+    return shingles_from_tokens(tokens_col(text_col), n)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -89,29 +107,60 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = MINHASH_HASHES) -> DataFrame:
-    """Per-doc MinHash signature via explode -> hash-once -> per-seed
-    affine rehash -> groupBy min.
+def _base_hashes(sh: Column) -> Column:
+    """Array of 31-bit base hashes, one per shingle of a bound array."""
 
-    Scale shape: the only shuffle is the (doc_id)-keyed min aggregation,
-    which combines map-side (partial min), so the exchange carries one
-    row per (doc, seed-vector) -- not per shingle. The md5 runs exactly
-    once per shingle occurrence; seeds reuse it with integer math.
-    """
+    def _base(g: Column) -> Column:
+        return _hash64(g) % F.lit(_BASE_MOD)
+
+    return F.transform(sh, _base)
+
+
+def _shingle_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh): distinct shingle arrays, tokenized via a bound
+    intermediate projection (see shingles_from_tokens)."""
     from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
 
+    return (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", tokens_col(text_col).alias("_tk"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("sh"))
+    )
+
+
+def minhash_sig_col(hashes_col: Column, num_hashes: int = MINHASH_HASHES) -> Column:
+    """MinHash signature as a pure per-row expression over the base-hash
+    array: sig[s] = min over shingles of (A[s]*h + B[s]) mod M.
+
+    Single `aggregate` pass with an array-of-mins accumulator (rather
+    than num_hashes unrolled array_min/transform pairs) so the
+    expression tree -- and the generated code Janino has to compile --
+    stays O(1) in num_hashes."""
     a, b = minhash_coeffs(num_hashes)
-    inv = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
-        "doc_id", F.explode(shingles_col(text_col)).alias("g")
-    )
-    hashed = inv.select("doc_id", (_hash64(F.col("g")) % F.lit(_BASE_MOD)).alias("base"))
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a[s]) * F.col("base") + F.lit(b[s])) % F.lit(MINHASH_MOD)).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
-    )
-    return mins.select("doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("minhash"))
+    a_lit = F.array(*[F.lit(v).cast("long") for v in a])
+    b_lit = F.array(*[F.lit(v).cast("long") for v in b])
+    init = F.array_repeat(F.lit(MINHASH_MOD).cast("long"), num_hashes)
+
+    def _step(acc: Column, x: Column) -> Column:
+        seeds = F.zip_with(a_lit, b_lit, lambda ca, cb: (ca * x + cb) % F.lit(MINHASH_MOD))
+        return F.zip_with(acc, seeds, lambda m, s: F.least(m, s))
+
+    return F.aggregate(hashes_col, init, _step)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = MINHASH_HASHES) -> DataFrame:
+    """Per-doc MinHash signature, computed entirely per-row with
+    higher-order functions: shingle -> md5 base hash (once per shingle)
+    -> per-seed affine rehash -> array_min.
+
+    Scale shape: ZERO shuffles -- the signature is a projection, so it
+    pipelines with the parquet scan and never materializes the shingle
+    inverted index. (An earlier version exploded shingles and ran a
+    groupBy-min; the per-row form is strictly narrower and keeps the
+    map side of any downstream LSH join shuffle-free.)
+    """
+    base = _shingle_sets(df, text_col).select("doc_id", _base_hashes(F.col("sh")).alias("_hs"))
+    return base.select("doc_id", minhash_sig_col(F.col("_hs"), num_hashes).alias("minhash"))
 
 
 def _band_rows(sig_df: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> DataFrame:
@@ -138,6 +187,8 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >=
     threshold, rounded to 4 decimals.
     """
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes)
     b = _band_rows(sigs, bands, rows)
@@ -153,11 +204,7 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
-
-    sh = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
-        "doc_id", shingles_col(text_col).alias("sh")
-    )
+    sh = _shingle_sets(df, text_col)
     a = sh.alias("sa")
     bb = sh.alias("sb")
     verified = (
@@ -190,11 +237,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", threshold: float 
     filter degenerate (full inverted index); use minhash_lsh_pairs when
     the corpus is large -- this operator is the exact oracle twin.
     """
-    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
-
-    sh = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
-        "doc_id", shingles_col(text_col).alias("sh")
-    )
+    sh = _shingle_sets(df, text_col)
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     l, r = inv.alias("l"), inv.alias("r")
     cand = (
@@ -223,26 +266,32 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     bit j of the fingerprint = 1 iff sum over distinct tokens of
     (+1 if bit j of h64(token) set else -1) > 0. 32 bits keeps every
     intermediate in signed-long range and the oracle SQL portable.
+
+    Scale shape: ZERO shuffles -- votes are per-row `aggregate` passes
+    over the token-hash array, so the fingerprint is a projection that
+    pipelines with the scan (previously an explode + 32-way groupBy
+    sum, which shuffled one row per token).
     """
     from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
 
-    inv = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias("w"),
+    th = F.transform(F.array_distinct(F.split(normalized_text(text_col), " ")), _hash64)
+    hashed = ensure_parallelism(df.select("doc_id", F.col(text_col))).select("doc_id", th.alias("_th"))
+
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    zero = F.lit(0).cast("long")
+    votes = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(zero, bits),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda v, mask: v + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ),
     )
-    hashed = inv.select("doc_id", _hash64(F.col("w")).alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+    fp = F.aggregate(
+        F.zip_with(votes, masks, lambda v, mask: F.when(v > 0, mask).otherwise(F.lit(0).cast("long"))),
+        zero,
+        lambda acc, x: acc + x,
     )
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", fp.alias("simhash"))
+    return hashed.select("doc_id", fp.alias("simhash"))
 
 
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -251,11 +300,15 @@ def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> Data
     Brute-force O(n^2) cross join -- correct baseline; at 100 TB use
     the LSH-bucketed plan in operators/similarity.py to cut candidates.
     """
-    from solana_data_etl_pipeline_spark.operators.similarity import cosine_expr
+    from solana_data_etl_pipeline_spark.operators.similarity import _dvec, dot_raw, norm_expr
 
-    v = emb_df.select(F.col("vec_id"), F.col("embedding"))
+    v = emb_df.select(
+        F.col("vec_id"),
+        _dvec(F.col("embedding")).alias("v"),
+        norm_expr(F.col("embedding")).alias("n"),
+    )
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    cos = dot_raw(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))

@@ -34,8 +34,13 @@ def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def dot_raw(a: Column, b: Column) -> Column:
+    """Dot product of two already-double arrays (no per-element cast)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def dot_expr(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return dot_raw(_dvec(a), _dvec(b))
 
 
 def norm_expr(a: Column) -> Column:
@@ -61,16 +66,20 @@ def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[floa
 
 
 def bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p set iff dot(plane_p, emb) >= 0."""
-    bits = []
-    for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
-        d = F.aggregate(F.zip_with(plane, _dvec(emb), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(d >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    """Sign-bit bucket id: bit p set iff dot(plane_p, emb) >= 0.
+
+    The plane matrix is a single nested-array literal and the dot
+    products run inside one `transform`, keeping the expression tree
+    (and generated code) O(planes) instead of O(planes * dim)."""
+    planes_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    powers = F.array(*[F.lit(2**p).cast("long") for p in range(len(planes))])
+    dvec = _dvec(emb)
+    dots = F.transform(
+        planes_col,
+        lambda row: F.aggregate(F.zip_with(row, dvec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x),
+    )
+    bits = F.zip_with(dots, powers, lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
@@ -79,10 +88,21 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFr
     corpus: (vec_id, embedding); queries: (query_id, embedding).
     Excludes self-matches when ids collide. Returns
     (query_id, neighbor_id, cosine, rank).
+
+    Scale shape: the double-cast vector and its L2 norm are projected
+    ONCE per side before the join, so the per-pair work is a single
+    zip_with dot product -- at |corpus| x |queries| pairs that is the
+    dominant cost and must not re-derive norms pairwise.
     """
-    q = queries.select(F.col("query_id"), F.col("embedding").alias("q_emb"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    cos = cosine_expr(F.col("q_emb"), F.col("c_emb"))
+    q = queries.select(
+        F.col("query_id"), _dvec(F.col("embedding")).alias("q_emb"), norm_expr(F.col("embedding")).alias("q_norm")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _dvec(F.col("embedding")).alias("c_emb"),
+        norm_expr(F.col("embedding")).alias("c_norm"),
+    )
+    cos = dot_raw(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -105,15 +125,17 @@ def knn_lsh(
     planes = lsh_planes(n_planes, dim)
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
+        _dvec(F.col("embedding")).alias("c_emb"),
+        norm_expr(F.col("embedding")).alias("c_norm"),
         bucket_expr(F.col("embedding"), planes).alias("bucket"),
     )
     q = queries.select(
         F.col("query_id"),
-        F.col("embedding").alias("q_emb"),
+        _dvec(F.col("embedding")).alias("q_emb"),
+        norm_expr(F.col("embedding")).alias("q_norm"),
         bucket_expr(F.col("embedding"), planes).alias("bucket"),
     )
-    cos = cosine_expr(F.col("q_emb"), F.col("c_emb"))
+    cos = dot_raw(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
