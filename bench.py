@@ -34,6 +34,12 @@ HEADLINE = [
     "segment_order_stats",
     "big_spenders",
     "customer_order_ranks",
+    "sales_rollup",
+    "order_cube",
+    "price_tier_distribution",
+    # temporal surface
+    "asof_attribution",
+    "user_sessions",
     # extensions
     "token_counts",
     "quality_scores",
@@ -43,6 +49,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "media_stats",
 ]
 

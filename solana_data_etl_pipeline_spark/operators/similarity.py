@@ -145,6 +145,74 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(emb_df: DataFrame, dim: int = EMB_DIM, cell_col: str = "label") -> DataFrame:
+    """(cell, centroid) coarse-quantizer table: per-cell element-wise
+    mean, one hash-agg pass (dim scalar avgs folded into an array).
+    Rounded to 6 dp for engine portability."""
+    aggs = [F.avg(F.col("embedding").getItem(i).cast("double")).alias(f"_c{i}") for i in range(dim)]
+    return (
+        emb_df.groupBy(F.col(cell_col).alias("cell"))
+        .agg(*aggs)
+        .select("cell", F.array(*[F.round(F.col(f"_c{i}"), 6) for i in range(dim)]).alias("centroid"))
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    dim: int = EMB_DIM,
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN top-k: the corpus is pre-partitioned into cells
+    (the `cell_col` column -- in a production pipeline the coarse
+    quantizer assignment is materialized at ingest, which is exactly
+    what the testdata's label column models). A query probes its
+    `nprobe` nearest cell centroids, then exact-reranks only those
+    cells' vectors.
+
+    Scale shape: centroids are one tiny hash-agg; probe selection is a
+    broadcast cross join against |cells| rows; candidate generation is
+    an equi-join corpus.cell = probe.cell with the (small) probe side
+    broadcast -- the corpus is never shuffled, and cell pruning cuts
+    the scan to nprobe/nlist of the data when the table is
+    partitioned/bucketed by cell.
+    """
+    cents = ivf_centroids(corpus, dim, cell_col)
+    cents = cents.select("cell", F.col("centroid").alias("c_vec"), norm_expr(F.col("centroid")).alias("c_n"))
+    q = queries.select(
+        F.col("query_id"),
+        _dvec(F.col("embedding")).alias("q_emb"),
+        norm_expr(F.col("embedding")).alias("q_norm"),
+    )
+    # rounded to 4 dp BEFORE ranking so probe selection tie-breaks
+    # identically across engines (the oracle ranks rounded cosines)
+    probe_cos = F.round(dot_raw(F.col("q_emb"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_n")), 4)
+    wp = Window.partitionBy("query_id").orderBy(F.desc("probe_cos"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "q_norm", "cell", probe_cos.alias("probe_cos"))
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cell")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        _dvec(F.col("embedding")).alias("c_emb"),
+        norm_expr(F.col("embedding")).alias("c_norm"),
+    )
+    cos = dot_raw(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def label_centroids(emb_df: DataFrame) -> DataFrame:
     """Per-label centroid of embeddings (IVF coarse-quantizer training
     analog): element-wise mean via posexplode + group-by -- shuffles

@@ -163,6 +163,84 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (returnflag -> linestatus ->
+    grand total). Catalyst expands grouping sets into one Expand +
+    single hash aggregate -- one scan, one shuffle for all levels.
+    `level` is the grouping_id bitmask (0=detail, 1=flag subtotal,
+    3=grand total) so subtotal rows are unambiguous even if the
+    grouped columns could be NULL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "level",
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order year, priority): all four grouping combinations
+    in one Expand + hash-agg pass (no multi-scan union)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("bigint").alias("order_year")
+    return (
+        orders.select(yr, F.col("o_orderpriority"), F.col("o_totalprice"))
+        .cube("order_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("level"),
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "level",
+            "order_count",
+            "total_price",
+        )
+    )
+
+
+PRICE_TIERS: list[tuple[str, float, float]] = [
+    ("bronze", 0.0, 100_000.0),
+    ("silver", 100_000.0, 200_000.0),
+    ("gold", 200_000.0, 350_000.0),
+    ("platinum", 350_000.0, 1e12),
+]
+
+
+def price_tier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi band) join: orders banded into price tiers with
+    `lo <= o_totalprice < hi`. The tier table is tiny and broadcast, so
+    Catalyst plans BroadcastNestedLoopJoin -- the fact side streams
+    without a shuffle; the join itself never materializes more than
+    |facts| x |tiers| comparisons map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(PRICE_TIERS, "tier string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join + conditional agg: per-nation supplier vs customer
     account balances (set-op flavored union of two dim scans)."""

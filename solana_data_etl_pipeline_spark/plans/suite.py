@@ -24,6 +24,7 @@ from solana_data_etl_pipeline_spark.operators import similarity as V
 from solana_data_etl_pipeline_spark.operators import text as X
 from solana_data_etl_pipeline_spark.plans import analytics as A
 from solana_data_etl_pipeline_spark.plans import relational as R
+from solana_data_etl_pipeline_spark.plans import temporal as T
 from solana_data_etl_pipeline_spark.plans.testdata_model import NORM_SQL, as_of, load_table, normalized_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -209,6 +210,9 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "big_spenders": R.big_spenders,
     "customer_order_ranks": R.customer_order_ranks,
     "nation_trade_balance": R.nation_trade_balance,
+    "sales_rollup": R.sales_rollup,
+    "order_cube": R.order_cube,
+    "price_tier_distribution": R.price_tier_distribution,
 }
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -291,6 +295,37 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
   FROM orders
 ) WHERE rank_in_customer <= 3
 """,
+    "sales_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "order_cube": """
+SELECT coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+       coalesce(o_orderpriority, 'ALL') AS order_priority,
+       CAST(GROUPING(order_year, o_orderpriority) AS BIGINT) AS level,
+       count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS total_price
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderpriority, o_totalprice
+      FROM orders)
+GROUP BY CUBE (order_year, o_orderpriority)
+""",
+    "price_tier_distribution": """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('bronze', 0.0, 100000.0), ('silver', 100000.0, 200000.0),
+         ('gold', 200000.0, 350000.0), ('platinum', 350000.0, 1e12)
+)
+SELECT tier, count(*) AS order_count,
+       round(avg(o_totalprice), 4) AS avg_price,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+""",
     "nation_trade_balance": """
 WITH c AS (
   SELECT c_nationkey, count(*) AS customers, round(sum(c_acctbal), 2) AS customer_balance
@@ -308,6 +343,62 @@ SELECT n_name,
 FROM nation
 LEFT JOIN c ON n_nationkey = c_nationkey
 LEFT JOIN s ON n_nationkey = s_nationkey
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# temporal suite (events: as-of join, sessionization)
+
+TEMPORAL_QUERIES: dict[str, QueryFn] = {
+    "asof_attribution": T.asof_attribution,
+    "user_sessions": T.user_sessions,
+}
+
+_ASOF_WIN = (
+    "OVER (PARTITION BY user_id ORDER BY ts, side, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+TEMPORAL_SQL: dict[str, str] = {
+    "asof_attribution": f"""
+WITH pc AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+c AS (
+  SELECT event_id, user_id, ts, side,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) {_ASOF_WIN} AS click_ts,
+         last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) {_ASOF_WIN} AS click_value
+  FROM pc
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, click_ts,
+       round(click_value, 2) AS click_value,
+       date_diff('second', click_ts, ts) AS gap_sec
+FROM c WHERE side = 1
+""",
+    "user_sessions": f"""
+WITH l AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                  OR date_diff('second', prev, ts) > {T.SESSION_GAP_MINUTES * 60}
+             THEN 1 ELSE 0 END AS nf
+  FROM l
+),
+s AS (
+  SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       date_diff('second', min(ts), max(ts)) AS duration_sec
+FROM s GROUP BY user_id, session_seq
 """,
 }
 
@@ -507,9 +598,16 @@ def _knn(fn, k: int = 10) -> QueryFn:
     return run
 
 
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return V.knn_ivf(emb, queries_df, k=10, nprobe=2)
+
+
 SIMILARITY_QUERIES: dict[str, QueryFn] = {
     "knn_bruteforce": _knn(V.knn_bruteforce),
     "knn_lsh": _knn(V.knn_lsh),
+    "knn_ivf": _knn_ivf,
     "label_centroids": (lambda spark, sf_dir: V.label_centroids(load_table(spark, sf_dir, "embeddings"))),
 }
 
@@ -537,6 +635,34 @@ scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, {COSINE_SQL.format(a="q.qv", b="c.v")} AS cosine
   FROM b c JOIN q ON c.bucket = q.bucket
   WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+    "knn_ivf": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cd AS (
+  SELECT label AS cell, i AS dim, round(avg(embedding[i]::DOUBLE), 6) AS cv
+  FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+  GROUP BY label, i
+),
+cent AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cell),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+pr AS (
+  SELECT query_id, cell, qv, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {COSINE_SQL.format(a="qv", b="cvec")} DESC, cell
+  ) AS rn
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT query_id, qv, cell FROM pr WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {COSINE_SQL.format(a="p.qv", b="c.v")} AS cosine
+  FROM probes p JOIN e c ON c.label = p.cell
+  WHERE c.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
@@ -597,6 +723,7 @@ def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     out.update(ANALYTICS_QUERIES)
     out.update(RELATIONAL_QUERIES)
+    out.update(TEMPORAL_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(SIMILARITY_QUERIES)
@@ -608,6 +735,7 @@ def all_oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(ANALYTICS_SQL)
     out.update(RELATIONAL_SQL)
+    out.update(TEMPORAL_SQL)
     out.update(TEXT_SQL)
     out.update(DEDUP_SQL)
     out.update(SIMILARITY_SQL)
