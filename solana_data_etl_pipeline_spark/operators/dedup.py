@@ -73,7 +73,10 @@ def shingles_from_tokens(tk: Column, n: int = SHINGLE_N) -> Column:
     attribute -- never the raw split/regexp expression -- or the
     tokenizer re-runs O(n * grams) times per row."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]))
+    # try_element_at: a doc shorter than n tokens yields one partial
+    # gram (out-of-bounds -> NULL, skipped by concat_ws) -- same as the
+    # oracle's out-of-range list indexing semantics
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.try_element_at(tk, i + j + 1) for j in range(n)]))
     return F.array_distinct(grams)
 
 

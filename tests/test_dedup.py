@@ -1,0 +1,129 @@
+"""Dedup operator properties: exact, MinHash-LSH, SimHash, n-gram
+Jaccard. Expectations are computed independently in Python over the
+same fixture texts, so the Spark plans are checked against a second
+implementation of the semantics."""
+
+import hashlib
+
+import pytest
+
+from solana_data_etl_pipeline_spark.operators import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "completely different content about distributed query engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (4, "  The   QUICK brown fox jumps over the lazy dog near the river bank today "),  # normalizes to 0
+    (5, "short text"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _norm(t):
+    return " ".join(t.lower().split())
+
+
+def _shingles(t, n=3):
+    toks = _norm(t).split(" ")
+    grams = [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+    # matches shingles_from_tokens: short docs yield one (possibly
+    # partial) gram; dedup preserves first-seen order
+    out = []
+    for g in grams:
+        if g not in out:
+            out.append(g)
+    return out
+
+
+def _jac(a, b):
+    sa, sb = set(a), set(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates_groups_normalized_text(docs_df):
+    rows = {r.keep_doc_id: r.dup_count for r in D.exact_duplicates(docs_df).collect()}
+    # docs 0, 3, 4 normalize identically -> kept id 0, count 3
+    assert rows[0] == 3
+    assert rows[1] == 1
+    assert rows[2] == 1
+
+
+def test_dedup_exact_keeps_min_doc_id(docs_df):
+    kept = {r.doc_id for r in D.dedup_exact(docs_df).collect()}
+    assert kept == {0, 1, 2, 5, 6}
+
+
+def test_minhash_identical_docs_identical_signatures(docs_df):
+    sigs = {r.doc_id: r.minhash for r in D.minhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[3] == sigs[4]
+    assert sigs[0] != sigs[2]
+    assert all(len(s) == D.MINHASH_HASHES for s in sigs.values())
+    assert all(0 <= v < D.MINHASH_MOD for s in sigs.values() for v in s)
+
+
+def test_minhash_signature_matches_python_reimplementation(docs_df):
+    sigs = {r.doc_id: r.minhash for r in D.minhash_signatures(docs_df).collect()}
+    a, b = D.minhash_coeffs()
+    for doc_id, text in DOCS[:3]:
+        bases = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % D._BASE_MOD
+            for g in _shingles(text)
+        ]
+        expected = [min((a[s] * x + b[s]) % D.MINHASH_MOD for x in bases) for s in range(D.MINHASH_HASHES)]
+        assert list(sigs[doc_id]) == expected
+
+
+def test_lsh_pairs_find_near_and_exact_dups(docs_df):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.minhash_lsh_pairs(docs_df, threshold=0.2).collect()}
+    # exact/normalized dups collide in every band and verify at 1.0
+    assert pairs[(0, 3)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert pairs[(3, 4)] == 1.0
+    # unrelated docs never verified
+    assert not any(2 in p or 5 in p or 6 in p for p in pairs)
+    # verified jaccard is the exact value
+    if (0, 1) in pairs:
+        assert pairs[(0, 1)] == round(_jac(_shingles(DOCS[0][1]), _shingles(DOCS[1][1])), 4)
+
+
+def test_ngram_jaccard_is_exact_and_superset_of_lsh(docs_df):
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(docs_df, threshold=0.2).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in D.minhash_lsh_pairs(docs_df, threshold=0.2).collect()}
+    # every LSH-verified pair appears in the exact join with the same score
+    for p, j in lsh.items():
+        assert exact[p] == j
+    # the near-dup pair is guaranteed in the exact join
+    expected = round(_jac(_shingles(DOCS[0][1]), _shingles(DOCS[1][1])), 4)
+    assert exact[(0, 1)] == expected
+
+
+def test_simhash_identical_for_identical_distinct_tokens(docs_df):
+    fp = {r.doc_id: r.simhash for r in D.simhash(docs_df).collect()}
+    assert fp[0] == fp[3] == fp[4]
+    assert fp[0] != fp[2]
+    assert all(0 <= v < 2**D.SIMHASH_BITS for v in fp.values())
+
+
+def test_simhash_near_dups_have_small_hamming_distance(docs_df):
+    fp = {r.doc_id: r.simhash for r in D.simhash(docs_df).collect()}
+    near = bin(fp[0] ^ fp[1]).count("1")
+    far = bin(fp[0] ^ fp[2]).count("1")
+    assert near < far
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),  # ~cos 0.995 with 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs

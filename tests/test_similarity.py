@@ -1,0 +1,112 @@
+"""Similarity-search properties: exact top-k correctness vs a NumPy
+reimplementation, ANN (LSH / IVF) candidate containment and ranking
+invariants."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from solana_data_etl_pipeline_spark.operators import similarity as V
+
+DIM = 8
+N = 40
+K = 5
+
+
+def _vectors():
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(N, DIM)).astype("float32")
+    return [(i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(N)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(_vectors(), "vec_id long, embedding array<float>, label int")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+def _numpy_topk(k):
+    rows = _vectors()
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    out = {}
+    for q in range(3):
+        cos = vecs @ vecs[q] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[q]))
+        scored = sorted(
+            ((round(float(c), 4), i) for i, c in enumerate(cos) if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = [(i, c) for c, i in scored[:k]]
+    return out
+
+
+def test_knn_bruteforce_matches_numpy(emb, queries):
+    got = {}
+    for r in V.knn_bruteforce(emb, queries, k=K).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    expected = _numpy_topk(K)
+    for q in range(3):
+        ranked = [(n, c) for _, n, c in sorted(got[q])]
+        assert ranked == [(n, round(c, 4)) for n, c in expected[q]]
+
+
+def test_knn_bruteforce_rank_invariants(emb, queries):
+    rows = V.knn_bruteforce(emb, queries, k=K).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_knn_lsh_results_subset_of_exact_scores(emb, queries):
+    """Every ANN hit must carry the exact cosine (rerank is exact) and
+    respect top-k ordering within the candidate set."""
+    exact = {}
+    for r in V.knn_bruteforce(emb, queries, k=N).collect():
+        exact[(r.query_id, r.neighbor_id)] = r.cosine
+    for r in V.knn_lsh(emb, queries, k=K).collect():
+        assert math.isclose(r.cosine, exact[(r.query_id, r.neighbor_id)], abs_tol=1e-9)
+
+
+def test_knn_ivf_candidates_come_from_probed_cells(emb, queries):
+    nprobe = 2
+    cents = {r.cell: list(r.centroid) for r in V.ivf_centroids(emb, dim=DIM).collect()}
+    vecs = {r[0]: (r[1], r[2]) for r in _vectors()}
+    for r in V.knn_ivf(emb, queries, k=K, nprobe=nprobe, dim=DIM).collect():
+        qv = np.array(vecs[r.query_id][0], dtype=np.float64)
+        scored = sorted(
+            (
+                (-round(float(qv @ np.array(c) / (np.linalg.norm(qv) * np.linalg.norm(c))), 4), cell)
+                for cell, c in cents.items()
+            ),
+        )
+        probed = {cell for _, cell in scored[:nprobe]}
+        assert vecs[r.neighbor_id][1] in probed
+
+
+def test_ivf_centroids_are_per_cell_means(emb):
+    got = {r.cell: list(r.centroid) for r in V.ivf_centroids(emb, dim=DIM).collect()}
+    rows = _vectors()
+    for cell in range(4):
+        members = np.array([r[1] for r in rows if r[2] == cell], dtype=np.float64)
+        expected = [round(float(x), 6) for x in members.mean(axis=0)]
+        assert got[cell] == pytest.approx(expected, abs=1e-6)
+
+
+def test_bucket_expr_is_deterministic(emb):
+    planes = V.lsh_planes(n_planes=4, dim=DIM)
+    b1 = {r.vec_id: r.b for r in emb.select("vec_id", V.bucket_expr(F.col("embedding"), planes).alias("b")).collect()}
+    b2 = {r.vec_id: r.b for r in emb.select("vec_id", V.bucket_expr(F.col("embedding"), planes).alias("b")).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 16 for v in b1.values())

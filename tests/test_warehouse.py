@@ -1,0 +1,127 @@
+"""L-layer + O-layer integration: idempotent upsert semantics,
+checkpoint state, backfill/incremental end-to-end on fixture blocks
+(no network). Mirrors the reference's replay/idempotency guarantees
+(ON CONFLICT upsert + slot checkpoints) on the parquet warehouse."""
+
+import pytest
+
+from solana_data_etl_pipeline_spark.config import Config, WarehouseConfig
+from solana_data_etl_pipeline_spark.operators.parse import parse_blocks
+from solana_data_etl_pipeline_spark.sinks.warehouse import ParquetWarehouse, create_warehouse
+from solana_data_etl_pipeline_spark.sources.blocks import blocks_to_df
+from solana_data_etl_pipeline_spark.sources.fixtures import FixtureRpcClient, make_block
+from solana_data_etl_pipeline_spark.streaming.incremental import (
+    chunk_ranges,
+    process_incremental,
+    run_backfill,
+    run_health_check,
+    run_incremental,
+)
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.connect()
+    return wh
+
+
+def _events(spark, slots):
+    return parse_blocks(blocks_to_df(spark, [make_block(s) for s in slots]))
+
+
+def test_insert_events_is_idempotent(spark, warehouse):
+    ev = _events(spark, [1, 2, 3])
+    n_first = warehouse.insert_events(ev)
+    assert n_first == ev.count() > 0
+    # replaying the identical batch writes nothing new
+    assert warehouse.insert_events(ev) == 0
+    assert warehouse.read_events().count() == n_first
+
+
+def test_insert_events_partial_overlap(spark, warehouse):
+    warehouse.insert_events(_events(spark, [1, 2]))
+    n = warehouse.insert_events(_events(spark, [2, 3]))
+    assert n == _events(spark, [3]).count()
+    total = warehouse.read_events().count()
+    assert total == _events(spark, [1, 2, 3]).count()
+
+
+def test_insert_dedups_within_batch(spark, warehouse):
+    ev = _events(spark, [1])
+    doubled = ev.unionByName(ev)
+    assert warehouse.insert_events(doubled) == ev.count()
+
+
+def test_checkpoint_roundtrip(warehouse):
+    assert warehouse.get_last_slot() is None
+    warehouse.update_last_slot(41)
+    warehouse.update_last_slot(42)
+    assert warehouse.get_last_slot() == 42
+
+
+def test_is_slot_processed(spark, warehouse):
+    warehouse.insert_events(_events(spark, [5]))
+    assert warehouse.is_slot_processed(5)
+    assert not warehouse.is_slot_processed(6)
+
+
+def test_create_warehouse_factory(spark, tmp_path):
+    cfg = WarehouseConfig(sink_type="parquet", path=str(tmp_path / "a"))
+    assert isinstance(create_warehouse(spark, cfg), ParquetWarehouse)
+    from solana_data_etl_pipeline_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError):
+        create_warehouse(spark, WarehouseConfig(sink_type="mystery", path=str(tmp_path / "b")))
+
+
+def test_chunk_ranges():
+    assert chunk_ranges(1, 10, 4) == [(1, 4), (5, 8), (9, 10)]
+    assert chunk_ranges(5, 5, 100) == [(5, 5)]
+
+
+def test_backfill_end_to_end_and_replay(spark, warehouse):
+    client = FixtureRpcClient(tip=40)
+    cfg = Config.load()
+    n = run_backfill(spark, warehouse, lambda: client, 1, 25, cfg)
+    assert n > 0
+    slots = {r.slot for r in warehouse.read_events().select("slot").distinct().collect()}
+    assert slots == {s for s in range(1, 26) if s % 17 != 0}  # skipped slots dropped
+    assert warehouse.get_last_slot() == 25
+    # full replay of the same range is a no-op
+    assert run_backfill(spark, warehouse, lambda: client, 1, 25, cfg) == 0
+
+
+def test_incremental_advances_checkpoint(spark, warehouse):
+    client = FixtureRpcClient(tip=10)
+    cfg = Config.load()
+    n1 = process_incremental(spark, warehouse, client, cfg)
+    assert n1 > 0
+    assert warehouse.get_last_slot() == 10
+    # no new slots -> no-op
+    assert process_incremental(spark, warehouse, client, cfg) == 0
+    client.advance(5)
+    n2 = process_incremental(spark, warehouse, client, cfg)
+    assert n2 > 0
+    assert warehouse.get_last_slot() == 15
+    slots = {r.slot for r in warehouse.read_events().select("slot").distinct().collect()}
+    assert slots == {s for s in range(1, 16) if s % 17 != 0}
+
+
+def test_run_incremental_loop_bounded(spark, warehouse):
+    client = FixtureRpcClient(tip=5)
+    sleeps = []
+    run_incremental(spark, warehouse, client, Config.load(), max_iterations=2, sleep=sleeps.append)
+    assert warehouse.get_last_slot() == 5
+    assert len(sleeps) == 1  # sleeps between iterations, not after the last
+
+
+def test_health_check(warehouse):
+    assert run_health_check(FixtureRpcClient(tip=3))
+    assert run_health_check(FixtureRpcClient(tip=3), warehouse)
+
+    class Down:
+        def get_slot(self):
+            raise ConnectionError("no rpc")
+
+    assert not run_health_check(Down())
