@@ -1,0 +1,47 @@
+"""CLI surface (reference src/main.rs parity): every subcommand runs
+end-to-end against the offline fixture chain and a tmp warehouse."""
+
+from solana_data_etl_pipeline_spark.cli import main
+
+
+def test_cli_health(spark, tmp_path, capsys):
+    rc = main(["--warehouse-path", str(tmp_path / "wh"), "--fixtures", "health"])
+    assert rc == 0
+    assert "healthy" in capsys.readouterr().out
+
+
+def test_cli_backfill_then_analytics(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    rc = main(
+        ["--warehouse-path", wh, "--fixtures", "backfill", "--start-slot", "1", "--end-slot", "12"]
+    )
+    assert rc == 0
+    assert "backfill wrote" in capsys.readouterr().out
+
+    rc = main(["--warehouse-path", wh, "--fixtures", "analytics"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "analytics_transaction_volume: written" in out
+    # materialized outputs readable
+    got = spark.read.parquet(f"{wh}/analytics_transaction_volume")
+    assert got.count() == 4  # total/today/week/month rows
+
+
+def test_cli_incremental_bounded(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--warehouse-path",
+            wh,
+            "--fixtures",
+            "--fixture-tip",
+            "8",
+            "incremental",
+            "--max-iterations",
+            "1",
+        ]
+    )
+    assert rc == 0
+    from solana_data_etl_pipeline_spark.sinks.warehouse import ParquetWarehouse
+
+    assert ParquetWarehouse(spark, wh).get_last_slot() == 8
