@@ -37,6 +37,7 @@ HEADLINE = [
     "sales_rollup",
     "order_cube",
     "price_tier_distribution",
+    "inactive_customers",
     # temporal surface
     "asof_attribution",
     "user_sessions",

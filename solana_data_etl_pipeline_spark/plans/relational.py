@@ -163,6 +163,30 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIGH_VALUE_ORDER = 300_000.0
+
+
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with no high-value (>300k) orders,
+    per segment. The filter is pushed below the anti-join so the right
+    side shrinks before the shuffle; Catalyst plans
+    BroadcastHashJoin(LeftAnti) when the filtered side fits."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > HIGH_VALUE_ORDER)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("inactive_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
 def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP (returnflag -> linestatus ->
     grand total). Catalyst expands grouping sets into one Expand +

@@ -213,6 +213,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "sales_rollup": R.sales_rollup,
     "order_cube": R.order_cube,
     "price_tier_distribution": R.price_tier_distribution,
+    "inactive_customers": R.inactive_customers,
 }
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -294,6 +295,14 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
          CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank_in_customer
   FROM orders
 ) WHERE rank_in_customer <= 3
+""",
+    "inactive_customers": """
+SELECT c_mktsegment, count(*) AS inactive_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
 """,
     "sales_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
