@@ -700,7 +700,9 @@ def _media(plan) -> QueryFn:
 MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     "media_stats": _media(M.media_stats),
     "media_frame_sample": _media(M.frame_sample),
-    # mapInPandas path: no SQL twin -> driver records a rows-only check.
+    # mapInPandas path; the deterministic stand-in decoder is
+    # sha256-based, so even the Arrow-batched Python stage is exactly
+    # oracle-checkable (f0 = first 4 digest bytes / 2^32).
     "media_features": _media(
         lambda media: M.extract_features(media).select(
             "media_id", "modality", "byte_len", F.round(F.element_at("feature", 1), 4).alias("f0")
@@ -720,6 +722,12 @@ FROM documents
 WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L FROM documents)
 SELECT doc_id AS media_id, CAST(o // 64 AS INT) AS frame_idx, o AS byte_offset
 FROM m, UNNEST(range(0, greatest(L, 1), 64)) AS u(o)
+""",
+    "media_features": """
+SELECT doc_id AS media_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       round(('0x' || substr(sha256(text), 1, 8))::BIGINT / 4294967296.0, 4) AS f0
+FROM documents
 """,
 }
 

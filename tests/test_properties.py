@@ -1,0 +1,116 @@
+"""Property-style checks (SURVEY.md §5): randomized inputs via
+hypothesis, invariants asserted over the Spark results. Example counts
+are kept small because each example runs a Spark job."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from solana_data_etl_pipeline_spark.operators import dedup as D
+from solana_data_etl_pipeline_spark.operators.parse import parse_blocks
+from solana_data_etl_pipeline_spark.operators.temporal import asof_join, sessionize
+from solana_data_etl_pipeline_spark.sources.blocks import blocks_to_df
+from solana_data_etl_pipeline_spark.sources.fixtures import make_block
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@given(slots=st.sets(st.integers(min_value=1, max_value=200), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_event_ids_unique_and_replay_stable(spark, slots):
+    blocks = [make_block(s) for s in sorted(slots)]
+    df = parse_blocks(blocks_to_df(spark, blocks))
+    ids = [r.event_id for r in df.select("event_id").collect()]
+    assert len(ids) == len(set(ids))
+    again = [r.event_id for r in parse_blocks(blocks_to_df(spark, blocks)).select("event_id").collect()]
+    assert sorted(ids) == sorted(again)
+
+
+@given(
+    base=st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=20),
+    mutations=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_minhash_estimate_tracks_true_jaccard(spark, base, mutations):
+    """Signature agreement must not wildly contradict true Jaccard:
+    identical docs agree everywhere; heavily-mutated docs agree less."""
+    words_a = [f"w{c}{i}" for i, c in enumerate(base)]
+    words_b = list(words_a)
+    for m in range(mutations):
+        words_b[m % len(words_b)] = f"mut{m}"
+    df = spark.createDataFrame(
+        [(0, " ".join(words_a)), (1, " ".join(words_b))], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: list(r.minhash) for r in D.minhash_signatures(df).collect()}
+    agree = sum(x == y for x, y in zip(sigs[0], sigs[1])) / D.MINHASH_HASHES
+    if mutations == 0:
+        assert agree == 1.0
+    else:
+        assert agree < 1.0  # some band must differ once shingles differ
+
+
+@given(
+    ts_offsets=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=12),
+    gap_minutes=st.sampled_from([5, 30, 120]),
+)
+@settings(**SETTINGS)
+def test_sessionize_invariants(spark, ts_offsets, gap_minutes):
+    rows = [
+        (i, 1, T0 + dt.timedelta(seconds=off)) for i, off in enumerate(sorted(set(ts_offsets)))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sorted(
+        sessionize(df, gap_minutes=gap_minutes).collect(), key=lambda r: (r.ts, r.event_id)
+    )
+    # session ids start at 1, are monotone, and bump exactly on gaps
+    assert out[0].session_seq == 1
+    for prev, cur in zip(out, out[1:]):
+        gap = (cur.ts - prev.ts).total_seconds()
+        expected_bump = 1 if gap > gap_minutes * 60 else 0
+        assert cur.session_seq == prev.session_seq + expected_bump
+
+
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=8),
+    right_ts=st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=8),
+)
+@settings(**SETTINGS)
+def test_asof_invariants(spark, left_ts, right_ts):
+    left = spark.createDataFrame(
+        [(i, 1, T0 + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(set(left_ts)))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, 1, T0 + dt.timedelta(seconds=s), float(s)) for i, s in enumerate(sorted(set(right_ts)))],
+        "event_id long, user_id long, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on="user_id", ts="ts", right_cols=["v"]).collect()
+    rset = sorted(set(right_ts))
+    assert len(out) == len(set(left_ts))  # left rows preserved
+    for r in out:
+        lsec = (r.ts - T0).total_seconds()
+        expected = max((s for s in rset if s <= lsec), default=None)
+        if expected is None:
+            assert r.asof_ts is None and r.asof_v is None
+        else:
+            assert (r.asof_ts - T0).total_seconds() == expected
+            assert r.asof_v == float(expected)
+
+
+@given(texts=st.lists(st.text(alphabet="abc d", min_size=0, max_size=30), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_corpus(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    groups = D.exact_duplicates(df).collect()
+    assert sum(r.dup_count for r in groups) == len(texts)
+    norm = {" ".join(t.lower().split()) for t in texts}
+    assert len(groups) == len(norm)
