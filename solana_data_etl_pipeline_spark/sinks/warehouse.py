@@ -120,6 +120,49 @@ class ParquetWarehouse:
             batch.unpersist()
         return n_new
 
+    def upsert_events(self, events: DataFrame) -> int:
+        """L3 full parity: ON CONFLICT (event_id) DO UPDATE semantics
+        (reference src/warehouse.rs:227-229) -- an incoming row with an
+        existing id REPLACES the stored row (latest payload wins),
+        unlike insert_events' insert-wins fast path.
+
+        Plan: rewrite only the touched date partitions -- keep existing
+        rows whose ids are not in the batch (anti-join), union the
+        batch, overwrite those partitions (dynamic partition
+        overwrite). Untouched partitions are never read or written, so
+        the cost scales with the batch's date spread, not the table.
+        Returns the number of incoming rows applied.
+        """
+        batch = events.withColumn(EVENT_DATE_COL, F.to_date("block_time")).dropDuplicates(["event_id"])
+        existing = self._existing()
+        if existing is None:
+            n = batch.count()
+            if n:
+                batch.write.mode("append").partitionBy(EVENT_DATE_COL).parquet(self.events_path)
+            return n
+        batch = batch.persist()
+        try:
+            n = batch.count()
+            if not n:
+                return 0
+            dates = [r[0] for r in batch.select(EVENT_DATE_COL).distinct().collect()]
+            touched = existing.filter(F.col(EVENT_DATE_COL).isin(dates))
+            kept = touched.join(batch.select("event_id"), "event_id", "left_anti")
+            # localCheckpoint truncates lineage BEFORE the overwrite:
+            # the write must never re-trigger a scan of the files it is
+            # replacing (persist alone is evictable and would).
+            merged = kept.select(*batch.columns).unionByName(batch).localCheckpoint(eager=True)
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy(EVENT_DATE_COL).parquet(self.events_path)
+            finally:
+                self.spark.conf.set(conf, prev)
+            return n
+        finally:
+            batch.unpersist()
+
     def is_slot_processed(self, slot: int) -> bool:
         """L7: idempotency probe (reference src/warehouse.rs:287-299).
         Prefer processed_slots()/anti-join for bulk paths -- this

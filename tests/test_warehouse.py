@@ -53,6 +53,31 @@ def test_insert_dedups_within_batch(spark, warehouse):
     assert warehouse.insert_events(doubled) == ev.count()
 
 
+def test_upsert_events_replaces_payload(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, [1, 2])
+    assert warehouse.upsert_events(ev) == ev.count()
+    # replay the same ids with a mutated payload: DO-UPDATE semantics
+    mutated = ev.withColumn("raw_payload", F.lit('{"replayed":true}'))
+    assert warehouse.upsert_events(mutated) == ev.count()
+    stored = warehouse.read_events()
+    assert stored.count() == ev.count()  # no duplicates
+    payloads = {r.raw_payload for r in stored.select("raw_payload").collect()}
+    assert payloads == {'{"replayed":true}'}  # latest payload won
+
+
+def test_upsert_events_touches_only_overlapping_ids(spark, warehouse):
+    ev12 = _events(spark, [1, 2])
+    warehouse.upsert_events(ev12)
+    ev23 = _events(spark, [2, 3])
+    warehouse.upsert_events(ev23)
+    stored = warehouse.read_events()
+    assert stored.count() == _events(spark, [1, 2, 3]).count()
+    ids = [r.event_id for r in stored.select("event_id").collect()]
+    assert len(ids) == len(set(ids))
+
+
 def test_checkpoint_roundtrip(warehouse):
     assert warehouse.get_last_slot() is None
     warehouse.update_last_slot(41)
