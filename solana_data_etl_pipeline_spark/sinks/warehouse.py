@@ -115,10 +115,45 @@ class ParquetWarehouse:
         try:
             n_new = batch.count()
             if n_new:
-                batch.write.mode("append").partitionBy(EVENT_DATE_COL).parquet(self.events_path)
+                # sortWithinPartitions(slot): row groups get tight slot
+                # min/max stats, so slot-predicate scans skip files --
+                # the reference's slot index (src/warehouse.rs:183-186)
+                # as a data-layout property instead of a structure
+                batch.sortWithinPartitions(EVENT_DATE_COL, "slot").write.mode("append").partitionBy(
+                    EVENT_DATE_COL
+                ).parquet(self.events_path)
         finally:
             batch.unpersist()
         return n_new
+
+    def compact(self, target_files_per_partition: int = 1) -> int:
+        """Rewrite each date partition into `target_files_per_partition`
+        slot-sorted files. Incremental appends accumulate small files
+        (one per micro-batch per date); periodic compaction restores
+        scan efficiency. Returns the number of partitions rewritten.
+
+        At scale: run per-partition (bounded memory), only on
+        partitions whose file count exceeds the target -- the rewrite
+        cost scales with the data actually compacted.
+        """
+        existing = self._existing()
+        if existing is None:
+            return 0
+        dates = [r[0] for r in existing.select(EVENT_DATE_COL).distinct().collect()]
+        done = 0
+        for d in dates:
+            part = existing.filter(F.col(EVENT_DATE_COL) == d)
+            merged = part.repartition(target_files_per_partition).sortWithinPartitions("slot")
+            merged = merged.localCheckpoint(eager=True)  # never re-scan files being replaced
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy(EVENT_DATE_COL).parquet(self.events_path)
+            finally:
+                self.spark.conf.set(conf, prev)
+            done += 1
+        return done
 
     def upsert_events(self, events: DataFrame) -> int:
         """L3 full parity: ON CONFLICT (event_id) DO UPDATE semantics

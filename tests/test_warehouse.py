@@ -78,6 +78,25 @@ def test_upsert_events_touches_only_overlapping_ids(spark, warehouse):
     assert len(ids) == len(set(ids))
 
 
+def test_compact_preserves_rows_and_reduces_files(spark, warehouse):
+    import glob
+
+    # several appends -> several files per date partition
+    for slots in ([1], [2], [3]):
+        warehouse.insert_events(_events(spark, slots))
+    before = warehouse.read_events()
+    n_before = before.count()
+    ids_before = sorted(r.event_id for r in before.select("event_id").collect())
+    files_before = len(glob.glob(f"{warehouse.events_path}/*/*.parquet"))
+
+    assert warehouse.compact(target_files_per_partition=1) > 0
+    after = warehouse.read_events()
+    assert after.count() == n_before
+    assert sorted(r.event_id for r in after.select("event_id").collect()) == ids_before
+    files_after = len(glob.glob(f"{warehouse.events_path}/*/*.parquet"))
+    assert files_after < files_before
+
+
 def test_checkpoint_roundtrip(warehouse):
     assert warehouse.get_last_slot() is None
     warehouse.update_last_slot(41)
