@@ -45,6 +45,8 @@ HEADLINE = [
     "token_counts",
     "quality_scores",
     "language_id",
+    "vocab_top_words",
+    "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_fingerprints",

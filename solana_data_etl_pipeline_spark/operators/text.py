@@ -104,6 +104,62 @@ def language_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def consistent_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash-mod sampling: keep rows whose md5-derived
+    bucket (0-99) is < pct. Unlike rand()-based sampling this is
+    stable across reruns/retries and engines, composes with joins (the
+    same id always lands in the same split), and needs no shuffle --
+    it is a pure filter, pushed into the scan's row-group pruning when
+    the id correlates with layout."""
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long") % 100
+    return df.filter(bucket < pct)
+
+
+def vocab_top_words(df: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-N tokens by frequency (tokenizer-building
+    first pass). explode -> partial+final count -> TakeOrderedAndProject
+    top-k; the shuffle carries one row per (partition, token)."""
+    inv = df.select(F.explode(tokens_col()).alias("token")).filter(F.col("token") != "")
+    return (
+        inv.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1))).
+
+    Plan: one explode -> (doc, term) count [shuffle 1] -> document
+    frequency derived FROM the tf table (count per term, shuffle 2,
+    already-reduced rows) -> broadcast both the df table's join and the
+    scalar N -> per-doc top-k window. Stopword-heavy terms skew the df
+    aggregation at corpus scale; operators/skew.py's salted_count is
+    the drop-in mitigation."""
+    tok = df.select("doc_id", F.explode(tokens_col()).alias("term")).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("docfreq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("docfreq") + F.lit(1.0))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
 def fingerprints(df: DataFrame) -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact-dup key) and
     a 64-bit prefix convenient for range-partitioned joins."""

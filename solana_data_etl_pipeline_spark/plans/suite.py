@@ -430,6 +430,11 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "language_id": _docs(X.language_id),
     "language_stats": _docs(X.language_stats),
     "doc_fingerprints": _docs(X.fingerprints),
+    "consistent_sample": _docs(
+        lambda df: X.consistent_sample(df, pct=20).select("doc_id", "lang", "n_chars")
+    ),
+    "vocab_top_words": _docs(X.vocab_top_words),
+    "tfidf_top_terms": _docs(X.tfidf_top_terms),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -492,6 +497,31 @@ GROUP BY lang
 SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint,
        ('0x' || substr(md5({_NORM_TEXT}), 1, 15))::BIGINT AS fingerprint64
 FROM documents
+""",
+    "consistent_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+""",
+    "vocab_top_words": """
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token FROM documents
+)
+SELECT token, count(*) AS freq FROM t WHERE token <> ''
+GROUP BY token ORDER BY freq DESC, token LIMIT 100
+""",
+    "tfidf_top_terms": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS docfreq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rn AS INT) AS rank FROM (
+  SELECT doc_id, term, tf * ln((n_docs + 1.0) / (docfreq + 1.0)) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf * ln((n_docs + 1.0) / (docfreq + 1.0)) DESC, term) AS rn
+  FROM tf JOIN dfreq USING (term), n
+) WHERE rn <= 5
 """,
 }
 

@@ -1,0 +1,56 @@
+"""Text-operator semantics vs independent Python computation."""
+
+import math
+
+import pytest
+
+from solana_data_etl_pipeline_spark.operators import text as X
+
+DOCS = [
+    (0, "alpha beta gamma alpha", "en", "s1", 22),
+    (1, "beta beta delta", "en", "s1", 15),
+    (2, "gamma gamma gamma epsilon", "de", "s2", 25),
+    (3, "", "en", "s2", 0),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_consistent_sample_is_stable_and_proportional(docs):
+    a = {r.doc_id for r in X.consistent_sample(docs, pct=50).collect()}
+    b = {r.doc_id for r in X.consistent_sample(docs, pct=50).collect()}
+    assert a == b  # deterministic
+    full = {r.doc_id for r in X.consistent_sample(docs, pct=100).collect()}
+    assert full == {0, 1, 2, 3}
+    none = {r.doc_id for r in X.consistent_sample(docs, pct=0).collect()}
+    assert none == set()
+    # monotone: a smaller pct is a subset of a larger one
+    small = {r.doc_id for r in X.consistent_sample(docs, pct=20).collect()}
+    assert small <= a
+
+
+def test_vocab_top_words_counts(docs):
+    got = {r.token: r.freq for r in X.vocab_top_words(docs, top_n=3).collect()}
+    # corpus frequencies: gamma 4, beta 3, alpha 2, delta 1, epsilon 1
+    assert got == {"gamma": 4, "beta": 3, "alpha": 2}
+
+
+def test_tfidf_ranks_distinctive_terms_first(docs):
+    rows = X.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    # doc 1: 'beta' tf=2 but appears in 2 docs; 'delta' tf=1 unique.
+    # idf(beta)=ln(5/3), idf(delta)=ln(5/2): 2*0.51 > 1*0.92 -> beta first
+    terms1 = [t for _, t, _ in sorted(by_doc[1])]
+    assert terms1 == ["beta", "delta"]
+    expected_beta = round(2 * math.log((4 + 1) / (2 + 1)), 6)
+    assert sorted(by_doc[1])[0][2] == pytest.approx(expected_beta, abs=1e-6)
+    # empty doc contributes no rows
+    assert 3 not in by_doc
+    # ranks dense from 1 within every doc
+    for doc, rs in by_doc.items():
+        assert [r for r, _, _ in sorted(rs)] == list(range(1, len(rs) + 1))
