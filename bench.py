@@ -38,9 +38,13 @@ HEADLINE = [
     "order_cube",
     "price_tier_distribution",
     "inactive_customers",
+    "priority_pivot",
+    "price_percentiles",
+    "repeat_buyers",
     # temporal surface
     "asof_attribution",
     "user_sessions",
+    "session_window_stats",
     # extensions
     "token_counts",
     "quality_scores",

@@ -181,6 +181,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact verify.
 
@@ -189,12 +190,29 @@ def minhash_lsh_pairs(
     Jaccard over distinct shingle sets for the candidate pairs only.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >=
     threshold, rounded to 4 decimals.
+
+    `max_bucket` caps band-bucket width: a bucket with more than
+    max_bucket docs is dropped before the self-join (its pair count is
+    quadratic -- one degenerate bucket, e.g. an empty-document
+    signature, can dominate the whole job at corpus scale). Capped
+    buckets trade recall for a bounded worst case; exact duplicates
+    lost this way are caught by the cheap exact_duplicates pass.
     """
     from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
 
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes)
     b = _band_rows(sigs, bands, rows)
+    if max_bucket is not None:
+        # broadcast the HOT buckets only (few by definition) and
+        # anti-join -- broadcasting all bucket widths would not scale
+        hot = (
+            b.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_w"))
+            .filter(F.col("_w") > max_bucket)
+            .select("band", "band_sig")
+        )
+        b = b.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
     left = b.alias("l")
     right = b.alias("r")
     cand = (

@@ -265,6 +265,57 @@ def price_tier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: order counts per (year x priority) as columns.
+    Explicit pivot values keep the plan single-pass (no extra job to
+    discover the domain) and the output schema static."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.select(F.year("o_orderdate").cast("bigint").alias("order_year"), "o_orderpriority")
+        .groupBy("order_year")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: "p" + p.split("-")[0] for p in PRIORITIES}
+    cols = [F.col("order_year")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(renames[p]) for p in PRIORITIES
+    ]
+    return piv.select(*cols)
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate surface: EXACT interpolated percentiles
+    (median / p90) of order value per priority. Exact `percentile`
+    collects the group's values into the aggregation buffer -- correct
+    but memory-bound per group at scale; approx_percentile is the
+    bounded-memory trade when cross-engine exactness is not required."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("order_count"),
+    )
+
+
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: INTERSECT / EXCEPT of customer key sets
+    from two order-year snapshots (returning buyers vs churned buyers).
+    Both set ops are distinct-based -- one shuffle each on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    y1996 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y1997 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y1996.intersect(y1997).select(F.lit("retained").alias("cohort"), "o_custkey")
+    churned = y1996.subtract(y1997).select(F.lit("churned").alias("cohort"), "o_custkey")
+    return (
+        both.unionByName(churned)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("customers"))
+    )
+
+
 def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join + conditional agg: per-nation supplier vs customer
     account balances (set-op flavored union of two dim scans)."""

@@ -214,6 +214,9 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "order_cube": R.order_cube,
     "price_tier_distribution": R.price_tier_distribution,
     "inactive_customers": R.inactive_customers,
+    "priority_pivot": R.priority_pivot,
+    "price_percentiles": R.price_percentiles,
+    "repeat_buyers": R.repeat_buyers,
 }
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -335,6 +338,34 @@ SELECT tier, count(*) AS order_count,
 FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY tier
 """,
+    "priority_pivot": """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+FROM orders
+GROUP BY 1
+""",
+    "price_percentiles": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       count(*) AS order_count
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "repeat_buyers": """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997),
+u AS (
+  SELECT 'retained' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+  UNION ALL
+  SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+)
+SELECT cohort, count(*) AS customers FROM u GROUP BY cohort
+""",
     "nation_trade_balance": """
 WITH c AS (
   SELECT c_nationkey, count(*) AS customers, round(sum(c_acctbal), 2) AS customer_balance
@@ -362,6 +393,7 @@ LEFT JOIN s ON n_nationkey = s_nationkey
 TEMPORAL_QUERIES: dict[str, QueryFn] = {
     "asof_attribution": T.asof_attribution,
     "user_sessions": T.user_sessions,
+    "session_window_stats": T.session_window_stats,
 }
 
 _ASOF_WIN = (
@@ -408,6 +440,29 @@ SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        date_diff('second', min(ts), max(ts)) AS duration_sec
 FROM s GROUP BY user_id, session_seq
+""",
+    # session_window merges events with diff < gap (strict), decided at
+    # microsecond precision -- the oracle compares exact epoch_us, not
+    # floored seconds.
+    "session_window_stats": f"""
+WITH l AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) >= {T.SESSION_GAP_MINUTES * 60} * 1000000::BIGINT
+             THEN 1 ELSE 0 END AS nf
+  FROM l
+),
+s AS (
+  SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS seq
+  FROM f
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+FROM s GROUP BY user_id, seq
 """,
 }
 

@@ -42,6 +42,29 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap-sessionization computed with Spark's BUILT-IN
+    `session_window` aggregation (one hash-agg with merging session
+    state instead of the window-scan in operators/temporal.py --
+    also the streaming-native formulation). Session bounds differ from
+    session_stats by construction: session_window's end is
+    last_event + gap (window bound), so we report event-time bounds
+    via min/max and count only."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user: session ordinal, bounds, size and
     duration. One shuffle on user_id; the session aggregation reuses

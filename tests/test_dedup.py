@@ -103,6 +103,23 @@ def test_ngram_jaccard_is_exact_and_superset_of_lsh(docs_df):
     assert exact[(0, 1)] == expected
 
 
+def test_lsh_max_bucket_caps_hot_buckets(docs_df):
+    # docs 0/3/4 share every band bucket (identical signatures) ->
+    # width-3 buckets; cap at 2 removes exactly those buckets' pairs
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs_df, threshold=0.2, max_bucket=2).collect()
+    }
+    assert not {(0, 3), (0, 4), (3, 4)} & capped
+    # uncapped behavior unchanged when the cap is above every width
+    wide = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs_df, threshold=0.2, max_bucket=100).collect()
+    }
+    full = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs_df, threshold=0.2).collect()}
+    assert wide == full
+
+
 def test_simhash_identical_for_identical_distinct_tokens(docs_df):
     fp = {r.doc_id: r.simhash for r in D.simhash(docs_df).collect()}
     assert fp[0] == fp[3] == fp[4]
