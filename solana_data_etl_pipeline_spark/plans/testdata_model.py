@@ -42,13 +42,27 @@ TABLES = [
 ]
 
 
+# Plan/value caches keyed by (session id, sf_dir[, table]). DataFrames
+# are reusable lazy plans; re-reading per query re-lists files and
+# re-fetches footers, and the as_of scalar costs one collect job per
+# analytics query without this. Keyed on id(spark) so a fresh driver
+# session (new JVM) never sees another session's plans.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_AS_OF_CACHE: dict[tuple[int, str], "dt.datetime"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as raw nanos via
         # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (what
         # DuckDB's nanos->micros cast does too) and restore NTZ type.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -99,5 +113,9 @@ tmax AS (SELECT max(ts) AS t FROM events)
 
 def as_of(spark: SparkSession, sf_dir: str) -> dt.datetime:
     """Deterministic 'now': max event time in the dataset (the SQL
-    oracles use the matching scalar subquery ``(SELECT max(ts) ...)``)."""
-    return load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    oracles use the matching scalar subquery ``(SELECT max(ts) ...)``).
+    Memoized per (session, sf_dir) -- the value is a dataset constant."""
+    key = (id(spark), sf_dir)
+    if key not in _AS_OF_CACHE:
+        _AS_OF_CACHE[key] = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return _AS_OF_CACHE[key]

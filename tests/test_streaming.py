@@ -61,6 +61,56 @@ def test_stream_restart_resumes_and_dedups(spark, dirs):
     assert len(ids) > n1
 
 
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    import json as _json
+
+    from solana_data_etl_pipeline_spark.streaming.stateful import running_user_totals
+
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "ev_in")
+    ckpt = str(tmp_path / "ev_ckpt")
+    out = str(tmp_path / "ev_out")
+    os.makedirs(inp, exist_ok=True)
+
+    def land(name, rows):
+        with open(os.path.join(inp, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def drain(run):
+        stream = spark.readStream.schema("user_id long, value double").json(inp)
+
+        def sink(df, batch_id):
+            df.withColumn("run", F.lit(run)).write.mode("append").parquet(out)
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.read.parquet(out).filter(F.col("run") == run).collect()
+        }
+
+    land("a.jsonl", [{"user_id": 1, "value": 2.0}, {"user_id": 1, "value": 3.0}, {"user_id": 2, "value": 5.0}])
+    got1 = drain(1)
+    assert got1[1] == (2, 5.0)
+    assert got1[2] == (1, 5.0)
+
+    # second run: state restored from the checkpoint and accumulated
+    land("b.jsonl", [{"user_id": 1, "value": 10.0}, {"user_id": 3, "value": 1.0}])
+    got2 = drain(2)
+    assert got2[1] == (3, 15.0)  # accumulated across restarts
+    assert got2[3] == (1, 1.0)
+    assert 2 not in got2  # untouched key not re-emitted in update mode
+
+
 def test_hourly_volume_stream_matches_batch(spark, dirs):
     inp, _, _ = dirs
     _land(inp, "a.jsonl", range(1, 30))
