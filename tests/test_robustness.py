@@ -1,0 +1,77 @@
+"""Malformed-input tolerance (the reference's warn-and-continue,
+src/parsers.rs:22-26) and config default parity with the reference's
+documented values."""
+
+import json
+import os
+
+from solana_data_etl_pipeline_spark.config import Config
+from solana_data_etl_pipeline_spark.operators.parse import parse_blocks
+from solana_data_etl_pipeline_spark.sources.blocks import read_block_json
+from solana_data_etl_pipeline_spark.sources.fixtures import make_block
+
+
+def test_malformed_landing_lines_are_dropped_not_fatal(spark, tmp_path):
+    path = str(tmp_path / "landing")
+    os.makedirs(path)
+    good = [make_block(s) for s in (1, 2)]
+    with open(os.path.join(path, "mixed.jsonl"), "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write("{this is not json at all\n")
+        f.write('{"unexpected": "shape"}\n')
+        f.write(json.dumps(good[1]) + "\n")
+    blocks = read_block_json(spark, path)
+    assert blocks.count() == 2  # malformed + shape-mismatch rows dropped
+    events = parse_blocks(blocks)
+    expected_slots = {1, 2}
+    assert {r.slot for r in events.select("slot").distinct().collect()} == expected_slots
+
+
+def test_parse_tolerates_partially_missing_fields(spark):
+    # a block whose tx lacks meta/token balances entirely: the tx and
+    # instruction branches still produce events, the transfer branch 0
+    block = {
+        "slot": 7,
+        "blockTime": 1_700_000_014,
+        "transactions": [
+            {
+                "transaction": {
+                    "signatures": ["s" * 88],
+                    "message": {
+                        "accountKeys": [{"pubkey": "w1", "signer": True, "writable": True}],
+                        "instructions": [{"programId": "p1", "data": "00", "accounts": ["w1"]}],
+                    },
+                },
+                "meta": None,
+            }
+        ],
+    }
+    from solana_data_etl_pipeline_spark.sources.blocks import blocks_to_df
+
+    events = parse_blocks(blocks_to_df(spark, [block])).collect()
+    types = sorted(r.event_type for r in events)
+    assert types == ["program_instruction", "transaction"]
+    tx = next(r for r in events if r.event_type == "transaction")
+    assert tx.success is None or tx.success is True  # absent meta.err is not a failure
+
+
+def test_config_defaults_match_reference():
+    """Reference defaults: rate 50/s, retries 5, timeout 30 s
+    (src/config.rs:41-52), batch 1000 (:64-67), checkpoint every 100
+    (:68-71), chunk 1000 (:72-75), interval 30 s (:76-79)."""
+    cfg = Config.load()
+    assert cfg.rpc.rate_limit_per_second == 50
+    assert cfg.rpc.max_retries == 5
+    assert cfg.rpc.timeout_seconds == 30
+    assert cfg.etl.batch_size == 1000
+    assert cfg.etl.checkpoint_interval == 100
+    assert cfg.etl.backfill_chunk_size == 1000
+    assert cfg.etl.interval_seconds == 30
+
+
+def test_config_env_overrides(monkeypatch):
+    monkeypatch.setenv("ETL_BATCH_SIZE", "250")
+    monkeypatch.setenv("ALCHEMY_RATE_LIMIT", "7")
+    cfg = Config.load()
+    assert cfg.etl.batch_size == 250
+    assert cfg.rpc.rate_limit_per_second == 7
