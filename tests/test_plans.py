@@ -1,0 +1,86 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties documented in SCALE.md, pinned so a future change cannot
+silently regress them. Checked at sf0.001 (plan shapes, not timings)."""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    import __spark_entry__ as E
+
+    return E.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = _plan(spark, name)
+        return cache[name]
+
+    return get
+
+
+ALL_QUERIES = None
+
+
+def test_no_cartesian_products_anywhere(spark):
+    import __spark_entry__ as E
+
+    offenders = []
+    for name, fn in E.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_dim_joins_are_broadcast_not_sort_merge(plans):
+    # multi-dim star joins must broadcast dims at this scale
+    for q in ["region_revenue", "shipping_priority", "big_spenders", "segment_order_stats"]:
+        assert "SortMergeJoin" not in plans(q), q
+        assert "BroadcastHashJoin" in plans(q), q
+
+
+def test_asof_and_sessions_single_shuffle(plans):
+    # tagged-union as-of and window sessionization: exactly one exchange
+    for q in ["asof_attribution", "user_sessions"]:
+        assert plans(q).count("Exchange") == 1, q
+
+
+def test_minhash_pipeline_has_no_aggregate_shuffle_for_signatures(plans):
+    # signatures are per-row projections: the only exchanges in the
+    # pair pipeline are the band join and verify joins (<= 8), and no
+    # explode-then-groupBy inverted index survives
+    assert plans("dedup_minhash_lsh").count("Exchange") <= 8
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    pushed = re.findall(r"PushedFilters: (\[[^\]]*\])", plans("pricing_summary"))
+    assert any("l_shipdate" in p for p in pushed)
+
+
+def test_column_pruning_reads_minimal_schema(plans):
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plans("top_wallets"))
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"ts", "user_id", "event_type"}
+
+
+def test_knn_corpus_side_never_shuffles_before_join(plans):
+    # probe/query side broadcast; corpus side streams into the join
+    for q in ["knn_lsh", "knn_ivf", "knn_bruteforce"]:
+        assert "BroadcastExchange" in plans(q), q
+
+
+def test_rollup_cube_single_expand_single_agg_exchange(plans):
+    for q in ["sales_rollup", "order_cube"]:
+        p = plans(q)
+        assert p.count("Expand") >= 1, q
+        assert p.count("Exchange") == 1, q
