@@ -95,6 +95,20 @@ def test_knn_ivf_candidates_come_from_probed_cells(emb, queries):
         assert vecs[r.neighbor_id][1] in probed
 
 
+def test_pandas_udf_scorer_matches_hof_path(emb, queries):
+    """The Arrow-vectorized scorer and the JVM higher-order-function
+    scorer must be result-identical (interchangeable execution paths)."""
+    hof = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in V.knn_bruteforce(emb, queries, k=K).collect()
+    )
+    arrow = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cosine)
+        for r in V.knn_bruteforce_pandas(emb, queries, k=K).collect()
+    )
+    assert hof == arrow
+
+
 def test_ivf_centroids_are_per_cell_means(emb):
     got = {r.cell: list(r.centroid) for r in V.ivf_centroids(emb, dim=DIM).collect()}
     rows = _vectors()
