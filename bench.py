@@ -45,6 +45,7 @@ HEADLINE = [
     "asof_attribution",
     "user_sessions",
     "session_window_stats",
+    "daily_volume_trend",
     # extensions
     "token_counts",
     "quality_scores",

@@ -394,6 +394,7 @@ TEMPORAL_QUERIES: dict[str, QueryFn] = {
     "asof_attribution": T.asof_attribution,
     "user_sessions": T.user_sessions,
     "session_window_stats": T.session_window_stats,
+    "daily_volume_trend": T.daily_volume_trend,
 }
 
 _ASOF_WIN = (
@@ -463,6 +464,18 @@ s AS (
 )
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
 FROM s GROUP BY user_id, seq
+""",
+    "daily_volume_trend": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT event_date, n_events,
+       lag(n_events) OVER (ORDER BY event_date) AS prev_day,
+       n_events - lag(n_events) OVER (ORDER BY event_date) AS delta,
+       round(avg(n_events) OVER (ORDER BY event_date
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
 """,
 }
 

@@ -42,6 +42,29 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame-spec + lag surface: daily event counts with the
+    previous day's count (lag), day-over-day delta, and the trailing
+    7-row moving average (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
+    One aggregation shuffle then one single-partition window over the
+    (small) daily series -- the window input is already reduced to one
+    row per day, so the unpartitioned window is safe at any source
+    scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("event_date")
+    ma = w.rowsBetween(-6, 0)
+    return daily.select(
+        "event_date",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_day"),
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("delta"),
+        F.round(F.avg("n_events").over(ma), 4).alias("ma7"),
+    )
+
+
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same gap-sessionization computed with Spark's BUILT-IN
     `session_window` aggregation (one hash-agg with merging session
