@@ -41,6 +41,7 @@ HEADLINE = [
     "priority_pivot",
     "price_percentiles",
     "repeat_buyers",
+    "lineitem_measures_unpivot",
     # temporal surface
     "asof_attribution",
     "user_sessions",

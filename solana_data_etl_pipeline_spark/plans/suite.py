@@ -217,6 +217,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "priority_pivot": R.priority_pivot,
     "price_percentiles": R.price_percentiles,
     "repeat_buyers": R.repeat_buyers,
+    "lineitem_measures_unpivot": R.lineitem_measures_unpivot,
 }
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -365,6 +366,19 @@ u AS (
   SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
 )
 SELECT cohort, count(*) AS customers FROM u GROUP BY cohort
+""",
+    "lineitem_measures_unpivot": """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+)
+SELECT measure, count(*) AS n_values,
+       round(sum(val), 2) AS total, round(avg(val), 6) AS mean
+FROM long WHERE val IS NOT NULL
+GROUP BY measure
 """,
     "nation_trade_balance": """
 WITH c AS (
