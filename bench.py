@@ -55,6 +55,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "simhash_fingerprints",
     "knn_bruteforce",
     "knn_lsh",

@@ -315,6 +315,62 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     return hashed.select("doc_id", fp.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> (id,
+    cluster_id) where cluster_id is the component's minimum id. This
+    turns near-dup PAIRS into dedup CLUSTERS (keep cluster_id, drop the
+    rest) -- the step that actually deduplicates.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (driver-checked fixpoint -- iterative
+    graph algorithms are legitimately driver-looped; each round is one
+    shuffle on the edge key and lineage is truncated per round).
+    Near-dup components are short chains in practice; for adversarial
+    diameters at 100 TB swap in the large-star/small-star contraction,
+    which is the same loop with two alternating join rules.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))).alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (doc_a < doc_b, cos >= threshold).
 

@@ -619,6 +619,9 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_cosine": (
         lambda spark, sf_dir: D.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.8)
     ),
+    "dedup_clusters": _docs(
+        lambda df: D.connected_components(D.minhash_lsh_pairs(df, threshold=0.2))
+    ),
 }
 
 def _minhash_sigs_sql() -> str:
@@ -695,6 +698,38 @@ SELECT doc_id,
                       THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END
                       for j in range(0, {D.SIMHASH_BITS})]) AS BIGINT) AS simhash
 FROM t
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {SHINGLES_SQL},
+{_minhash_sigs_sql()},
+bands AS (
+  SELECT doc_id, b AS band, md5(array_to_string(mh[b*{D.MINHASH_ROWS}+1 : b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], ',')) AS band_sig
+  FROM sigs, UNNEST(range(0, {D.MINHASH_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+  ) WHERE jac >= 0.2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """,
     "dedup_embedding_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -134,6 +134,25 @@ def test_simhash_near_dups_have_small_hamming_distance(docs_df):
     assert near < far
 
 
+def test_connected_components_chains_and_islands(spark):
+    # components: {1,2,3,4} (chain), {10,11} (pair); 20/21 edgeless but
+    # appear as a pair -> their own component
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_on_lsh_pairs_groups_exact_dups(docs_df):
+    pairs = D.minhash_lsh_pairs(docs_df, threshold=0.2)
+    comp = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    # exact dups 0/3/4 (and near-dup 1 if its pair survived LSH) share
+    # the min id 0
+    assert comp[3] == 0 and comp[4] == 0
+    assert comp[0] == 0
+
+
 def test_embedding_near_dup_pairs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
