@@ -53,6 +53,7 @@ HEADLINE = [
     "language_id",
     "vocab_top_words",
     "tfidf_top_terms",
+    "corpus_selection",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -23,6 +23,7 @@ from solana_data_etl_pipeline_spark.operators import multimodal as M
 from solana_data_etl_pipeline_spark.operators import similarity as V
 from solana_data_etl_pipeline_spark.operators import text as X
 from solana_data_etl_pipeline_spark.plans import analytics as A
+from solana_data_etl_pipeline_spark.plans import corpus as C
 from solana_data_etl_pipeline_spark.plans import relational as R
 from solana_data_etl_pipeline_spark.plans import temporal as T
 from solana_data_etl_pipeline_spark.plans.testdata_model import NORM_SQL, as_of, load_table, normalized_events
@@ -517,6 +518,7 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     "vocab_top_words": _docs(X.vocab_top_words),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
+    "corpus_selection": C.corpus_selection,
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -590,6 +592,45 @@ WITH t AS (
 )
 SELECT token, count(*) AS freq FROM t WHERE token <> ''
 GROUP BY token ORDER BY freq DESC, token LIMIT 100
+""",
+    "corpus_selection": f"""
+WITH t AS (
+  SELECT doc_id, text, source, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+q AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio
+  FROM t
+),
+sc AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["en"])}))) AS score_en,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["de"])}))) AS score_de,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["es"])}))) AS score_es,
+         len(list_filter(tk, x -> x IN ({", ".join(repr(w) for w in X.LANG_MARKERS["fr"])}))) AS score_fr
+  FROM t
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+              WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+              WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+              WHEN score_fr = greatest(score_en, score_de, score_es, score_fr) THEN 'fr'
+         END AS predicted_lang
+  FROM sc
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5({_NORM_TEXT})
+)
+SELECT d.doc_id, d.source, p.predicted_lang, q.n_tokens
+FROM documents d
+JOIN q USING (doc_id)
+JOIN pred p USING (doc_id)
+JOIN keep k ON d.doc_id = k.doc_id
+WHERE q.n_tokens >= {C.MIN_TOKENS} AND q.alpha_ratio >= {C.MIN_ALPHA_RATIO}
+  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {C.SAMPLE_PCT}
 """,
     "tfidf_top_terms": """
 WITH tok AS (

@@ -144,6 +144,15 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_converges(spark):
+    # a 60-node path graph: pointer jumping must converge well inside
+    # the iteration cap (plain propagation would need ~60 rounds)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(60)], "doc_a long, doc_b long")
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs, max_iterations=12).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 61
+
+
 def test_connected_components_on_lsh_pairs_groups_exact_dups(docs_df):
     pairs = D.minhash_lsh_pairs(docs_df, threshold=0.2)
     comp = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
