@@ -61,6 +61,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "embedding_quantize",
     "media_stats",
 ]
 

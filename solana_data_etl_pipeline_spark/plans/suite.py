@@ -806,6 +806,7 @@ SIMILARITY_QUERIES: dict[str, QueryFn] = {
     "knn_lsh": _knn(V.knn_lsh),
     "knn_ivf": _knn_ivf,
     "label_centroids": (lambda spark, sf_dir: V.label_centroids(load_table(spark, sf_dir, "embeddings"))),
+    "embedding_quantize": (lambda spark, sf_dir: V.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))),
 }
 
 SIMILARITY_SQL: dict[str, str] = {
@@ -870,6 +871,25 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
 SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
 FROM embeddings, UNNEST(range(1, 65)) AS u(i)
 GROUP BY label, i
+""",
+    "embedding_quantize": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS amax
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, amax,
+         list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS INTEGER)) AS q8
+  FROM b
+)
+SELECT vec_id,
+       round(amax / 127.0, 6) AS scale,
+       q8[1] AS q0, q8[2] AS q1,
+       round(list_max(list_transform(list_zip(v, q8),
+             s -> abs(s[1] - s[2] * (amax / 127.0)))), 6) AS max_abs_err
+FROM q
 """,
 }
 
