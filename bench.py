@@ -42,12 +42,20 @@ HEADLINE = [
     "price_percentiles",
     "repeat_buyers",
     "lineitem_measures_unpivot",
+    "small_quantity_revenue",
+    "order_value_histogram",
     # temporal surface
     "asof_attribution",
     "user_sessions",
     "session_window_stats",
     "daily_volume_trend",
+    # behavioral surface
+    "cumulative_new_users",
+    "weekly_cohort_retention",
+    "event_funnel",
+    "hourly_gapfill",
     # extensions
+    "stratified_sample",
     "token_counts",
     "quality_scores",
     "language_id",

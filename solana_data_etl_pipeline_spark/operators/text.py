@@ -115,6 +115,35 @@ def consistent_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFr
     return df.filter(bucket < pct)
 
 
+DEFAULT_LANG_RATES = {"en": 10, "fr": 40, "es": 40, "zh": 100, "de": 100}
+
+
+def stratified_sample_stats(
+    df: DataFrame,
+    rates: dict[str, int] | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling (the language-rebalancing
+    step of a training-data mix): each stratum keeps rows whose hash
+    bucket is below that stratum's own pct. Same md5-bucket filter as
+    ``consistent_sample`` so kept sets compose across the two; the
+    rate map compiles to a CASE expression, so selection stays a pure
+    per-row filter with zero shuffle. Returns the per-stratum audit
+    (total vs kept vs configured rate) -- one partial+final agg."""
+    rates = rates or DEFAULT_LANG_RATES
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long") % 100
+    rate = F.lit(None).cast("int")
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    rate = F.coalesce(rate, F.lit(0))
+    return (
+        df.select(F.col(stratum_col).alias("stratum"), rate.alias("rate_pct"), (bucket < rate).cast("int").alias("kept"))
+        .groupBy("stratum", "rate_pct")
+        .agg(F.count("*").alias("total"), F.sum("kept").alias("sampled"))
+    )
+
+
 def vocab_top_words(df: DataFrame, top_n: int = 100) -> DataFrame:
     """Corpus vocabulary: top-N tokens by frequency (tokenizer-building
     first pass). explode -> partial+final count -> TakeOrderedAndProject

@@ -358,3 +358,51 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"),
         )
     )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery, decorrelated: revenue
+    from below-average-quantity lineitems of one brand/type. The
+    correlated ``l_quantity < 0.2 * (SELECT avg ... WHERE l_partkey =
+    p_partkey)`` becomes a per-part window average -- the part filter
+    broadcast-semi-joins BEFORE the average, so the fact table is
+    scanned ONCE and shuffled once on l_partkey (vs. the textbook
+    agg-then-self-join decorrelation, which scans it twice)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "ECONOMY")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty_cap = 0.2 * F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    return (
+        li.select("l_quantity", "l_extendedprice", qty_cap.alias("qty_cap"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("qualifying_lineitems"),
+        )
+    )
+
+
+def order_value_histogram(spark: SparkSession, sf_dir: str, bin_width: float = 50_000.0) -> DataFrame:
+    """Fixed-width histogram of order values: bucket id is pure
+    per-row arithmetic (no global sort, unlike NTILE-based deciles
+    which serialize through one partition), so the whole plan is a
+    single partial+final hash agg -- the scale-correct way to get a
+    distribution sketch of a 100 TB column."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / bin_width).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_value"),
+        )
+        .select(
+            "bucket",
+            F.round(F.lit(bin_width) * F.col("bucket"), 2).alias("bucket_lo"),
+            "orders",
+            "avg_value",
+        )
+    )

@@ -23,6 +23,7 @@ from solana_data_etl_pipeline_spark.operators import multimodal as M
 from solana_data_etl_pipeline_spark.operators import similarity as V
 from solana_data_etl_pipeline_spark.operators import text as X
 from solana_data_etl_pipeline_spark.plans import analytics as A
+from solana_data_etl_pipeline_spark.plans import behavioral as B
 from solana_data_etl_pipeline_spark.plans import corpus as C
 from solana_data_etl_pipeline_spark.plans import relational as R
 from solana_data_etl_pipeline_spark.plans import temporal as T
@@ -219,6 +220,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "price_percentiles": R.price_percentiles,
     "repeat_buyers": R.repeat_buyers,
     "lineitem_measures_unpivot": R.lineitem_measures_unpivot,
+    "small_quantity_revenue": R.small_quantity_revenue,
+    "order_value_histogram": R.order_value_histogram,
 }
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -399,6 +402,26 @@ FROM nation
 LEFT JOIN c ON n_nationkey = c_nationkey
 LEFT JOIN s ON n_nationkey = s_nationkey
 """,
+    "small_quantity_revenue": """
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#5' AND p.p_type = 'ECONOMY'
+),
+caps AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cap FROM li GROUP BY 1)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS qualifying_lineitems
+FROM li JOIN caps USING (l_partkey)
+WHERE l_quantity < qty_cap
+""",
+    "order_value_histogram": """
+SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+       round(50000.0 * CAST(floor(o_totalprice / 50000.0) AS INTEGER), 2) AS bucket_lo,
+       count(*) AS orders,
+       round(avg(o_totalprice), 2) AS avg_value
+FROM orders
+GROUP BY 1
+""",
 }
 
 
@@ -496,6 +519,79 @@ FROM daily
 
 
 # ---------------------------------------------------------------------------
+# behavioral suite (events: cohorts, funnel, gap-fill)
+
+
+def _events(plan) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return plan(load_table(spark, sf_dir, "events"))
+
+    return run
+
+
+BEHAVIORAL_QUERIES: dict[str, QueryFn] = {
+    "cumulative_new_users": _events(B.cumulative_new_users),
+    "weekly_cohort_retention": _events(B.weekly_cohort_retention),
+    "event_funnel": _events(B.event_funnel),
+    "hourly_gapfill": _events(B.hourly_gapfill),
+}
+
+BEHAVIORAL_SQL: dict[str, str] = {
+    "cumulative_new_users": """
+WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
+SELECT first_day, new_users,
+       sum(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS cumulative_users
+FROM d
+""",
+    "weekly_cohort_retention": """
+WITH cohorts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY 1
+),
+activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(activity_week AS DATE)) / 7 AS INTEGER) AS week_offset,
+       count(*) AS active_users
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+""",
+    "event_funnel": """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT
+    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS s0,
+    sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 THEN 1 ELSE 0 END) AS s1,
+    sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 THEN 1 ELSE 0 END) AS s2,
+    sum(CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 AND t3 >= t2 THEN 1 ELSE 0 END) AS s3
+  FROM m
+)
+SELECT 0 AS stage_idx, 'signup' AS stage, CAST(s0 AS BIGINT) AS users FROM w
+UNION ALL SELECT 1, 'view', CAST(s1 AS BIGINT) FROM w
+UNION ALL SELECT 2, 'click', CAST(s2 AS BIGINT) FROM w
+UNION ALL SELECT 3, 'purchase', CAST(s3 AS BIGINT) FROM w
+""",
+    "hourly_gapfill": """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events
+),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+c AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT s.hour_ts, coalesce(c.cnt, 0) AS cnt FROM spine s LEFT JOIN c USING (hour_ts)
+""",
+}
+
+
+# ---------------------------------------------------------------------------
 # text analysis suite (documents)
 
 
@@ -519,6 +615,7 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "vocab_top_words": _docs(X.vocab_top_words),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
     "corpus_selection": C.corpus_selection,
+    "stratified_sample": _docs(X.stratified_sample_stats),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -585,6 +682,18 @@ FROM documents
     "consistent_sample": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+""",
+    "stratified_sample": """
+WITH r AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+         CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 40 WHEN 'es' THEN 40
+                   WHEN 'zh' THEN 100 WHEN 'de' THEN 100 ELSE 0 END AS rate_pct
+  FROM documents
+)
+SELECT lang AS stratum, rate_pct, count(*) AS total,
+       sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS sampled
+FROM r GROUP BY 1, 2
 """,
     "vocab_top_words": """
 WITH t AS (
@@ -949,6 +1058,7 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(ANALYTICS_QUERIES)
     out.update(RELATIONAL_QUERIES)
     out.update(TEMPORAL_QUERIES)
+    out.update(BEHAVIORAL_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(SIMILARITY_QUERIES)
@@ -961,6 +1071,7 @@ def all_oracle_sql() -> dict[str, str]:
     out.update(ANALYTICS_SQL)
     out.update(RELATIONAL_SQL)
     out.update(TEMPORAL_SQL)
+    out.update(BEHAVIORAL_SQL)
     out.update(TEXT_SQL)
     out.update(DEDUP_SQL)
     out.update(SIMILARITY_SQL)
