@@ -54,6 +54,7 @@ HEADLINE = [
     "weekly_cohort_retention",
     "event_funnel",
     "hourly_gapfill",
+    "sketch_rollup",
     # extensions
     "stratified_sample",
     "token_counts",

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from solana_data_etl_pipeline_spark.operators import dedup as D
 from solana_data_etl_pipeline_spark.operators import multimodal as M
+from solana_data_etl_pipeline_spark.operators import sketches as K
 from solana_data_etl_pipeline_spark.operators import similarity as V
 from solana_data_etl_pipeline_spark.operators import text as X
 from solana_data_etl_pipeline_spark.plans import analytics as A
@@ -534,6 +535,9 @@ BEHAVIORAL_QUERIES: dict[str, QueryFn] = {
     "weekly_cohort_retention": _events(B.weekly_cohort_retention),
     "event_funnel": _events(B.event_funnel),
     "hourly_gapfill": _events(B.hourly_gapfill),
+    # rows-only (no oracle): DataSketches HLL binaries are
+    # engine-specific; accuracy/merge contracts live in tests/test_approx.py
+    "sketch_rollup": _events(K.user_sketch_rollup),
 }
 
 BEHAVIORAL_SQL: dict[str, str] = {

@@ -1,0 +1,90 @@
+"""Small-file compaction for parquet landing zones / warehouse tables.
+
+Streaming ingest (streaming/structured.py) and per-chunk backfill
+commits (streaming/incremental.py) both append small parquet files;
+at 100 TB a table of KB-sized files drowns the driver in footer reads
+and turns every scan into a metadata problem. Compaction rewrites a
+directory into size-targeted files, optionally sorted within files by
+a clustering key so min/max row-group stats become selective (the
+poor-man's Z-order for a single key).
+
+The rewrite is atomic-by-rename: write to a sibling temp dir, swap
+directories only after the new data is fully committed, so a crash
+mid-compaction never loses the original. (On an object store the
+"rename" becomes a manifest/metadata swap -- same protocol, different
+primitive.)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
+    """Files needed so each lands near the target size (>=1)."""
+    return max(1, math.ceil(total_bytes / max(1, target_file_bytes)))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    Uses repartition (round-robin, parallel) when growing/shrinking the
+    file count, plus sortWithinPartitions for clustering when asked --
+    sorting is per-file, no global shuffle. Returns a summary dict
+    (files/bytes before and after) for observability.
+    """
+    before_bytes = _dir_bytes(path)
+    before_files = sum(
+        1
+        for root, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = plan_target_files(before_bytes, target_file_bytes)
+
+    df = spark.read.parquet(path)
+    out = df.repartition(n)
+    if sort_by:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_by])
+
+    tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+
+    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+    after_files = sum(
+        1
+        for root, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "before_files": before_files,
+        "after_files": after_files,
+        "before_bytes": before_bytes,
+        "after_bytes": _dir_bytes(path),
+        "target_files": n,
+    }

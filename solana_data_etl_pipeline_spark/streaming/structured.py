@@ -70,6 +70,51 @@ def hourly_volume_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) 
     )
 
 
+def transfer_attribution_stream(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    tolerance: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each token-transfer event enriched
+    with its parent transaction's outcome, matched on tx_signature
+    within an event-time tolerance. Both sides carry a watermark AND
+    the join condition bounds the event-time distance, so each side's
+    buffered state is evicted as the watermark advances -- the state
+    held is O(events within watermark+tolerance), never the stream's
+    history. Works identically on a batch DataFrame (withWatermark is
+    a no-op there), which is what the parity test exploits."""
+    tx = (
+        events.filter(F.col("event_type") == "transaction")
+        .select(
+            F.col("tx_signature").alias("tx_sig"),
+            F.col("block_time").alias("tx_time"),
+            "success",
+            F.col("wallet").alias("fee_wallet"),
+        )
+        .withWatermark("tx_time", watermark)
+    )
+    tr = (
+        events.filter(F.col("event_type") == "token_transfer")
+        .select(
+            "event_id",
+            "tx_signature",
+            F.col("block_time").alias("transfer_time"),
+            "token_mint",
+            "token_amount",
+        )
+        .withWatermark("transfer_time", watermark)
+    )
+    cond = (
+        (tr.tx_signature == tx.tx_sig)
+        & (F.col("transfer_time") >= F.expr(f"tx_time - INTERVAL {tolerance}"))
+        & (F.col("transfer_time") <= F.expr(f"tx_time + INTERVAL {tolerance}"))
+    )
+    return tr.join(tx, cond, "inner").select(
+        "event_id", "tx_signature", "transfer_time", "token_mint", "token_amount",
+        "success", "fee_wallet",
+    )
+
+
 def run_block_stream(
     spark: SparkSession,
     input_dir: str,

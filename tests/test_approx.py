@@ -27,3 +27,41 @@ def test_approx_percentile_brackets_exact(spark):
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_hll_rollup_merge_is_lossless_and_accurate(spark):
+    """Merging daily sketches must give the same estimate as sketching
+    the raw rows (HLL merge is lossless), and land within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.sketches import (
+        daily_user_sketches,
+        merge_user_sketches,
+        user_sketch_rollup,
+    )
+
+    ev = spark.range(0, 20_000).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01").cast("timestamp") + (F.col("id") % 10) * F.expr("INTERVAL 1 DAY")).alias("ts"),
+        (F.col("id") % 3777).alias("user_id"),
+    )
+    exact = ev.select("user_id").distinct().count()
+
+    merged = merge_user_sketches(daily_user_sketches(ev)).first().est_users
+    rollup = {r.grain: r for r in user_sketch_rollup(ev).collect() if r.grain == "total"}
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"))).alias("e")
+    ).first().e
+
+    assert merged == direct == rollup["total"].est_users  # lossless merge
+    assert abs(merged - exact) / exact < 0.05
+
+    # per-day estimates also accurate
+    days = [r for r in user_sketch_rollup(ev).collect() if r.grain == "day"]
+    assert len(days) == 10
+    per_day_exact = {
+        r.day: r.n for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for r in days:
+        assert abs(r.est_users - per_day_exact[r.day]) / per_day_exact[r.day] < 0.05

@@ -135,3 +135,32 @@ def test_hourly_volume_stream_matches_batch(spark, dirs):
         .collect()
     }
     assert got == expected
+
+
+def test_transfer_attribution_stream_matches_batch(spark, dirs):
+    from solana_data_etl_pipeline_spark.streaming.structured import transfer_attribution_stream
+
+    inp, _, _ = dirs
+    _land(inp, "a.jsonl", range(1, 40))
+    stream = transfer_attribution_stream(parse_blocks(stream_blocks(spark, inp)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.event_id, r.tx_signature, r.success)
+        for r in spark.sql("SELECT * FROM attr_test").collect()
+    )
+    batch = parse_blocks(blocks_to_df(spark, [make_block(s) for s in range(1, 40)]))
+    expected = sorted(
+        (r.event_id, r.tx_signature, r.success)
+        for r in transfer_attribution_stream(batch).collect()
+    )
+    assert got == expected
+    assert len(got) > 0  # fixtures actually produce transfers
+    # every transfer attributed exactly once (signature join is 1:1)
+    assert len({g[0] for g in got}) == len(got)
