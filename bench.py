@@ -44,6 +44,8 @@ HEADLINE = [
     "lineitem_measures_unpivot",
     "small_quantity_revenue",
     "order_value_histogram",
+    "daily_purchase_vs_error",
+    "nation_revenue_share",
     # temporal surface
     "asof_attribution",
     "user_sessions",

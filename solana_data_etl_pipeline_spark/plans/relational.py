@@ -385,6 +385,46 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_purchase_vs_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: daily purchase volume vs daily error volume,
+    keeping days where either side is absent (coalesced to zero). Both
+    sides are day-grain aggregates, so the outer join is tiny however
+    large the fact table -- aggregate first, join after."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    p = ev.filter(F.col("event_type") == "purchase").groupBy(day).agg(F.count("*").alias("purchases"))
+    e = ev.filter(F.col("event_type") == "error").groupBy(day).agg(F.count("*").alias("errors"))
+    return p.join(e, "day", "full").select(
+        "day",
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
+        F.coalesce("errors", F.lit(0)).alias("errors"),
+    )
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (share-of-total): per-nation revenue
+    as a fraction of the grand total. The total comes from an
+    unpartitioned window over the already-aggregated per-nation rows
+    (25 rows), not a second scan of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(total), 6).alias("revenue_share"),
+    )
+
+
 def order_value_histogram(spark: SparkSession, sf_dir: str, bin_width: float = 50_000.0) -> DataFrame:
     """Fixed-width histogram of order values: bucket id is pure
     per-row arithmetic (no global sort, unlike NTILE-based deciles

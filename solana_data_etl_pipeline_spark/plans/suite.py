@@ -223,6 +223,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "lineitem_measures_unpivot": R.lineitem_measures_unpivot,
     "small_quantity_revenue": R.small_quantity_revenue,
     "order_value_histogram": R.order_value_histogram,
+    "daily_purchase_vs_error": R.daily_purchase_vs_error,
+    "nation_revenue_share": R.nation_revenue_share,
 }
 
 RELATIONAL_SQL: dict[str, str] = {
@@ -414,6 +416,34 @@ SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
        count(*) AS qualifying_lineitems
 FROM li JOIN caps USING (l_partkey)
 WHERE l_quantity < qty_cap
+""",
+    "daily_purchase_vs_error": """
+WITH p AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+e AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT coalesce(p.day, e.day) AS day,
+       coalesce(purchases, 0) AS purchases,
+       coalesce(errors, 0) AS errors
+FROM p FULL OUTER JOIN e ON p.day = e.day
+""",
+    "nation_revenue_share": """
+WITH rev AS (
+  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name,
+       round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (), 6) AS revenue_share
+FROM rev
 """,
     "order_value_histogram": """
 SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
