@@ -114,3 +114,46 @@ def test_exact_dedup_partitions_corpus(spark, texts):
     assert sum(r.dup_count for r in groups) == len(texts)
     norm = {" ".join(t.lower().split()) for t in texts}
     assert len(groups) == len(norm)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.sampled_from(["signup", "view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=50),  # minute offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_event_funnel_matches_reference_model(spark, events):
+    """Spark funnel == brute-force Python funnel on arbitrary event
+    interleavings (ties, missing stages, out-of-order users)."""
+    from solana_data_etl_pipeline_spark.plans.behavioral import FUNNEL_STAGES, event_funnel
+
+    rows = [
+        (i, T0 + dt.timedelta(minutes=m), u, t, 0.0, "{}")
+        for i, (u, t, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    got = {r.stage: r.users for r in event_funnel(df).collect()}
+
+    firsts = {}
+    for _i, (u, t, m) in enumerate(events):
+        cur = firsts.setdefault(u, {})
+        if t not in cur or m < cur[t]:
+            cur[t] = m
+    expected = {s: 0 for s in FUNNEL_STAGES}
+    for stages in firsts.values():
+        prev = None
+        for s in FUNNEL_STAGES:
+            if s not in stages or (prev is not None and stages[s] < prev):
+                break
+            expected[s] += 1
+            prev = stages[s]
+    assert got == expected
