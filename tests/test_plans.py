@@ -84,3 +84,33 @@ def test_rollup_cube_single_expand_single_agg_exchange(plans):
         p = plans(q)
         assert p.count("Expand") >= 1, q
         assert p.count("Exchange") == 1, q
+
+
+def test_funnel_is_single_scan(plans):
+    # the stage pivot must ride one aggregation, not a union of
+    # per-stage selects re-executing the agg (and rescanning events)
+    p = plans("event_funnel")
+    assert p.count("FileScan") == 1
+    assert "Union" not in p
+
+
+def test_histogram_and_stratified_sample_no_joins_no_sort(plans):
+    for q in ["order_value_histogram", "stratified_sample"]:
+        p = plans(q)
+        assert p.count("Exchange") == 1, q
+        assert "Join" not in p, q
+        assert "Sort" not in p.replace("SortAggregate", ""), q
+
+
+def test_small_quantity_revenue_single_lineitem_scan(plans):
+    # decorrelated via window avg: one lineitem scan (plus the part
+    # dim), not the textbook agg-then-self-join double scan
+    assert plans("small_quantity_revenue").count("FileScan") == 2
+
+
+def test_sketch_rollup_single_pass(plans):
+    # ROLLUP grouping sets: Expand + one partial+final agg, one scan
+    p = plans("sketch_rollup")
+    assert p.count("FileScan") == 1
+    assert "Expand" in p
+    assert p.count("Exchange") == 1
