@@ -163,16 +163,21 @@ def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
 
     Plan: one explode -> (doc, term) count [shuffle 1] -> document
     frequency derived FROM the tf table (count per term, shuffle 2,
-    already-reduced rows) -> broadcast both the df table's join and the
-    scalar N -> per-doc top-k window. Stopword-heavy terms skew the df
-    aggregation at corpus scale; operators/skew.py's salted_count is
-    the drop-in mitigation."""
+    already-reduced rows) -> tf JOIN dfreq on `term` with NO broadcast
+    hint: both sides are already hash-partitioned on `term` by their
+    groupBys, so the sort-merge join reuses that partitioning
+    shuffle-free, and a corpus-scale vocabulary (tens of millions of
+    terms) never has to fit in a broadcast. AQE may still elect a
+    broadcast when dfreq is measured small at runtime -- the safe
+    direction. Only the scalar N is broadcast. Stopword-heavy terms
+    skew the df aggregation at corpus scale; operators/skew.py's
+    salted_count is the drop-in mitigation."""
     tok = df.select("doc_id", F.explode(tokens_col()).alias("term")).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("docfreq"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -575,7 +575,7 @@ BEHAVIORAL_SQL: dict[str, str] = {
 WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
 d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
 SELECT first_day, new_users,
-       sum(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS cumulative_users
+       CAST(sum(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
 FROM d
 """,
     "weekly_cohort_retention": """
