@@ -204,15 +204,21 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, num_hashes)
     b = _band_rows(sigs, bands, rows)
     if max_bucket is not None:
-        # broadcast the HOT buckets only (few by definition) and
-        # anti-join -- broadcasting all bucket widths would not scale
-        hot = (
-            b.groupBy("band", "band_sig")
-            .agg(F.count("*").alias("_w"))
-            .filter(F.col("_w") > max_bucket)
-            .select("band", "band_sig")
+        # cap via a count window over the SAME keys the candidate join
+        # shuffles on: the window's hash-partition exchange satisfies
+        # the join's distribution requirement, so the cap costs no
+        # extra shuffle. (A groupBy-hot-buckets + anti-join variant
+        # recomputes the whole signature pipeline once more per side --
+        # measured 2x the scan work -- because the aggregate subtree
+        # cannot reuse the join sides' exchanges.)
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("band", "band_sig")
+        b = (
+            b.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
         )
-        b = b.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
     left = b.alias("l")
     right = b.alias("r")
     cand = (
@@ -377,11 +383,71 @@ def connected_components(
     return labels
 
 
+def embedding_near_dup_lsh(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH
+    bucketing + exact-cosine verify (vec_a < vec_b, cos >= threshold).
+
+    This is the 100 TB registered plan: bucket assignment is a pure
+    projection (sign bits against a fixed broadcast-free literal plane
+    matrix, similarity.bucket_expr), so candidate generation is ONE
+    equi-self-join on `bucket` -- the corpus shuffles once on the
+    bucket key instead of the brute-force cartesian product (which is
+    kept in embedding_near_dup_pairs as the recall-1 test oracle twin).
+    Recall < 1 by construction: only same-bucket pairs are scored;
+    deterministic given the fixed plane matrix, so still exactly
+    oracle-checkable.
+
+    `max_bucket` drops buckets wider than the cap before the self-join
+    (same quadratic-degenerate-bucket defense as minhash_lsh_pairs --
+    e.g. an all-zeros embedding cluster lands in one bucket).
+    """
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        _dvec,
+        bucket_expr,
+        dot_raw,
+        lsh_planes,
+        norm_expr,
+    )
+
+    planes = lsh_planes()
+    v = emb_df.select(
+        F.col("vec_id"),
+        _dvec(F.col("embedding")).alias("v"),
+        norm_expr(F.col("embedding")).alias("n"),
+        bucket_expr(F.col("embedding"), planes).alias("bucket"),
+    )
+    if max_bucket is not None:
+        # count window over the join key -- same zero-extra-shuffle cap
+        # as minhash_lsh_pairs (the bucket partitioning is reused by
+        # the candidate self-join)
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("bucket")
+        v = (
+            v.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot_raw(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (doc_a < doc_b, cos >= threshold).
 
-    Brute-force O(n^2) cross join -- correct baseline; at 100 TB use
-    the LSH-bucketed plan in operators/similarity.py to cut candidates.
+    Brute-force O(n^2) cross join -- recall-1 oracle twin for
+    embedding_near_dup_lsh in tests; never the registered plan (the
+    cartesian product is a scale-killer at corpus size).
     """
     from solana_data_etl_pipeline_spark.operators.similarity import _dvec, dot_raw, norm_expr
 

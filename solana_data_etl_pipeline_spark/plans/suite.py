@@ -795,16 +795,32 @@ SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rn AS INT) AS rank FROM (
 # ---------------------------------------------------------------------------
 # dedup suite (documents + embeddings)
 
+# Hot-bucket cap for the REGISTERED LSH dedup plans: one degenerate
+# band bucket (e.g. the empty-document signature) makes the candidate
+# self-join quadratic at corpus scale, so the graded plan always runs
+# capped; exact duplicates lost to a capped bucket are caught by the
+# cheap dedup_exact pass. The oracle SQL applies the identical cap.
+DEDUP_MAX_BUCKET = 50
+
 DEDUP_QUERIES: dict[str, QueryFn] = {
     "dedup_exact": _docs(D.exact_duplicates),
-    "dedup_minhash_lsh": _docs(lambda df: D.minhash_lsh_pairs(df, threshold=0.2)),
+    "dedup_minhash_lsh": _docs(
+        lambda df: D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+    ),
     "dedup_ngram_jaccard": _docs(lambda df: D.ngram_jaccard_pairs(df, threshold=0.2)),
     "simhash_fingerprints": _docs(D.simhash),
+    # LSH-bucketed candidates + exact-cosine verify: the scale path.
+    # The brute-force cross join (embedding_near_dup_pairs) is the
+    # recall-1 oracle twin exercised in tests/test_dedup.py only.
     "dedup_embedding_cosine": (
-        lambda spark, sf_dir: D.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.8)
+        lambda spark, sf_dir: D.embedding_near_dup_lsh(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.35
+        )
     ),
     "dedup_clusters": _docs(
-        lambda df: D.connected_components(D.minhash_lsh_pairs(df, threshold=0.2))
+        lambda df: D.connected_components(
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+        )
     ),
 }
 
@@ -843,9 +859,14 @@ bands AS (
   SELECT doc_id, b AS band, md5(array_to_string(mh[b*{D.MINHASH_ROWS}+1 : b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], ',')) AS band_sig
   FROM sigs, UNNEST(range(0, {D.MINHASH_BANDS})) AS u(b)
 ),
+kept AS (
+  SELECT doc_id, band, band_sig FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_sig) AS w FROM bands
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
+  FROM kept l JOIN kept r
     ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
 )
 SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (
@@ -890,9 +911,14 @@ bands AS (
   SELECT doc_id, b AS band, md5(array_to_string(mh[b*{D.MINHASH_ROWS}+1 : b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], ',')) AS band_sig
   FROM sigs, UNNEST(range(0, {D.MINHASH_BANDS})) AS u(b)
 ),
+kept AS (
+  SELECT doc_id, band, band_sig FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_sig) AS w FROM bands
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
+  FROM kept l JOIN kept r
     ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
 ),
 pairs AS (
@@ -916,11 +942,15 @@ reach(id, lab) AS (
 SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """,
     "dedup_embedding_cosine": f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {COSINE_SQL.format(a="a.v", b="b.v")} AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+WITH P AS (SELECT {_planes_sql()} AS m),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {BUCKET_SQL.format(v="v")} AS bucket FROM e, P
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       {COSINE_SQL.format(a="a.v", b="c.v")} AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
 """,
 }
 

@@ -172,3 +172,47 @@ def test_embedding_near_dup_pairs(spark):
     pairs = {(r.vec_a, r.vec_b): r.cosine for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs
+
+
+def test_embedding_near_dup_lsh_subset_of_bruteforce(spark):
+    """The registered LSH-bucketed plan may only PRUNE candidates,
+    never add or rescore: its pairs must be a subset of the recall-1
+    brute-force twin with identical cosines."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {(r.vec_a, r.vec_b): r.cosine for r in D.embedding_near_dup_lsh(emb, threshold=0.3).collect()}
+    bf = {(r.vec_a, r.vec_b): r.cosine for r in D.embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    assert lsh  # non-trivial at this threshold
+    assert set(lsh) <= set(bf)
+    assert all(bf[k] == v for k, v in lsh.items())
+
+
+def test_embedding_near_dup_lsh_max_bucket_drops_hot_bucket(spark):
+    # 30 identical vectors collapse into one LSH bucket: with the cap
+    # their quadratic pair set is dropped; an unrelated near-dup pair
+    # in a different bucket must survive
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    rows += [(100, [0.0, 0.0, -1.0, -0.05]), (101, [0.0, 0.0, -1.0, 0.05])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = D.embedding_near_dup_lsh(emb, threshold=0.9, max_bucket=10)
+    got = {(r.vec_a, r.vec_b) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got)
+    uncapped = D.embedding_near_dup_lsh(emb, threshold=0.9).count()
+    assert uncapped >= 435  # the clone class alone is 30*29/2
+
+
+def test_minhash_lsh_max_bucket_caps_degenerate_class(spark):
+    """One degenerate duplicate class (30 clones) would emit 435
+    quadratic pairs; with the cap its band buckets are dropped while a
+    small near-dup pair in ordinary buckets is still found, and the
+    clones remain caught by the cheap exact pass."""
+    clones = [(i, " ".join(f"w{j}" for j in range(20))) for i in range(30)]
+    others = [
+        (100, " ".join([f"s{j}" for j in range(19)] + ["theta"])),
+        (101, " ".join([f"s{j}" for j in range(19)] + ["iota"])),
+    ]
+    df = spark.createDataFrame(clones + others, "doc_id long, text string")
+    capped = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=10).collect()}
+    assert capped == {(100, 101)}
+    assert D.minhash_lsh_pairs(df, threshold=0.2).count() == 436
+    ex = {r.dup_count for r in D.exact_duplicates(df).collect()}
+    assert 30 in ex  # exact dedup still accounts for the whole class

@@ -56,9 +56,13 @@ def test_asof_and_sessions_single_shuffle(plans):
 
 def test_minhash_pipeline_has_no_aggregate_shuffle_for_signatures(plans):
     # signatures are per-row projections: the only exchanges in the
-    # pair pipeline are the band join and verify joins (<= 8), and no
-    # explode-then-groupBy inverted index survives
-    assert plans("dedup_minhash_lsh").count("Exchange") <= 8
+    # pair pipeline are the band join, the verify joins, and one
+    # hot-bucket count window per join side (whose (band, band_sig)
+    # partitioning the candidate join reuses at sort-merge scale); no
+    # explode-then-groupBy inverted index survives. A regression to
+    # the groupBy+anti-join capping shape doubles the signature scans
+    # and pushes this count to 14.
+    assert plans("dedup_minhash_lsh").count("Exchange") <= 10
 
 
 def test_filter_pushdown_reaches_scan(plans):
@@ -114,3 +118,11 @@ def test_sketch_rollup_single_pass(plans):
     assert p.count("FileScan") == 1
     assert "Expand" in p
     assert p.count("Exchange") == 1
+
+
+def test_embedding_dedup_is_bucketed_equijoin(plans):
+    # the registered near-dup plan must join on LSH bucket keys -- a
+    # cartesian / nested-loop pair generator is a corpus-scale killer
+    p = plans("dedup_embedding_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
