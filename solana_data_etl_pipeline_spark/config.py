@@ -34,6 +34,12 @@ class WarehouseConfig:
 
     sink_type: str = field(default_factory=lambda: os.environ.get("WAREHOUSE_SINK", "parquet"))
     path: str = field(default_factory=lambda: os.environ.get("WAREHOUSE_PATH", "./warehouse"))
+    # JDBC variant (reference primary sink, src/warehouse.rs:201-249):
+    # when a URL is configured, 'postgres'/'jdbc' dispatch to
+    # JdbcWarehouse instead of the parquet sink.
+    jdbc_url: str = field(default_factory=lambda: os.environ.get("WAREHOUSE_JDBC_URL", ""))
+    jdbc_driver: str = field(default_factory=lambda: os.environ.get("WAREHOUSE_JDBC_DRIVER", ""))
+    jdbc_table: str = field(default_factory=lambda: os.environ.get("WAREHOUSE_JDBC_TABLE", "fact_events"))
 
 
 @dataclass

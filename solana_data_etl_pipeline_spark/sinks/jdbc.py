@@ -1,0 +1,265 @@
+"""JDBC warehouse sink (reference L9 second output format / primary
+Postgres sink, src/warehouse.rs:201-249).
+
+The reference's primary sink is a relational warehouse written with
+row-at-a-time `ON CONFLICT (event_id) DO UPDATE` upserts. The
+Spark-first equivalent keeps the upsert *semantics* but makes every
+step set-based and pushed into the database:
+
+- insert_events (insert-wins): dedup inside the batch, anti-join
+  against keys already present in the touched event dates (the key
+  scan is a column-pruned, predicate-pushed JDBC read -- the database
+  sends back only `event_id`s for those dates), then one bulk
+  `df.write.jdbc` append. Deterministic event ids make replays no-ops
+  -- the same exactly-once effect as ON CONFLICT DO NOTHING.
+- upsert_events (latest-wins): stage the batch in a side table, then
+  issue ONE set-based DELETE (conflicting ids) + INSERT ... SELECT in
+  the database -- the classic Spark-to-warehouse merge. No row-at-a-
+  time round trips anywhere (the reference loops per event,
+  src/warehouse.rs:214-243; see also the N+1 slot probes it performs
+  in src/backfill.rs:84-87 that processed_slots() replaces with one
+  distinct scan).
+- checkpoint state lives in an `etl_metadata` key/value table
+  (src/warehouse.rs:148-159,251-285), updated with a driver-side
+  UPDATE-then-INSERT (single row; bounded by construction).
+
+Array columns (accounts, log_messages) are JSON-encoded at the JDBC
+boundary and decoded on read: portable across dialects that lack
+array types (Derby, MySQL, SQL Server); a Postgres deployment could
+map them to native arrays behind the same surface.
+
+Scale notes: the append is written with `numPartitions` bounded write
+parallelism and JDBC `batchsize` so a 1000-executor cluster does not
+open 32k connections; the key anti-join ships only (event_id) per
+touched date over the wire, never event payloads. Tested end-to-end
+against embedded Derby (the JDBC engine bundled with Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from solana_data_etl_pipeline_spark.config import WarehouseConfig
+from solana_data_etl_pipeline_spark.schemas import EVENT_DATE_COL
+
+_ARRAY_COLS = ("accounts", "log_messages")
+_META_TABLE = "etl_metadata"
+_STAGING_SUFFIX = "_staging"
+
+
+class JdbcWarehouse:
+    """`Warehouse`-protocol sink over any JDBC database."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        table: str = "fact_events",
+        driver: str | None = None,
+        properties: dict[str, str] | None = None,
+        write_partitions: int = 16,
+        batchsize: int = 10_000,
+    ):
+        self.spark = spark
+        self.url = url
+        self.table = table
+        self.driver = driver
+        self.properties = dict(properties or {})
+        if driver:
+            self.properties["driver"] = driver
+        self.properties.setdefault("batchsize", str(batchsize))
+        self.write_partitions = write_partitions
+        self._array_types: dict[str, T.DataType] = {}
+
+    @classmethod
+    def from_config(cls, spark: SparkSession, config: WarehouseConfig) -> "JdbcWarehouse":
+        return cls(spark, config.jdbc_url, table=config.jdbc_table, driver=config.jdbc_driver or None)
+
+    # -- driver-side SQL (DDL + single-row metadata; bounded) -----------
+    def _connection(self):
+        jvm = self.spark._jvm
+        if self.driver:
+            jvm.java.lang.Class.forName(self.driver)
+        return jvm.java.sql.DriverManager.getConnection(self.url)
+
+    def _execute(self, *statements: str) -> int:
+        conn = self._connection()
+        try:
+            st = conn.createStatement()
+            n = 0
+            for sql in statements:
+                n = st.executeUpdate(sql)
+            st.close()
+            return n
+        finally:
+            conn.close()
+
+    def _table_exists(self, name: str) -> bool:
+        conn = self._connection()
+        try:
+            rs = conn.getMetaData().getTables(None, None, name.upper(), None)
+            found = rs.next()
+            if not found:
+                # case-sensitive dialects
+                rs = conn.getMetaData().getTables(None, None, name, None)
+                found = rs.next()
+            return bool(found)
+        finally:
+            conn.close()
+
+    # -- lifecycle ------------------------------------------------------
+    def connect(self) -> None:
+        """L4: schema init -- create the metadata table; the fact table
+        is created by the first append (dialect-correct types chosen by
+        Spark's JDBC dialect)."""
+        if not self._table_exists(_META_TABLE):
+            self._execute(
+                f"CREATE TABLE {_META_TABLE} "
+                "(meta_key VARCHAR(128) NOT NULL PRIMARY KEY, meta_value VARCHAR(512))"
+            )
+
+    def health_check(self) -> bool:
+        """L8: SELECT 1 round trip (reference src/warehouse.rs:301-308)."""
+        conn = self._connection()
+        try:
+            rs = conn.createStatement().executeQuery("SELECT 1 FROM SYSIBM.SYSDUMMY1" if "derby" in self.url else "SELECT 1")
+            return bool(rs.next())
+        except Exception:
+            return False
+        finally:
+            conn.close()
+
+    # -- JDBC boundary codecs -------------------------------------------
+    def _encode(self, events: DataFrame) -> DataFrame:
+        out = events
+        for c in _ARRAY_COLS:
+            if c in out.columns:
+                self._array_types[c] = events.schema[c].dataType
+                out = out.withColumn(c, F.to_json(F.col(c)))
+        return out
+
+    def _decode(self, df: DataFrame) -> DataFrame:
+        out = df
+        for c, t in self._array_types.items():
+            if c in out.columns:
+                out = out.withColumn(c, F.from_json(F.col(c), t))
+        return out
+
+    def _read_table(self, name: str) -> DataFrame:
+        return self.spark.read.jdbc(self.url, name, properties=self.properties)
+
+    def read_events(self) -> DataFrame:
+        return self._decode(self._read_table(self.table))
+
+    # -- events ---------------------------------------------------------
+    def _prepare(self, events: DataFrame) -> DataFrame:
+        return self._encode(
+            events.withColumn(EVENT_DATE_COL, F.to_date("block_time")).dropDuplicates(["event_id"])
+        )
+
+    def _append(self, batch: DataFrame) -> None:
+        (
+            batch.repartition(self.write_partitions)
+            .write.mode("append")
+            .jdbc(self.url, self.table, properties=self.properties)
+        )
+
+    def insert_events(self, events: DataFrame) -> int:
+        """L3: idempotent insert-wins batch upsert (anti-join + append).
+
+        The `present` read pushes both the date predicate and the
+        single-column projection through the JDBC source: the database
+        scans its own (indexed) table and returns only matching ids.
+        """
+        batch = self._prepare(events)
+        if self._table_exists(self.table):
+            dates = [r[0] for r in batch.select(EVENT_DATE_COL).distinct().collect()]
+            present = (
+                self._read_table(self.table)
+                .filter(F.col(EVENT_DATE_COL).isin(dates))
+                .select("event_id")
+            )
+            batch = batch.join(present, "event_id", "left_anti")
+        batch = batch.persist()
+        try:
+            n_new = batch.count()
+            if n_new:
+                self._append(batch)
+        finally:
+            batch.unpersist()
+        return n_new
+
+    def upsert_events(self, events: DataFrame) -> int:
+        """L3 full parity: ON CONFLICT (event_id) DO UPDATE
+        (reference src/warehouse.rs:227-229), latest payload wins.
+
+        Stage the batch, then one set-based DELETE + INSERT..SELECT
+        executed inside the database -- the merge cost lives where the
+        data lives, and Spark ships each batch row exactly once.
+        """
+        batch = self._prepare(events)
+        n = batch.count()
+        if not n:
+            return 0
+        if not self._table_exists(self.table):
+            self._append(batch)
+            return n
+        staging = self.table + _STAGING_SUFFIX
+        (
+            batch.repartition(self.write_partitions)
+            .write.mode("overwrite")
+            .jdbc(self.url, staging, properties=self.properties)
+        )
+        # Spark's JDBC writer creates quoted (case-sensitive) column
+        # identifiers; both tables come from the same frame, so the
+        # INSERT..SELECT column order lines up by construction
+        self._execute(
+            # CAST: dialects that map StringType to CLOB (Derby) cannot
+            # compare CLOBs directly; event_id is a 64-char sha256 hex
+            f'DELETE FROM {self.table} WHERE CAST("event_id" AS VARCHAR(128)) IN '
+            f'(SELECT CAST("event_id" AS VARCHAR(128)) FROM {staging})',
+            f"INSERT INTO {self.table} SELECT * FROM {staging}",
+            f"DROP TABLE {staging}",
+        )
+        return n
+
+    def is_slot_processed(self, slot: int) -> bool:
+        """L7: per-slot idempotency probe (pushed-down point predicate);
+        bulk paths should use processed_slots() instead."""
+        if not self._table_exists(self.table):
+            return False
+        return self._read_table(self.table).filter(F.col("slot") == slot).limit(1).count() > 0
+
+    def processed_slots(self) -> DataFrame:
+        if not self._table_exists(self.table):
+            return self.spark.createDataFrame([], "slot: long")
+        return self._read_table(self.table).select("slot").distinct()
+
+    # -- checkpoint state -----------------------------------------------
+    def get_last_slot(self) -> int | None:
+        """L5 (reference src/warehouse.rs:251-265)."""
+        if not self._table_exists(_META_TABLE):
+            return None
+        rows = (
+            self._read_table(_META_TABLE)
+            .filter(F.col("meta_key") == "last_confirmed_slot")
+            .select("meta_value")
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def update_last_slot(self, slot: int) -> None:
+        """L6 (reference src/warehouse.rs:267-285): UPDATE, then INSERT
+        if the key did not exist (portable single-row upsert)."""
+        self.connect()
+        updated = self._execute(
+            f"UPDATE {_META_TABLE} SET meta_value = '{int(slot)}' "
+            "WHERE meta_key = 'last_confirmed_slot'"
+        )
+        if not updated:
+            self._execute(
+                f"INSERT INTO {_META_TABLE} (meta_key, meta_value) "
+                f"VALUES ('last_confirmed_slot', '{int(slot)}')"
+            )

@@ -51,10 +51,18 @@ class Warehouse(Protocol):
     def health_check(self) -> bool: ...
 
 
-def create_warehouse(spark: SparkSession, config: WarehouseConfig) -> "ParquetWarehouse":
+def create_warehouse(spark: SparkSession, config: WarehouseConfig):
     """L2: sink factory (reference src/warehouse.rs:30-39). 'postgres'
-    in the reference maps to the parquet warehouse here; unknown sink
-    types are a config error just like the reference."""
+    with a configured JDBC URL dispatches to the relational
+    JdbcWarehouse (the reference's primary sink shape); without one it
+    falls back to the parquet warehouse. Unknown sink types are a
+    config error just like the reference."""
+    if config.sink_type == "jdbc" or (config.sink_type == "postgres" and config.jdbc_url):
+        if not config.jdbc_url:
+            raise ConfigError("jdbc sink requires WAREHOUSE_JDBC_URL")
+        from solana_data_etl_pipeline_spark.sinks.jdbc import JdbcWarehouse
+
+        return JdbcWarehouse.from_config(spark, config)
     if config.sink_type in ("parquet", "postgres"):
         return ParquetWarehouse(spark, config.path)
     raise ConfigError(f"unknown warehouse sink type: {config.sink_type}")
