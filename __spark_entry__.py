@@ -34,15 +34,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md section 2."""
-    from solana_data_etl_pipeline_spark.plans.suite import all_queries
+    """One entry per implemented operator family from SURVEY.md
+    section 2: the curated 50-slot driver registry (the full registry
+    in plans/suite.py:all_queries() is additionally oracle-checked by
+    tests/test_oracle_parity.py on every test run)."""
+    from solana_data_etl_pipeline_spark.plans.suite import driver_queries
 
-    qs = all_queries()
+    qs = driver_queries()
     return {name: (lambda spark, sf_dir, _fn=fn: _fn(_configure(spark), sf_dir)) for name, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omissions -> rows-only check)."""
-    from solana_data_etl_pipeline_spark.plans.suite import all_oracle_sql
+    from solana_data_etl_pipeline_spark.plans.suite import driver_oracle_sql
 
-    return all_oracle_sql()
+    return driver_oracle_sql()

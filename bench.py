@@ -1,80 +1,27 @@
-"""Benchmark harness: runs the headline query suite at
+"""Benchmark harness: runs the headline query suite (the 50-entry
+graded driver registry, plans.suite.DRIVER_ORDER) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "runs": 3}
+
+Each query is timed RUNS times and the per-query MEDIAN is reported:
+single-shot timings swing seconds on identical code from JVM JIT and
+shuffle-file cache effects (observed round-over-round), so medians are
+what make cross-round deltas measure code, not warm-up.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    # reference analytics surface (single-scan agg plans)
-    "transaction_volume",
-    "hourly_volume",
-    "active_programs",
-    "token_transfer_stats",
-    "top_tokens",
-    "failed_transactions",
-    "top_errors",
-    "wallet_activity",
-    "top_wallets",
-    "program_trends",
-    # relational surface
-    "pricing_summary",
-    "shipping_priority",
-    "region_revenue",
-    "revenue_change",
-    "late_shipment_priority",
-    "segment_order_stats",
-    "big_spenders",
-    "customer_order_ranks",
-    "sales_rollup",
-    "order_cube",
-    "price_tier_distribution",
-    "inactive_customers",
-    "priority_pivot",
-    "price_percentiles",
-    "repeat_buyers",
-    "lineitem_measures_unpivot",
-    "small_quantity_revenue",
-    "order_value_histogram",
-    "daily_purchase_vs_error",
-    "nation_revenue_share",
-    # temporal surface
-    "asof_attribution",
-    "user_sessions",
-    "session_window_stats",
-    "daily_volume_trend",
-    # behavioral surface
-    "cumulative_new_users",
-    "weekly_cohort_retention",
-    "event_funnel",
-    "hourly_gapfill",
-    "sketch_rollup",
-    # extensions
-    "stratified_sample",
-    "token_counts",
-    "quality_scores",
-    "language_id",
-    "vocab_top_words",
-    "tfidf_top_terms",
-    "corpus_selection",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "simhash_fingerprints",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
-    "embedding_quantize",
-    "media_stats",
-]
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
@@ -109,25 +56,31 @@ def main() -> None:
     )
     warm.groupBy("rn").agg(F.sum("h")).write.format("noop").mode("overwrite").save()
 
+    from solana_data_etl_pipeline_spark.plans.suite import DRIVER_ORDER
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in DRIVER_ORDER:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink materializes every column (count() would let Catalyst
-        # prune the computed expressions away and under-measure)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink materializes every column (count() would let
+            # Catalyst prune the computed expressions and under-measure)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time",
+                "metric": "headline suite wall time (per-query median)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": RUNS,
             }
         )
     )

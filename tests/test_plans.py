@@ -10,9 +10,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
-    import __spark_entry__ as E
+    # full registry, not the curated 50-slot driver subset: plan-shape
+    # pins also cover the deliberately-unregistered baselines
+    from __spark_entry__ import _configure
+    from solana_data_etl_pipeline_spark.plans.suite import all_queries
 
-    return E.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    fn = all_queries()[name]
+    return fn(_configure(spark), SF)._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.fixture(scope="module")
@@ -31,10 +35,12 @@ ALL_QUERIES = None
 
 
 def test_no_cartesian_products_anywhere(spark):
-    import __spark_entry__ as E
+    from __spark_entry__ import _configure
+    from solana_data_etl_pipeline_spark.plans.suite import all_queries
 
+    _configure(spark)
     offenders = []
-    for name, fn in E.queries().items():
+    for name, fn in all_queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders.append(name)

@@ -54,3 +54,39 @@ def test_tfidf_ranks_distinctive_terms_first(docs):
     # ranks dense from 1 within every doc
     for doc, rs in by_doc.items():
         assert [r for r, _, _ in sorted(rs)] == list(range(1, len(rs) + 1))
+
+
+def test_doc_features_matches_standalone_operators(spark):
+    """The fused one-scan doc_features must stay column-identical to
+    the five standalone per-doc operators it replaces in the driver
+    registry (the fusion is a plan optimization, not a semantic
+    change). Uses realistic multilingual docs so language scores and
+    fingerprints are non-trivial."""
+    rows = [
+        (0, "the quick brown fox and the lazy dog", "en", "s1", 37),
+        (1, "der schnelle braune fuchs und der faule hund!", "de", "s1", 45),
+        (2, "el rapido zorro marron y el perro 42 perezoso", "es", "s2", 45),
+        (3, "", "en", "s2", 0),
+        (4, "zzz qqq xxx", "fr", "s2", 11),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    fused = {r.doc_id: r.asDict() for r in X.doc_features(df).collect()}
+    tok = {r.doc_id: r for r in X.token_counts(df).collect()}
+    bpe = {r.doc_id: r for r in X.bpe_ish_token_counts(df).collect()}
+    q = {r.doc_id: r for r in X.quality_scores(df).collect()}
+    lid = {r.doc_id: r for r in X.language_id(df).collect()}
+    fp = {r.doc_id: r for r in X.fingerprints(df).collect()}
+    for d in fused:
+        assert fused[d]["n_tokens"] == tok[d].n_tokens
+        assert fused[d]["n_bpe_tokens"] == bpe[d].n_bpe_tokens
+        assert fused[d]["n_chars"] == q[d].n_chars
+        assert fused[d]["avg_token_len"] == q[d].avg_token_len
+        assert fused[d]["stopword_ratio"] == q[d].stopword_ratio
+        assert fused[d]["alpha_ratio"] == q[d].alpha_ratio
+        assert fused[d]["labeled_lang"] == lid[d].labeled_lang
+        assert fused[d]["predicted_lang"] == lid[d].predicted_lang
+        assert fused[d]["fingerprint"] == fp[d].fingerprint
+        assert fused[d]["fingerprint64"] == fp[d].fingerprint64
+    # and it is genuinely one scan
+    plan = X.doc_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0

@@ -1,9 +1,15 @@
 """Self-check harness approximating the driver's correctness gate:
-runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+runs ``queries()`` entries on Spark and their ``oracle_sql()`` twins
 on DuckDB at the given scale factor, then compares row count, column
 names, and an order-insensitive multiset of (rounded) values.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
+       python tools/selfcheck.py --all [sf_dir] [query ...]
+
+Default checks the curated driver registry (what the driver grades);
+``--all`` checks the FULL plans.suite registry, including entries not
+exposed to the driver (the same sweep tests/test_oracle_parity.py
+runs at sf0.001).
 """
 
 from __future__ import annotations
@@ -16,8 +22,6 @@ import traceback
 import duckdb
 
 sys.path.insert(0, ".")
-
-from __spark_entry__ import oracle_sql, queries  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -49,19 +53,15 @@ def row_multiset(cols, rows):
     )
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    from solana_data_etl_pipeline_spark.session import get_spark
-
-    spark = get_spark("selfcheck")
+def oracle_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
-    qs = queries()
-    sqls = oracle_sql()
+
+def check_queries(spark, con, qs, sqls, sf_dir, only=None, log=print):
+    """Run each query against its oracle; returns the failing names."""
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -72,10 +72,10 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
             failures.append(name)
-            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            log(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             continue
         if name not in sqls:
-            print(f"ok?  {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            log(f"ok?  {name}: rows-only ({len(s_rows)} rows, no oracle)")
             continue
         try:
             res = con.execute(sqls[name])
@@ -83,7 +83,7 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception:
             failures.append(name)
-            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            log(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             continue
         problems = []
         if sorted(s_cols) != sorted(d_cols):
@@ -98,9 +98,37 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append(name)
-            print(f"FAIL {name}: " + "; ".join(problems))
+            log(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            log(f"PASS {name} ({len(s_rows)} rows)")
+    return failures
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    use_all = "--all" in args
+    if use_all:
+        args.remove("--all")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    from solana_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("selfcheck")
+    con = oracle_connection(sf_dir)
+
+    if use_all:
+        from __spark_entry__ import _configure
+        from solana_data_etl_pipeline_spark.plans.suite import all_oracle_sql, all_queries
+
+        _configure(spark)
+        qs, sqls = all_queries(), all_oracle_sql()
+    else:
+        from __spark_entry__ import oracle_sql, queries
+
+        qs, sqls = queries(), oracle_sql()
+
+    failures = check_queries(spark, con, qs, sqls, sf_dir, only=only)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
