@@ -145,6 +145,15 @@ CANONICAL_EVENT_SCHEMA = T.StructType(
         _s("to_wallet", T.StringType()),
         _s("token_amount", T.StringType()),  # string for precision, src/events.rs:28
         _s("decimals", T.IntegerType()),
+        # TelemetryEvent extension (src/events.rs:62-72; the reference
+        # defines the subtype but its parser never emits it -- the
+        # producer here is operators/telemetry.py)
+        _s("user_id", T.StringType()),
+        _s("api_endpoint", T.StringType()),
+        _s("feature_name", T.StringType()),
+        _s("request_id", T.StringType()),
+        _s("response_code", T.IntegerType()),
+        _s("latency_ms", T.LongType()),
         # schema-on-read payload (JSONB parity, src/warehouse.rs:172)
         _s("raw_payload", T.StringType()),
     ]
