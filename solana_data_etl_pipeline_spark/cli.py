@@ -91,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
             as_of = row[0] or dt.datetime(1970, 1, 1)
         results = run_analytics(events, as_of, output_path=warehouse.path)
         for name in results:
-            print(f"analytics_{name}: written")
+            prefix = "" if name.startswith("dim_") else "analytics_"
+            print(f"{prefix}{name}: written")
         return 0
 
     return 2

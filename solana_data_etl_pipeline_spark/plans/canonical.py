@@ -47,12 +47,26 @@ def run_analytics(events: DataFrame, as_of: dt.datetime, output_path: str | None
     DataFrame is cached once and all plans share the scan; with
     `output_path` each result overwrites `analytics_<name>` parquet
     (DELETE + re-INSERT == mode('overwrite'), A14)."""
+    from solana_data_etl_pipeline_spark.plans import dimensions as DIM
+
     norm = normalize_canonical(events).persist()
     try:
         results = {name: plan(norm, as_of) for name, plan in A.ALL_PLANS.items()}
+        # dimension tables ride the same scheduled recompute (the
+        # reference maintains them "via materialized views or
+        # scheduled jobs", docs/SCHEMA.md:204): dim_* overwrite
+        # alongside the analytics_* tables, sharing the cached scan
+        results.update(
+            {
+                "dim_wallets": DIM.dim_wallets(norm),
+                "dim_programs": DIM.dim_programs(norm),
+                "dim_tokens": DIM.dim_tokens(norm),
+            }
+        )
         if output_path:
             for name, df in results.items():
-                df.write.mode("overwrite").parquet(f"{output_path}/analytics_{name}")
+                prefix = "" if name.startswith("dim_") else "analytics_"
+                df.write.mode("overwrite").parquet(f"{output_path}/{prefix}{name}")
         else:
             for df in results.values():
                 df.count()  # materialize while the shared scan is cached

@@ -22,9 +22,13 @@ def test_cli_backfill_then_analytics(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "analytics_transaction_volume: written" in out
+    assert "dim_wallets: written" in out  # dims ride the same recompute
     # materialized outputs readable
     got = spark.read.parquet(f"{wh}/analytics_transaction_volume")
     assert got.count() == 4  # total/today/week/month rows
+    dims = spark.read.parquet(f"{wh}/dim_programs")
+    assert {"program_id", "program_name", "program_type"} <= set(dims.columns)
+    assert dims.count() > 0
 
 
 def test_cli_incremental_bounded(spark, tmp_path):
