@@ -3,7 +3,10 @@ plan shapes that matter at scale (exchanges, join strategies,
 cartesian products, scans, pushed filters), plus ReadSchema/
 PushedFilters detail with --detail. See SCALE.md for the analysis.
 
-Usage: python tools/planaudit.py [sf_dir] [--detail]
+Usage: python tools/planaudit.py [sf_dir] [--detail] [--all]
+
+Default audits the curated driver registry; ``--all`` audits the full
+plans.suite registry including test-only baseline twins.
 """
 
 from __future__ import annotations
@@ -16,8 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--detail"]
+    args = [a for a in sys.argv[1:] if a not in ("--detail", "--all")]
     detail = "--detail" in sys.argv
+    use_all = "--all" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from solana_data_etl_pipeline_spark.session import get_spark
@@ -25,9 +29,18 @@ def main() -> None:
     spark = get_spark("planaudit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from __spark_entry__ import queries
+    if use_all:
+        from __spark_entry__ import _configure
+        from solana_data_etl_pipeline_spark.plans.suite import all_queries
 
-    for name, fn in queries().items():
+        _configure(spark)
+        qs = all_queries()
+    else:
+        from __spark_entry__ import queries
+
+        qs = queries()
+
+    for name, fn in qs.items():
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - audit convenience
