@@ -151,6 +151,12 @@ class JdbcWarehouse:
         return self.spark.read.jdbc(self.url, name, properties=self.properties)
 
     def read_events(self) -> DataFrame:
+        if not self._table_exists(self.table):
+            from solana_data_etl_pipeline_spark.schemas import CANONICAL_EVENT_SCHEMA
+
+            return self.spark.createDataFrame([], CANONICAL_EVENT_SCHEMA).withColumn(
+                EVENT_DATE_COL, F.to_date("block_time")
+            )
         return self._decode(self._read_table(self.table))
 
     # -- events ---------------------------------------------------------

@@ -235,3 +235,15 @@ def test_jdbc_checkpoint_roundtrip(jdbc_wh):
     jdbc_wh.update_last_slot(456)
     assert jdbc_wh.get_last_slot() == 456
     assert jdbc_wh.health_check()
+
+
+def test_jdbc_empty_and_fresh_db_edges(spark, jdbc_wh):
+    # reads and probes on a fresh database (no fact table yet) are
+    # empty, not errors; empty batches are no-ops
+    assert jdbc_wh.read_events().count() == 0
+    assert jdbc_wh.processed_slots().count() == 0
+    assert not jdbc_wh.is_slot_processed(1)
+    empty = _events(spark, [30]).limit(0)
+    assert jdbc_wh.insert_events(empty) == 0
+    assert jdbc_wh.upsert_events(empty) == 0
+    assert jdbc_wh.read_events().count() == 0
