@@ -146,3 +146,53 @@ def run_block_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+TELEMETRY_LOG_SCHEMA = (
+    "ts timestamp, user_id string, api_endpoint string, feature_name string, "
+    "request_id string, response_code int, latency_ms long"
+)
+
+
+def stream_telemetry(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming telemetry source: JSONL usage-log records landing in a
+    directory (API gateway / feature flags export shape)."""
+    return (
+        spark.readStream.schema(TELEMETRY_LOG_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .json(input_dir)
+        .filter(F.col("request_id").isNotNull())
+    )
+
+
+def run_telemetry_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = DEFAULT_WATERMARK,
+    available_now: bool = True,
+):
+    """Telemetry ingest stream: usage logs -> canonical telemetry
+    events (operators/telemetry.py, same deterministic replay keys) ->
+    bounded-state dedup -> date-partitioned parquet with exactly-once
+    checkpointing. Telemetry lands in the SAME canonical-log layout as
+    chain events (one fact table, many subtypes), so every downstream
+    analytics/dedup plan applies unchanged."""
+    from solana_data_etl_pipeline_spark.operators.telemetry import telemetry_events
+
+    events = telemetry_events(stream_telemetry(spark, input_dir))
+    events = events.withWatermark("block_time", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    events = events.withColumn("event_date", F.to_date("block_time"))
+    writer = (
+        events.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_date")
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -66,3 +66,41 @@ def test_telemetry_coresides_with_chain_events(spark, tmp_path, usage_log):
     assert stored.count() == n_chain + 3
     by_type = {r.event_type: r.cnt for r in stored.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
     assert by_type.get("telemetry") == 3
+
+
+def test_telemetry_stream_end_to_end(spark, tmp_path):
+    """Streaming ingest: JSONL usage logs -> canonical telemetry events
+    -> exactly-once parquet; a second drain of the same files writes
+    nothing new (source offsets + deterministic ids)."""
+    import json as _json
+
+    from solana_data_etl_pipeline_spark.streaming.structured import run_telemetry_stream
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-03-01T09:00:00", "user_id": "u1", "api_endpoint": "/api/blocks",
+         "feature_name": "backfill", "request_id": f"req-{i}", "response_code": 200,
+         "latency_ms": 10 + i}
+        for i in range(5)
+    ]
+    (src / "batch1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_telemetry_stream(spark, str(src), out, ckpt)
+    stored = spark.read.parquet(out)
+    assert stored.count() == 5
+    assert {r.event_type for r in stored.select("event_type").distinct().collect()} == {"telemetry"}
+    # drain again with no new files: no duplicates
+    run_telemetry_stream(spark, str(src), out, ckpt)
+    assert spark.read.parquet(out).count() == 5
+    # late-arriving new file is picked up incrementally
+    (src / "batch2.jsonl").write_text(_json.dumps(
+        {"ts": "2024-03-01T09:01:00", "user_id": "u2", "api_endpoint": "/api/tx",
+         "feature_name": "lookup", "request_id": "req-99", "response_code": 500,
+         "latency_ms": 3}
+    ))
+    run_telemetry_stream(spark, str(src), out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 6
+    assert final.filter(~final.success).count() == 1
