@@ -387,46 +387,49 @@ def embedding_near_dup_lsh(
     emb_df: DataFrame,
     threshold: float = 0.95,
     max_bucket: int | None = None,
+    n_tables: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH
-    bucketing + exact-cosine verify (vec_a < vec_b, cos >= threshold).
+    """Embedding-cosine near-dup pairs via MULTI-TABLE random-
+    hyperplane LSH bucketing + exact-cosine verify (vec_a < vec_b,
+    cos >= threshold).
 
-    This is the 100 TB registered plan: bucket assignment is a pure
-    projection (sign bits against a fixed broadcast-free literal plane
-    matrix, similarity.bucket_expr), so candidate generation is ONE
-    equi-self-join on `bucket` -- the corpus shuffles once on the
-    bucket key instead of the brute-force cartesian product (which is
-    kept in embedding_near_dup_pairs as the recall-1 test oracle twin).
-    Recall < 1 by construction: only same-bucket pairs are scored;
-    deterministic given the fixed plane matrix, so still exactly
-    oracle-checkable.
+    This is the 100 TB registered plan: per-table bucket assignment is
+    a pure projection (sign bits against fixed literal plane
+    matrices), so candidate generation is ONE equi-self-join on
+    (table, bucket) -- the corpus shuffles once instead of the
+    brute-force cartesian product (kept in embedding_near_dup_pairs as
+    the recall-1 test oracle twin). Multiple independent tables lift
+    recall on true near-dups: one 8-bit table collides a cos>=0.95
+    pair with prob ~(1-theta/pi)^8 ~ 56%; two tables ~81%, four ~96%
+    (1-(1-p^b)^L), while candidates stay ~L*n/2^b. Deterministic given
+    the plane matrices, so still exactly oracle-checkable.
 
-    `max_bucket` drops buckets wider than the cap before the self-join
-    (same quadratic-degenerate-bucket defense as minhash_lsh_pairs --
-    e.g. an all-zeros embedding cluster lands in one bucket).
+    `max_bucket` drops (table, bucket) groups wider than the cap
+    before the self-join (same quadratic-degenerate-bucket defense as
+    minhash_lsh_pairs -- e.g. an all-zeros embedding cluster).
     """
     from solana_data_etl_pipeline_spark.operators.similarity import (
         _dvec,
-        bucket_expr,
         dot_raw,
-        lsh_planes,
         norm_expr,
+        table_bucket_col,
     )
+    from solana_data_etl_pipeline_spark.operators.similarity import LSH_PLANES
 
-    planes = lsh_planes()
+    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
     v = emb_df.select(
         F.col("vec_id"),
         _dvec(F.col("embedding")).alias("v"),
         norm_expr(F.col("embedding")).alias("n"),
-        bucket_expr(F.col("embedding"), planes).alias("bucket"),
+        F.posexplode(buckets).alias("table", "bucket"),
     )
     if max_bucket is not None:
-        # count window over the join key -- same zero-extra-shuffle cap
-        # as minhash_lsh_pairs (the bucket partitioning is reused by
-        # the candidate self-join)
+        # count window over the join keys -- same zero-extra-shuffle
+        # cap as minhash_lsh_pairs (the (table, bucket) partitioning is
+        # reused by the candidate self-join)
         from pyspark.sql import Window
 
-        wspec = Window.partitionBy("bucket")
+        wspec = Window.partitionBy("table", "bucket")
         v = (
             v.withColumn("_w", F.count(F.lit(1)).over(wspec))
             .filter(F.col("_w") <= max_bucket)
@@ -435,10 +438,16 @@ def embedding_near_dup_lsh(
     a, b = v.alias("a"), v.alias("b")
     cos = dot_raw(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+        .distinct()
     )
 
 

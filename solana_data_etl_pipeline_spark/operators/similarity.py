@@ -53,15 +53,22 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+LSH_TABLES = 4
+
+
+def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: coefficient (p, d) is
-    derived from a tiny LCG on (p*dim+d), mapped to [-1, 1). Matches
-    the oracle SQL byte-for-byte because it is embedded as literals."""
+    derived from a tiny LCG on the global plane index, mapped to
+    [-1, 1). `table` offsets the index so each hash table gets an
+    independent plane set. Matches the oracle SQL byte-for-byte
+    because it is embedded as literals (table=0 reproduces the
+    original single-table matrix)."""
     planes = []
     for p in range(n_planes):
+        g = table * n_planes + p
         row = []
         for d in range(dim):
-            x = (1103515245 * (p * dim + d + 12345) + 12345) % (2**31)
+            x = (1103515245 * (g * dim + d + 12345) + 12345) % (2**31)
             row.append(round(x / float(2**30) - 1.0, 6))
         planes.append(row)
     return planes
@@ -114,34 +121,54 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFr
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def table_bucket_col(emb: Column, n_planes: int, n_tables: int, dim: int = EMB_DIM) -> Column:
+    """Array of per-table LSH bucket ids (one sign-bit bucket per hash
+    table, independent plane sets)."""
+    return F.array(
+        *[bucket_expr(emb, lsh_planes(n_planes, dim, table=t)) for t in range(n_tables)]
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = LSH_PLANES,
     dim: int = EMB_DIM,
+    n_tables: int = LSH_TABLES,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket, then
-    exact cosine rerank. Recall < 1 by design; deterministic given the
-    fixed plane matrix, so still exactly oracle-checkable."""
-    planes = lsh_planes(n_planes, dim)
+    """ANN top-k with MULTI-TABLE random-hyperplane LSH: candidates are
+    the union over `n_tables` independent hash tables of same-bucket
+    vectors, then exact cosine rerank. For a neighbor at angle theta,
+    per-table collision is p^b with p = 1 - theta/pi, so recall is
+    1-(1-p^b)^L -- one 8-bit table catches only ~56% of cos>=0.95
+    near-dups, four catch ~96%, while candidates stay ~L*n/2^b (a few
+    percent of the corpus). Recall < 1 by design; deterministic given
+    the fixed plane matrices, so still exactly oracle-checkable.
+
+    Scale shape: bucket arrays are projections; posexplode emits
+    n_tables rows per vector carrying only (table, bucket, id, vec);
+    the join key is (table, bucket); candidates are deduped BEFORE
+    rank (a neighbor found by several tables scores once)."""
+    buckets = table_bucket_col(F.col("embedding"), n_planes, n_tables, dim)
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         _dvec(F.col("embedding")).alias("c_emb"),
         norm_expr(F.col("embedding")).alias("c_norm"),
-        bucket_expr(F.col("embedding"), planes).alias("bucket"),
+        F.posexplode(buckets).alias("table", "bucket"),
     )
     q = queries.select(
         F.col("query_id"),
         _dvec(F.col("embedding")).alias("q_emb"),
         norm_expr(F.col("embedding")).alias("q_norm"),
-        bucket_expr(F.col("embedding"), planes).alias("bucket"),
+        F.posexplode(buckets).alias("table", "bucket"),
     )
     cos = dot_raw(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

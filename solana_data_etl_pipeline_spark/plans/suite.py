@@ -58,16 +58,36 @@ COSINE_SQL = (
 )
 
 
-def _planes_sql() -> str:
-    planes = V.lsh_planes()
+def _planes_sql(table: int = 0) -> str:
+    planes = V.lsh_planes(table=table)
     rows = ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in planes)
     return f"[{rows}]"
 
 
+# per-table bucket: {m} names the plane-matrix column, {v} the vector
 BUCKET_SQL = (
-    "CAST(list_sum([CASE WHEN list_dot_product(m[p+1], {v}) >= 0 "
+    "CAST(list_sum([CASE WHEN list_dot_product({m}[p+1], {v}) >= 0 "
     "THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END for p in range(0, 8)]) AS BIGINT)"
 )
+
+
+def _table_buckets_sql(n_tables: int, src: str = "e") -> str:
+    """CTE fragment: (vec_id, v, tbl, bkt) rows -- one per hash table --
+    mirroring similarity.table_bucket_col + posexplode."""
+    mats = ", ".join(f"{_planes_sql(t)} AS m{t}" for t in range(n_tables))
+    bcols = ",\n           ".join(
+        BUCKET_SQL.format(m=f"m{t}", v="v") + f" AS b{t}" for t in range(n_tables)
+    )
+    structs = ", ".join(f"{{'tbl': {t}, 'bkt': b{t}}}" for t in range(n_tables))
+    return f"""P AS (SELECT {mats}),
+b AS (
+  SELECT vec_id, v, u.s.tbl AS tbl, u.s.bkt AS bkt
+  FROM (
+    SELECT vec_id, v,
+           {bcols}
+    FROM {src}, P
+  ), UNNEST([{structs}]) AS u(s)
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -1002,14 +1022,11 @@ reach(id, lab) AS (
 SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """,
     "dedup_embedding_cosine": f"""
-WITH P AS (SELECT {_planes_sql()} AS m),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (
-  SELECT vec_id, v, {BUCKET_SQL.format(v="v")} AS bucket FROM e, P
-)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_table_buckets_sql(2)}
+SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
        {COSINE_SQL.format(a="a.v", b="c.v")} AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id
 WHERE list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
 """,
 }
@@ -1056,15 +1073,12 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
 ) WHERE rnk <= 10
 """,
     "knn_lsh": f"""
-WITH P AS (SELECT {_planes_sql()} AS m),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (
-  SELECT vec_id, v, {BUCKET_SQL.format(v="v")} AS bucket FROM e, P
-),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_table_buckets_sql(V.LSH_TABLES)},
+q AS (SELECT vec_id AS query_id, v AS qv, tbl, bkt FROM b WHERE vec_id < 5),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id, {COSINE_SQL.format(a="q.qv", b="c.v")} AS cosine
-  FROM b c JOIN q ON c.bucket = q.bucket
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, {COSINE_SQL.format(a="q.qv", b="c.v")} AS cosine
+  FROM b c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt
   WHERE c.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (

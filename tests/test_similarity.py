@@ -124,3 +124,56 @@ def test_bucket_expr_is_deterministic(emb):
     b2 = {r.vec_id: r.b for r in emb.select("vec_id", V.bucket_expr(F.col("embedding"), planes).alias("b")).collect()}
     assert b1 == b2
     assert all(0 <= v < 16 for v in b1.values())
+
+
+def test_multi_table_lsh_beats_single_table_on_planted_near_dups(spark):
+    """The whole point of L hash tables: recall on TRUE near-dups
+    (cos >= ~0.97 planted clones) must rise with table count --
+    1-(1-p^b)^L. Single-table is the floor; more tables may only add
+    candidate pairs, never lose them."""
+    import numpy as np
+
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.limit(30).collect()
+    rng = np.random.RandomState(1)
+    planted = [
+        (1000 + i, [float(x) + float(e) for x, e in zip(r.embedding, rng.normal(0, 0.02, len(r.embedding)))], r.label)
+        for i, r in enumerate(base)
+    ]
+    full = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    truth = {(r.vec_id, 1000 + i) for i, r in enumerate(base)}
+
+    def recall(n_tables):
+        pairs = {(r.vec_a, r.vec_b) for r in D.embedding_near_dup_lsh(full, threshold=0.9, n_tables=n_tables).collect()}
+        return sum(1 for a, b in truth if (a, b) in pairs or (b, a) in pairs)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1  # tables only union candidates
+    assert r2 >= 0.75 * len(truth)  # empirically 25/30; theory ~0.81 for cos~0.97
+    assert r1 >= 0.5 * len(truth)
+
+
+def test_knn_lsh_multi_table_candidates_superset_and_dedup(emb, queries):
+    """More tables -> more candidates (union), and a neighbor found by
+    several tables appears exactly once in the output."""
+    one = V.knn_lsh(emb, queries, k=K, n_tables=1)
+    four = V.knn_lsh(emb, queries, k=K, n_tables=4)
+    rows = four.collect()
+    assert len({(r.query_id, r.neighbor_id) for r in rows}) == len(rows)  # deduped
+    # per query, the 4-table candidate pool is a superset, so its
+    # worst returned cosine is >= the single table's (or it found
+    # at least as many neighbors)
+    def per_q(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, []).append(r.cosine)
+        return out
+
+    o, f = per_q(one), per_q(four)
+    for qid, cos4 in f.items():
+        if qid in o:
+            assert len(cos4) >= len(o[qid])
