@@ -325,3 +325,29 @@ def label_centroids(emb_df: DataFrame) -> DataFrame:
     cell, which keeps the result scalar-typed (engine-portable)."""
     exploded = emb_df.select("label", F.posexplode(_dvec(F.col("embedding"))).alias("dim", "val"))
     return exploded.groupBy("label", "dim").agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+
+
+def kmeans_cells(
+    emb_df: DataFrame,
+    n_cells: int = 16,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to a k-means cell
+    (geometric cells, unlike the label-column stand-in that models an
+    ingest-time assignment). Returns (vec_id, embedding, cell).
+
+    Uses the ml-native KMeans (distributed Lloyd iterations; each pass
+    is one broadcast of k centroids + one map-side assignment + one
+    per-cell mean aggregation -- no pairwise shuffles). Deterministic
+    given the seed. In a production pipeline this runs ONCE at ingest
+    (or on a sample), the assignment is materialized as a partition
+    column, and knn_ivf probes nprobe cells -- pruning the scan to
+    nprobe/n_cells of the corpus, which is the entire point of IVF.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb_df.select("vec_id", "embedding", array_to_vector(_dvec(F.col("embedding"))).alias("_f"))
+    model = KMeans(k=n_cells, maxIter=max_iter, seed=seed, featuresCol="_f", predictionCol="cell").fit(feats)
+    return model.transform(feats).select("vec_id", "embedding", "cell")

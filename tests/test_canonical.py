@@ -35,8 +35,12 @@ def test_all_analytics_tables_materialize(events, as_of):
         "wallet_activity",
         "top_wallets",
         "program_trends",
+        # dimension tables ride the same recompute (docs/SCHEMA.md:204)
+        "dim_wallets",
+        "dim_programs",
+        "dim_tokens",
     }
-    for name in ["transaction_volume", "active_programs", "top_wallets", "failed_transactions"]:
+    for name in ["transaction_volume", "active_programs", "top_wallets", "failed_transactions", "dim_wallets"]:
         assert results[name].count() > 0, name
 
 
@@ -44,8 +48,10 @@ def test_recompute_is_deterministic(events, as_of):
     a = run_analytics(events, as_of)
     b = run_analytics(events, as_of)
     for name in a:
-        ra = sorted(map(tuple, a[name].collect()))
-        rb = sorted(map(tuple, b[name].collect()))
+        # str sort key: dim rows carry None (unnamed programs), which
+        # plain tuple ordering cannot compare against strings
+        ra = sorted(map(tuple, a[name].collect()), key=str)
+        rb = sorted(map(tuple, b[name].collect()), key=str)
         assert ra == rb, name
 
 

@@ -177,3 +177,35 @@ def test_knn_lsh_multi_table_candidates_superset_and_dedup(emb, queries):
     for qid, cos4 in f.items():
         if qid in o:
             assert len(cos4) >= len(o[qid])
+
+
+def test_kmeans_ivf_high_recall_on_clustered_data(spark):
+    """With a GEOMETRIC coarse quantizer, planted clusters land in the
+    same cell, so nprobe=1-2 IVF recovers near-perfect neighbors while
+    scanning a fraction of the corpus -- the behavior the label-column
+    stand-in cannot show on unclustered synthetic data."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(8, 16)) * 5
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.normal(size=16) * 0.1
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cells = V.kmeans_cells(emb, n_cells=8, seed=42)
+    # clusters are coherent: vectors from one planted center share a cell
+    assign = {r.vec_id: r.cell for r in cells.collect()}
+    for c in range(8):
+        members = [assign[i] for i in range(c, 400, 8)]
+        assert len(set(members)) == 1, f"planted cluster {c} split across cells"
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {}
+    for r in V.knn_bruteforce(emb, q, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in V.knn_ivf(cells, q, k=10, nprobe=1, cell_col="cell").collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(approx.get(qid, set()) & exact[qid]) / 10 for qid in exact]
+    assert min(recalls) == 1.0  # same-cluster neighbors all in the probed cell
