@@ -196,3 +196,28 @@ def run_telemetry_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def telemetry_error_rate_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Live per-endpoint error rate over tumbling 5-minute windows
+    (the A9 failure-rate analytic re-expressed for the telemetry
+    subtype as a stream): requests, errors, and error percentage per
+    (window, api_endpoint); late rows fold in until the watermark
+    passes. State is one row per open (window, endpoint) -- bounded by
+    endpoint cardinality, not traffic."""
+    return (
+        events.filter(F.col("event_type") == "telemetry")
+        .withWatermark("block_time", watermark)
+        .groupBy(F.window("block_time", "5 minutes").alias("w"), F.col("api_endpoint"))
+        .agg(
+            F.count(F.lit(1)).alias("requests"),
+            F.sum(F.when(~F.col("success"), 1).otherwise(0)).cast("long").alias("errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "api_endpoint",
+            "requests",
+            "errors",
+            F.round(F.col("errors") * 100.0 / F.col("requests"), 4).alias("error_rate_pct"),
+        )
+    )

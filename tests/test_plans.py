@@ -132,3 +132,14 @@ def test_embedding_dedup_is_bucketed_equijoin(plans):
     p = plans("dedup_embedding_cosine")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_multi_table_lsh_shapes(plans):
+    # corpus side must stream into a broadcast join (never shuffle) in
+    # knn_lsh; the near-dup self-join must stay an equi-join on
+    # (table, bucket) with no nested-loop fallback
+    p = plans("knn_lsh")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    d = plans("dedup_embedding_cosine")
+    assert "CartesianProduct" not in d and "BroadcastNestedLoopJoin" not in d

@@ -104,3 +104,50 @@ def test_telemetry_stream_end_to_end(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 6
     assert final.filter(~final.success).count() == 1
+
+
+def test_telemetry_error_rate_stream_matches_batch(spark, tmp_path):
+    """The windowed streaming error-rate must agree with the same
+    aggregation computed in batch over the drained landing zone."""
+    import json as _json
+
+    from solana_data_etl_pipeline_spark.operators.telemetry import telemetry_events
+    from solana_data_etl_pipeline_spark.streaming.structured import (
+        stream_telemetry,
+        telemetry_error_rate_stream,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    rows = []
+    for i in range(20):
+        rows.append({"ts": f"2024-03-01T09:{i // 4:02d}:{(i % 4) * 10:02d}",
+                     "user_id": f"u{i % 3}", "api_endpoint": "/api/blocks" if i % 2 else "/api/tx",
+                     "feature_name": "f", "request_id": f"r{i}",
+                     "response_code": 500 if i % 5 == 0 else 200, "latency_ms": i})
+    (src / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = telemetry_error_rate_stream(telemetry_events(stream_telemetry(spark, str(src))))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tel_err")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.api_endpoint): (r.requests, r.errors, r.error_rate_pct)
+        for r in spark.sql("SELECT * FROM tel_err").collect()
+    }
+    batch = telemetry_error_rate_stream(
+        telemetry_events(spark.read.schema(
+            "ts timestamp, user_id string, api_endpoint string, feature_name string, "
+            "request_id string, response_code int, latency_ms long").json(str(src))
+        ).withColumn("block_time", F.col("block_time"))
+    )
+    want = {
+        (str(r.window_start), r.api_endpoint): (r.requests, r.errors, r.error_rate_pct)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
