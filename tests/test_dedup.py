@@ -216,3 +216,24 @@ def test_minhash_lsh_max_bucket_caps_degenerate_class(spark):
     assert D.minhash_lsh_pairs(df, threshold=0.2).count() == 436
     ex = {r.dup_count for r in D.exact_duplicates(df).collect()}
     assert 30 in ex  # exact dedup still accounts for the whole class
+
+
+def test_connected_components_over_embedding_near_dups(spark):
+    """Composition: embedding near-dup pairs -> clusters. Three planted
+    clone groups must each collapse into one component labeled by its
+    minimum vec_id."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g in range(3):
+        base = rng.normal(size=16) * 3
+        for i in range(4):
+            v = base + rng.normal(size=16) * 0.01
+            rows.append((g * 10 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_dup_lsh(emb, threshold=0.95, n_tables=4)
+    comp = {r.id: r.cluster_id for r in D.connected_components(pairs, "vec_a", "vec_b").collect()}
+    for g in range(3):
+        members = {comp.get(g * 10 + i) for i in range(4) if g * 10 + i in comp}
+        assert members == {g * 10}, f"group {g} not one component: {members}"

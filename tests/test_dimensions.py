@@ -73,3 +73,17 @@ def test_program_dim_rollup_coalesce_and_broadcast(log):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # star join must broadcast the dim
     assert "CartesianProduct" not in plan
+
+
+def test_dim_wallets_conservation(log):
+    """Per-wallet aggregates must conserve the log's totals: summed
+    transactions equal the transaction event count, summed sent equal
+    summed received equal the transfer count (every transfer has one
+    sender and one receiver)."""
+    dim = DIM.dim_wallets(log).collect()
+    n_tx = log.filter(log.event_type == "transaction").count()
+    n_tt = log.filter(log.event_type == "token_transfer").count()
+    assert sum(r.total_transactions for r in dim) == n_tx
+    assert sum(r.total_tokens_sent for r in dim) == n_tt
+    # receivers in the fixture are themselves acting wallets
+    assert sum(r.total_tokens_received for r in dim) == n_tt
