@@ -221,3 +221,45 @@ def telemetry_error_rate_stream(events: DataFrame, watermark: str = DEFAULT_WATE
             F.round(F.col("errors") * 100.0 / F.col("requests"), 4).alias("error_rate_pct"),
         )
     )
+
+
+def run_stream_to_warehouse(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse,
+    checkpoint_dir: str,
+    watermark: str = DEFAULT_WATERMARK,
+    available_now: bool = True,
+):
+    """Ingest stream into ANY `Warehouse` sink (parquet or JDBC) via
+    foreachBatch + the sink's idempotent insert_events.
+
+    Two idempotency layers compose: Structured Streaming's checkpoint
+    replays a failed micro-batch AT LEAST once, and the sink's
+    anti-join on deterministic event ids turns that replay into a
+    no-op -- exactly-once EFFECT into sinks with no transactional
+    stream support (the JDBC warehouse especially; the reference's
+    incremental loop gets the same guarantee from ON CONFLICT,
+    src/incremental.rs + src/warehouse.rs:227-229).
+
+    Watermarked streaming dedup is deliberately NOT used here: the
+    sink's anti-join already covers arbitrary-lag replays, and keeping
+    the stream stateless means the checkpoint holds only source
+    offsets.
+    """
+    blocks = stream_blocks(spark, input_dir)
+    events = parse_blocks(blocks)
+
+    def _sink(batch_df, batch_id):
+        warehouse.insert_events(batch_df)
+
+    writer = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
