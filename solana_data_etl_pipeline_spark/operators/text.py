@@ -263,3 +263,69 @@ def fingerprints(df: DataFrame) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
     )
+
+
+# -- PII / contamination scanning ------------------------------------
+
+# Conservative, precision-leaning patterns: a training-data pipeline
+# flags candidates for removal/redaction; recall tuning happens per
+# deployment. All run in one scan as codegen'd regexp_count calls.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{0,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card_like": r"\b(?:\d[ -]?){13,16}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII candidate counts and an any-hit flag -- the
+    filter/redaction gate of a training-corpus pipeline. One scan,
+    pure projection (regexp_count per pattern), zero shuffles; at
+    100 TB this pipelines with the read like every other per-doc
+    feature. Returns (doc_id, n_<kind>..., pii_hits, has_pii)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    out = df.select("doc_id", *counts)
+    total = sum((F.col(f"n_{kind}") for kind in PII_PATTERNS), F.lit(0).cast("long"))
+    return out.withColumn("pii_hits", total).withColumn("has_pii", F.col("pii_hits") > 0)
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level contamination rates: per-kind document frequency
+    and hit totals in one partial+final aggregation over the scan."""
+    scan = pii_scan(df, text_col)
+    aggs = []
+    for kind in PII_PATTERNS:
+        aggs.append(F.sum(f"n_{kind}").cast("long").alias(f"total_{kind}"))
+        aggs.append(
+            F.sum(F.when(F.col(f"n_{kind}") > 0, 1).otherwise(0)).cast("long").alias(f"docs_{kind}")
+        )
+    return scan.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("has_pii"), 1).otherwise(0)).cast("long").alias("docs_with_pii"),
+        *aggs,
+    )
+
+
+# -- deterministic weighted dataset mixing ---------------------------
+
+
+def weighted_mix(df: DataFrame, weights: dict[str, int], source_col: str = "source",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-source sampling rates (percent, 0-100) -- the
+    dataset-mixing step of corpus assembly ('keep 100% of wiki, 10% of
+    crawl'). Same hash-mod machinery as consistent_sample, so mixes
+    are stable across runs and monotone in the rate; unlisted sources
+    are dropped. Pure per-row filter, zero shuffles."""
+    rate = F.lit(None).cast("int")
+    expr = None
+    for src, pct in weights.items():
+        cond = F.col(source_col) == src
+        expr = F.when(cond, F.lit(int(pct))) if expr is None else expr.when(cond, F.lit(int(pct)))
+    rate = expr.otherwise(F.lit(0))
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long") % 100
+    return df.filter(bucket < rate)

@@ -90,3 +90,45 @@ def test_doc_features_matches_standalone_operators(spark):
     # and it is genuinely one scan
     plan = X.doc_features(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0
+
+
+def test_pii_scan_flags_and_counts(spark):
+    rows = [
+        (0, "contact me at alice@example.com or bob@test.org", "en", "s1", 0),
+        (1, "call +1 (555) 123-4567 today", "en", "s1", 0),
+        (2, "server at 10.0.0.1 and 192.168.1.254", "en", "s2", 0),
+        (3, "ssn 123-45-6789 card 4111 1111 1111 1111", "en", "s2", 0),
+        (4, "perfectly clean text with no identifiers", "en", "s2", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r.doc_id: r for r in X.pii_scan(df).collect()}
+    assert got[0].n_email == 2 and got[0].has_pii
+    assert got[1].n_phone >= 1
+    assert got[2].n_ipv4 == 2
+    assert got[3].n_ssn_like == 1 and got[3].n_credit_card_like >= 1
+    assert not got[4].has_pii and got[4].pii_hits == 0
+    stats = X.pii_stats(df).first()
+    assert stats.n_docs == 5
+    assert stats.docs_with_pii == 4
+    assert stats.docs_email == 1 and stats.total_email == 2
+    # zero shuffles in the scan
+    plan = X.pii_scan(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_weighted_mix_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"doc {i}", "en", ["wiki", "crawl", "junk"][i % 3], 0) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    mixed = X.weighted_mix(df, {"wiki": 100, "crawl": 10})
+    again = X.weighted_mix(df, {"wiki": 100, "crawl": 10})
+    a = sorted(r.doc_id for r in mixed.collect())
+    assert a == sorted(r.doc_id for r in again.collect())  # deterministic
+    by_src = {r.source: r.cnt for r in mixed.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert by_src.get("wiki") == 200          # 100% kept
+    assert 5 <= by_src.get("crawl", 0) <= 45  # ~10% of 200
+    assert "junk" not in by_src               # unlisted dropped
+    # monotone: raising a rate only adds docs
+    bigger = {r.doc_id for r in X.weighted_mix(df, {"wiki": 100, "crawl": 40}).collect()}
+    assert set(a) <= bigger
