@@ -143,3 +143,36 @@ def program_dim_rollup(events: DataFrame) -> DataFrame:
             "event_count",
         )
     )
+
+
+def merge_dim_wallets(existing: DataFrame, delta_events: DataFrame) -> DataFrame:
+    """Incremental dim maintenance: fold a DELTA of new events into an
+    already-materialized dim_wallets without rescanning history --
+    algebraically exact because every dim_wallets measure is a
+    mergeable aggregate (min/max/sum).
+
+    merge(dim(A), B) == dim(A UNION B) for disjoint event sets (pinned
+    by test). Plan: aggregate the delta (one shuffle over NEW data
+    only), full-outer join against the existing dim on wallet, and
+    combine measures -- the cost scales with the delta plus the dim,
+    never with event history. This is the 100 TB form of the
+    reference's "updated via scheduled jobs" note (docs/SCHEMA.md:204):
+    the scheduled job processes a day, not the lifetime log.
+    """
+    delta = dim_wallets(delta_events)
+    e, d = existing.alias("e"), delta.alias("d")
+    c = lambda side, name: F.col(f"{side}.{name}")  # noqa: E731
+
+    def summed(name):
+        return (F.coalesce(c("e", name), F.lit(0)) + F.coalesce(c("d", name), F.lit(0))).cast(
+            "long"
+        ).alias(name)
+
+    return e.join(d, F.col("e.wallet") == F.col("d.wallet"), "full_outer").select(
+        F.coalesce(c("e", "wallet"), c("d", "wallet")).alias("wallet"),
+        F.least(c("e", "first_seen_time"), c("d", "first_seen_time")).alias("first_seen_time"),
+        F.greatest(c("e", "last_seen_time"), c("d", "last_seen_time")).alias("last_seen_time"),
+        summed("total_transactions"),
+        summed("total_tokens_sent"),
+        summed("total_tokens_received"),
+    )

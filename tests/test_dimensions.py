@@ -87,3 +87,24 @@ def test_dim_wallets_conservation(log):
     assert sum(r.total_tokens_sent for r in dim) == n_tt
     # receivers in the fixture are themselves acting wallets
     assert sum(r.total_tokens_received for r in dim) == n_tt
+
+
+def test_merge_dim_wallets_equals_full_recompute(spark, log):
+    """Algebraic exactness of incremental maintenance:
+    merge(dim(A), B) == dim(A union B). Splits the fixture log by
+    time so the delta contains both known and brand-new wallets."""
+    cutoff = T0 + dt.timedelta(minutes=90)
+    a = log.filter(F.col("block_time") <= cutoff)
+    b = log.filter(F.col("block_time") > cutoff)
+    assert a.count() > 0 and b.count() > 0
+    merged = {r.wallet: r for r in DIM.merge_dim_wallets(DIM.dim_wallets(a), b).collect()}
+    full = {r.wallet: r for r in DIM.dim_wallets(log).collect()}
+    assert set(merged) == set(full)
+    for w in full:
+        for col in ("first_seen_time", "last_seen_time", "total_transactions",
+                    "total_tokens_sent", "total_tokens_received"):
+            assert getattr(merged[w], col) == getattr(full[w], col), (w, col)
+    # merging an EMPTY delta is the identity
+    empty = log.limit(0)
+    ident = {r.wallet: r.total_transactions for r in DIM.merge_dim_wallets(DIM.dim_wallets(log), empty).collect()}
+    assert ident == {w: full[w].total_transactions for w in full}
