@@ -731,7 +731,7 @@ WITH r AS (
   FROM documents
 )
 SELECT lang AS stratum, rate_pct, count(*) AS total,
-       sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS sampled
+       CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS sampled
 FROM r GROUP BY 1, 2
 """,
     "vocab_top_words": """

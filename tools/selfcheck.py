@@ -45,6 +45,55 @@ def norm_val(v):
     return v
 
 
+#: Declared-type families for the per-column type comparison.  The
+#: driver's value hash is tolerant of width/precision aliases — verified
+#: empirically against CORRECTNESS_r03: timestamp_ntz↔TIMESTAMP
+#: (active_programs), float↔DOUBLE (media_features) and
+#: double↔DECIMAL (order_value_histogram) were all hash-green — but
+#: NOT of types that leave int64 range: DuckDB HUGEINT converts to
+#: float64/object on the pandas path, so an oracle with an uncast
+#: ``sum()`` passes a values-only compare locally yet fails the driver
+#: (round-3 ``stratified_sample``).  Flag exactly that class.
+_TYPE_FAMILY = {
+    # int64-representable integers: driver-equivalent
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "int",
+    # numerics the driver rounds before hashing: driver-equivalent
+    "float": "num", "double": "num", "real": "num",
+    # temporal
+    "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+    "timestamp with time zone": "ts",
+    # passthrough
+    "string": "str", "varchar": "str",
+    "boolean": "bool", "binary": "bin", "blob": "bin",
+    # NO entry for hugeint / ubigint: they map to themselves and
+    # mismatch every Spark type — the bug class this check exists for.
+}
+
+
+def type_family(t: str) -> str:
+    t = str(t).strip().lower()
+    if t.endswith("[]"):
+        return f"array<{type_family(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{type_family(t[6:-1])}>"
+    if t.startswith("decimal"):
+        return "num"
+    return _TYPE_FAMILY.get(t, t)
+
+
+def type_mismatches(s_dtypes, d_cols, d_types):
+    """Columns whose DuckDB declared type won't hash like Spark's."""
+    duck = {c: type_family(t) for c, t in zip(d_cols, d_types)}
+    out = []
+    for col, st in s_dtypes:
+        dtt = duck.get(col)
+        if dtt is not None and dtt != type_family(st):
+            out.append(f"{col}: spark={st} duck-family={dtt}")
+    return out
+
+
 def row_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -69,6 +118,7 @@ def check_queries(spark, con, qs, sqls, sf_dir, only=None, log=print):
         try:
             sdf = fn(spark, sf_dir)
             s_cols = list(sdf.columns)
+            s_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
             failures.append(name)
@@ -78,9 +128,10 @@ def check_queries(spark, con, qs, sqls, sf_dir, only=None, log=print):
             log(f"ok?  {name}: rows-only ({len(s_rows)} rows, no oracle)")
             continue
         try:
-            res = con.execute(sqls[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(sqls[name])
+            d_cols = list(rel.columns)
+            d_types = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception:
             failures.append(name)
             log(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
@@ -88,6 +139,10 @@ def check_queries(spark, con, qs, sqls, sf_dir, only=None, log=print):
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            tm = type_mismatches(s_dtypes, d_cols, d_types)
+            if tm:
+                problems.append("declared types differ (driver hash risk): " + ", ".join(tm))
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
