@@ -894,7 +894,9 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # recall-1 oracle twin exercised in tests/test_dedup.py only.
     "dedup_embedding_cosine": (
         lambda spark, sf_dir: D.embedding_near_dup_lsh(
-            load_table(spark, sf_dir, "embeddings"), threshold=0.35
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.35,
+            max_bucket=DEDUP_MAX_BUCKET,
         )
     ),
     "dedup_clusters": _docs(
@@ -1023,10 +1025,15 @@ SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 """,
     "dedup_embedding_cosine": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_table_buckets_sql(2)}
+{_table_buckets_sql(2)},
+kept AS (
+  SELECT vec_id, v, tbl, bkt FROM (
+    SELECT *, count(*) OVER (PARTITION BY tbl, bkt) AS w FROM b
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+)
 SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
        {COSINE_SQL.format(a="a.v", b="c.v")} AS cosine
-FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+FROM kept a JOIN kept c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id
 WHERE list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
 """,
 }

@@ -134,6 +134,18 @@ def test_embedding_dedup_is_bucketed_equijoin(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_embedding_dedup_hot_bucket_cap_in_plan(plans):
+    # the registered plan must run CAPPED (max_bucket): a degenerate
+    # (table, bucket) group -- e.g. an all-zeros embedding cluster
+    # hashing to identical sign bits in every table -- would otherwise
+    # go quadratic in the self-join. The cap is a count window over
+    # the join keys, so it must not add exchanges beyond the window's
+    # own (which the candidate join then reuses).
+    p = plans("dedup_embedding_cosine")
+    assert "Window" in p
+    assert p.count("Exchange") <= 6, p.count("Exchange")
+
+
 def test_multi_table_lsh_shapes(plans):
     # corpus side must stream into a broadcast join (never shuffle) in
     # knn_lsh; the near-dup self-join must stay an equi-join on
