@@ -37,6 +37,24 @@ def merge_user_sketches(daily: DataFrame) -> DataFrame:
     )
 
 
+def user_exact_rollup(events: DataFrame) -> DataFrame:
+    """Exact COUNT(DISTINCT) twin of :func:`user_sketch_rollup` --
+    identical ROLLUP grouping sets (Expand + distinct agg) with exact
+    counts instead of HLL estimates, so the grouping-set *shape* is
+    fully DuckDB-oracle-able while the sketch variant stays rows-only.
+    At 100 TB you run the sketch version; this is the correctness
+    anchor that pins the plan the two share."""
+    return (
+        events.rollup(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+        .select(
+            F.when(F.col("day").isNull(), F.lit("total")).otherwise(F.lit("day")).alias("grain"),
+            "day",
+            "n_users",
+        )
+    )
+
+
 def user_sketch_rollup(events: DataFrame) -> DataFrame:
     """Per-day + grand-total distinct-user estimates in ONE scan via
     ROLLUP grouping sets (Expand + single partial+final agg) -- the

@@ -321,7 +321,8 @@ def weighted_mix(df: DataFrame, weights: dict[str, int], source_col: str = "sour
     crawl'). Same hash-mod machinery as consistent_sample, so mixes
     are stable across runs and monotone in the rate; unlisted sources
     are dropped. Pure per-row filter, zero shuffles."""
-    rate = F.lit(None).cast("int")
+    if not weights:
+        return df.filter(F.lit(False))
     expr = None
     for src, pct in weights.items():
         cond = F.col(source_col) == src

@@ -589,9 +589,20 @@ BEHAVIORAL_QUERIES: dict[str, QueryFn] = {
     # rows-only (no oracle): DataSketches HLL binaries are
     # engine-specific; accuracy/merge contracts live in tests/test_approx.py
     "sketch_rollup": _events(K.user_sketch_rollup),
+    # exact COUNT(DISTINCT) twin: same ROLLUP grouping sets, fully
+    # oracle-able -- pins the grouping-set shape the sketch query shares
+    "rollup_exact_users": _events(K.user_exact_rollup),
 }
 
 BEHAVIORAL_SQL: dict[str, str] = {
+    "rollup_exact_users": """
+SELECT CASE WHEN day IS NULL THEN 'total' ELSE 'day' END AS grain,
+       day, CAST(n_users AS BIGINT) AS n_users
+FROM (
+  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY ROLLUP (day)
+)
+""",
     "cumulative_new_users": """
 WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
 d AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
@@ -657,6 +668,11 @@ def _docs(plan) -> QueryFn:
     return run
 
 
+# the registered mix: keep all of src0, half of src1, a tenth of src2,
+# a quarter of src3; every other source dropped (rate 0)
+_MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 10, "src3": 25}
+
+
 TEXT_QUERIES: dict[str, QueryFn] = {
     # doc_features fuses the five per-doc projections (token counts,
     # BPE-ish counts, quality signals, language ID, fingerprints) into
@@ -671,6 +687,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
     "corpus_selection": C.corpus_selection,
     "stratified_sample": _docs(X.stratified_sample_stats),
+    "pii_stats": _docs(X.pii_stats),
+    "weighted_mix": _docs(
+        lambda df: X.weighted_mix(df, _MIX_WEIGHTS).select("doc_id", "source", "lang")
+    ),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -795,6 +815,38 @@ SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rn AS INT) AS rank FROM (
 ) WHERE rn <= 5
 """,
 }
+
+# pii_stats / weighted_mix oracles are generated from the same pattern
+# and weight tables the Spark operators use, so the two can't drift.
+_PII_SELECT = ",\n         ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+    for kind, pat in X.PII_PATTERNS.items()
+)
+_PII_AGGS = ",\n       ".join(
+    f"CAST(sum(n_{kind}) AS BIGINT) AS total_{kind},\n       "
+    f"CAST(sum(CASE WHEN n_{kind} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_{kind}"
+    for kind in X.PII_PATTERNS
+)
+_PII_TOTAL = " + ".join(f"n_{kind}" for kind in X.PII_PATTERNS)
+_MIX_CASE = " ".join(f"WHEN '{src}' THEN {pct}" for src, pct in _MIX_WEIGHTS.items())
+
+TEXT_SQL["pii_stats"] = f"""
+WITH s AS (
+  SELECT {_PII_SELECT}
+  FROM documents
+),
+t AS (SELECT *, {_PII_TOTAL} AS pii_hits FROM s)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pii_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       {_PII_AGGS}
+FROM t
+"""
+
+TEXT_SQL["weighted_mix"] = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+      CASE source {_MIX_CASE} ELSE 0 END
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1278,6 +1330,7 @@ DRIVER_ORDER = [
     "event_funnel",
     "hourly_gapfill",
     "sketch_rollup",
+    "rollup_exact_users",
     "asof_attribution",
     "session_window_stats",
     "daily_volume_trend",
@@ -1287,17 +1340,19 @@ DRIVER_ORDER = [
     "vocab_top_words",
     "tfidf_top_terms",
     "corpus_selection",
+    "pii_stats",
+    "weighted_mix",
     # --- relational ---
+    # (region_revenue / price_tier_distribution / small_quantity_revenue
+    #  rotated out after green r3 verdicts to free slots for the round-4
+    #  newcomers above; they stay DuckDB-swept by tests/test_oracle_parity)
     "pricing_summary",
-    "region_revenue",
     "nation_trade_balance",
     "order_cube",
-    "price_tier_distribution",
     "priority_pivot",
     "lineitem_measures_unpivot",
     "order_value_histogram",
     "inactive_customers",
-    "small_quantity_revenue",
 ]
 
 
