@@ -41,12 +41,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import uuid
+
 from solana_data_etl_pipeline_spark.config import WarehouseConfig
-from solana_data_etl_pipeline_spark.schemas import EVENT_DATE_COL
+from solana_data_etl_pipeline_spark.schemas import CANONICAL_EVENT_SCHEMA, EVENT_DATE_COL
+from solana_data_etl_pipeline_spark.sinks.warehouse import touched_dates_predicate
 
 _ARRAY_COLS = ("accounts", "log_messages")
+#: decode types come from the canonical schema, not from whatever a
+#: prior _encode cached on the instance -- a fresh read-only
+#: JdbcWarehouse (e.g. `cli analytics` in a new process) must decode
+#: arrays identically to the process that wrote them
+_ARRAY_TYPES: dict[str, T.DataType] = {
+    f.name: f.dataType for f in CANONICAL_EVENT_SCHEMA.fields if f.name in _ARRAY_COLS
+}
 _META_TABLE = "etl_metadata"
-_STAGING_SUFFIX = "_staging"
 
 
 class JdbcWarehouse:
@@ -71,7 +80,6 @@ class JdbcWarehouse:
             self.properties["driver"] = driver
         self.properties.setdefault("batchsize", str(batchsize))
         self.write_partitions = write_partitions
-        self._array_types: dict[str, T.DataType] = {}
 
     @classmethod
     def from_config(cls, spark: SparkSession, config: WarehouseConfig) -> "JdbcWarehouse":
@@ -85,13 +93,26 @@ class JdbcWarehouse:
         return jvm.java.sql.DriverManager.getConnection(self.url)
 
     def _execute(self, *statements: str) -> int:
+        """Run the statements as ONE transaction: commit after the last,
+        roll back on any failure. The upsert merge depends on this --
+        auto-committing the DELETE before the INSERT..SELECT would lose
+        the conflicting rows' old versions if the insert fails (the
+        reference wraps its ON CONFLICT batch in a transaction the same
+        way, src/warehouse.rs:214-243)."""
         conn = self._connection()
         try:
+            conn.setAutoCommit(False)
             st = conn.createStatement()
             n = 0
-            for sql in statements:
-                n = st.executeUpdate(sql)
-            st.close()
+            try:
+                for sql in statements:
+                    n = st.executeUpdate(sql)
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                st.close()
             return n
         finally:
             conn.close()
@@ -136,13 +157,12 @@ class JdbcWarehouse:
         out = events
         for c in _ARRAY_COLS:
             if c in out.columns:
-                self._array_types[c] = events.schema[c].dataType
                 out = out.withColumn(c, F.to_json(F.col(c)))
         return out
 
     def _decode(self, df: DataFrame) -> DataFrame:
         out = df
-        for c, t in self._array_types.items():
+        for c, t in _ARRAY_TYPES.items():
             if c in out.columns:
                 out = out.withColumn(c, F.from_json(F.col(c), t))
         return out
@@ -184,7 +204,7 @@ class JdbcWarehouse:
             dates = [r[0] for r in batch.select(EVENT_DATE_COL).distinct().collect()]
             present = (
                 self._read_table(self.table)
-                .filter(F.col(EVENT_DATE_COL).isin(dates))
+                .filter(touched_dates_predicate(dates))
                 .select("event_id")
             )
             batch = batch.join(present, "event_id", "left_anti")
@@ -212,7 +232,9 @@ class JdbcWarehouse:
         if not self._table_exists(self.table):
             self._append(batch)
             return n
-        staging = self.table + _STAGING_SUFFIX
+        # per-batch staging name: concurrent upsert batches must not
+        # overwrite each other's staging data or drop it mid-merge
+        staging = f"{self.table}_stg_{uuid.uuid4().hex[:12]}"
         (
             batch.repartition(self.write_partitions)
             .write.mode("overwrite")
@@ -221,14 +243,16 @@ class JdbcWarehouse:
         # Spark's JDBC writer creates quoted (case-sensitive) column
         # identifiers; both tables come from the same frame, so the
         # INSERT..SELECT column order lines up by construction
-        self._execute(
-            # CAST: dialects that map StringType to CLOB (Derby) cannot
-            # compare CLOBs directly; event_id is a 64-char sha256 hex
-            f'DELETE FROM {self.table} WHERE CAST("event_id" AS VARCHAR(128)) IN '
-            f'(SELECT CAST("event_id" AS VARCHAR(128)) FROM {staging})',
-            f"INSERT INTO {self.table} SELECT * FROM {staging}",
-            f"DROP TABLE {staging}",
-        )
+        try:
+            self._execute(
+                # CAST: dialects that map StringType to CLOB (Derby) cannot
+                # compare CLOBs directly; event_id is a 64-char sha256 hex
+                f'DELETE FROM {self.table} WHERE CAST("event_id" AS VARCHAR(128)) IN '
+                f'(SELECT CAST("event_id" AS VARCHAR(128)) FROM {staging})',
+                f"INSERT INTO {self.table} SELECT * FROM {staging}",
+            )
+        finally:
+            self._execute(f"DROP TABLE {staging}")
         return n
 
     def is_slot_processed(self, slot: int) -> bool:

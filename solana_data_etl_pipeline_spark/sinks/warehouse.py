@@ -40,6 +40,20 @@ from solana_data_etl_pipeline_spark.errors import ConfigError
 from solana_data_etl_pipeline_spark.schemas import CANONICAL_EVENT_SCHEMA, EVENT_DATE_COL
 
 
+def touched_dates_predicate(dates: list) -> F.Column:
+    """Predicate selecting the date partitions a batch touches.
+    ``isin()`` never matches NULL, so a batch row with null block_time
+    (null event_date) would escape the present-keys anti-join -- and,
+    on the upsert path, the null partition's existing rows would be
+    dropped by the dynamic overwrite. Carry the IS NULL slice
+    explicitly whenever the batch contains one."""
+    non_null = [d for d in dates if d is not None]
+    pred = F.col(EVENT_DATE_COL).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(dates):
+        pred = pred | F.col(EVENT_DATE_COL).isNull()
+    return pred
+
+
 class Warehouse(Protocol):
     """L1: abstract sink surface (reference src/warehouse.rs:8-27)."""
 
@@ -117,7 +131,7 @@ class ParquetWarehouse:
         existing = self._existing()
         if existing is not None:
             dates = [r[0] for r in batch.select(EVENT_DATE_COL).distinct().collect()]
-            present = existing.filter(F.col(EVENT_DATE_COL).isin(dates)).select("event_id")
+            present = existing.filter(touched_dates_predicate(dates)).select("event_id")
             batch = batch.join(present, "event_id", "left_anti")
         batch = batch.persist()
         try:
@@ -189,7 +203,7 @@ class ParquetWarehouse:
             if not n:
                 return 0
             dates = [r[0] for r in batch.select(EVENT_DATE_COL).distinct().collect()]
-            touched = existing.filter(F.col(EVENT_DATE_COL).isin(dates))
+            touched = existing.filter(touched_dates_predicate(dates))
             kept = touched.join(batch.select("event_id"), "event_id", "left_anti")
             # localCheckpoint truncates lineage BEFORE the overwrite:
             # the write must never re-trigger a scan of the files it is

@@ -247,3 +247,67 @@ def test_jdbc_empty_and_fresh_db_edges(spark, jdbc_wh):
     assert jdbc_wh.insert_events(empty) == 0
     assert jdbc_wh.upsert_events(empty) == 0
     assert jdbc_wh.read_events().count() == 0
+
+
+# -- null event_date slice + transactional merge ----------------------
+
+
+def _null_time(df):
+    from pyspark.sql import functions as F
+
+    return df.withColumn("block_time", F.lit(None).cast(df.schema["block_time"].dataType))
+
+
+def test_insert_null_block_time_replay_is_noop(spark, warehouse):
+    # a null block_time row lands in the null date partition; isin()
+    # never matches NULL, so without the explicit IS NULL branch the
+    # replay would re-append it every time
+    nulled = _null_time(_events(spark, [40, 41]))
+    n = warehouse.insert_events(nulled)
+    assert n > 0
+    assert warehouse.insert_events(nulled) == 0
+    assert warehouse.read_events().count() == n
+
+
+def test_upsert_keeps_null_partition_rows(spark, warehouse):
+    base = _null_time(_events(spark, [50, 51]))
+    warehouse.insert_events(base)
+    n_base = warehouse.read_events().count()
+    # dynamic overwrite of the null partition must carry the existing
+    # rows that are NOT in the incoming batch
+    extra = _null_time(_events(spark, [52]))
+    warehouse.upsert_events(extra)
+    assert warehouse.read_events().count() == n_base + extra.count()
+
+
+def test_jdbc_null_block_time_replay_is_noop(spark, jdbc_wh):
+    nulled = _null_time(_events(spark, [60]))
+    n = jdbc_wh.insert_events(nulled)
+    assert n > 0
+    assert jdbc_wh.insert_events(nulled) == 0
+    assert jdbc_wh.read_events().count() == n
+
+
+def test_jdbc_decode_in_fresh_readonly_instance(spark, jdbc_wh):
+    from solana_data_etl_pipeline_spark.sinks.jdbc import JdbcWarehouse
+
+    jdbc_wh.insert_events(_events(spark, [70]))
+    # a brand-new instance that never encoded anything must still
+    # decode array columns from the canonical schema, not from
+    # encode-time instance state
+    reader = JdbcWarehouse(spark, jdbc_wh.url, write_partitions=2)
+    row = reader.read_events().filter("accounts IS NOT NULL").first()
+    assert row is not None and isinstance(row.accounts, list)
+
+
+def test_jdbc_execute_is_transactional(spark, jdbc_wh):
+    import pytest as _pytest
+
+    jdbc_wh.insert_events(_events(spark, [80]))
+    n = jdbc_wh.read_events().count()
+    assert n > 0
+    # a failing later statement must roll back the earlier DELETE --
+    # the upsert merge relies on delete+insert being one transaction
+    with _pytest.raises(Exception):
+        jdbc_wh._execute(f"DELETE FROM {jdbc_wh.table}", "NOT VALID SQL AT ALL")
+    assert jdbc_wh.read_events().count() == n
