@@ -40,6 +40,27 @@ def read_block_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_block_json_quarantined(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Landing-zone reader with a dead-letter side: returns
+    (good_blocks, quarantine) where quarantine rows are shaped like the
+    reference's etl_errors table (docs/SCHEMA.md:307-319). Unlike
+    read_block_json, malformed lines are preserved as evidence instead
+    of silently null-filtered."""
+    from solana_data_etl_pipeline_spark.sinks.quarantine import (
+        CORRUPT_COL,
+        split_corrupt,
+        with_corrupt_column,
+    )
+
+    raw = (
+        spark.read.schema(with_corrupt_column(BLOCK_SCHEMA))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    return split_corrupt(raw, "slot")
+
+
 def fetch_blocks_df(spark: SparkSession, client, slots: list[int]) -> DataFrame:
     """Distributed fetch: slot list -> blocks, fetched inside partitions
     (each task builds its own client state, reference

@@ -148,6 +148,62 @@ def run_block_stream(
     return writer.start()
 
 
+def run_block_stream_quarantined(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Ingest stream with a dead-letter side: malformed landing-zone
+    lines (and structurally-valid records missing their slot) land as
+    reference-etl_errors-shaped rows in `quarantine_dir` instead of
+    being silently dropped, while good blocks parse into
+    date-partitioned canonical events exactly as run_block_stream.
+
+    foreachBatch splits each micro-batch over ONE cached scan. The
+    quarantine append is at-least-once under micro-batch replay; its
+    deterministic error_id (sha256 of the raw payload) makes the
+    replays dedupable downstream -- the same contract fact events get
+    from event_id.
+    """
+    from solana_data_etl_pipeline_spark.sinks.quarantine import (
+        CORRUPT_COL,
+        split_corrupt,
+        with_corrupt_column,
+    )
+
+    raw = (
+        spark.readStream.schema(with_corrupt_column(BLOCK_SCHEMA))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(input_dir)
+    )
+
+    def _sink(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            good, quarantine = split_corrupt(batch_df, "slot")
+            events = parse_blocks(good).withColumn("event_date", F.to_date("block_time"))
+            events.write.mode("append").partitionBy("event_date").parquet(output_dir)
+            if quarantine.limit(1).count():
+                quarantine.write.mode("append").parquet(quarantine_dir)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 TELEMETRY_LOG_SCHEMA = (
     "ts timestamp, user_id string, api_endpoint string, feature_name string, "
     "request_id string, response_code int, latency_ms long"
