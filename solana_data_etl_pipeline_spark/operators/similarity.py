@@ -199,6 +199,7 @@ def knn_ivf(
     nprobe: int = 2,
     dim: int = EMB_DIM,
     cell_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: the corpus is pre-partitioned into cells
     (the `cell_col` column -- in a production pipeline the coarse
@@ -214,7 +215,9 @@ def knn_ivf(
     the scan to nprobe/nlist of the data when the table is
     partitioned/bucketed by cell.
     """
-    cents = ivf_centroids(corpus, dim, cell_col)
+    # pass materialized `centroids` to skip the quantizer-training scan
+    # (the production shape: centroids persist beside the cell table)
+    cents = centroids if centroids is not None else ivf_centroids(corpus, dim, cell_col)
     cents = cents.select("cell", F.col("centroid").alias("c_vec"), norm_expr(F.col("centroid")).alias("c_n"))
     q = queries.select(
         F.col("query_id"),
@@ -351,3 +354,48 @@ def kmeans_cells(
     feats = emb_df.select("vec_id", "embedding", array_to_vector(_dvec(F.col("embedding"))).alias("_f"))
     model = KMeans(k=n_cells, maxIter=max_iter, seed=seed, featuresCol="_f", predictionCol="cell").fit(feats)
     return model.transform(feats).select("vec_id", "embedding", "cell")
+
+
+def materialize_ivf(
+    emb_df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> str:
+    """Build the production IVF layout once at ingest: the k-means cell
+    assignment written as a CELL-PARTITIONED parquet table plus the
+    per-cell centroids beside it. knn_ivf_materialized then probes
+    nprobe cells and Spark's dynamic partition pruning drops the other
+    nlist-nprobe partitions AT THE SCAN -- the IVF read amplification
+    (nprobe/nlist of the corpus) becomes an I/O property of the
+    layout, not just a join-selectivity property.
+
+    Scale notes: the quantizer trains once (ml KMeans, broadcast
+    centroids per Lloyd pass); the partitioned write is one shuffle on
+    cell; centroid storage is nlist rows. Rebuild cadence follows
+    corpus drift, exactly like any IVF index."""
+    assigned = kmeans_cells(emb_df, n_cells=n_cells, max_iter=max_iter, seed=seed)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    spark = emb_df.sparkSession
+    corpus = spark.read.parquet(f"{path}/corpus")
+    # centroids from the materialized assignment: one scan at build
+    # time so query time never pays the quantizer-training pass
+    ivf_centroids(corpus, cell_col="cell").write.mode("overwrite").parquet(f"{path}/centroids")
+    return path
+
+
+def knn_ivf_materialized(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k ANN over a materialize_ivf layout: centroids load from
+    their tiny side table, and the corpus scan carries a dynamic
+    partition-pruning filter from the broadcast probe side (pinned in
+    tests/test_plans.py) -- only the probed cells' files are read."""
+    corpus = spark.read.parquet(f"{path}/corpus")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return knn_ivf(corpus, queries, k=k, nprobe=nprobe, cell_col="cell", centroids=centroids)

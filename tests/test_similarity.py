@@ -209,3 +209,44 @@ def test_kmeans_ivf_high_recall_on_clustered_data(spark):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(approx.get(qid, set()) & exact[qid]) / 10 for qid in exact]
     assert min(recalls) == 1.0  # same-cluster neighbors all in the probed cell
+
+
+def test_materialized_ivf_end_to_end_with_partition_pruning(spark, tmp_path):
+    """materialize_ivf persists the cell-partitioned corpus + centroid
+    side table; knn_ivf_materialized over that layout must (a) match
+    the in-memory knn_ivf on the same assignment and (b) carry a
+    dynamic partition-pruning filter on the corpus scan, so only the
+    probed cells' files are read."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(4, 8)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.normal(size=8) * 0.1
+        rows.append((i, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    path = V.materialize_ivf(emb, str(tmp_path / "ivf"), n_cells=4, seed=42)
+
+    import glob
+
+    parts = glob.glob(f"{path}/corpus/cell=*")
+    assert len(parts) == 4, "corpus must be physically partitioned by cell"
+
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = V.knn_ivf_materialized(spark, path, q, k=5, nprobe=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "corpus scan must prune to probed cells"
+
+    cells = spark.read.parquet(f"{path}/corpus")
+    expected = V.knn_ivf(cells, q, k=5, nprobe=1, cell_col="cell")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # planted clusters: nprobe=1 still finds perfect neighbors
+    exact = {}
+    for r in V.knn_bruteforce(emb, q, 5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in got.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(approx[qid] == exact[qid] for qid in exact)
