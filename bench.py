@@ -71,6 +71,24 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    # non-graded baselines: the deliberately-unregistered quadratic
+    # twins, timed the same way so the LSH/IVF cost/recall trade keeps
+    # numbers on BOTH sides round-over-round (they are excluded from
+    # the headline total -- they exist to be beaten)
+    from solana_data_etl_pipeline_spark.plans.suite import all_queries
+
+    full = all_queries()
+    twins: dict[str, float] = {}
+    for name in ("knn_bruteforce", "dedup_ngram_jaccard"):
+        if name not in full:
+            continue
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            full[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        twins[name] = round(statistics.median(samples), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -79,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "baseline_twins": twins,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
             }
