@@ -268,28 +268,50 @@ class JdbcWarehouse:
         return self._read_table(self.table).select("slot").distinct()
 
     # -- checkpoint state -----------------------------------------------
-    def get_last_slot(self) -> int | None:
-        """L5 (reference src/warehouse.rs:251-265)."""
+    def get_meta(self, key: str) -> str | None:
+        """Generic etl_metadata key/value read (docs/SCHEMA.md:270-280)."""
         if not self._table_exists(_META_TABLE):
             return None
         rows = (
             self._read_table(_META_TABLE)
-            .filter(F.col("meta_key") == "last_confirmed_slot")
+            .filter(F.col("meta_key") == key)
             .select("meta_value")
             .collect()
         )
-        return int(rows[0][0]) if rows else None
+        return str(rows[0][0]) if rows else None
 
-    def update_last_slot(self, slot: int) -> None:
-        """L6 (reference src/warehouse.rs:267-285): UPDATE, then INSERT
-        if the key did not exist (portable single-row upsert)."""
+    def set_meta(self, key: str, value) -> None:
+        """UPDATE, then INSERT if the key did not exist (portable
+        single-row upsert; single-writer driver state)."""
         self.connect()
         updated = self._execute(
-            f"UPDATE {_META_TABLE} SET meta_value = '{int(slot)}' "
-            "WHERE meta_key = 'last_confirmed_slot'"
+            f"UPDATE {_META_TABLE} SET meta_value = '{value}' WHERE meta_key = '{key}'"
         )
         if not updated:
             self._execute(
-                f"INSERT INTO {_META_TABLE} (meta_key, meta_value) "
-                f"VALUES ('last_confirmed_slot', '{int(slot)}')"
+                f"INSERT INTO {_META_TABLE} (meta_key, meta_value) VALUES ('{key}', '{value}')"
             )
+
+    def get_last_slot(self) -> int | None:
+        """L5 (reference src/warehouse.rs:251-265)."""
+        value = self.get_meta("last_confirmed_slot")
+        return int(value) if value is not None else None
+
+    def update_last_slot(self, slot: int) -> None:
+        """L6 (reference src/warehouse.rs:267-285)."""
+        self.set_meta("last_confirmed_slot", int(slot))
+
+    # remaining documented etl_metadata keys (docs/SCHEMA.md:277-280)
+    def get_last_backfill_slot(self) -> int | None:
+        value = self.get_meta("last_backfill_slot")
+        return int(value) if value is not None else None
+
+    def update_last_backfill_slot(self, slot: int) -> None:
+        self.set_meta("last_backfill_slot", int(slot))
+
+    def get_chain_tip_slot(self) -> int | None:
+        value = self.get_meta("chain_tip_slot")
+        return int(value) if value is not None else None
+
+    def update_chain_tip_slot(self, slot: int) -> None:
+        self.set_meta("chain_tip_slot", int(slot))

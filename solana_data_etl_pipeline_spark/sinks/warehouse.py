@@ -252,13 +252,37 @@ class ParquetWarehouse:
             json.dump(meta, f)
         os.replace(tmp, tmp[: -len(".tmp")])
 
+    def get_meta(self, key: str) -> str | None:
+        """Generic etl_metadata key/value read (docs/SCHEMA.md:270-280)."""
+        value = self._read_meta().get(key)
+        return None if value is None else str(value)
+
+    def set_meta(self, key: str, value) -> None:
+        meta = self._read_meta()
+        meta[key] = str(value)
+        self._write_meta(meta)
+
     def get_last_slot(self) -> int | None:
         """L5 (reference src/warehouse.rs:251-265)."""
-        value = self._read_meta().get("last_confirmed_slot")
+        value = self.get_meta("last_confirmed_slot")
         return int(value) if value is not None else None
 
     def update_last_slot(self, slot: int) -> None:
         """L6 (reference src/warehouse.rs:267-285)."""
-        meta = self._read_meta()
-        meta["last_confirmed_slot"] = int(slot)
-        self._write_meta(meta)
+        self.set_meta("last_confirmed_slot", int(slot))
+
+    # the two remaining documented etl_metadata keys
+    # (docs/SCHEMA.md:277-280): backfill progress + observed chain tip
+    def get_last_backfill_slot(self) -> int | None:
+        value = self.get_meta("last_backfill_slot")
+        return int(value) if value is not None else None
+
+    def update_last_backfill_slot(self, slot: int) -> None:
+        self.set_meta("last_backfill_slot", int(slot))
+
+    def get_chain_tip_slot(self) -> int | None:
+        value = self.get_meta("chain_tip_slot")
+        return int(value) if value is not None else None
+
+    def update_chain_tip_slot(self, slot: int) -> None:
+        self.set_meta("chain_tip_slot", int(slot))

@@ -72,6 +72,11 @@ def run_backfill(
             last = warehouse.get_last_slot() or 0
             if hi > last:
                 warehouse.update_last_slot(hi)
+            # documented backfill-progress key (docs/SCHEMA.md:277-279)
+            if hasattr(warehouse, "update_last_backfill_slot"):
+                prev = warehouse.get_last_backfill_slot() or 0
+                if hi > prev:
+                    warehouse.update_last_backfill_slot(hi)
         except Exception:
             # chunk failure is logged, not fatal (reference src/backfill.rs:53-55)
             log.exception("backfill chunk %s-%s failed; continuing", lo, hi)
@@ -138,4 +143,7 @@ def run_health_check(client, warehouse: ParquetWarehouse | None = None) -> bool:
         return False
     if warehouse is not None:
         ok = ok and warehouse.health_check()
+        # record the observed tip (docs/SCHEMA.md:280's chain_tip_slot)
+        if ok and hasattr(warehouse, "update_chain_tip_slot"):
+            warehouse.update_chain_tip_slot(int(tip))
     return ok

@@ -311,3 +311,24 @@ def test_jdbc_execute_is_transactional(spark, jdbc_wh):
     with _pytest.raises(Exception):
         jdbc_wh._execute(f"DELETE FROM {jdbc_wh.table}", "NOT VALID SQL AT ALL")
     assert jdbc_wh.read_events().count() == n
+
+
+def test_metadata_keys_full_surface(spark, warehouse, jdbc_wh):
+    # the three documented etl_metadata keys round-trip on both sinks
+    for wh in (warehouse, jdbc_wh):
+        assert wh.get_last_backfill_slot() is None
+        assert wh.get_chain_tip_slot() is None
+        wh.update_last_backfill_slot(77)
+        wh.update_chain_tip_slot(99)
+        wh.update_last_slot(88)
+        assert wh.get_last_backfill_slot() == 77
+        assert wh.get_chain_tip_slot() == 99
+        assert wh.get_last_slot() == 88
+        assert wh.get_meta("nope") is None
+
+
+def test_backfill_and_health_record_documented_keys(spark, warehouse):
+    run_backfill(spark, warehouse, lambda: FixtureRpcClient(tip=5), 1, 4)
+    assert warehouse.get_last_backfill_slot() == 4
+    assert run_health_check(FixtureRpcClient(tip=123), warehouse)
+    assert warehouse.get_chain_tip_slot() == 123
