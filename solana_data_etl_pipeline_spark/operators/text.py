@@ -330,3 +330,45 @@ def weighted_mix(df: DataFrame, weights: dict[str, int], source_col: str = "sour
     rate = expr.otherwise(F.lit(0))
     bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long") % 100
     return df.filter(bucket < rate)
+
+
+# -- benchmark decontamination ---------------------------------------
+
+
+def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, gram) word n-grams, generated per-row with
+    zero shuffles: tokens are projected ONCE to a bound column (the
+    HOF-lambda re-evaluation pitfall), then a transform over a
+    position sequence slices each n-gram. Docs shorter than n
+    contribute nothing."""
+    tk = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select("doc_id", tk.alias("_tk"))
+    grams = F.when(
+        F.size("_tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("_tk"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("doc_id", F.explode(grams).alias("gram")).distinct()
+
+
+def benchmark_contamination(corpus: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
+    """Train/benchmark decontamination: per-corpus-doc count of word
+    n-grams shared with a benchmark set -- the contamination gate of a
+    training-data pipeline (13-gram collision is the GPT-3/Llama-style
+    published heuristic; the registered synthetic query uses n=3
+    because the generator's short documents share no longer grams).
+
+    Scale shape: the corpus side never shuffles -- its n-grams are
+    generated per-row and probed against the BROADCAST benchmark gram
+    set (benchmark suites are bounded by construction: a few hundred MB
+    of grams at most, vs the corpus's TBs; if a deployment's bench side
+    outgrows broadcast, drop the hint and AQE plans the shuffle). The
+    per-doc count then aggregates on doc_id, already co-partitioned
+    with nothing -- one narrow shuffle of (doc_id, count) partials.
+    """
+    corpus_grams = word_ngrams(corpus, n)
+    bench_grams = word_ngrams(bench, n).select("gram").distinct()
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_overlap_grams"))

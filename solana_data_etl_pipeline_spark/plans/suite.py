@@ -672,6 +672,10 @@ def _docs(plan) -> QueryFn:
 # a quarter of src3; every other source dropped (rate 0)
 _MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 10, "src3": 25}
 
+# the source slice standing in for a benchmark set in the registered
+# decontamination query
+_BENCH_SOURCE = "src19"
+
 
 TEXT_QUERIES: dict[str, QueryFn] = {
     # doc_features fuses the five per-doc projections (token counts,
@@ -690,6 +694,16 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "pii_stats": _docs(X.pii_stats),
     "weighted_mix": _docs(
         lambda df: X.weighted_mix(df, _MIX_WEIGHTS).select("doc_id", "source", "lang")
+    ),
+    # benchmark slice = src19, corpus = everything else; n=3 because
+    # the synthetic generator's short documents share no longer grams
+    # (production decontamination runs n=13, the published heuristic)
+    "benchmark_contamination": _docs(
+        lambda df: X.benchmark_contamination(
+            df.filter(F.col("source") != _BENCH_SOURCE),
+            df.filter(F.col("source") == _BENCH_SOURCE),
+            n=3,
+        )
     ),
 }
 
@@ -846,6 +860,21 @@ TEXT_SQL["weighted_mix"] = f"""
 SELECT doc_id, source, lang FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
       CASE source {_MIX_CASE} ELSE 0 END
+"""
+
+TEXT_SQL["benchmark_contamination"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, source, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(tk) - 2)) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'),
+corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE source <> '{_BENCH_SOURCE}')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap_grams
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
 """
 
 
@@ -1342,15 +1371,16 @@ DRIVER_ORDER = [
     "corpus_selection",
     "pii_stats",
     "weighted_mix",
+    "benchmark_contamination",
     # --- relational ---
-    # (region_revenue / price_tier_distribution / small_quantity_revenue
-    #  rotated out after green r3 verdicts to free slots for the round-4
-    #  newcomers above; they stay DuckDB-swept by tests/test_oracle_parity)
+    # (region_revenue / price_tier_distribution / small_quantity_revenue /
+    #  lineitem_measures_unpivot rotated out after green r3 verdicts to
+    #  free slots for the round-4 newcomers above; they stay DuckDB-swept
+    #  by tests/test_oracle_parity)
     "pricing_summary",
     "nation_trade_balance",
     "order_cube",
     "priority_pivot",
-    "lineitem_measures_unpivot",
     "order_value_histogram",
     "inactive_customers",
 ]

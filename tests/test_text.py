@@ -132,3 +132,28 @@ def test_weighted_mix_rates_and_determinism(spark):
     # monotone: raising a rate only adds docs
     bigger = {r.doc_id for r in X.weighted_mix(df, {"wiki": 100, "crawl": 40}).collect()}
     assert set(a) <= bigger
+
+
+def test_benchmark_contamination_counts_shared_ngrams(spark):
+    from solana_data_etl_pipeline_spark.operators.text import benchmark_contamination, word_ngrams
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "quick brown fox again and the lazy dog sleeps"),
+            (4, "ab"),  # shorter than n: contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox leap"), (101, "a very lazy dog indeed")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_overlap_grams for r in benchmark_contamination(corpus, bench, n=3).collect()}
+    # doc1 shares 'the quick brown' + 'quick brown fox'; doc3 shares 'quick brown fox'
+    assert got == {1: 2, 3: 1}
+    # n-gram generation: doc shorter than n yields no grams, grams are distinct
+    grams = word_ngrams(spark.createDataFrame([(9, "x y x y x y")], "doc_id long, text string"), 2)
+    rows = {r.gram for r in grams.collect()}
+    assert rows == {"x y", "y x"}
