@@ -362,6 +362,7 @@ def materialize_ivf(
     n_cells: int = 16,
     max_iter: int = 10,
     seed: int = 42,
+    cell_col: str | None = None,
 ) -> str:
     """Build the production IVF layout once at ingest: the k-means cell
     assignment written as a CELL-PARTITIONED parquet table plus the
@@ -374,8 +375,16 @@ def materialize_ivf(
     Scale notes: the quantizer trains once (ml KMeans, broadcast
     centroids per Lloyd pass); the partitioned write is one shuffle on
     cell; centroid storage is nlist rows. Rebuild cadence follows
-    corpus drift, exactly like any IVF index."""
-    assigned = kmeans_cells(emb_df, n_cells=n_cells, max_iter=max_iter, seed=seed)
+    corpus drift, exactly like any IVF index.
+
+    `cell_col` names an EXISTING assignment column to lay out instead
+    of training the quantizer -- the ingest-time-assignment shape
+    (e.g. the testdata's label column), where only the partitioned
+    write and centroid scan remain."""
+    if cell_col is not None:
+        assigned = emb_df.select("vec_id", "embedding", F.col(cell_col).alias("cell"))
+    else:
+        assigned = kmeans_cells(emb_df, n_cells=n_cells, max_iter=max_iter, seed=seed)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
     spark = emb_df.sparkSession
     corpus = spark.read.parquet(f"{path}/corpus")

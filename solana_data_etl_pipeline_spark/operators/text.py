@@ -10,7 +10,7 @@ shuffle (per-doc ops) or one shuffle (grouped stats).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -330,6 +330,106 @@ def weighted_mix(df: DataFrame, weights: dict[str, int], source_col: str = "sour
     rate = expr.otherwise(F.lit(0))
     bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long") % 100
     return df.filter(bucket < rate)
+
+
+# -- repetition-based quality signals --------------------------------
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array == the
+    count of the most frequent element. One aggregate() pass with a
+    (prev, run, best) struct accumulator -- O(n log n) per row for the
+    sort, zero shuffles, vs the explode + groupBy(doc, term) + max
+    formulation which would shuffle every token twice."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    high duplicate-word / top-n-gram fractions mark boilerplate and
+    spam): per document, the fraction of word occurrences that are
+    repeats, the most-frequent word's share, and the most-frequent
+    bigram's share.
+
+    Everything is computed per-row with higher-order functions over
+    the token array (sort + longest-equal-run instead of a token
+    explode), so the operator is a pure zero-shuffle projection that
+    pipelines with the corpus scan at 100 TB."""
+    tk = tokens_col(text_col)
+    base = df.select("doc_id", tk.alias("_tk"))
+    n = F.size("_tk")
+    n_distinct = F.size(F.array_distinct("_tk"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(F.col("_tk"), i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_word = _max_run(F.array_sort("_tk"))
+    top_bigram = _max_run(F.array_sort(bigrams))
+    n_bigrams = F.greatest(n - 1, F.lit(1))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round((n - n_distinct) / F.greatest(n, F.lit(1)), 4).alias("dup_word_frac"),
+        F.round(top_word / F.greatest(n, F.lit(1)), 4).alias("top_word_frac"),
+        F.round(top_bigram / n_bigrams, 4).alias("top_bigram_frac"),
+    )
+
+
+# -- sequence packing (concat-and-chunk) -----------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing, concat-and-chunk form: within each
+    shard, documents are concatenated in a deterministic order
+    (id_col) and the token stream is cut every `budget` tokens; each
+    document reports its start offset and the first/last sequence it
+    lands in. This is the standard LLM pretraining layout (documents
+    packed back-to-back into fixed-length sequences, long documents
+    straddling sequence boundaries).
+
+    Scale shape: ONE cumulative-sum window partitioned by shard --
+    shards process in parallel, and within a shard the scan is a
+    single ordered pass (the same shape any packer needs: offsets are
+    inherently sequential). Parallelism is therefore shard-grained;
+    a production corpus uses file- or partition-sized shards, exactly
+    what the source column models here. No other shuffle exists."""
+    toks = F.size(tokens_col()).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(id_col, shard_col, toks.alias("n_tokens"))
+        .withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn("first_seq", F.floor(F.col("start_offset") / budget).cast("long"))
+        .withColumn(
+            "last_seq",
+            F.floor((F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget)
+            .cast("long"),
+        )
+    )
 
 
 # -- benchmark decontamination ---------------------------------------

@@ -484,6 +484,7 @@ TEMPORAL_QUERIES: dict[str, QueryFn] = {
     "asof_attribution": T.asof_attribution,
     "user_sessions": T.user_sessions,
     "session_window_stats": T.session_window_stats,
+    "salted_session_stats": T.salted_session_window_stats,
     "daily_volume_trend": T.daily_volume_trend,
 }
 
@@ -568,6 +569,10 @@ SELECT event_date, n_events,
 FROM daily
 """,
 }
+
+# the salted two-phase plan is result-identical to the built-in
+# session_window plan by construction, so it shares the oracle
+TEMPORAL_SQL["salted_session_stats"] = TEMPORAL_SQL["session_window_stats"]
 
 
 # ---------------------------------------------------------------------------
@@ -676,6 +681,11 @@ _MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 10, "src3": 25}
 # decontamination query
 _BENCH_SOURCE = "src19"
 
+# token budget for the registered packing query: small enough that
+# every synthetic shard spans multiple sequences and long documents
+# straddle boundaries (the interesting case)
+_PACK_BUDGET = 512
+
 
 TEXT_QUERIES: dict[str, QueryFn] = {
     # doc_features fuses the five per-doc projections (token counts,
@@ -705,6 +715,8 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             n=3,
         )
     ),
+    "repetition_stats": _docs(X.repetition_stats),
+    "pack_sequences": _docs(lambda df: X.pack_sequences(df, budget=_PACK_BUDGET)),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -877,6 +889,52 @@ FROM corpus JOIN bench USING (gram)
 GROUP BY doc_id
 """
 
+# The Spark side computes max-run-in-sorted-array per row (zero
+# shuffle); the oracle uses the equivalent unnest + group-by mode.
+TEXT_SQL["repetition_stats"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2
+),
+ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct, max(c) AS top_word
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+  FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bgs AS (SELECT doc_id, max(c) AS top_bigram FROM bgc GROUP BY doc_id)
+SELECT t.doc_id, ws.n AS n_words,
+       round((ws.n - ws.n_distinct) / greatest(ws.n, 1), 4) AS dup_word_frac,
+       round(ws.top_word / greatest(ws.n, 1), 4) AS top_word_frac,
+       round(coalesce(bgs.top_bigram, 0) / greatest(ws.n - 1, 1), 4) AS top_bigram_frac
+FROM t JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bgs ON t.doc_id = bgs.doc_id
+"""
+
+TEXT_SQL["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+       CAST((cum - n_tokens + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq
+FROM c
+"""
+
 
 # ---------------------------------------------------------------------------
 # dimension suite (normalized events -> warehouse dim tables)
@@ -889,10 +947,24 @@ def _dim(plan) -> QueryFn:
     return run
 
 
+def _merge_dim_wallets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dim maintenance under the driver's hard signal:
+    split the log into history + delta on a deterministic predicate
+    (day-of-month, modeling the scheduled daily job), build the dim on
+    history only, fold the delta in with merge_dim_wallets. Because
+    every measure is a mergeable aggregate, the result is exactly
+    dim_wallets over the full log -- so it shares that oracle."""
+    ev = normalized_events(spark, sf_dir)
+    is_delta = F.dayofmonth("block_time") % 7 == 0
+    existing = DIM.dim_wallets(ev.filter(~is_delta))
+    return DIM.merge_dim_wallets(existing, ev.filter(is_delta))
+
+
 DIMENSION_QUERIES: dict[str, QueryFn] = {
     "dim_wallets": _dim(DIM.dim_wallets),
     "dim_tokens": _dim(DIM.dim_tokens),
     "program_dim_rollup": _dim(DIM.program_dim_rollup),
+    "merge_dim_wallets": _merge_dim_wallets,
 }
 
 DIMENSION_SQL: dict[str, str] = {
@@ -951,6 +1023,11 @@ WHERE f.program_id IS NOT NULL
 GROUP BY f.program_id, d.program_name, d.program_type
 """,
 }
+
+# merge(dim(history), delta) == dim(history UNION delta) because every
+# dim_wallets measure is a mergeable aggregate (min/max/sum) -- the
+# incremental plan shares the full-recompute oracle verbatim
+DIMENSION_SQL["merge_dim_wallets"] = DIMENSION_SQL["dim_wallets"]
 
 
 # ---------------------------------------------------------------------------
@@ -1139,10 +1216,27 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_ivf(emb, queries_df, k=10, nprobe=2)
 
 
+def _knn_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF shape end-to-end: build the cell-partitioned
+    layout + persisted centroids, then probe it -- the scan carries
+    dynamic partition pruning to the probed cells (pinned in
+    tests/test_similarity.py). Result-identical to `knn_ivf` (same
+    ingest-time assignment: the label column), so it shares that
+    query's oracle."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ivf_layout_")
+    V.materialize_ivf(emb, path, cell_col="label")
+    return V.knn_ivf_materialized(spark, path, queries_df, k=10, nprobe=2)
+
+
 SIMILARITY_QUERIES: dict[str, QueryFn] = {
     "knn_bruteforce": _knn(V.knn_bruteforce),
     "knn_lsh": _knn(V.knn_lsh),
     "knn_ivf": _knn_ivf,
+    "knn_ivf_materialized": _knn_ivf_materialized,
     "label_centroids": (lambda spark, sf_dir: V.label_centroids(load_table(spark, sf_dir, "embeddings"))),
     "embedding_quantize": (lambda spark, sf_dir: V.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))),
 }
@@ -1227,6 +1321,10 @@ SELECT vec_id,
 FROM q
 """,
 }
+
+# the materialized layout is result-identical to knn_ivf (same
+# ingest-time cell assignment), so it shares the oracle verbatim
+SIMILARITY_SQL["knn_ivf_materialized"] = SIMILARITY_SQL["knn_ivf"]
 
 
 # ---------------------------------------------------------------------------
@@ -1324,6 +1422,12 @@ def all_oracle_sql() -> dict[str, str]:
 #     the kept ten (e.g. sales_rollup vs order_cube, big_spenders /
 #     repeat_buyers / segment_order_stats vs the kept agg+join set).
 DRIVER_ORDER = [
+    # --- round-4 newcomers, never driver-verified ---
+    "repetition_stats",
+    "pack_sequences",
+    "salted_session_stats",
+    "knn_ivf_materialized",
+    "merge_dim_wallets",
     # --- never driver-verified before round 3 ---
     "stratified_sample",
     "dedup_exact",
@@ -1343,15 +1447,17 @@ DRIVER_ORDER = [
     "program_dim_rollup",
     "doc_features",
     # --- analytics (reference A1-A13 parity) ---
+    # (token_transfer_stats / top_tokens / failed_transactions /
+    #  top_errors / top_wallets rotated out after three consecutive
+    #  green verdicts (r1-r3) to free slots for the round-4 newcomers
+    #  above; their operator shapes stay covered by the kept five --
+    #  groupBy-count-topN by active_programs/wallet_activity, CASE-sum
+    #  aggs by transaction_volume -- and all five stay DuckDB-swept by
+    #  tests/test_oracle_parity on every test run)
     "transaction_volume",
     "hourly_volume",
     "active_programs",
-    "token_transfer_stats",
-    "top_tokens",
-    "failed_transactions",
-    "top_errors",
     "wallet_activity",
-    "top_wallets",
     "program_trends",
     # --- behavioral + temporal ---
     "cumulative_new_users",

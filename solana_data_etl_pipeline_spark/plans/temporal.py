@@ -88,6 +88,21 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe twin of session_window_stats: time-bucket-salted
+    two-phase sessionization (operators/skew.py) whose heavy exchange
+    partitions on (user_id, time-bucket) instead of user_id alone --
+    result-identical to the built-in session_window plan (pinned under
+    a planted hot key in tests/test_skew.py), registered so the
+    skew-hardened path carries its own driver verdict."""
+    from solana_data_etl_pipeline_spark.operators.skew import salted_session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_session_stats(
+        ev, key="user_id", ts="ts", gap_minutes=SESSION_GAP_MINUTES, bucket_hours=24
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user: session ordinal, bounds, size and
     duration. One shuffle on user_id; the session aggregation reuses

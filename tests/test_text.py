@@ -157,3 +157,48 @@ def test_benchmark_contamination_counts_shared_ngrams(spark):
     grams = word_ngrams(spark.createDataFrame([(9, "x y x y x y")], "doc_id long, text string"), 2)
     rows = {r.gram for r in grams.collect()}
     assert rows == {"x y", "y x"}
+
+
+def test_repetition_stats_gopher_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 words, 2 distinct; top word 'a' x3; bigrams: 'a a' x2, 'a b'
+            (2, "u v w x"),          # no repetition at all
+            (3, "solo"),             # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1.n_words == 4
+    assert r1.dup_word_frac == 0.5          # (4 - 2) / 4
+    assert r1.top_word_frac == 0.75         # 3 / 4
+    assert r1.top_bigram_frac == round(2 / 3, 4)
+    r2 = got[2]
+    assert (r2.dup_word_frac, r2.top_word_frac) == (0.0, 0.25)
+    assert r2.top_bigram_frac == round(1 / 3, 4)  # every bigram unique
+    r3 = got[3]
+    assert (r3.n_words, r3.top_bigram_frac) == (1, 0.0)
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    df = spark.createDataFrame(
+        [
+            # shard s1: 6 + 5 + 3 tokens, budget 8
+            (1, "a b c d e f", "s1"),
+            (2, "g h i j k", "s1"),
+            (3, "l m n", "s1"),
+            # shard s2 packs independently from offset 0
+            (10, "p q", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.doc_id: r for r in X.pack_sequences(df, budget=8).collect()}
+    assert (rows[1].start_offset, rows[1].first_seq, rows[1].last_seq) == (0, 0, 0)
+    # doc 2 starts at 6, ends at token 10 -> straddles the seq boundary at 8
+    assert (rows[2].start_offset, rows[2].first_seq, rows[2].last_seq) == (6, 0, 1)
+    assert (rows[3].start_offset, rows[3].first_seq, rows[3].last_seq) == (11, 1, 1)
+    # shards pack independently: s2 restarts at offset 0
+    assert (rows[10].start_offset, rows[10].first_seq) == (0, 0)
+    # offsets are consistent: each start is the previous start + n_tokens
+    assert rows[2].start_offset == rows[1].start_offset + rows[1].n_tokens
