@@ -354,6 +354,16 @@ def connected_components(
         .select("id", F.col("id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence probe: labels are monotone non-increasing (label[i]
+    # starts at i and only moves via min / resolve-through-smaller),
+    # so the label SUM strictly decreases iff ANY label changed -- one
+    # aggregate over the checkpointed frame instead of a new-vs-old
+    # key join + filter + count per round (one fewer shuffle/action).
+    # decimal(38,0) so the sum cannot overflow at any graph size.
+    def _label_sum(frame: DataFrame) -> object:
+        return frame.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -370,16 +380,11 @@ def connected_components(
             .select("id", F.coalesce("t_cluster", "cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -155,3 +155,43 @@ def test_multi_table_lsh_shapes(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     d = plans("dedup_embedding_cosine")
     assert "CartesianProduct" not in d and "BroadcastNestedLoopJoin" not in d
+
+
+def test_repetition_stats_zero_shuffle_projection(plans):
+    # the per-doc repetition signals must stay a pure projection: the
+    # sort + longest-equal-run HOF form, not a token explode + groupBy
+    p = plans("repetition_stats")
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode anywhere
+
+
+def test_pack_sequences_single_shard_exchange(plans):
+    # one cumulative-sum window partitioned by shard: exactly one
+    # exchange (on the shard column), no joins
+    p = plans("pack_sequences")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+
+def test_merge_dim_wallets_no_history_rescan_shape(plans):
+    # incremental dim merge: broadcast-free full-outer join between two
+    # reduced per-wallet aggregates; no cartesian fallback
+    p = plans("merge_dim_wallets")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_program_dim_rollup_single_log_scan(spark):
+    # eager aggregation pushed below the star join: both join inputs
+    # are the SAME per-program aggregate, so at runtime AQE reuses the
+    # aggregation exchange and the log is scanned (and JSON-parsed)
+    # once -- the naive join-then-group form executed two full scans
+    # with nothing reusable. Needs the EXECUTED adaptive plan.
+    from __spark_entry__ import _configure
+    from solana_data_etl_pipeline_spark.plans.suite import all_queries
+
+    df = all_queries()["program_dim_rollup"](_configure(spark), SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
+    assert "BroadcastHashJoin" in p
