@@ -385,7 +385,13 @@ def materialize_ivf(
         assigned = emb_df.select("vec_id", "embedding", F.col(cell_col).alias("cell"))
     else:
         assigned = kmeans_cells(emb_df, n_cells=n_cells, max_iter=max_iter, seed=seed)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    # repartition on the partition column before the partitioned write:
+    # without it every input partition writes a file into every cell
+    # directory (input_partitions x nlist tiny files); with it each
+    # cell's data arrives at one task and writes one right-sized file
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/corpus"
+    )
     spark = emb_df.sparkSession
     corpus = spark.read.parquet(f"{path}/corpus")
     # centroids from the materialized assignment: one scan at build
