@@ -398,6 +398,7 @@ def pack_sequences(
     budget: int = 2048,
     shard_col: str = "source",
     id_col: str = "doc_id",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Training-sequence packing, concat-and-chunk form: within each
     shard, documents are concatenated in a deterministic order
@@ -412,16 +413,28 @@ def pack_sequences(
     single ordered pass (the same shape any packer needs: offsets are
     inherently sequential). Parallelism is therefore shard-grained;
     a production corpus uses file- or partition-sized shards, exactly
-    what the source column models here. No other shuffle exists."""
+    what the source column models here. No other shuffle exists.
+
+    When the natural shard column is too coarse for the cluster (20
+    sources on 1000 executors), pass `n_shards` to shard by
+    hash(id) % n instead: every shard still packs a deterministic,
+    independent document stream, and parallelism becomes a knob
+    instead of a data property."""
+    shard = (
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_shards))).alias("shard")
+        if n_shards is not None
+        else F.col(shard_col).alias(shard_col)
+    )
+    shard_name = "shard" if n_shards is not None else shard_col
     toks = F.size(tokens_col()).cast("long")
     w = (
-        Window.partitionBy(shard_col)
+        Window.partitionBy(shard_name)
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum("n_tokens").over(w)
     return (
-        df.select(id_col, shard_col, toks.alias("n_tokens"))
+        df.select(id_col, shard, toks.alias("n_tokens"))
         .withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
         .withColumn("first_seq", F.floor(F.col("start_offset") / budget).cast("long"))
         .withColumn(

@@ -202,3 +202,20 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert (rows[10].start_offset, rows[10].first_seq) == (0, 0)
     # offsets are consistent: each start is the previous start + n_tokens
     assert rows[2].start_offset == rows[1].start_offset + rows[1].n_tokens
+
+
+def test_pack_sequences_hash_sharding(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1), "only_source") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = X.pack_sequences(df, budget=16, n_shards=4).collect()
+    # every doc lands in exactly one of n shards; shards pack
+    # independently so each has its own offset-0 document
+    shards = {r.shard for r in out}
+    assert shards <= {0, 1, 2, 3} and len(shards) > 1
+    starts = {r.shard: min(x.start_offset for x in out if x.shard == r.shard) for r in out}
+    assert all(v == 0 for v in starts.values())
+    # deterministic across runs
+    again = X.pack_sequences(df, budget=16, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
