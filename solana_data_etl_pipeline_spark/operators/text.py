@@ -445,6 +445,78 @@ def pack_sequences(
     )
 
 
+# -- duplicated-span statistics --------------------------------------
+
+
+def word_ngrams_pos(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, pos, gram) word n-grams WITH their start
+    positions (0-based), generated per-row with zero shuffles (tokens
+    bound once; posexplode of a transform over start indices). Docs
+    shorter than n contribute nothing."""
+    tk = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select("doc_id", tk.alias("_tk"))
+    grams = F.when(
+        F.size("_tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("_tk"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+
+
+def span_dup_stats(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Duplicated-span signal (the word-gram approximation of
+    substring-level dedup, Lee et al. 2022 'Deduplicating Training
+    Data Makes Language Models Better'): per document, how many token
+    positions fall inside a word n-gram that occurs MORE THAN ONCE in
+    the corpus (another doc, or repeated within the same doc), and
+    that count as a fraction of the doc's tokens. Pipelines strip or
+    down-weight such spans instead of dropping whole documents.
+
+    Covered-token counting is an interval-union: each duplicated gram
+    covers [pos, pos+n-1]; a lag window per doc turns overlapping
+    intervals into least(n, pos - prev_pos) contributions.
+
+    Scale shape: gram generation is per-row (zero shuffle); the gram
+    frequency count and the gram->doc join shuffle on the gram key
+    (the honest cost of corpus-wide span matching -- suffix automata /
+    Bloom pre-filters are the constant-factor refinements, the
+    asymptotic shape is this one); the interval-union window and final
+    agg share one doc_id exchange. Everything is linear in corpus
+    tokens."""
+    g = word_ngrams_pos(df, n, text_col)
+    dup_grams = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= 2)
+    d = g.join(dup_grams.select("gram"), "gram")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    contrib = F.when(prev.isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), F.col("pos") - prev)
+    )
+    covered = (
+        d.select("doc_id", contrib.alias("_cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("_cov").cast("long").alias("dup_span_tokens"))
+    )
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).cast("long")
+    return (
+        df.select("doc_id", toks.alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_span_tokens", F.lit(0)).cast("long").alias("dup_span_tokens"),
+            F.round(
+                F.coalesce("dup_span_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 4
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
 # -- benchmark decontamination ---------------------------------------
 
 

@@ -717,6 +717,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     "repetition_stats": _docs(X.repetition_stats),
     "pack_sequences": _docs(lambda df: X.pack_sequences(df, budget=_PACK_BUDGET)),
+    # full-registry entry (not in the 50-slot driver order): swept by
+    # tests/test_oracle_parity.py like every all_queries() member
+    "span_dup_stats": _docs(lambda df: X.span_dup_stats(df, n=3)),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -915,6 +918,34 @@ SELECT t.doc_id, ws.n AS n_words,
        round(ws.top_word / greatest(ws.n, 1), 4) AS top_word_frac,
        round(coalesce(bgs.top_bigram, 0) / greatest(ws.n - 1, 1), 4) AS top_bigram_frac
 FROM t JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bgs ON t.doc_id = bgs.doc_id
+"""
+
+# duplicated-span fraction: same interval-union formulation (lag
+# window over duplicated-gram start positions) in DuckDB
+TEXT_SQL["span_dup_stats"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 3
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT g.* FROM g JOIN dup USING (gram)),
+l AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM d
+),
+cov AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN prev IS NULL THEN 3 ELSE least(3, pos - prev) END) AS BIGINT) AS covered
+  FROM l GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       coalesce(cov.covered, 0) AS dup_span_tokens,
+       round(coalesce(cov.covered, 0) / greatest(len(t.tk), 1), 4) AS dup_span_frac
+FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
 """
 
 TEXT_SQL["pack_sequences"] = f"""

@@ -187,3 +187,66 @@ def test_event_funnel_matches_reference_model(spark, events):
             expected[s] += 1
             prev = stages[s]
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_repetition_stats_matches_python_model(spark, docs):
+    """repetition_stats vs a direct Python mode computation: the
+    sort + longest-equal-run trick must equal collections.Counter."""
+    from collections import Counter
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X_rep(df).collect()}
+    for i, words in enumerate(docs):
+        wc = Counter(words)
+        n = len(words)
+        bigrams = Counter(" ".join(words[j : j + 2]) for j in range(n - 1))
+        r = got[i]
+        assert r.n_words == n
+        assert r.dup_word_frac == round((n - len(wc)) / n, 4)
+        assert r.top_word_frac == round(max(wc.values()) / n, 4)
+        expect_bg = round(max(bigrams.values()) / max(n - 1, 1), 4) if bigrams else 0.0
+        assert r.top_bigram_frac == expect_bg
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=8),
+    budget=st.integers(min_value=2, max_value=40),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_offset_invariants(spark, sizes, budget):
+    """Packing invariants for any doc-length profile and budget:
+    offsets are the exclusive prefix sum in id order, every doc's
+    sequence span covers exactly its token range, and spans are
+    consistent with the budget."""
+    rows = [(i, " ".join(f"t{j}" for j in range(k)), "s") for i, k in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(X_pack(df, budget=budget).collect(), key=lambda r: r.doc_id)
+    running = 0
+    for r, k in zip(got, sizes):
+        assert r.n_tokens == k
+        assert r.start_offset == running
+        assert r.first_seq == running // budget
+        assert r.last_seq == (running + k - 1) // budget
+        assert r.first_seq <= r.last_seq <= r.first_seq + (k // budget) + 1
+        running += k
+
+
+def X_rep(df):
+    from solana_data_etl_pipeline_spark.operators.text import repetition_stats
+
+    return repetition_stats(df)
+
+
+def X_pack(df, budget):
+    from solana_data_etl_pipeline_spark.operators.text import pack_sequences
+
+    return pack_sequences(df, budget=budget)

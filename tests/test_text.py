@@ -219,3 +219,28 @@ def test_pack_sequences_hash_sharding(spark):
     # deterministic across runs
     again = X.pack_sequences(df, budget=16, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_span_dup_stats_interval_union(spark):
+    df = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 3-gram 'a b c' (and doc 1 repeats
+            # it internally at overlapping positions 0 and 2: 'a b c a b c'
+            # contains 'a b c' at 0 and 3, 'b c a' at 1, 'c a b' at 2)
+            (1, "a b c a b c"),
+            (2, "x a b c y z"),
+            (3, "p q r s t"),  # nothing shared
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.span_dup_stats(df, n=3).collect()}
+    # doc1: 'a b c' occurs at pos 0 and 3 (also in doc2) -> covers
+    # [0,2] and [3,5]: all 6 tokens
+    assert got[1].dup_span_tokens == 6
+    assert got[1].dup_span_frac == 1.0
+    # doc2: only 'a b c' at pos 1 is duplicated -> covers [1,3] = 3 tokens
+    assert got[2].dup_span_tokens == 3
+    assert got[2].dup_span_frac == 0.5
+    # doc3: no shared grams
+    assert got[3].dup_span_tokens == 0
+    assert got[3].dup_span_frac == 0.0
