@@ -210,3 +210,51 @@ def test_stream_to_jdbc_warehouse(spark, tmp_path):
     run_stream_to_warehouse(spark, str(inp), wh, str(tmp_path / "ck2"))
     assert wh.read_events().count() == n
     assert sorted(r.slot for r in wh.processed_slots().collect()) == [7, 8]
+
+
+def test_document_stream_gates_dedups_and_quarantines(spark, tmp_path):
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    good_text = "the quick brown fox jumps over the lazy dog again and again today"
+    other_text = "a completely different sentence with plenty of ordinary words in it"
+
+    def _doc(i, text, src="s1"):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": src,
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, good_text) + "\n")
+        f.write(_doc(2, good_text, src="s2") + "\n")   # exact dup content
+        f.write(_doc(3, "too short") + "\n")            # fails MIN_TOKENS gate
+        f.write("{not valid json\n")                    # malformed -> quarantine
+
+    run_document_stream(spark, land, out, quar, ckpt)
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # dup content kept once (first doc_id), gated doc dropped
+    assert set(got) == {1}
+    assert got[1].predicted_lang == "en"
+    assert got[1].n_tokens >= 10
+    q = spark.read.parquet(quar).collect()
+    assert {r.error_type for r in q} == {"malformed_record"}
+    assert any("not valid json" in (r.error_context or "") for r in q)
+
+    # second file: a cross-batch duplicate, a fresh doc, a row missing doc_id
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(4, good_text, src="s3") + "\n")    # dup of batch-1 content
+        f.write(_doc(5, other_text) + "\n")
+        f.write(json.dumps({"text": other_text, "lang": "en", "source": "s1",
+                            "ingest_time": "2024-01-01T01:00:00"}) + "\n")
+
+    run_document_stream(spark, land, out, quar, ckpt)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 5}  # doc 4's content already in the corpus
+    q2 = {r.error_type for r in spark.read.parquet(quar).collect()}
+    assert q2 == {"malformed_record", "missing_doc_id"}
