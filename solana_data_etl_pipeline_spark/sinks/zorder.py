@@ -1,0 +1,80 @@
+"""Z-order (Morton-curve) clustering for multi-column data skipping.
+
+Parquet scans prune row groups and files with min/max statistics, but
+stats only help when the file layout correlates with the filter
+columns. Sorting by one column gives perfect skipping on that column
+and none on any other; interleaving the BITS of several columns into
+one Morton key and range-partitioning + sorting on it gives useful
+min/max locality on ALL of them at once -- the standard lakehouse
+OPTIMIZE ZORDER BY layout, built here from plain DataFrame operations.
+
+Scale shape: one bounded stats pass (global min/max per clustered
+column -- a two-row driver collect), one pure projection computing the
+key (bit arithmetic in codegen'd expressions), one range shuffle, and
+a within-partition sort that feeds the writer. Rewriting N TB costs
+one shuffle of N TB -- the same cost profile as any clustering rewrite;
+run it at the compaction cadence (sinks/compaction.py), not per batch.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension in the interleaved key; 2 dims x 21 bits fits a
+#: 63-bit signed long with room to spare
+DEFAULT_BITS = 16
+
+
+def _bucketize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Scale a numeric column to an integer bucket in [0, 2^bits)."""
+    span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+    frac = (col.cast("double") - lo) / span
+    scaled = F.floor(frac * F.lit((1 << bits) - 1))
+    return F.greatest(F.lit(0), F.least(scaled, F.lit((1 << bits) - 1))).cast("long")
+
+
+def zvalue(buckets: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Morton key: interleave the low `bits` bits of each bucket column
+    (dimension d contributes bit i at output position i*ndims + d).
+    Pure integer arithmetic -- whole-stage codegen, no UDFs."""
+    ndims = len(buckets)
+    terms = [
+        F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * ndims + d)
+        for d, b in enumerate(buckets)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, c: a.bitwiseOR(c), terms).cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    n_files: int = 8,
+) -> None:
+    """Cluster `df` on the Morton key of `cols` and write parquet:
+    global min/max per column (ONE bounded stats aggregation), bucket +
+    interleave, range-partition into `n_files` z-runs, sort within each
+    so parquet row-group stats are tight, drop the key, write."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    buckets = [
+        _bucketize(
+            F.col(c), F.lit(float(stats[f"_lo_{c}"])), F.lit(float(stats[f"_hi_{c}"])), bits
+        )
+        for c in cols
+    ]
+    keyed = df.withColumn("_z", zvalue(buckets, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
