@@ -388,6 +388,34 @@ def connected_components(
     return labels
 
 
+def keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """The materialization step between near-dup PAIRS and a clean
+    corpus: the kept document ids -- every doc that appears in no pair,
+    plus one representative (the minimum id) per connected component
+    of the pair graph. `df.join(keep_representatives(...), id_col,
+    "semi")` IS the deduplicated corpus.
+
+    Scale shape: connected_components' iterative cost over the (small)
+    pair graph, one anti-join of the corpus ids against the clustered
+    ids, and the representative filter is a free predicate on the
+    component labels (the min-label node is exactly the node whose
+    label equals its id)."""
+    labels = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    reps = labels.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    non_dup = df.select(id_col).distinct().join(
+        labels.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    return non_dup.unionByName(reps)
+
+
 def embedding_near_dup_lsh(
     emb_df: DataFrame,
     threshold: float = 0.95,

@@ -1093,6 +1093,13 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         )
     ),
+    # full-registry entry: the pairs->clean-corpus materialization
+    # (unclustered docs + one representative per component)
+    "dedup_keepers": _docs(
+        lambda df: D.keep_representatives(
+            df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+        )
+    ),
 }
 
 def _minhash_sigs_sql() -> str:
@@ -1226,6 +1233,17 @@ FROM kept a JOIN kept c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_
 WHERE list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
 """,
 }
+
+# keepers = unclustered docs + one representative (min id) per
+# component: reuse the clusters pipeline verbatim up to its final
+# SELECT so the two oracles cannot drift
+_CLUSTERS_PREFIX = DEDUP_SQL["dedup_clusters"].rsplit("\nSELECT id,", 1)[0]
+DEDUP_SQL["dedup_keepers"] = _CLUSTERS_PREFIX + """,
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
+UNION ALL
+SELECT DISTINCT cluster_id AS doc_id FROM cl
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,11 @@ def write_zordered(
         *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
     ).collect()[0]
+    if any(stats[f"_lo_{c}"] is None for c in cols):
+        # empty input (or an all-null cluster column): nothing to
+        # cluster, write as-is rather than crash on float(None)
+        df.write.mode("overwrite").parquet(path)
+        return
     buckets = [
         _bucketize(
             F.col(c), F.lit(float(stats[f"_lo_{c}"])), F.lit(float(stats[f"_hi_{c}"])), bits

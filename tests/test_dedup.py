@@ -237,3 +237,19 @@ def test_connected_components_over_embedding_near_dups(spark):
     for g in range(3):
         members = {comp.get(g * 10 + i) for i in range(4) if g * 10 + i in comp}
         assert members == {g * 10}, f"group {g} not one component: {members}"
+
+
+def test_keep_representatives_partitions_corpus(spark):
+    from solana_data_etl_pipeline_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(10)], "doc_id long, text string")
+    # two components: {1,2,3} (chain) and {7,8}; everything else untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    kept = sorted(r.doc_id for r in keep_representatives(docs, pairs).collect())
+    # representatives are the component minima (1 and 7); 2,3,8 dropped
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
+    # empty pair set: corpus passes through whole
+    empty = pairs.filter("doc_a < 0")
+    assert sorted(r.doc_id for r in keep_representatives(docs, empty).collect()) == list(range(10))
