@@ -403,14 +403,17 @@ def keep_representatives(
 
     Scale shape: connected_components' iterative cost over the (small)
     pair graph, one anti-join of the corpus ids against the clustered
-    ids, and the representative filter is a free predicate on the
-    component labels (the min-label node is exactly the node whose
-    label equals its id)."""
+    ids -- the clustered side is bounded by docs-in-pairs, so AQE
+    broadcasts it and the corpus never shuffles -- and the
+    representative filter is a free predicate on the component labels
+    (the min-label node is exactly the node whose label equals its
+    id). Assumes `id_col` is unique in `df` (it is the corpus key);
+    duplicate ids would pass through the anti-join duplicated."""
     labels = connected_components(pairs, src_col=src_col, dst_col=dst_col)
     reps = labels.filter(F.col("id") == F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    non_dup = df.select(id_col).distinct().join(
+    non_dup = df.select(id_col).join(
         labels.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
     return non_dup.unionByName(reps)
