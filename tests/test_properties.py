@@ -250,3 +250,38 @@ def X_pack(df, budget):
     from solana_data_etl_pipeline_spark.operators.text import pack_sequences
 
     return pack_sequences(df, budget=budget)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=3, max_size=10),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_span_dup_stats_matches_interval_union_model(spark, docs):
+    """span_dup_stats vs a direct Python model: tokens covered by any
+    corpus-duplicated 3-gram, computed by brute-force position marking."""
+    from collections import Counter
+
+    n = 3
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from solana_data_etl_pipeline_spark.operators.text import span_dup_stats
+
+    got = {r.doc_id: r for r in span_dup_stats(df, n=n).collect()}
+
+    grams = Counter()
+    for w in docs:
+        for j in range(len(w) - n + 1):
+            grams[" ".join(w[j : j + n])] += 1
+    for i, w in enumerate(docs):
+        covered = set()
+        for j in range(len(w) - n + 1):
+            if grams[" ".join(w[j : j + n])] >= 2:
+                covered.update(range(j, j + n))
+        r = got[i]
+        assert r.n_tokens == len(w)
+        assert r.dup_span_tokens == len(covered), (i, w)
+        assert r.dup_span_frac == round(len(covered) / max(len(w), 1), 4)
