@@ -524,18 +524,23 @@ def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """Distinct (doc_id, gram) word n-grams, generated per-row with
     zero shuffles: tokens are projected ONCE to a bound column (the
     HOF-lambda re-evaluation pitfall), then a transform over a
-    position sequence slices each n-gram. Docs shorter than n
-    contribute nothing."""
+    position sequence slices each n-gram. Per-doc distinctness is
+    array_distinct BEFORE the explode -- within-row work, not the
+    (doc_id, gram)-keyed Exchange a post-explode .distinct() would
+    cost over every corpus gram. Docs shorter than n contribute
+    nothing."""
     tk = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select("doc_id", tk.alias("_tk"))
     grams = F.when(
         F.size("_tk") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
-            lambda i: F.array_join(F.slice(F.col("_tk"), i, n), " "),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("_tk"), i, n), " "),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    return base.select("doc_id", F.explode(grams).alias("gram"))
 
 
 def benchmark_contamination(corpus: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:

@@ -195,3 +195,14 @@ def test_program_dim_rollup_single_log_scan(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_benchmark_contamination_corpus_side_unshuffled(plans):
+    # corpus grams are per-row (array_distinct before explode) and
+    # probe the BROADCAST bench gram set: the only exchanges are the
+    # small bench-side distinct, the broadcast itself, and the final
+    # per-doc count -- a corpus-side (doc_id, gram) Exchange would be
+    # the 100 TB scale-killer here
+    p = plans("benchmark_contamination")
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange") <= 3, p.count("Exchange")
