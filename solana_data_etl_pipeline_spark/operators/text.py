@@ -332,6 +332,42 @@ def weighted_mix(df: DataFrame, weights: dict[str, int], source_col: str = "sour
     return df.filter(bucket < rate)
 
 
+# -- unigram language-model scoring ----------------------------------
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-unigram log-probability per document -- the cheap stand-in
+    for the LM-perplexity quality filter (CCNet-style: documents whose
+    token distribution diverges from the corpus score low and get
+    filtered or bucketed). Score = mean over tokens of
+    ln(corpus_count(token) / corpus_total); higher (less negative) =
+    more typical text.
+
+    Scale shape: one token explode + groupBy(token) builds the unigram
+    table (partial+final agg over the corpus -- the same exchange
+    vocab_top_words pays); the per-doc pass re-explodes tokens and
+    joins the frequency table ON TOKEN, reusing the count's hash
+    partitioning, then one groupBy(doc_id) averages. Three exchanges
+    total, all linear; no N^2 anywhere. The unigram table itself is
+    vocabulary-sized -- if a deployment's vocab measures broadcast-small
+    at runtime, AQE takes the broadcast automatically (the safe
+    direction, exactly the TF-IDF policy)."""
+    toks = df.select("doc_id", F.explode(tokens_col(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_t"))
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (F.log(F.col("cnt") / F.col("_t"))).alias("_lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_tokens"),
+        F.round(F.avg("_lp"), 4).alias("avg_token_logprob"),
+    )
+
+
 # -- repetition-based quality signals --------------------------------
 
 

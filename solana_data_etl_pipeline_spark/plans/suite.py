@@ -717,9 +717,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     "repetition_stats": _docs(X.repetition_stats),
     "pack_sequences": _docs(lambda df: X.pack_sequences(df, budget=_PACK_BUDGET)),
-    # full-registry entry (not in the 50-slot driver order): swept by
+    # full-registry entries (not in the 50-slot driver order): swept by
     # tests/test_oracle_parity.py like every all_queries() member
     "span_dup_stats": _docs(lambda df: X.span_dup_stats(df, n=3)),
+    "unigram_logprob": _docs(X.unigram_logprob),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -889,6 +890,21 @@ bench AS (SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'),
 corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE source <> '{_BENCH_SOURCE}')
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap_grams
 FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+TEXT_SQL["unigram_logprob"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+t AS (SELECT * FROM tok WHERE token <> ''),
+c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+n AS (SELECT sum(cnt) AS total FROM c)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_scored_tokens,
+       round(avg(ln(cnt / total)), 4) AS avg_token_logprob
+FROM t JOIN c USING (token), n
 GROUP BY doc_id
 """
 

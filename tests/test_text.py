@@ -244,3 +244,24 @@ def test_span_dup_stats_interval_union(spark):
     # doc3: no shared grams
     assert got[3].dup_span_tokens == 0
     assert got[3].dup_span_frac == 0.0
+
+
+def test_unigram_logprob_prefers_typical_text(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.unigram_logprob(df).collect()}
+    # corpus: 'common' x7, 'rare' x1, total 8
+    p_common, p_rare = 7 / 8, 1 / 8
+    assert got[1].n_scored_tokens == 4
+    assert got[1].avg_token_logprob == round(math.log(p_common), 4)
+    expect2 = (3 * math.log(p_common) + math.log(p_rare)) / 4
+    assert got[2].avg_token_logprob == round(expect2, 4)
+    # the doc containing the rare token scores strictly lower
+    assert got[2].avg_token_logprob < got[1].avg_token_logprob
