@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     p_ana = sub.add_parser("analytics", help="recompute analytics tables")
     p_ana.add_argument("--as-of", default=None, help="ISO timestamp; default = max block_time")
 
+    p_corp = sub.add_parser("corpus", help="run the training-corpus pipeline over a documents table")
+    p_corp.add_argument("--documents", required=True, help="path to a documents parquet table")
+    p_corp.add_argument("--output", default=None, help="output dir (default <warehouse>/corpus)")
+
     args = parser.parse_args(argv)
     config = Config.load()
     if args.warehouse_path:
@@ -93,6 +97,26 @@ def main(argv: list[str] | None = None) -> int:
         for name in results:
             prefix = "" if name.startswith("dim_") else "analytics_"
             print(f"{prefix}{name}: written")
+        return 0
+
+    if args.command == "corpus":
+        from solana_data_etl_pipeline_spark.operators import dedup as D
+        from solana_data_etl_pipeline_spark.operators import text as X
+        from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+
+        docs = spark.read.parquet(args.documents)
+        out = args.output or f"{config.warehouse.path}/corpus"
+        feats = X.doc_features(docs).join(
+            X.pii_scan(docs).select("doc_id", "pii_hits", "has_pii"), "doc_id"
+        )
+        feats.write.mode("overwrite").parquet(f"{out}/doc_features")
+        pairs = D.minhash_lsh_pairs(docs, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+        kept = D.keep_representatives(docs, pairs)
+        deduped = docs.join(kept, "doc_id", "left_semi")
+        deduped.write.mode("overwrite").parquet(f"{out}/documents_dedup")
+        n_in, n_out = docs.count(), deduped.count()
+        print(f"doc_features: written ({n_in} docs)")
+        print(f"documents_dedup: written ({n_out} kept of {n_in})")
         return 0
 
     return 2

@@ -49,3 +49,29 @@ def test_cli_incremental_bounded(spark, tmp_path):
     from solana_data_etl_pipeline_spark.sinks.warehouse import ParquetWarehouse
 
     assert ParquetWarehouse(spark, wh).get_last_slot() == 8
+
+
+def test_cli_corpus_pipeline(spark, tmp_path, capsys):
+    from solana_data_etl_pipeline_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--warehouse-path",
+            wh,
+            "corpus",
+            "--documents",
+            "/root/testdata/sf0.001/documents.parquet",
+        ]
+    )
+    assert rc == 0
+    feats = spark.read.parquet(f"{wh}/corpus/doc_features")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert feats.count() == docs.count()
+    assert {"predicted_lang", "fingerprint", "has_pii"} <= set(feats.columns)
+    deduped = spark.read.parquet(f"{wh}/corpus/documents_dedup")
+    assert 0 < deduped.count() <= docs.count()
+    # kept set respects near-dup semantics: no doc_id appears twice
+    assert deduped.select("doc_id").distinct().count() == deduped.count()
+    out = capsys.readouterr().out
+    assert "documents_dedup: written" in out
