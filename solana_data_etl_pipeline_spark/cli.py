@@ -114,7 +114,10 @@ def main(argv: list[str] | None = None) -> int:
         kept = D.keep_representatives(docs, pairs)
         deduped = docs.join(kept, "doc_id", "left_semi")
         deduped.write.mode("overwrite").parquet(f"{out}/documents_dedup")
-        n_in, n_out = docs.count(), deduped.count()
+        # count the WRITTEN table: counting `deduped` would re-execute
+        # the whole LSH + iterative connected-components pipeline
+        n_in = docs.count()
+        n_out = spark.read.parquet(f"{out}/documents_dedup").count()
         print(f"doc_features: written ({n_in} docs)")
         print(f"documents_dedup: written ({n_out} kept of {n_in})")
         return 0

@@ -1002,7 +1002,11 @@ def _merge_dim_wallets(spark: SparkSession, sf_dir: str) -> DataFrame:
     every measure is a mergeable aggregate, the result is exactly
     dim_wallets over the full log -- so it shares that oracle."""
     ev = normalized_events(spark, sf_dir)
-    is_delta = F.dayofmonth("block_time") % 7 == 0
+    # null-safe split: a null block_time makes the raw predicate null,
+    # and both `null` and `~null` filter the row out -- it would vanish
+    # from history AND delta. coalesce pins nulls to the history side
+    # so every row lands on exactly one side of the split.
+    is_delta = F.coalesce(F.dayofmonth("block_time") % 7 == 0, F.lit(False))
     existing = DIM.dim_wallets(ev.filter(~is_delta))
     return DIM.merge_dim_wallets(existing, ev.filter(is_delta))
 

@@ -23,8 +23,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: bits per dimension in the interleaved key; 2 dims x 21 bits fits a
-#: 63-bit signed long with room to spare
+#: bits per dimension in the interleaved key; at 16 bits per dimension
+#: up to 3 dimensions (48 interleaved bits) fit a 63-bit signed long
 DEFAULT_BITS = 16
 
 
@@ -39,8 +39,19 @@ def _bucketize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
 def zvalue(buckets: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Morton key: interleave the low `bits` bits of each bucket column
     (dimension d contributes bit i at output position i*ndims + d).
-    Pure integer arithmetic -- whole-stage codegen, no UDFs."""
+    Pure integer arithmetic -- whole-stage codegen, no UDFs.
+
+    The interleaved key must stay inside the 63 value bits of a signed
+    long: a bit placed at position >= 63 lands in the sign bit, turning
+    high keys negative so they'd sort BEFORE low keys and silently
+    ruin the clustering. Refuse rather than degrade."""
     ndims = len(buckets)
+    if ndims * bits > 63:
+        raise ValueError(
+            f"zvalue: {ndims} dims x {bits} bits = {ndims * bits} interleaved "
+            "bits overflows a 63-bit signed long; lower `bits` or cluster on "
+            "fewer columns"
+        )
     terms = [
         F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * ndims + d)
         for d, b in enumerate(buckets)

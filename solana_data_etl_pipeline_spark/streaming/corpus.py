@@ -75,8 +75,11 @@ def run_document_stream(
     drained files, and the cross-batch fingerprint anti-join makes
     replayed or re-crawled content a no-op -- the same two-layer
     contract as run_stream_to_warehouse. Malformed lines and rows
-    missing doc_id land as etl_errors-shaped quarantine rows
-    (deterministic sha256 error_id) instead of vanishing.
+    missing doc_id land as etl_errors-shaped quarantine rows instead
+    of vanishing; the quarantine append is guarded by the same
+    anti-join pattern on the deterministic sha256 error_id, so a batch
+    replayed after a mid-batch crash does not duplicate error rows
+    either.
     """
     from solana_data_etl_pipeline_spark.sinks.quarantine import (
         CORRUPT_COL,
@@ -116,6 +119,16 @@ def run_document_stream(
                 "fingerprint",
                 "has_pii",
             ).write.mode("append").partitionBy("predicted_lang").parquet(output_dir)
+            # replay guard: the corpus side is protected by the
+            # fingerprint anti-join above; give quarantine the same
+            # treatment on its deterministic error_id so a batch that
+            # failed between this append and the checkpoint commit
+            # doesn't re-append the same error rows on retry
+            try:
+                seen_err = spark.read.parquet(quarantine_dir).select("error_id").distinct()
+                quarantine = quarantine.join(seen_err, "error_id", "left_anti")
+            except AnalysisException:
+                pass  # first batch: quarantine does not exist yet
             if quarantine.limit(1).count():
                 quarantine.write.mode("append").parquet(quarantine_dir)
         finally:

@@ -256,5 +256,12 @@ def test_document_stream_gates_dedups_and_quarantines(spark, tmp_path):
     run_document_stream(spark, land, out, quar, ckpt)
     got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got2 == {1, 5}  # doc 4's content already in the corpus
-    q2 = {r.error_type for r in spark.read.parquet(quar).collect()}
-    assert q2 == {"malformed_record", "missing_doc_id"}
+    q2 = [r for r in spark.read.parquet(quar).collect()]
+    assert {r.error_type for r in q2} == {"malformed_record", "missing_doc_id"}
+
+    # replay-from-scratch (lost checkpoint, same files): BOTH sinks are
+    # a no-op -- corpus via the fingerprint anti-join, quarantine via
+    # the error_id anti-join
+    run_document_stream(spark, land, out, quar, str(tmp_path / "doc_ckpt2"))
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 5}
+    assert len(spark.read.parquet(quar).collect()) == len(q2)

@@ -30,6 +30,20 @@ def test_zvalue_matches_python_morton(spark):
         assert z == _py_morton([a, b], 3), (a, b)
 
 
+def test_zvalue_rejects_sign_bit_overflow(spark):
+    # 4 dims x 16 bits = 64 interleaved bits: the top bit would land in
+    # the sign bit, making high Morton keys negative (they'd sort
+    # first) -- must refuse instead of silently degrading the layout
+    import pytest
+
+    cols = [F.col(c) for c in "abcd"]
+    with pytest.raises(ValueError, match="overflows"):
+        zvalue(cols, bits=16)
+    # 3 dims x 16 = 48 bits and 2 x 21 = 42 bits are fine
+    zvalue(cols[:3], bits=16)
+    zvalue(cols[:2], bits=21)
+
+
 def test_zordered_write_improves_minmax_locality(spark, tmp_path):
     # a 64x64 grid: columns are independent, so a single-column sort
     # cannot localize both; z-order must shrink per-file spans on BOTH
