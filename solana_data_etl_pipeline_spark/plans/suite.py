@@ -1491,12 +1491,22 @@ def all_oracle_sql() -> dict[str, str]:
 #     the kept ten (e.g. sales_rollup vs order_cube, big_spenders /
 #     repeat_buyers / segment_order_stats vs the kept agg+join set).
 DRIVER_ORDER = [
-    # --- round-4 newcomers, never driver-verified ---
+    # --- round-5 newcomers, never driver-verified (the last three
+    #     oracle-able registry entries with no driver row in any round) ---
+    "dedup_keepers",
+    "span_dup_stats",
+    "unigram_logprob",
+    # --- reference A-queries rotated BACK in (green r1-r3, rotated out
+    #     r4) so reference parity keeps a fresh driver verdict ---
+    "failed_transactions",
+    "top_tokens",
+    # --- round-4 newcomers, driver-verified r4 ---
+    # (pack_sequences / salted_session_stats / merge_dim_wallets /
+    #  pii_stats / weighted_mix rotated out after their green r4
+    #  verdicts to free the five slots above; they stay DuckDB-swept by
+    #  tests/test_oracle_parity on every test run)
     "repetition_stats",
-    "pack_sequences",
-    "salted_session_stats",
     "knn_ivf_materialized",
-    "merge_dim_wallets",
     # --- never driver-verified before round 3 ---
     "stratified_sample",
     "dedup_exact",
@@ -1516,13 +1526,12 @@ DRIVER_ORDER = [
     "program_dim_rollup",
     "doc_features",
     # --- analytics (reference A1-A13 parity) ---
-    # (token_transfer_stats / top_tokens / failed_transactions /
-    #  top_errors / top_wallets rotated out after three consecutive
-    #  green verdicts (r1-r3) to free slots for the round-4 newcomers
-    #  above; their operator shapes stay covered by the kept five --
-    #  groupBy-count-topN by active_programs/wallet_activity, CASE-sum
-    #  aggs by transaction_volume -- and all five stay DuckDB-swept by
-    #  tests/test_oracle_parity on every test run)
+    # (token_transfer_stats / top_errors / top_wallets remain rotated
+    #  out after three consecutive green verdicts (r1-r3);
+    #  failed_transactions / top_tokens rotated back in this round --
+    #  top of the file -- so reference parity keeps a fresh driver
+    #  verdict on a round-robin; everything rotated out stays
+    #  DuckDB-swept by tests/test_oracle_parity on every test run)
     "transaction_volume",
     "hourly_volume",
     "active_programs",
@@ -1544,8 +1553,6 @@ DRIVER_ORDER = [
     "vocab_top_words",
     "tfidf_top_terms",
     "corpus_selection",
-    "pii_stats",
-    "weighted_mix",
     "benchmark_contamination",
     # --- relational ---
     # (region_revenue / price_tier_distribution / small_quantity_revenue /
