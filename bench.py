@@ -89,6 +89,82 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         twins[name] = round(statistics.median(samples), 3)
 
+    # measured recall of the approximate plans against their exact
+    # twins (non-graded, like the twin timings): turns the analytic
+    # 1-(1-p^b)^L claims in operators/similarity.py into per-round
+    # NUMBERS. knn recall@10 = mean over queries of the fraction of
+    # the exact top-10 the approximate top-10 recovers; dedup pair
+    # recall = fraction of exact above-threshold pairs the LSH plan
+    # emits (as unordered id pairs).
+    from solana_data_etl_pipeline_spark.operators.dedup import embedding_near_dup_pairs
+    from solana_data_etl_pipeline_spark.plans.suite import load_table
+
+    def _topk(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def _pairs(df, a, b):
+        return {frozenset((r[a], r[b])) for r in df.collect()}
+
+    recall: dict[str, float] = {}
+    exact_nn = _topk(full["knn_bruteforce"](spark, sf_dir))
+    for name in ("knn_lsh", "knn_ivf"):
+        approx = _topk(full[name](spark, sf_dir))
+        per_q = [
+            len(exact_nn[q] & approx.get(q, set())) / len(exact_nn[q]) for q in exact_nn
+        ]
+        recall[f"{name}@10"] = round(sum(per_q) / len(per_q), 3)
+
+    exact_jac = _pairs(full["dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b")
+    lsh_jac = _pairs(full["dedup_minhash_lsh"](spark, sf_dir), "doc_a", "doc_b")
+    recall["dedup_minhash_lsh_pairs"] = round(len(exact_jac & lsh_jac) / max(len(exact_jac), 1), 3)
+
+    exact_cos = _pairs(
+        embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35),
+        "vec_a",
+        "vec_b",
+    )
+    lsh_cos = _pairs(full["dedup_embedding_cosine"](spark, sf_dir), "vec_a", "vec_b")
+    recall["dedup_embedding_cosine_pairs"] = round(
+        len(exact_cos & lsh_cos) / max(len(exact_cos), 1), 3
+    )
+
+    # planted-near-dup recall: the raw numbers above are structurally
+    # bounded by the DATA (the exact top-10 of the synthetic vectors
+    # sit at cosine ~0.3-0.4, where sign-LSH collision probability is
+    # a few percent BY DESIGN); near-dup retrieval is the regime the
+    # operators exist for, so also measure it directly -- perturb 50
+    # corpus vectors to an exact target cosine (deterministic seed)
+    # and ask whether each approximate index surfaces the source
+    # vector in its top-10.
+    import numpy as np
+
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_ivf, knn_lsh
+
+    emb_tbl = load_table(spark, sf_dir, "embeddings")
+    base = emb_tbl.orderBy("vec_id").limit(50).collect()
+    rng = np.random.default_rng(42)
+    offset = 10_000_000  # keep query_id != source vec_id (self-match filter)
+    for target, tag in ((0.95, "95"), (0.85, "85")):
+        rows = []
+        for r in base:
+            v = np.asarray(r["embedding"], dtype=float)
+            v = v / np.linalg.norm(v)
+            u = rng.standard_normal(v.size)
+            u -= u.dot(v) * v
+            u /= np.linalg.norm(u)
+            vq = target * v + np.sqrt(1.0 - target**2) * u
+            rows.append((offset + int(r["vec_id"]), [float(x) for x in vq]))
+        pq = spark.createDataFrame(rows, "query_id long, embedding array<double>")
+        for name, fn in (("knn_lsh", knn_lsh), ("knn_ivf", knn_ivf)):
+            hit = {}
+            for rr in fn(emb_tbl, pq, k=10).collect():
+                if rr["neighbor_id"] == rr["query_id"] - offset:
+                    hit[rr["query_id"]] = True
+            recall[f"{name}_planted@.{tag}"] = round(len(hit) / len(rows), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,6 +174,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "baseline_twins": twins,
+                "recall": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
             }

@@ -149,7 +149,17 @@ def knn_lsh(
     Scale shape: bucket arrays are projections; posexplode emits
     n_tables rows per vector carrying only (table, bucket, id, vec);
     the join key is (table, bucket); candidates are deduped BEFORE
-    rank (a neighbor found by several tables scores once)."""
+    rank (a neighbor found by several tables scores once).
+
+    Scoring-vs-dedup order, MEASURED (sf0.1, L=4): collision
+    multiplicity is 1.28x (618 collision rows -> 481 unique pairs), so
+    deduping pairs BEFORE the cosine (dropDuplicates on ids, carrying
+    both vectors through the exchange) saves ~22% of dot products but
+    widens the dedup shuffle rows from 24 B to ~1 KB; wall times are
+    statistically identical (A 2.11/2.25/2.45 s vs B 2.04/2.41/2.54 s
+    across alternating runs). The kept plan scores-then-distincts: the
+    shuffle stays narrow, and multiplicity only approaches L for pairs
+    already so close they are few."""
     buckets = table_bucket_col(F.col("embedding"), n_planes, n_tables, dim)
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
