@@ -49,6 +49,22 @@ def main(argv: list[str] | None = None) -> int:
     p_corp = sub.add_parser("corpus", help="run the training-corpus pipeline over a documents table")
     p_corp.add_argument("--documents", required=True, help="path to a documents parquet table")
     p_corp.add_argument("--output", default=None, help="output dir (default <warehouse>/corpus)")
+    p_corp.add_argument(
+        "--zorder",
+        action="store_true",
+        help="rewrite the deduped corpus Z-ordered on (predicted_lang, n_tokens)",
+    )
+    p_corp.add_argument(
+        "--compact",
+        action="store_true",
+        help="compact the doc_features table into size-targeted files",
+    )
+    p_corp.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=128,
+        help="target parquet file size for --zorder/--compact rewrites",
+    )
 
     args = parser.parse_args(argv)
     config = Config.load()
@@ -113,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
         pairs = D.minhash_lsh_pairs(docs, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         kept = D.keep_representatives(docs, pairs)
         deduped = docs.join(kept, "doc_id", "left_semi")
+        if args.zorder:
+            # carry n_tokens/predicted_lang onto the corpus rows (from
+            # the ALREADY-WRITTEN features, not the unmaterialized
+            # plan) so the clustering columns exist to cluster on
+            ntok = spark.read.parquet(f"{out}/doc_features").select(
+                "doc_id", "n_tokens", "predicted_lang"
+            )
+            deduped = deduped.join(ntok, "doc_id")
         deduped.write.mode("overwrite").parquet(f"{out}/documents_dedup")
         # count the WRITTEN table: counting `deduped` would re-execute
         # the whole LSH + iterative connected-components pipeline
@@ -120,6 +144,29 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.parquet(f"{out}/documents_dedup").count()
         print(f"doc_features: written ({n_in} docs)")
         print(f"documents_dedup: written ({n_out} kept of {n_in})")
+        if args.compact:
+            from solana_data_etl_pipeline_spark.sinks.compaction import compact_parquet
+
+            s = compact_parquet(
+                spark,
+                f"{out}/doc_features",
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                sort_by=["predicted_lang"],
+            )
+            print(f"doc_features: compacted {s['before_files']} -> {s['after_files']} files")
+        if args.zorder:
+            from solana_data_etl_pipeline_spark.sinks.zorder import zorder_rewrite
+
+            s = zorder_rewrite(
+                spark,
+                f"{out}/documents_dedup",
+                ["predicted_lang", "n_tokens"],
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+            )
+            print(
+                f"documents_dedup: z-ordered on (predicted_lang, n_tokens), "
+                f"{s['before_files']} -> {s['after_files']} files"
+            )
         return 0
 
     return 2

@@ -36,6 +36,15 @@ def _bucketize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     return F.greatest(F.lit(0), F.least(scaled, F.lit((1 << bits) - 1))).cast("long")
 
 
+def _bucketize_str(col: Column, bits: int) -> Column:
+    """Hash a string column to a bucket in [0, 2^bits). Hashing has no
+    ordering, but min/max file stats on the ORIGINAL string column
+    still become selective: equal values share a bucket, so each
+    output file holds few distinct strings -- which is exactly what
+    equality-filter data skipping needs on a categorical column."""
+    return F.pmod(F.hash(col), F.lit(1 << bits)).cast("long")
+
+
 def zvalue(buckets: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Morton key: interleave the low `bits` bits of each bucket column
     (dimension d contributes bit i at output position i*ndims + d).
@@ -70,18 +79,27 @@ def write_zordered(
     """Cluster `df` on the Morton key of `cols` and write parquet:
     global min/max per column (ONE bounded stats aggregation), bucket +
     interleave, range-partition into `n_files` z-runs, sort within each
-    so parquet row-group stats are tight, drop the key, write."""
+    so parquet row-group stats are tight, drop the key, write.
+
+    String columns are hash-bucketed (no range semantics, but equal
+    values cluster into the same files, which is what equality-filter
+    stats pruning consumes); numeric columns are min/max range-scaled."""
+    str_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "string"}
+    num_cols = [c for c in cols if c not in str_cols]
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in num_cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in num_cols],
+        F.count(F.lit(1)).alias("_n"),
     ).collect()[0]
-    if any(stats[f"_lo_{c}"] is None for c in cols):
+    if stats["_n"] == 0 or any(stats[f"_lo_{c}"] is None for c in num_cols):
         # empty input (or an all-null cluster column): nothing to
         # cluster, write as-is rather than crash on float(None)
         df.write.mode("overwrite").parquet(path)
         return
     buckets = [
-        _bucketize(
+        _bucketize_str(F.col(c), bits)
+        if c in str_cols
+        else _bucketize(
             F.col(c), F.lit(float(stats[f"_lo_{c}"])), F.lit(float(stats[f"_hi_{c}"])), bits
         )
         for c in cols
@@ -94,3 +112,47 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_rewrite(
+    spark,
+    path: str,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite an existing parquet directory Z-ordered on `cols`, with
+    the output file count sized from the directory's current bytes
+    (folding compaction into the clustering rewrite -- one shuffle
+    does both jobs; a round-robin compaction AFTER z-ordering would
+    destroy the clustering it just paid for). Atomic-by-rename like
+    sinks/compaction.py: write to a sibling temp dir, swap, so a crash
+    mid-rewrite never loses the original. Returns a summary dict."""
+    import os
+    import shutil
+    import uuid
+
+    from solana_data_etl_pipeline_spark.sinks.compaction import _dir_bytes, plan_target_files
+
+    before_bytes = _dir_bytes(path)
+    before_files = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    n = plan_target_files(before_bytes, target_file_bytes)
+    tmp = f"{path.rstrip('/')}._zorder_{uuid.uuid4().hex[:8]}"
+    write_zordered(spark.read.parquet(path), tmp, cols, bits=bits, n_files=n)
+    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after_files = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    return {
+        "before_files": before_files,
+        "after_files": after_files,
+        "before_bytes": before_bytes,
+        "after_bytes": _dir_bytes(path),
+        "target_files": n,
+        "zorder_cols": list(cols),
+    }

@@ -1,6 +1,8 @@
 """CLI surface (reference src/main.rs parity): every subcommand runs
 end-to-end against the offline fixture chain and a tmp warehouse."""
 
+from pyspark.sql import functions as F
+
 from solana_data_etl_pipeline_spark.cli import main
 
 
@@ -75,3 +77,60 @@ def test_cli_corpus_pipeline(spark, tmp_path, capsys):
     assert deduped.select("doc_id").distinct().count() == deduped.count()
     out = capsys.readouterr().out
     assert "documents_dedup: written" in out
+
+
+def test_cli_corpus_zorder_compact_layout(spark, tmp_path, capsys):
+    """Selection -> compaction -> z-order end-to-end: the production
+    layout story as one CLI invocation, with the layout properties
+    asserted on the written files."""
+    import glob
+
+    from solana_data_etl_pipeline_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    rc = main(
+        [
+            "--warehouse-path",
+            wh,
+            "corpus",
+            "--documents",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--zorder",
+            "--compact",
+            "--target-file-mb",
+            "1",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "z-ordered" in out
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = spark.read.parquet(f"{wh}/corpus/doc_features")
+    assert feats.count() == docs.count()
+
+    dedup_dir = f"{wh}/corpus/documents_dedup"
+    deduped = spark.read.parquet(dedup_dir)
+    # z-order enrichment carried the clustering columns onto the corpus
+    assert {"predicted_lang", "n_tokens"} <= set(deduped.columns)
+    assert 0 < deduped.count() <= docs.count()
+    assert deduped.select("doc_id").distinct().count() == deduped.count()
+    # no temp/old dirs left behind by the atomic rewrites
+    assert not glob.glob(f"{dedup_dir}._*") and not glob.glob(f"{wh}/corpus/doc_features._*")
+    # layout property: with >1 file, per-file n_tokens min/max spans
+    # must be tighter than the global span (the point of clustering)
+    files = sorted(glob.glob(f"{dedup_dir}/*.parquet"))
+    if len(files) > 1:
+        import pyarrow.parquet as pq
+
+        glo = deduped.agg(
+            F.min("n_tokens").alias("lo"), F.max("n_tokens").alias("hi")
+        ).first()
+        spans = []
+        for f in files:
+            t = pq.read_table(f, columns=["n_tokens"])
+            col = t.column("n_tokens").to_pylist()
+            if col:
+                spans.append(max(col) - min(col))
+        assert max(spans) <= (glo["hi"] - glo["lo"])
+        assert min(spans) < (glo["hi"] - glo["lo"])
