@@ -505,7 +505,71 @@ def word_ngrams_pos(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     )
 
 
-def span_dup_stats(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def _bloom_bitmap(grams_df: DataFrame, col: str, m_bits: int, k: int) -> list[int]:
+    """Dense Bloom bitmap (list of m_bits/64 longs) over a string
+    column, built with pure DataFrame ops: k seeded xxhash64 positions
+    per value, one (word-index -> bit_or) aggregation with map-side
+    partial combine (shuffle <= m_bits/64 rows per partition), one
+    BOUNDED driver collect (<= m_bits/64 rows regardless of input
+    size). No UDFs, no per-row Python."""
+    positions = grams_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(m_bits)).alias(f"_p{j}")
+                    for j in range(k)
+                ]
+            )
+        ).alias("_p")
+    )
+    rows = (
+        positions.groupBy((F.col("_p") / 64).cast("long").alias("_w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pmod(_p, 64) as int))")).alias("_bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in rows:
+        bitmap[r["_w"]] = r["_bits"]
+    return bitmap
+
+
+def bloom_prefilter(
+    df: DataFrame, probe_col: str, bitmap: list[int], m_bits: int, k: int
+) -> DataFrame:
+    """Keep only rows whose probe_col MIGHT be in the Bloom bitmap:
+    broadcast the bitmap as a one-row array<long> frame (a crossJoin
+    with a broadcast single row is a map-side operation -- no shuffle
+    of `df`), bind the k hash positions as columns, test the k bits,
+    drop the scaffolding. False positives pass, false negatives are
+    impossible -- callers use this to shrink a join's probe side, and
+    the join itself restores exactness."""
+    import functools
+
+    spark = df.sparkSession
+    bm_df = spark.createDataFrame([(bitmap,)], "_bm array<long>")
+    out = df.crossJoin(F.broadcast(bm_df))
+    for j in range(k):
+        out = out.withColumn(
+            f"_bp{j}", F.pmod(F.xxhash64(F.col(probe_col), F.lit(j)), F.lit(m_bits))
+        )
+    terms = [
+        F.element_at(
+            F.col("_bm"), ((F.col(f"_bp{j}") / 64).cast("long") + 1).cast("int")
+        ).bitwiseAND(F.expr(f"shiftleft(1L, cast(pmod(_bp{j}, 64) as int))"))
+        != 0
+        for j in range(k)
+    ]
+    keep = functools.reduce(lambda a, b: a & b, terms)
+    return out.filter(keep).drop("_bm", *[f"_bp{j}" for j in range(k)])
+
+
+def span_dup_stats(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    bloom_bits: int = 0,
+    bloom_hashes: int = 4,
+) -> DataFrame:
     """Duplicated-span signal (the word-gram approximation of
     substring-level dedup, Lee et al. 2022 'Deduplicating Training
     Data Makes Language Models Better'): per document, how many token
@@ -519,15 +583,35 @@ def span_dup_stats(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     intervals into least(n, pos - prev_pos) contributions.
 
     Scale shape: gram generation is per-row (zero shuffle); the gram
-    frequency count and the gram->doc join shuffle on the gram key
-    (the honest cost of corpus-wide span matching -- suffix automata /
-    Bloom pre-filters are the constant-factor refinements, the
-    asymptotic shape is this one); the interval-union window and final
-    agg share one doc_id exchange. Everything is linear in corpus
-    tokens."""
+    frequency count shuffles NARROW rows with map-side partial combine;
+    the gram->doc join's probe side (every gram occurrence WITH its
+    position) can be thinned by a Bloom filter built over the
+    duplicated grams (bloom_bits > 0 enables; result is bit-identical
+    either way -- false positives are erased by the equi-join, false
+    negatives are impossible). The duplicated-gram set is persisted
+    when the filter is on because it feeds both the bitmap build and
+    the join build side. The interval-union window and final agg share
+    one doc_id exchange. Everything is linear in corpus tokens.
+
+    MEASURED (sf0.1, 1<<20 bits, 4 hashes): at the long-span configs
+    real substring dedup uses (n>=8), the filter eliminates 90.9% of
+    probe rows (235k -> 21.5k at n=8), but its fixed cost (one extra
+    pass over the persisted gram agg + a bounded collect + broadcast,
+    ~0.9 s locally) exceeds what a local[32] shuffle of 235k tiny rows
+    costs -- bloom-on 2.31 s vs bloom-off 1.38 s. Default OFF for
+    local/bench scale; enable on clusters where the probe shuffle is
+    GB+ per executor (the 90% byte reduction then dwarfs the fixed
+    cost). At n=3 on this synthetic corpus the filter cannot help at
+    any scale: 99.9% of 3-gram occurrences are duplicated (tiny
+    generator vocabulary), so there is nothing to eliminate."""
     g = word_ngrams_pos(df, n, text_col)
     dup_grams = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= 2)
-    d = g.join(dup_grams.select("gram"), "gram")
+    probe = g
+    if bloom_bits:
+        dup_grams = dup_grams.persist()
+        bitmap = _bloom_bitmap(dup_grams, "gram", bloom_bits, bloom_hashes)
+        probe = bloom_prefilter(g, "gram", bitmap, bloom_bits, bloom_hashes)
+    d = probe.join(dup_grams.select("gram"), "gram")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     contrib = F.when(prev.isNull(), F.lit(n)).otherwise(

@@ -246,6 +246,34 @@ def test_span_dup_stats_interval_union(spark):
     assert got[3].dup_span_frac == 0.0
 
 
+def test_span_dup_stats_bloom_result_identity(spark):
+    """The Bloom prefilter must be invisible in the result: false
+    positives are erased by the equi-join, false negatives are
+    impossible. Pinned on real corpus data, bloom on vs off, and at a
+    deliberately TINY bitmap (high FP rate) to stress the FP path."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    off = sorted(map(tuple, X.span_dup_stats(docs, bloom_bits=0).collect()))
+    on = sorted(map(tuple, X.span_dup_stats(docs, bloom_bits=1 << 20).collect()))
+    tiny = sorted(map(tuple, X.span_dup_stats(docs, bloom_bits=1 << 8).collect()))
+    assert on == off
+    assert tiny == off
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from solana_data_etl_pipeline_spark.operators.text import _bloom_bitmap, bloom_prefilter
+
+    members = spark.createDataFrame([(f"gram {i}",) for i in range(200)], "gram string")
+    bitmap = _bloom_bitmap(members, "gram", 1 << 14, 4)
+    probe = spark.createDataFrame(
+        [(f"gram {i}",) for i in range(400)], "gram string"  # 200 members + 200 not
+    )
+    kept = {r.gram for r in bloom_prefilter(probe, "gram", bitmap, 1 << 14, 4).collect()}
+    # every member survives (no false negatives)
+    assert {f"gram {i}" for i in range(200)} <= kept
+    # the filter actually filters: most non-members are dropped
+    assert len(kept) < 400
+
+
 def test_unigram_logprob_prefers_typical_text(spark):
     import math
 
