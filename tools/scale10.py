@@ -1,0 +1,125 @@
+"""Two-point scaling curve: generate a 10x replica of the sf0.1
+documents/embeddings tables and time the heavy-hitter queries at both
+scales, so the linearity claims in SCALE.md get a data point beyond
+the fixed-cost-dominated sf0.01 -> sf0.1 check.
+
+Replication protocol (deterministic, content-disjoint):
+- documents: 10 replicas; replica 0 is the original; replica i>0 gets
+  fresh doc_ids (doc_id + i*stride) and every TOKEN suffixed "_ri",
+  so replicas share no word n-grams -- no cross-replica near-dup or
+  shared-gram pairs. The pair/cluster structure of the original corpus
+  is therefore replicated exactly 10x: workload density per row is
+  unchanged and "10x data" means 10x, not a denser different dataset.
+- embeddings: fresh vec_ids, vectors kept as-is (labels too, so IVF
+  cells grow 10x in mass at the same cell count). Identical copies
+  across replicas are fine for the queries timed here -- none of them
+  compares embeddings across replicas at a similarity threshold.
+
+Usage: python tools/scale10.py [--skip-gen]
+Writes the replica under .scale10/ (gitignored) and prints a
+per-query table sf0.1 vs 10x with the time ratio.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale10")
+REPLICAS = 10
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: the expensive registered plans worth a second scale point
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "span_dup_stats",
+    "benchmark_contamination",
+    "knn_ivf_materialized",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    d_stride = docs.agg(F.max("doc_id")).first()[0] + 1
+    v_stride = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("_rep"))
+    tagged_text = F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_r"), F.col("_rep").cast("string")),
+            ),
+            " ",
+        )
+    )
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("_rep").cast("long") * d_stride).alias("doc_id"),
+            tagged_text.alias("text"),
+            "lang",
+            "source",
+            F.length(tagged_text).alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/documents.parquet")
+    )
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("_rep").cast("long") * v_stride).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/embeddings.parquet")
+    )
+
+
+def main() -> None:
+    import statistics
+
+    from solana_data_etl_pipeline_spark.plans.suite import all_queries
+    from solana_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--skip-gen" not in sys.argv:
+        t0 = time.perf_counter()
+        generate(spark)
+        print(f"# generated {OUT} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    qs = all_queries()
+    # warm-up
+    spark.read.parquet(f"{OUT}/documents.parquet").count()
+    qs["dedup_exact"](spark, BASE).write.format("noop").mode("overwrite").save()
+
+    print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
+    for name in HEAVY:
+        row = {}
+        for tag, d in (("base", BASE), ("x10", OUT)):
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                qs[name](spark, d).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            row[tag] = statistics.median(samples)
+        print(
+            f"{name:28s} {row['base']:8.2f} {row['x10']:8.2f} {row['x10'] / row['base']:6.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
