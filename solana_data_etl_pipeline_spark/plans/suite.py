@@ -721,6 +721,14 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # tests/test_oracle_parity.py like every all_queries() member
     "span_dup_stats": _docs(lambda df: X.span_dup_stats(df, n=3)),
     "unigram_logprob": _docs(X.unigram_logprob),
+    # window=16/stride=8 because the synthetic docs average ~50 tokens
+    # (production RAG chunking runs 256/192 -- same plan, bigger slices)
+    "chunk_documents": _docs(lambda df: X.chunk_documents(df, window=16, stride=8)),
+    "quantile_gate_chars": _docs(
+        lambda df: X.quantile_gate(df, "n_chars").select(
+            "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+        )
+    ),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -906,6 +914,48 @@ SELECT doc_id,
        round(avg(ln(cnt / total)), 4) AS avg_token_logprob
 FROM t JOIN c USING (token), n
 GROUP BY doc_id
+"""
+
+# Sliding-window chunking: chunk_id is derivable from the start
+# (starts form an arithmetic series), so the oracle needs no
+# WITH ORDINALITY (unsupported in this DuckDB build).
+TEXT_SQL["chunk_documents"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+s AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(1, greatest(least(len(tk) - 8, len(tk)), 1), 8)) AS s1
+  FROM t WHERE len(tk) >= 1
+)
+SELECT doc_id,
+       CAST((s1 - 1) / 8 AS BIGINT) AS chunk_id,
+       CAST(s1 - 1 AS BIGINT) AS start_token,
+       CAST(least(16, n - (s1 - 1)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(tk[s1 : s1 + 15], ' ') AS chunk_text
+FROM s
+"""
+
+# Exact-quantile gate over a fixed-precision histogram: both engines
+# compute identical thresholds because the quantile definition
+# (smallest rounded bucket whose cumulative fraction reaches q) is
+# closed-form over the same histogram.
+TEXT_SQL["quantile_gate_chars"] = """
+WITH h AS (
+  SELECT round(CAST(n_chars AS DOUBLE), 4) AS v, count(*) AS c
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS total FROM h
+),
+b AS (
+  SELECT min(CASE WHEN cum / total >= 0.05 THEN v END) AS lo,
+         min(CASE WHEN cum / total >= 0.95 THEN v END) AS hi
+  FROM cum
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents, b
+WHERE round(CAST(n_chars AS DOUBLE), 4) BETWEEN lo AND hi
 """
 
 # The Spark side computes max-run-in-sorted-array per row (zero

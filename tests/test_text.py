@@ -246,6 +246,54 @@ def test_span_dup_stats_interval_union(spark):
     assert got[3].dup_span_frac == 0.0
 
 
+def test_chunk_documents_sliding_window(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 tokens
+            (2, "x y"),                   # shorter than the window
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, X.chunk_documents(df, window=4, stride=3).collect())
+    )
+    # doc 1: starts 0,3,6 (last start = n - window = 6; start 9 would
+    # leave a 1-token tail but 9 > 10-4, series stops at 7->6)
+    assert [(r[1], r[2], r[3], r[4]) for r in got if r[0] == 1] == [
+        (0, 0, 4, "a b c d"),
+        (1, 3, 4, "d e f g"),
+        (2, 6, 4, "g h i j"),
+    ]
+    # doc 2: one short chunk, full doc
+    assert [(r[1], r[2], r[3], r[4]) for r in got if r[0] == 2] == [(0, 0, 2, "x y")]
+    # coverage invariant on real data: with stride < window every token
+    # index of every doc falls inside at least one chunk
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F2
+
+    ch = X.chunk_documents(docs, window=16, stride=8)
+    cover = ch.groupBy("doc_id").agg(
+        F2.max(F2.col("start_token") + F2.col("n_chunk_tokens")).alias("covered")
+    )
+    ntok = docs.select(
+        "doc_id", F2.size(F2.split(F2.trim(F2.lower("text")), r"\s+")).alias("n")
+    )
+    bad = cover.join(ntok, "doc_id").filter(F2.col("covered") != F2.col("n")).count()
+    assert bad == 0
+
+
+def test_quantile_gate_histogram_thresholds(spark):
+    # 100 rows with value = row index: p05/p95 thresholds land at 5
+    # and 95 (smallest bucket whose cumulative fraction reaches q),
+    # keeping 5..95 inclusive = 91 rows
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], "doc_id long, v double")
+    kept = X.quantile_gate(df, "v").collect()
+    vals = sorted(r.v for r in kept)
+    assert vals[0] == 5.0 and vals[-1] == 95.0 and len(vals) == 91
+    # gate keeps original columns untouched
+    assert set(kept[0].asDict()) == {"doc_id", "v"}
+
+
 def test_span_dup_stats_bloom_result_identity(spark):
     """The Bloom prefilter must be invisible in the result: false
     positives are erased by the equi-join, false negatives are
