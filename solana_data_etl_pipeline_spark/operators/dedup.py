@@ -255,6 +255,112 @@ def minhash_lsh_pairs(
     return verified
 
 
+def materialize_minhash(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> None:
+    """Write the corpus near-dup index: `{path}/bands` = (doc_id, band,
+    band_sig) LSH band rows, `{path}/shingles` = (doc_id, sh) shingle
+    sets for exact verification. Both are pure projections of the
+    corpus (zero shuffles), written once at ingest/compaction cadence;
+    delta batches then dedup against the INDEX without ever rescanning
+    corpus text. The dedup twin of the materialized IVF layout
+    (similarity.py materialize_ivf)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, num_hashes)
+    _band_rows(sigs, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
+    _shingle_sets(df, text_col).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def delta_dedup_materialized(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental near-dup dedup: the doc_ids of `delta` that survive
+    against an already-materialized corpus index -- the continuous-
+    ingest path, where re-pairing the whole corpus per batch
+    (O(corpus) per batch, O(corpus^2) cumulative) is replaced by
+    probing the index (O(delta) band rows joined against it).
+
+    Drop rule, deterministic and set-based: a delta doc is dropped iff
+    it verifies (exact Jaccard >= threshold) against ANY corpus doc it
+    shares an LSH band bucket with, or against a SMALLER-ID delta doc
+    (min-id-wins within the batch -- the batch twin of
+    keep_representatives' min-label rule, without the iterative
+    closure a single batch doesn't need).
+
+    Scale shape: delta band rows and shingles are zero-shuffle
+    projections; both candidate joins BROADCAST the delta side, so the
+    corpus index is scanned once and never shuffled; exact verify
+    touches only candidate pairs. The index verify join reads
+    `{path}/shingles` instead of corpus text -- the index is
+    self-contained."""
+    rows = num_hashes // bands
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    idx_sh = spark.read.parquet(f"{index_path}/shingles")
+    d_sigs = minhash_signatures(delta, text_col, num_hashes)
+    d_bands = _band_rows(d_sigs, bands, rows)
+    d_sh = _shingle_sets(delta, text_col)
+
+    jac = lambda a, b: (  # noqa: E731 - bound twice below
+        F.size(F.array_intersect(a, b))
+        / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    )
+
+    # corpus hits: delta doc collides with an index doc and verifies
+    cand_c = (
+        idx_bands.alias("c")
+        .join(
+            F.broadcast(d_bands.alias("d")),
+            (F.col("c.band") == F.col("d.band")) & (F.col("c.band_sig") == F.col("d.band_sig")),
+        )
+        .select(F.col("d.doc_id").alias("delta_id"), F.col("c.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    dropped_c = (
+        cand_c.join(idx_sh.alias("cs"), cand_c.corpus_id == F.col("cs.doc_id"))
+        .join(F.broadcast(d_sh.alias("ds")), cand_c.delta_id == F.col("ds.doc_id"))
+        .filter(jac(F.col("ds.sh"), F.col("cs.sh")) >= threshold)
+        .select(F.col("delta_id").alias("doc_id"))
+        .distinct()
+    )
+    # batch-internal hits: min-id-wins over verified delta-delta pairs
+    # (every frame here derives from the SMALL delta batch -- broadcast
+    # hints keep all of them off the shuffle path)
+    l, r = d_bands.alias("l"), d_bands.alias("r")
+    cand_d = (
+        l.join(
+            F.broadcast(r),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = d_sh.alias("sa"), d_sh.alias("sb")
+    dropped_d = (
+        cand_d.join(F.broadcast(sa), cand_d.doc_a == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), cand_d.doc_b == F.col("sb.doc_id"))
+        .filter(jac(F.col("sa.sh"), F.col("sb.sh")) >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # the dropped set is bounded by the delta batch -- broadcasting it
+    # leaves the delta scan entirely shuffle-free end to end
+    return delta.select("doc_id").join(
+        F.broadcast(dropped_c.unionByName(dropped_d)), "doc_id", "left_anti"
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity self-join (non-probabilistic
     baseline for minhash_lsh_pairs): candidates = pairs sharing at

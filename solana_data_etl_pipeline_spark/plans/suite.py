@@ -1141,6 +1141,23 @@ DIMENSION_SQL["merge_dim_wallets"] = DIMENSION_SQL["dim_wallets"]
 # cheap dedup_exact pass. The oracle SQL applies the identical cap.
 DEDUP_MAX_BUCKET = 50
 
+
+def _delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup under the driver's hard signal:
+    materialize the corpus (doc_id % 10 != 7) LSH index, probe it with
+    the delta batch (doc_id % 10 == 7). Deterministic split, so the
+    oracle recomputes the same pairs set-based."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 == 7
+    path = tempfile.mkdtemp(prefix="minhash_index_")
+    D.materialize_minhash(docs.filter(~is_delta), path)
+    return D.delta_dedup_materialized(
+        spark, path, docs.filter(is_delta), threshold=0.2
+    ).orderBy("doc_id")
+
+
 DEDUP_QUERIES: dict[str, QueryFn] = {
     "dedup_exact": _docs(D.exact_duplicates),
     "dedup_minhash_lsh": _docs(
@@ -1158,6 +1175,11 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             max_bucket=DEDUP_MAX_BUCKET,
         )
     ),
+    # incremental ingest path: corpus (doc_id % 10 != 7) is materialized
+    # as an LSH index once, the delta batch (doc_id % 10 == 7) probes it
+    # plus itself; uncapped buckets so the oracle reproduces candidates
+    # exactly (the cap is exercised under oracle by dedup_minhash_lsh)
+    "delta_dedup": _delta_dedup,
     "dedup_clusters": _docs(
         lambda df: D.connected_components(
             D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
@@ -1313,6 +1335,42 @@ cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
 UNION ALL
 SELECT DISTINCT cluster_id AS doc_id FROM cl
+"""
+
+# Incremental dedup: same minhash/band pipeline, candidates restricted
+# to pairs involving the delta split, drop rules = corpus hit OR
+# smaller-id delta hit (min-id-wins within the batch).
+DEDUP_SQL["delta_dedup"] = f"""
+WITH {SHINGLES_SQL},
+{_minhash_sigs_sql()},
+bands AS (
+  SELECT doc_id, b AS band, md5(array_to_string(mh[b*{D.MINHASH_ROWS}+1 : b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], ',')) AS band_sig
+  FROM sigs, UNNEST(range(0, {D.MINHASH_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+  WHERE l.doc_id % 10 = 7 OR r.doc_id % 10 = 7
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+    FROM cand
+    JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+  ) WHERE jac >= 0.2
+),
+dropped AS (
+  SELECT doc_a AS doc_id FROM pairs WHERE doc_a % 10 = 7 AND doc_b % 10 <> 7
+  UNION
+  SELECT doc_b FROM pairs WHERE doc_b % 10 = 7 AND doc_a % 10 <> 7
+  UNION
+  SELECT doc_b FROM pairs WHERE doc_a % 10 = 7 AND doc_b % 10 = 7
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 

@@ -253,3 +253,45 @@ def test_keep_representatives_partitions_corpus(spark):
     # empty pair set: corpus passes through whole
     empty = pairs.filter("doc_a < 0")
     assert sorted(r.doc_id for r in keep_representatives(docs, empty).collect()) == list(range(10))
+
+
+def test_delta_dedup_materialized_incremental_path(spark, tmp_path):
+    """Continuous-ingest dedup: a delta batch probed against the
+    materialized corpus LSH index. Corpus near-dups are dropped,
+    batch-internal near-dups resolve min-id-wins, fresh docs pass."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_dedup_materialized,
+        materialize_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    other = "completely different material about spark partitions and shuffle joins"
+    third = "yet another unrelated sentence mentioning parquet files and row groups"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    materialize_minhash(corpus, path)
+
+    delta = spark.createDataFrame(
+        [
+            (10, base),              # near-dup of corpus doc 1 -> dropped
+            (11, third),             # fresh -> kept
+            (12, third + " x"),      # near-dup of delta doc 11 -> dropped (min-id-wins)
+            (13, "short new text completely unlike anything else written before now"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in delta_dedup_materialized(spark, path, delta, threshold=0.2).collect()
+    )
+    assert kept == [11, 13]
+
+    # replay invariance: the same batch against the same index gives
+    # the same answer (the index was not mutated by probing)
+    again = sorted(
+        r.doc_id
+        for r in delta_dedup_materialized(spark, path, delta, threshold=0.2).collect()
+    )
+    assert again == kept
