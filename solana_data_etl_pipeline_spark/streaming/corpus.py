@@ -67,9 +67,12 @@ def run_document_stream(
     quarantine_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    near_dup_index: str | None = None,
+    near_dup_threshold: float = 0.5,
 ):
     """Landing zone -> quarantine split -> gates + features -> exact
-    dedup -> language-partitioned corpus parquet.
+    dedup -> (optional) NEAR-dup dedup -> language-partitioned corpus
+    parquet.
 
     Exactly-once effect: the stream checkpoint prevents re-reading
     drained files, and the cross-batch fingerprint anti-join makes
@@ -80,7 +83,20 @@ def run_document_stream(
     anti-join pattern on the deterministic sha256 error_id, so a batch
     replayed after a mid-batch crash does not duplicate error rows
     either.
-    """
+
+    With `near_dup_index`, each batch is ALSO near-dup-deduplicated
+    (MinHash-LSH + exact Jaccard verify) against the corpus ingested
+    so far, via the materialized index operators
+    (operators/dedup.py materialize_minhash /
+    delta_dedup_materialized): the batch probes the index -- O(batch)
+    work, the corpus is never rescanned -- and after the corpus write
+    the index is caught up to corpus \\ index (doc_id anti-join). That
+    catch-up form makes index maintenance SELF-HEALING: a crash
+    between the corpus write and the index append leaves the index
+    behind the corpus, and the next batch's catch-up repairs it;
+    replays add nothing because the fingerprint anti-join empties the
+    batch first. Near-dup runs after exact dedup, so only novel
+    content pays signature cost."""
     from solana_data_etl_pipeline_spark.sinks.quarantine import (
         CORRUPT_COL,
         split_corrupt,
@@ -96,6 +112,47 @@ def run_document_stream(
         .json(input_dir)
     )
 
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+
+    def _near_dup_keep_ids(kept):
+        """doc_ids of `kept` that survive near-dup dedup against the
+        index (plus min-id-wins within the batch). Falls back to
+        batch-internal-only before the index exists."""
+        try:
+            return D.delta_dedup_materialized(
+                spark, near_dup_index, kept, threshold=near_dup_threshold
+            )
+        except AnalysisException:
+            pairs = D.minhash_lsh_pairs(kept, threshold=near_dup_threshold)
+            dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            return kept.select("doc_id").join(F.broadcast(dropped), "doc_id", "left_anti")
+
+    def _catch_up_index():
+        """Append band rows + shingles for corpus docs the index does
+        not know yet (doc_id anti-join): batch-sized in steady state,
+        and it REPAIRS the index after a crash that committed the
+        corpus but not the index. Each index table catches itself up
+        against its OWN doc_ids -- tying both appends to one shared
+        plan would let the first append change what the second one's
+        anti-join reads (lazy re-evaluation), desynchronizing the
+        tables exactly when a partition re-executes."""
+        corpus_now = spark.read.parquet(output_dir).select("doc_id", "text")
+        builders = {
+            "bands": lambda d: D._band_rows(D.minhash_signatures(d)),
+            "shingles": lambda d: D._shingle_sets(d),
+        }
+        for sub, build in builders.items():
+            try:
+                have = (
+                    spark.read.parquet(f"{near_dup_index}/{sub}")
+                    .select("doc_id")
+                    .distinct()
+                )
+                todo = corpus_now.join(have, "doc_id", "left_anti")
+            except AnalysisException:
+                todo = corpus_now
+            build(todo).write.mode("append").parquet(f"{near_dup_index}/{sub}")
+
     def _sink(batch_df, batch_id):
         batch_df.persist()
         try:
@@ -107,6 +164,10 @@ def run_document_stream(
                 kept = kept.join(seen, "fingerprint", "left_anti")
             except AnalysisException:
                 pass  # first batch: corpus does not exist yet
+            if near_dup_index:
+                kept = kept.join(
+                    F.broadcast(_near_dup_keep_ids(kept)), "doc_id", "left_semi"
+                )
             kept.select(
                 "doc_id",
                 "text",
@@ -131,6 +192,10 @@ def run_document_stream(
                 pass  # first batch: quarantine does not exist yet
             if quarantine.limit(1).count():
                 quarantine.write.mode("append").parquet(quarantine_dir)
+            if near_dup_index:
+                # AFTER the corpus write, so the dedup above never sees
+                # this batch's own docs in the index
+                _catch_up_index()
         finally:
             batch_df.unpersist()
 

@@ -265,3 +265,67 @@ def test_document_stream_gates_dedups_and_quarantines(spark, tmp_path):
     run_document_stream(spark, land, out, quar, str(tmp_path / "doc_ckpt2"))
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 5}
     assert len(spark.read.parquet(quar).collect()) == len(q2)
+
+
+def test_document_stream_near_dup_index(spark, tmp_path):
+    """Streaming NEAR-dup dedup: each batch probes the maintained
+    minhash index; the index catches up to the corpus after every
+    batch (self-healing form); replays stay no-ops."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    idx = str(tmp_path / "nd_idx")
+    os.makedirs(land, exist_ok=True)
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today ok"
+    text_b = "completely different material about spark partitions and shuffle joins here"
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, text_a) + "\n")
+        f.write(_doc(2, text_b) + "\n")
+
+    run_document_stream(spark, land, out, quar, ckpt, near_dup_index=idx)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    # index caught up to the corpus
+    assert {r.doc_id for r in spark.read.parquet(f"{idx}/bands").collect()} == {1, 2}
+
+    # batch 2: a NEAR-dup of doc 1 (not an exact dup -- new fingerprint),
+    # plus genuinely new content
+    text_c = "yet another unrelated sentence mentioning parquet files and row groups now"
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(10, text_a + " extra") + "\n")   # near-dup of doc 1 -> dropped
+        f.write(_doc(11, text_c) + "\n")              # fresh -> kept
+
+    run_document_stream(spark, land, out, quar, ckpt, near_dup_index=idx)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    assert {r.doc_id for r in spark.read.parquet(f"{idx}/bands").collect()} == {1, 2, 11}
+    # shingle side of the index stays in lockstep
+    assert {r.doc_id for r in spark.read.parquet(f"{idx}/shingles").collect()} == {1, 2, 11}
+
+    # lost-checkpoint replay: corpus AND index unchanged
+    run_document_stream(spark, land, out, quar, str(tmp_path / "ckpt2"), near_dup_index=idx)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11}
+    assert spark.read.parquet(f"{idx}/bands").select("doc_id").distinct().count() == 3
+
+    # self-heal: wipe the index (models a crash that committed the
+    # corpus but lost index appends); the next NORMAL batch (original
+    # checkpoint, only the new file processes) rebuilds the index from
+    # the whole corpus via the catch-up anti-join
+    import shutil
+
+    shutil.rmtree(idx)
+    with open(os.path.join(land, "c.jsonl"), "w") as f:
+        f.write(_doc(20, "fresh follow-up batch content with entirely novel wording throughout every single line") + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, near_dup_index=idx)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11, 20}
+    assert {r.doc_id for r in spark.read.parquet(f"{idx}/bands").collect()} == {1, 2, 11, 20}
+    assert {r.doc_id for r in spark.read.parquet(f"{idx}/shingles").collect()} == {1, 2, 11, 20}
