@@ -285,3 +285,43 @@ def test_span_dup_stats_matches_interval_union_model(spark, docs):
         assert r.n_tokens == len(w)
         assert r.dup_span_tokens == len(covered), (i, w)
         assert r.dup_span_frac == round(len(covered) / max(len(w), 1), 4)
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=8),
+    window=st.integers(min_value=2, max_value=12),
+    stride_frac=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_invariants(spark, n_tokens, window, stride_frac):
+    """For any (window, stride<=window): every token of every doc lies
+    in >=1 chunk, chunk_ids are dense from 0, starts form the stride
+    series, and rejoining chunk 0..k reconstructs a prefix of the doc."""
+    from solana_data_etl_pipeline_spark.operators.text import chunk_documents
+
+    stride = max(1, min(window, stride_frac))
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=window, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_tokens):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        # dense 0-based chunk ids, stride-spaced starts
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.start_token == c.chunk_id * stride for c in chunks)
+        # full coverage: union of [start, start+len) == [0, n)
+        covered = set()
+        for c in chunks:
+            assert c.n_chunk_tokens == len(c.chunk_text.split(" "))
+            assert c.n_chunk_tokens <= window
+            covered |= set(range(c.start_token, c.start_token + c.n_chunk_tokens))
+        assert covered == set(range(n)), (i, n, window, stride)
+        # chunk text is the doc's token slice
+        toks = rows[i][1].split(" ")
+        for c in chunks:
+            assert c.chunk_text.split(" ") == toks[c.start_token : c.start_token + c.n_chunk_tokens]
