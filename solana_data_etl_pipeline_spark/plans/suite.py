@@ -1597,7 +1597,10 @@ def all_oracle_sql() -> dict[str, str]:
 #     aggregation -- the streaming-native form);
 #   - eleven relational queries whose operator shapes are covered by
 #     the kept ten (e.g. sales_rollup vs order_cube, big_spenders /
-#     repeat_buyers / segment_order_stats vs the kept agg+join set).
+#     repeat_buyers / segment_order_stats vs the kept agg+join set);
+#   - round-5 newcomers chunk_documents / quantile_gate_chars /
+#     delta_dedup: added after this round's 50 were frozen; oracle-swept
+#     now, first-in-line for the round-6 rotation.
 DRIVER_ORDER = [
     # --- round-5 newcomers, never driver-verified (the last three
     #     oracle-able registry entries with no driver row in any round) ---
