@@ -21,7 +21,7 @@ Hash: h(s) = first 60 bits of md5(s), as a signed long (always >= 0).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_HASHES = 16
@@ -261,17 +261,34 @@ def materialize_minhash(
     text_col: str = "text",
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
+    max_bucket: int | None = None,
 ) -> None:
     """Write the corpus near-dup index: `{path}/bands` = (doc_id, band,
     band_sig) LSH band rows, `{path}/shingles` = (doc_id, sh) shingle
     sets for exact verification. Both are pure projections of the
-    corpus (zero shuffles), written once at ingest/compaction cadence;
-    delta batches then dedup against the INDEX without ever rescanning
-    corpus text. The dedup twin of the materialized IVF layout
-    (similarity.py materialize_ivf)."""
+    corpus (zero shuffles when uncapped), written once at
+    ingest/compaction cadence; delta batches then dedup against the
+    INDEX without ever rescanning corpus text. The dedup twin of the
+    materialized IVF layout (similarity.py materialize_ivf).
+
+    `max_bucket` caps degenerate band buckets AT BUILD TIME (one count
+    window, amortized over every future probe): without it, a single
+    pathological bucket -- e.g. the empty-document signature -- joins
+    against every matching delta doc on every batch, forever. Same
+    recall trade as minhash_lsh_pairs' cap: exact duplicates lost to a
+    capped bucket are caught by the exact-fingerprint dedup stage that
+    runs before near-dup in every pipeline here."""
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes)
-    _band_rows(sigs, bands, rows).write.mode("overwrite").parquet(f"{path}/bands")
+    b = _band_rows(sigs, bands, rows)
+    if max_bucket is not None:
+        wspec = Window.partitionBy("band", "band_sig")
+        b = (
+            b.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
+    b.write.mode("overwrite").parquet(f"{path}/bands")
     _shingle_sets(df, text_col).write.mode("overwrite").parquet(f"{path}/shingles")
 
 

@@ -295,3 +295,39 @@ def test_delta_dedup_materialized_incremental_path(spark, tmp_path):
         for r in delta_dedup_materialized(spark, path, delta, threshold=0.2).collect()
     )
     assert again == kept
+
+
+def test_materialize_minhash_max_bucket_caps_degenerate_bucket(spark, tmp_path):
+    """A pathological band bucket (many identical docs) is dropped at
+    index BUILD time, so every future delta probe is bounded; distinct
+    content keeps its band rows."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_dedup_materialized,
+        materialize_minhash,
+    )
+
+    same = "identical degenerate content repeated across many corpus documents here"
+    other = (
+        "completely different material about spark partitions and shuffle joins "
+        "plus broadcast hints window functions catalyst rules and adaptive execution"
+    )
+    corpus = spark.createDataFrame(
+        [(i, same) for i in range(10)] + [(100, other)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    materialize_minhash(corpus, path, max_bucket=5)
+    bands = spark.read.parquet(f"{path}/bands")
+    # the 10-doc identical bucket is gone; doc 100's rows remain
+    assert bands.filter("doc_id < 100").count() == 0
+    assert bands.filter("doc_id = 100").count() > 0
+    # consequence (the documented recall trade): a delta near-dup of the
+    # CAPPED content sails through near-dup (exact-fingerprint dedup is
+    # the stage that catches identical text), while a near-dup of the
+    # kept content is still dropped
+    delta = spark.createDataFrame(
+        [(200, same), (201, other + " extra")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in delta_dedup_materialized(spark, path, delta, threshold=0.2).collect()
+    )
+    assert kept == [200]
