@@ -366,6 +366,39 @@ def kmeans_cells(
     return model.transform(feats).select("vec_id", "embedding", "cell")
 
 
+def assign_cells(emb_df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): nearest persisted centroid by cosine
+    -- the ingest-time assignment for vectors arriving AFTER the
+    quantizer was trained, consistent with knn_ivf's probe metric (so
+    a vector is stored exactly where its own queries will look first).
+
+    Scale shape: centroids broadcast (nlist rows); the cross join
+    emits |batch| x nlist NARROW rows whose max_by partial aggregation
+    combines map-side down to ~|batch| shuffled rows; ties break to
+    the lowest cell deterministically."""
+    cents = centroids.select(
+        F.col("cell").alias("_cell"),
+        _dvec(F.col("centroid")).alias("c_vec"),
+        norm_expr(F.col("centroid")).alias("c_n"),
+    )
+    v = emb_df.select(
+        "vec_id",
+        "embedding",
+        _dvec(F.col("embedding")).alias("_e"),
+        norm_expr(F.col("embedding")).alias("_n"),
+    )
+    cos = F.round(dot_raw(F.col("_e"), F.col("c_vec")) / (F.col("_n") * F.col("c_n")), 4)
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", F.col("_cell"), cos.alias("_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by("_cell", F.struct(F.col("_cos"), -F.col("_cell"))).alias("cell"),
+        )
+    )
+
+
 def materialize_ivf(
     emb_df: DataFrame,
     path: str,

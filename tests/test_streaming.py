@@ -329,3 +329,67 @@ def test_document_stream_near_dup_index(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 11, 20}
     assert {r.doc_id for r in spark.read.parquet(f"{idx}/bands").collect()} == {1, 2, 11, 20}
     assert {r.doc_id for r in spark.read.parquet(f"{idx}/shingles").collect()} == {1, 2, 11, 20}
+
+
+def test_embedding_stream_maintains_ivf_layout(spark, tmp_path):
+    """Streaming embedding ingest: first batch trains the quantizer and
+    creates the materialize_ivf layout; later batches assign against
+    persisted centroids and append cell-partitioned; bad rows
+    quarantine; replays are no-ops; the layout stays probe-able."""
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_ivf_materialized
+    from solana_data_etl_pipeline_spark.streaming.embeddings import run_embedding_stream
+
+    land = str(tmp_path / "emb_in")
+    layout = str(tmp_path / "ivf")
+    quar = str(tmp_path / "emb_quar")
+    ckpt = str(tmp_path / "emb_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _vec(i, emb):
+        return json.dumps(
+            {"vec_id": i, "embedding": emb, "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    # two well-separated clusters in 4-d
+    a = [10.0, 0.0, 0.0, 0.1]
+    b = [0.0, 10.0, 0.1, 0.0]
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        for i in range(3):
+            f.write(_vec(i, [x + i * 0.01 for x in a]) + "\n")
+        for i in range(3, 6):
+            f.write(_vec(i, [x + i * 0.01 for x in b]) + "\n")
+        f.write(_vec(90, [1.0, 2.0]) + "\n")                      # bad dimension
+        f.write(json.dumps({"embedding": a, "ingest_time": "2024-01-01T00:00:00"}) + "\n")  # no vec_id
+        f.write("{broken json\n")                                  # malformed
+
+    run_embedding_stream(spark, land, layout, quar, ckpt, n_cells=2, dim=4)
+    corpus = spark.read.parquet(f"{layout}/corpus")
+    assert {r.vec_id for r in corpus.collect()} == set(range(6))
+    assert corpus.select("cell").distinct().count() == 2
+    q = {r.error_type for r in spark.read.parquet(quar).collect()}
+    assert q == {"malformed_record", "missing_vec_id", "bad_dimension"}
+
+    # batch 2: a replayed vec_id (dropped) and a new a-cluster vector
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_vec(0, a) + "\n")                    # vec_id already in layout
+        f.write(_vec(10, [10.1, 0.0, 0.0, 0.1]) + "\n")
+
+    run_embedding_stream(spark, land, layout, quar, ckpt, n_cells=2, dim=4)
+    corpus2 = spark.read.parquet(f"{layout}/corpus")
+    got = {r.vec_id: r.cell for r in corpus2.collect()}
+    assert set(got) == set(range(6)) | {10}
+    # the new vector landed in the SAME cell as the a-cluster
+    assert got[10] == got[0]
+
+    # the maintained layout is probe-able and finds the right neighbors
+    queries = spark.createDataFrame(
+        [(999, [10.0, 0.05, 0.0, 0.1])], "query_id long, embedding array<double>"
+    )
+    top = knn_ivf_materialized(spark, layout, queries, k=3, nprobe=1).collect()
+    assert {r.neighbor_id for r in top} <= (set(range(3)) | {10})
+
+    # lost-checkpoint replay: layout and quarantine unchanged
+    n_q = spark.read.parquet(quar).count()
+    run_embedding_stream(spark, land, layout, quar, str(tmp_path / "ckpt2"), n_cells=2, dim=4)
+    assert spark.read.parquet(f"{layout}/corpus").count() == 7
+    assert spark.read.parquet(quar).count() == n_q
