@@ -88,3 +88,29 @@ def compact_parquet(
         "after_bytes": _dir_bytes(path),
         "target_files": n,
     }
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> dict[str, dict]:
+    """Compact every partition directory of a partitionBy-written table
+    independently (e.g. the streaming-maintained IVF corpus, which
+    appends up to nlist files per micro-batch: files-per-cell grows
+    with batch count until compacted). Each partition rewrites with
+    the same atomic-by-rename protocol as compact_parquet, preserving
+    the partition layout -- and therefore the dynamic-partition-pruning
+    probe path -- exactly.
+
+    The driver loop is bounded by the partition-value count (nlist for
+    an IVF layout), not data size; partitions rewrite one at a time so
+    a failure mid-way leaves every completed partition atomic and the
+    rest untouched."""
+    out: dict[str, dict] = {}
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if "=" in d and os.path.isdir(full):
+            out[d] = compact_parquet(spark, full, target_file_bytes, sort_by=sort_by)
+    return out

@@ -67,3 +67,54 @@ def test_compaction_idempotent_rerun(spark, tmp_path):
     stats = compact_parquet(spark, path, target_file_bytes=1 << 40)
     assert stats["after_files"] == 1
     assert spark.read.parquet(path).count() == expected
+
+
+def test_compact_partitioned_ivf_layout(spark, tmp_path):
+    """Per-cell compaction of a streaming-maintained IVF layout: file
+    counts shrink, data and cell assignment are untouched, and the
+    layout stays probe-able."""
+    import glob
+    import json
+    import os
+
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_ivf_materialized
+    from solana_data_etl_pipeline_spark.sinks.compaction import compact_partitioned
+    from solana_data_etl_pipeline_spark.streaming.embeddings import run_embedding_stream
+
+    land = str(tmp_path / "in")
+    layout = str(tmp_path / "ivf")
+    os.makedirs(land, exist_ok=True)
+
+    def _vec(i, emb):
+        return json.dumps({"vec_id": i, "embedding": emb, "ingest_time": "2024-01-01T00:00:00"})
+
+    a = [10.0, 0.0, 0.0, 0.1]
+    b = [0.0, 10.0, 0.1, 0.0]
+    # several batches so cells accumulate several small files
+    for n, batch in enumerate([range(0, 6), range(6, 12), range(12, 18)]):
+        with open(os.path.join(land, f"{n}.jsonl"), "w") as f:
+            for i in batch:
+                base = a if i % 2 == 0 else b
+                f.write(_vec(i, [x + i * 0.01 for x in base]) + "\n")
+        run_embedding_stream(
+            spark, land, layout, str(tmp_path / "q"), str(tmp_path / "ck"), n_cells=2, dim=4
+        )
+
+    before = spark.read.parquet(f"{layout}/corpus")
+    rows_before = sorted((r.vec_id, r.cell) for r in before.collect())
+    files_before = len(glob.glob(f"{layout}/corpus/cell=*/*.parquet"))
+    assert files_before > 2  # appends really did fragment the cells
+
+    summary = compact_partitioned(spark, f"{layout}/corpus")
+    files_after = len(glob.glob(f"{layout}/corpus/cell=*/*.parquet"))
+    assert files_after < files_before
+    assert set(summary) == {d for d in os.listdir(f"{layout}/corpus") if d.startswith("cell=")}
+
+    after = spark.read.parquet(f"{layout}/corpus")
+    assert sorted((r.vec_id, r.cell) for r in after.collect()) == rows_before
+
+    queries = spark.createDataFrame(
+        [(999, [10.0, 0.05, 0.0, 0.1])], "query_id long, embedding array<double>"
+    )
+    top = knn_ivf_materialized(spark, layout, queries, k=3, nprobe=1).collect()
+    assert len(top) == 3
