@@ -141,9 +141,18 @@ def main() -> None:
     # vector in its top-10.
     import numpy as np
 
-    from solana_data_etl_pipeline_spark.operators.similarity import knn_ivf, knn_lsh
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        kmeans_cells,
+        knn_ivf,
+        knn_lsh,
+    )
 
     emb_tbl = load_table(spark, sf_dir, "embeddings")
+    # the testdata's label column is a RANDOM partition; kmeans cells
+    # are geometric -- measuring both quantifies what the trained
+    # quantizer buys (a random assignment has no cell locality for the
+    # probe to exploit)
+    emb_kmeans = kmeans_cells(emb_tbl, n_cells=16).withColumnRenamed("cell", "label")
     base = emb_tbl.orderBy("vec_id").limit(50).collect()
     rng = np.random.default_rng(42)
     offset = 10_000_000  # keep query_id != source vec_id (self-match filter)
@@ -158,9 +167,14 @@ def main() -> None:
             vq = target * v + np.sqrt(1.0 - target**2) * u
             rows.append((offset + int(r["vec_id"]), [float(x) for x in vq]))
         pq = spark.createDataFrame(rows, "query_id long, embedding array<double>")
-        for name, fn in (("knn_lsh", knn_lsh), ("knn_ivf", knn_ivf)):
+        variants = (
+            ("knn_lsh", lambda c, q: knn_lsh(c, q, k=10)),
+            ("knn_ivf", lambda c, q: knn_ivf(c, q, k=10)),
+            ("knn_ivf_kmeans", lambda c, q: knn_ivf(emb_kmeans, q, k=10)),
+        )
+        for name, fn in variants:
             hit = {}
-            for rr in fn(emb_tbl, pq, k=10).collect():
+            for rr in fn(emb_tbl, pq).collect():
                 if rr["neighbor_id"] == rr["query_id"] - offset:
                     hit[rr["query_id"]] = True
             recall[f"{name}_planted@.{tag}"] = round(len(hit) / len(rows), 3)
