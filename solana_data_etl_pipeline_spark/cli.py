@@ -65,6 +65,18 @@ def main(argv: list[str] | None = None) -> int:
         default=128,
         help="target parquet file size for --zorder/--compact rewrites",
     )
+    p_corp.add_argument(
+        "--chunk-window",
+        type=int,
+        default=None,
+        help="also write sliding-window chunks of the deduped corpus (token window size)",
+    )
+    p_corp.add_argument(
+        "--chunk-stride",
+        type=int,
+        default=None,
+        help="chunk stride (default: 3/4 of the window)",
+    )
 
     args = parser.parse_args(argv)
     config = Config.load()
@@ -144,6 +156,16 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.parquet(f"{out}/documents_dedup").count()
         print(f"doc_features: written ({n_in} docs)")
         print(f"documents_dedup: written ({n_out} kept of {n_in})")
+        if args.chunk_window:
+            stride = args.chunk_stride or max(1, args.chunk_window * 3 // 4)
+            chunks = X.chunk_documents(
+                spark.read.parquet(f"{out}/documents_dedup"),
+                window=args.chunk_window,
+                stride=stride,
+            )
+            chunks.write.mode("overwrite").parquet(f"{out}/corpus_chunks")
+            n_chunks = spark.read.parquet(f"{out}/corpus_chunks").count()
+            print(f"corpus_chunks: written ({n_chunks} chunks, window={args.chunk_window}, stride={stride})")
         if args.compact:
             from solana_data_etl_pipeline_spark.sinks.compaction import compact_parquet
 

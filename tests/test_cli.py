@@ -99,15 +99,23 @@ def test_cli_corpus_zorder_compact_layout(spark, tmp_path, capsys):
             "--compact",
             "--target-file-mb",
             "1",
+            "--chunk-window",
+            "16",
         ]
     )
     assert rc == 0
     out = capsys.readouterr().out
-    assert "compacted" in out and "z-ordered" in out
+    assert "compacted" in out and "z-ordered" in out and "corpus_chunks" in out
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     feats = spark.read.parquet(f"{wh}/corpus/doc_features")
     assert feats.count() == docs.count()
+
+    chunks = spark.read.parquet(f"{wh}/corpus/corpus_chunks")
+    assert chunks.count() > 0
+    assert {"doc_id", "chunk_id", "start_token", "n_chunk_tokens", "chunk_text"} <= set(
+        chunks.columns
+    )
 
     dedup_dir = f"{wh}/corpus/documents_dedup"
     deduped = spark.read.parquet(dedup_dir)

@@ -325,3 +325,44 @@ def test_chunk_documents_invariants(spark, n_tokens, window, stride_frac):
         toks = rows[i][1].split(" ")
         for c in chunks:
             assert c.chunk_text.split(" ") == toks[c.start_token : c.start_token + c.n_chunk_tokens]
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=5, max_size=40),
+    lo_pct=st.integers(min_value=0, max_value=30),
+    hi_pct=st.integers(min_value=70, max_value=100),
+)
+@settings(**SETTINGS)
+def test_quantile_gate_invariants(spark, vals, lo_pct, hi_pct):
+    """For any value multiset and (lo_q, hi_q): the gate keeps exactly
+    the rows whose value lies between the histogram-derived thresholds,
+    thresholds are actual data values, and the kept fraction is at
+    least (hi_q - lo_q) of the corpus (quantile semantics: each
+    threshold bucket is inclusive)."""
+    from solana_data_etl_pipeline_spark.operators.text import quantile_gate
+
+    lo_q, hi_q = lo_pct / 100.0, hi_pct / 100.0
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "doc_id long, v double"
+    )
+    kept = [r.v for r in quantile_gate(df, "v", lo_q=lo_q, hi_q=hi_q).collect()]
+    s = sorted(vals)
+    n = len(s)
+    # python model: smallest value whose cumulative fraction >= q,
+    # computed over the same (value -> count) histogram
+    import itertools
+
+    def thresh(q):
+        cum = 0
+        for val, grp in itertools.groupby(s):
+            cum += len(list(grp))
+            if cum / n >= q:
+                return float(val)
+        return float(s[-1])
+
+    lo_t, hi_t = thresh(lo_q), thresh(hi_q)
+    expected = sorted(float(v) for v in vals if lo_t <= v <= hi_t)
+    assert sorted(kept) == expected, (lo_t, hi_t, lo_q, hi_q)
+    # thresholds are data values and the band is non-empty
+    assert lo_t in [float(v) for v in vals] and hi_t in [float(v) for v in vals]
+    assert len(expected) >= 1
