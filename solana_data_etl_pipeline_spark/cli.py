@@ -46,6 +46,18 @@ def main(argv: list[str] | None = None) -> int:
     p_ana = sub.add_parser("analytics", help="recompute analytics tables")
     p_ana.add_argument("--as-of", default=None, help="ISO timestamp; default = max block_time")
 
+    p_scorp = sub.add_parser(
+        "stream-corpus",
+        help="continuously assemble the corpus from a JSONL document landing zone",
+    )
+    p_scorp.add_argument("--input", required=True, help="landing-zone directory (JSONL shards)")
+    p_scorp.add_argument("--output", default=None, help="corpus dir (default <warehouse>/corpus_stream)")
+    p_scorp.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="also near-dup dedup each batch against a maintained minhash index",
+    )
+
     p_corp = sub.add_parser("corpus", help="run the training-corpus pipeline over a documents table")
     p_corp.add_argument("--documents", required=True, help="path to a documents parquet table")
     p_corp.add_argument("--output", default=None, help="output dir (default <warehouse>/corpus)")
@@ -125,6 +137,25 @@ def main(argv: list[str] | None = None) -> int:
         for name in results:
             prefix = "" if name.startswith("dim_") else "analytics_"
             print(f"{prefix}{name}: written")
+        return 0
+
+    if args.command == "stream-corpus":
+        from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+        out = args.output or f"{config.warehouse.path}/corpus_stream"
+        run_document_stream(
+            spark,
+            args.input,
+            f"{out}/documents",
+            f"{out}/quarantine",
+            f"{out}/checkpoint",
+            near_dup_index=f"{out}/near_dup_index" if args.near_dup else None,
+        )
+        try:
+            n = spark.read.parquet(f"{out}/documents").count()
+        except Exception:
+            n = 0
+        print(f"corpus_stream: drained ({n} documents total)")
         return 0
 
     if args.command == "corpus":

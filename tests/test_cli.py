@@ -142,3 +142,42 @@ def test_cli_corpus_zorder_compact_layout(spark, tmp_path, capsys):
                 spans.append(max(col) - min(col))
         assert max(spans) <= (glo["hi"] - glo["lo"])
         assert min(spans) < (glo["hi"] - glo["lo"])
+
+
+def test_cli_stream_corpus(spark, tmp_path, capsys):
+    """stream-corpus drains the landing zone into the corpus with the
+    near-dup index maintained; a second invocation is incremental."""
+    import json
+    import os
+
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    wh = str(tmp_path / "wh")
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today ok"
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, t1) + "\n")
+
+    rc = main(["--warehouse-path", wh, "stream-corpus", "--input", land, "--near-dup"])
+    assert rc == 0
+    assert "drained (1 documents" in capsys.readouterr().out
+
+    # second shard: near-dup of doc 1 dropped, fresh doc kept
+    t2 = "completely different material about spark partitions and shuffle joins here"
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(2, t1 + " extra") + "\n")
+        f.write(_doc(3, t2) + "\n")
+
+    rc = main(["--warehouse-path", wh, "stream-corpus", "--input", land, "--near-dup"])
+    assert rc == 0
+    docs = spark.read.parquet(f"{wh}/corpus_stream/documents")
+    assert {r.doc_id for r in docs.collect()} == {1, 3}
+    assert spark.read.parquet(f"{wh}/corpus_stream/near_dup_index/bands").select(
+        "doc_id"
+    ).distinct().count() == 2
