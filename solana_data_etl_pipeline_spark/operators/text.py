@@ -139,7 +139,17 @@ def quantile_gate(
     small enough for one task, a broadcast of two scalars back onto
     an unshuffled corpus scan."""
     v = F.round(F.col(col).cast("double"), precision)
-    hist = df.select(v.alias("_v")).groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    # nulls are EXCLUDED from the histogram (they would otherwise
+    # shift the cumulative fractions, and engines disagree on null
+    # sort order) and rows with a null value never pass the gate --
+    # a doc with no measurable score fails a quality gate by
+    # definition
+    hist = (
+        df.select(v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         hist.withColumn("_cum", F.sum("_c").over(w))

@@ -206,3 +206,14 @@ def test_benchmark_contamination_corpus_side_unshuffled(plans):
     p = plans("benchmark_contamination")
     assert "BroadcastExchange" in p
     assert p.count("Exchange") <= 3, p.count("Exchange")
+
+
+def test_delta_dedup_all_broadcast_no_sort_merge(plans):
+    # incremental dedup's contract at scale: every delta-derived frame
+    # (band rows, shingles, candidates, the dropped set) broadcasts,
+    # so the corpus index and the delta scan never shuffle -- a
+    # SortMergeJoin anywhere in this plan means a corpus-sized sort
+    # crept in
+    p = plans("delta_dedup")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 5

@@ -341,3 +341,15 @@ def test_unigram_logprob_prefers_typical_text(spark):
     assert got[2].avg_token_logprob == round(expect2, 4)
     # the doc containing the rare token scores strictly lower
     assert got[2].avg_token_logprob < got[1].avg_token_logprob
+
+
+def test_quantile_gate_null_semantics(spark):
+    # null scores: excluded from the histogram (thresholds computed
+    # over measured values only) and never pass the gate
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 10.0), (4, 7.0)], "doc_id long, v double"
+    )
+    kept = sorted(r.doc_id for r in X.quantile_gate(df, "v", lo_q=0.0, hi_q=1.0).collect())
+    assert kept == [1, 3, 4]
+    allnull = spark.createDataFrame([(1, None), (2, None)], "doc_id long, v double")
+    assert X.quantile_gate(allnull, "v").count() == 0
