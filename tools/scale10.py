@@ -37,8 +37,11 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 HEAVY = [
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_keepers",
+    "delta_dedup",
     "span_dup_stats",
     "benchmark_contamination",
+    "chunk_documents",
     "knn_ivf_materialized",
 ]
 
