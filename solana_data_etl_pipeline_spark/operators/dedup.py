@@ -444,6 +444,66 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     return hashed.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, found with the
+    classic PIGEONHOLE LSH: split the fingerprint into max_hamming+1
+    equal segments -- two fingerprints within hamming distance
+    max_hamming MUST agree on at least one whole segment, so docs
+    sharing any (segment_index, segment_value) bucket are the complete
+    candidate set (recall 1 w.r.t. the fingerprint; SimHash itself is
+    the approximation). Exact bit_count verify on the candidates.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Scale shape: fingerprints and segments are zero-shuffle
+    projections; the candidate equi-join shuffles only (segment,
+    value, id, fp) rows; `max_bucket` caps degenerate segment buckets
+    with a count window over the join keys (no extra shuffle), the
+    same guard as the minhash plans.
+    """
+    n_seg = max_hamming + 1
+    seg_bits = bits // n_seg
+    fp = simhash(df, text_col, bits)
+    segs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * seg_bits)
+            .bitwiseAND(F.lit((1 << seg_bits) - 1))
+            .cast("long")
+            for i in range(n_seg)
+        ]
+    )
+    b = fp.select("doc_id", "simhash", F.posexplode(segs).alias("seg", "seg_val"))
+    if max_bucket is not None:
+        wspec = Window.partitionBy("seg", "seg_val")
+        b = (
+            b.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
+    l, r = b.alias("l"), b.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.seg_val") == F.col("r.seg_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

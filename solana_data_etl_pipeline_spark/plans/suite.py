@@ -1165,6 +1165,11 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     ),
     "dedup_ngram_jaccard": _docs(lambda df: D.ngram_jaccard_pairs(df, threshold=0.2)),
     "simhash_fingerprints": _docs(D.simhash),
+    # hamming<=3 pairs via 4-segment pigeonhole; the oracle reproduces
+    # the identical capped-bucket candidate set
+    "simhash_near_dup": _docs(
+        lambda df: D.simhash_near_dup_pairs(df, max_hamming=3, max_bucket=DEDUP_MAX_BUCKET)
+    ),
     # LSH-bucketed candidates + exact-cosine verify: the scale path.
     # The brute-force cross join (embedding_near_dup_pairs) is the
     # recall-1 oracle twin exercised in tests/test_dedup.py only.
@@ -1273,6 +1278,35 @@ SELECT doc_id,
                       THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END
                       for j in range(0, {D.SIMHASH_BITS})]) AS BIGINT) AS simhash
 FROM t
+""",
+    "simhash_near_dup": f"""
+WITH t AS (
+  SELECT doc_id,
+         [{H64_SQL.format(x="w")} for w in list_distinct(string_split({_NORM_TEXT}, ' '))] AS th
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in th]) > 0
+                        THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                        for j in range(0, {D.SIMHASH_BITS})]) AS BIGINT) AS simhash
+  FROM t
+),
+segs AS (
+  SELECT doc_id, simhash, i AS seg,
+         CAST((simhash >> (i * {D.SIMHASH_BITS // 4})) & {(1 << (D.SIMHASH_BITS // 4)) - 1} AS BIGINT) AS seg_val
+  FROM fp, UNNEST(range(0, 4)) AS u(i)
+),
+kept AS (
+  SELECT doc_id, simhash, seg, seg_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY seg, seg_val) AS w FROM segs
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM kept l JOIN kept r
+  ON l.seg = r.seg AND l.seg_val = r.seg_val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """,
     "dedup_clusters": f"""
 WITH RECURSIVE {SHINGLES_SQL},
@@ -1599,8 +1633,8 @@ def all_oracle_sql() -> dict[str, str]:
 #     the kept ten (e.g. sales_rollup vs order_cube, big_spenders /
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - round-5 newcomers chunk_documents / quantile_gate_chars /
-#     delta_dedup: added after this round's 50 were frozen; oracle-swept
-#     now, first-in-line for the round-6 rotation.
+#     delta_dedup / simhash_near_dup: added after this round's 50 were
+#     frozen; oracle-swept now, first-in-line for the round-6 rotation.
 DRIVER_ORDER = [
     # --- round-5 newcomers, never driver-verified (the last three
     #     oracle-able registry entries with no driver row in any round) ---
