@@ -366,3 +366,88 @@ def test_quantile_gate_invariants(spark, vals, lo_pct, hi_pct):
     # thresholds are data values and the band is non-empty
     assert lo_t in [float(v) for v in vals] and hi_t in [float(v) for v in vals]
     assert len(expected) >= 1
+
+
+@given(
+    corpus_texts=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+                 min_size=4, max_size=10).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+    delta_texts=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+                 min_size=4, max_size=10).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_delta_dedup_matches_python_model(spark, tmp_path_factory, corpus_texts, delta_texts):
+    """delta_dedup_materialized against a full independent Python model
+    of the pipeline: shingles -> minhash signatures -> band collisions
+    -> exact-Jaccard verify -> (corpus-hit OR smaller-id-delta-hit)
+    drop rules. Random tiny-vocab corpora make band collisions and
+    near-dups plentiful."""
+    import hashlib
+
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_dedup_materialized,
+        materialize_minhash,
+    )
+
+    corpus = [(i, t) for i, t in enumerate(corpus_texts)]
+    delta = [(100 + i, t) for i, t in enumerate(delta_texts)]
+
+    def _norm(t):
+        return " ".join(t.lower().split())
+
+    def _shingles(t, n=3):
+        toks = _norm(t).split(" ")
+        grams = [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+        out = []
+        for g in grams:
+            if g not in out:
+                out.append(g)
+        return out
+
+    def _sig(text):
+        a, b = D.minhash_coeffs()
+        bases = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % D._BASE_MOD
+            for g in _shingles(text)
+        ]
+        return [min((a[s] * x + b[s]) % D.MINHASH_MOD for x in bases) for s in range(D.MINHASH_HASHES)]
+
+    def _bands(sig):
+        rows = D.MINHASH_ROWS
+        return {
+            (bi, hashlib.md5(",".join(str(v) for v in sig[bi * rows : (bi + 1) * rows]).encode()).hexdigest())
+            for bi in range(D.MINHASH_BANDS)
+        }
+
+    def _jac(ta, tb):
+        sa, sb = set(_shingles(ta)), set(_shingles(tb))
+        return len(sa & sb) / len(sa | sb)
+
+    all_docs = dict(corpus + delta)
+    bands = {i: _bands(_sig(t)) for i, t in all_docs.items()}
+    threshold = 0.2
+    dropped = set()
+    for d_id, d_text in delta:
+        for c_id, c_text in corpus:
+            if bands[d_id] & bands[c_id] and _jac(d_text, c_text) >= threshold:
+                dropped.add(d_id)
+        for d2_id, d2_text in delta:
+            if d2_id < d_id and bands[d_id] & bands[d2_id] and _jac(d_text, d2_text) >= threshold:
+                dropped.add(d_id)
+    expected = sorted(i for i, _ in delta if i not in dropped)
+
+    path = str(tmp_path_factory.mktemp("ddidx"))
+    corpus_df = spark.createDataFrame(corpus, "doc_id long, text string")
+    delta_df = spark.createDataFrame(delta, "doc_id long, text string")
+    materialize_minhash(corpus_df, path)
+    got = sorted(
+        r.doc_id
+        for r in delta_dedup_materialized(spark, path, delta_df, threshold=threshold).collect()
+    )
+    assert got == expected, (corpus_texts, delta_texts, sorted(dropped))
