@@ -1632,36 +1632,40 @@ def all_oracle_sql() -> dict[str, str]:
 #   - eleven relational queries whose operator shapes are covered by
 #     the kept ten (e.g. sales_rollup vs order_cube, big_spenders /
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
-#   - round-5 newcomers chunk_documents / quantile_gate_chars /
-#     delta_dedup / simhash_near_dup: added after this round's 50 were
-#     frozen; oracle-swept now, first-in-line for the round-6 rotation.
+#   - rotation history: every rotated-out entry stays DuckDB-swept by
+#     tests/test_oracle_parity on every test run.
 DRIVER_ORDER = [
-    # --- round-5 newcomers, never driver-verified (the last three
-    #     oracle-able registry entries with no driver row in any round) ---
+    # --- round-5 newcomers, never driver-verified (added after the
+    #     round-5 50 froze; rotated in per the round-5 brief) ---
+    "chunk_documents",
+    "quantile_gate_chars",
+    "delta_dedup",
+    "simhash_near_dup",
+    # --- reference A-queries rotated BACK in (green r1-r3, out r4-r5)
+    #     continuing the parity round-robin; failed_transactions /
+    #     top_tokens rotate out after their fresh green r5 verdicts.
+    #     Next robin (round 7): top_wallets back in. ---
+    "token_transfer_stats",
+    "top_errors",
+    # --- round-5 driver-verified, kept for a second verdict ---
     "dedup_keepers",
     "span_dup_stats",
     "unigram_logprob",
-    # --- reference A-queries rotated BACK in (green r1-r3, rotated out
-    #     r4) so reference parity keeps a fresh driver verdict ---
-    "failed_transactions",
-    "top_tokens",
     # --- round-4 newcomers, driver-verified r4 ---
     # (pack_sequences / salted_session_stats / merge_dim_wallets /
     #  pii_stats / weighted_mix rotated out after their green r4
-    #  verdicts to free the five slots above; they stay DuckDB-swept by
-    #  tests/test_oracle_parity on every test run)
+    #  verdicts; they stay DuckDB-swept by tests/test_oracle_parity)
     "repetition_stats",
     "knn_ivf_materialized",
-    # --- never driver-verified before round 3 ---
-    "stratified_sample",
-    "dedup_exact",
+    # --- core dedup/similarity/media suite ---
+    # (stratified_sample / dedup_exact / simhash_fingerprints /
+    #  label_centroids rotated out after three consecutive green
+    #  verdicts (r3-r5) to free slots for the six rotated in above)
     "dedup_minhash_lsh",
-    "simhash_fingerprints",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "knn_lsh",
     "knn_ivf",
-    "label_centroids",
     "embedding_quantize",
     "media_stats",
     "media_frame_sample",
@@ -1671,12 +1675,6 @@ DRIVER_ORDER = [
     "program_dim_rollup",
     "doc_features",
     # --- analytics (reference A1-A13 parity) ---
-    # (token_transfer_stats / top_errors / top_wallets remain rotated
-    #  out after three consecutive green verdicts (r1-r3);
-    #  failed_transactions / top_tokens rotated back in this round --
-    #  top of the file -- so reference parity keeps a fresh driver
-    #  verdict on a round-robin; everything rotated out stays
-    #  DuckDB-swept by tests/test_oracle_parity on every test run)
     "transaction_volume",
     "hourly_volume",
     "active_programs",
