@@ -698,11 +698,16 @@ def span_dup_stats(
     the gram->doc join's probe side (every gram occurrence WITH its
     position) can be thinned by a Bloom filter built over the
     duplicated grams (bloom_bits > 0 enables; result is bit-identical
-    either way -- false positives are erased by the equi-join, false
-    negatives are impossible). The duplicated-gram set is persisted
-    when the filter is on because it feeds both the bitmap build and
-    the join build side. The interval-union window and final agg share
-    one doc_id exchange. Everything is linear in corpus tokens.
+    either way -- false positives are erased by the recount, false
+    negatives are impossible). With the filter on, the duplicated-gram
+    build side is RE-derived from the thinned probe rather than
+    persisted across the bitmap build and the join: every occurrence
+    of a truly-duplicated gram passes the filter, so recounting the
+    thinned rows yields exact counts for dup grams, and a
+    false-positive gram keeps its true count of 1 and is dropped --
+    no cached partitions pinned in executor storage for the session
+    lifetime. The interval-union window and final agg share one
+    doc_id exchange. Everything is linear in corpus tokens.
 
     MEASURED (sf0.1, 1<<20 bits, 4 hashes): at the long-span configs
     real substring dedup uses (n>=8), the filter eliminates 90.9% of
@@ -719,9 +724,15 @@ def span_dup_stats(
     dup_grams = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= 2)
     probe = g
     if bloom_bits:
-        dup_grams = dup_grams.persist()
         bitmap = _bloom_bitmap(dup_grams, "gram", bloom_bits, bloom_hashes)
         probe = bloom_prefilter(g, "gram", bitmap, bloom_bits, bloom_hashes)
+        # exact recount over the thinned occurrences (see docstring);
+        # avoids persisting the full-corpus gram agg across two consumers
+        dup_grams = (
+            probe.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= 2)
+        )
     d = probe.join(dup_grams.select("gram"), "gram")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)

@@ -8,10 +8,15 @@ directory into size-targeted files, optionally sorted within files by
 a clustering key so min/max row-group stats become selective (the
 poor-man's Z-order for a single key).
 
-The rewrite is atomic-by-rename: write to a sibling temp dir, swap
-directories only after the new data is fully committed, so a crash
-mid-compaction never loses the original. (On an object store the
-"rename" becomes a manifest/metadata swap -- same protocol, different
+The rewrite protocol is write-to-sibling-temp, then swap. The swap is
+two os.renames and is therefore NOT atomic: a crash between them
+leaves no directory at `path` (readers fail) plus stray `._old_*` /
+temp siblings. What IS guaranteed is that no committed data is ever
+lost -- the original survives as `._old_*`, the rewrite as the temp --
+and `recover_swap` (run on entry to every rewrite) repairs the layout:
+it restores the newest `._old_*` if `path` vanished mid-swap and
+deletes stray swap debris. (On an object store the "rename" becomes a
+manifest/metadata swap, which IS atomic -- same protocol, stronger
 primitive.)
 """
 
@@ -40,6 +45,52 @@ def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
     return max(1, math.ceil(total_bytes / max(1, target_file_bytes)))
 
 
+#: sibling-dir suffixes a crashed rewrite can leave behind
+_SWAP_PREFIXES = ("._old_", "._compact_", "._zorder_")
+
+
+def _swap_debris(path: str) -> list[str]:
+    base = path.rstrip("/")
+    parent, name = os.path.split(base)
+    parent = parent or "."
+    if not os.path.isdir(parent):
+        return []
+    return [
+        os.path.join(parent, d)
+        for d in sorted(os.listdir(parent))
+        if any(d.startswith(name + p) for p in _SWAP_PREFIXES)
+    ]
+
+
+def recover_swap(path: str) -> None:
+    """Entry-time repair for a previously crashed swap on `path`.
+
+    A crash inside swap_dir's two-rename window leaves `path` absent
+    with the original parked at `._old_*` (and the finished rewrite at
+    a temp sibling). Restore the newest `._old_*` -- the known-good
+    original -- then delete all remaining swap debris. Crashes at any
+    other point leave `path` intact, so the repair reduces to debris
+    cleanup. Single-writer per table assumed, as everywhere here."""
+    base = path.rstrip("/")
+    olds = [d for d in _swap_debris(path) if "._old_" in os.path.basename(d)]
+    if not os.path.exists(base) and olds:
+        os.rename(max(olds, key=os.path.getmtime), base)
+    for d in _swap_debris(path):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def swap_dir(path: str, tmp: str) -> None:
+    """Replace `path` with fully-written `tmp` via two renames.
+
+    NOT atomic: a crash between the renames leaves no dir at `path`
+    until the next rewrite's recover_swap restores the parked
+    original. Never loses committed data."""
+    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -53,6 +104,7 @@ def compact_parquet(
     sorting is per-file, no global shuffle. Returns a summary dict
     (files/bytes before and after) for observability.
     """
+    recover_swap(path)
     before_bytes = _dir_bytes(path)
     before_files = sum(
         1
@@ -69,11 +121,7 @@ def compact_parquet(
 
     tmp = f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
-
-    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_dir(path, tmp)
 
     after_files = sum(
         1

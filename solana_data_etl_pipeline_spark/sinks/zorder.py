@@ -125,15 +125,22 @@ def zorder_rewrite(
     the output file count sized from the directory's current bytes
     (folding compaction into the clustering rewrite -- one shuffle
     does both jobs; a round-robin compaction AFTER z-ordering would
-    destroy the clustering it just paid for). Atomic-by-rename like
-    sinks/compaction.py: write to a sibling temp dir, swap, so a crash
-    mid-rewrite never loses the original. Returns a summary dict."""
+    destroy the clustering it just paid for). Same swap protocol as
+    sinks/compaction.py: write to a sibling temp dir, then swap_dir --
+    NOT atomic (two renames; see compaction.recover_swap, run on
+    entry, for the crash-window repair) but never loses committed
+    data. Returns a summary dict."""
     import os
-    import shutil
     import uuid
 
-    from solana_data_etl_pipeline_spark.sinks.compaction import _dir_bytes, plan_target_files
+    from solana_data_etl_pipeline_spark.sinks.compaction import (
+        _dir_bytes,
+        plan_target_files,
+        recover_swap,
+        swap_dir,
+    )
 
+    recover_swap(path)
     before_bytes = _dir_bytes(path)
     before_files = sum(
         1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
@@ -141,10 +148,7 @@ def zorder_rewrite(
     n = plan_target_files(before_bytes, target_file_bytes)
     tmp = f"{path.rstrip('/')}._zorder_{uuid.uuid4().hex[:8]}"
     write_zordered(spark.read.parquet(path), tmp, cols, bits=bits, n_files=n)
-    old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_dir(path, tmp)
     after_files = sum(
         1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )

@@ -69,6 +69,7 @@ def run_document_stream(
     available_now: bool = True,
     near_dup_index: str | None = None,
     near_dup_threshold: float = 0.5,
+    near_dup_max_bucket: int | None = 64,
 ):
     """Landing zone -> quarantine split -> gates + features -> exact
     dedup -> (optional) NEAR-dup dedup -> language-partitioned corpus
@@ -96,7 +97,19 @@ def run_document_stream(
     behind the corpus, and the next batch's catch-up repairs it;
     replays add nothing because the fingerprint anti-join empties the
     batch first. Near-dup runs after exact dedup, so only novel
-    content pays signature cost."""
+    content pays signature cost.
+
+    `near_dup_max_bucket` applies materialize_minhash's degenerate-
+    bucket cap to the CONTINUOUSLY-GROWN index: without it, band
+    buckets accumulate across batches unchecked, and one pathological
+    bucket (e.g. a boilerplate band signature) makes every future
+    batch probe quadratic, forever. The cap is enforced against the
+    bucket's TOTAL width (existing index rows + this batch's rows):
+    a batch whose rows would push a bucket past the cap contributes
+    nothing to that bucket -- mirroring the build-time rule, which
+    drops over-wide buckets entirely. Recall note is the same as
+    materialize_minhash's: exact duplicates lost to a capped bucket
+    were already caught by the exact-fingerprint stage."""
     from solana_data_etl_pipeline_spark.sinks.quarantine import (
         CORRUPT_COL,
         split_corrupt,
@@ -127,6 +140,29 @@ def run_document_stream(
             dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
             return kept.select("doc_id").join(F.broadcast(dropped), "doc_id", "left_anti")
 
+    def _cap_new_bands(new_bands: DataFrame, existing: DataFrame | None) -> DataFrame:
+        """Enforce near_dup_max_bucket on appended band rows against
+        TOTAL bucket width (existing + new). The existing-side count is
+        a partial-agg groupBy over the index's join keys -- the shuffle
+        carries at most |distinct buckets| rows per partition, and the
+        index is being scanned this batch anyway for the probe join."""
+        if near_dup_max_bucket is None:
+            return new_bands
+        wspec = Window.partitionBy("band", "band_sig")
+        new_bands = new_bands.withColumn("_new", F.count(F.lit(1)).over(wspec))
+        if existing is not None:
+            have = existing.groupBy("band", "band_sig").agg(
+                F.count(F.lit(1)).alias("_have")
+            )
+            new_bands = new_bands.join(have, ["band", "band_sig"], "left").fillna(
+                0, subset=["_have"]
+            )
+        else:
+            new_bands = new_bands.withColumn("_have", F.lit(0))
+        return new_bands.filter(
+            F.col("_new") + F.col("_have") <= near_dup_max_bucket
+        ).drop("_new", "_have")
+
     def _catch_up_index():
         """Append band rows + shingles for corpus docs the index does
         not know yet (doc_id anti-join): batch-sized in steady state,
@@ -135,23 +171,28 @@ def run_document_stream(
         against its OWN doc_ids -- tying both appends to one shared
         plan would let the first append change what the second one's
         anti-join reads (lazy re-evaluation), desynchronizing the
-        tables exactly when a partition re-executes."""
+        tables exactly when a partition re-executes. Band appends pass
+        through the accumulated-width bucket cap (_cap_new_bands)."""
         corpus_now = spark.read.parquet(output_dir).select("doc_id", "text")
+
+        def _build_bands(d: DataFrame, existing: DataFrame | None) -> DataFrame:
+            return _cap_new_bands(D._band_rows(D.minhash_signatures(d)), existing)
+
         builders = {
-            "bands": lambda d: D._band_rows(D.minhash_signatures(d)),
-            "shingles": lambda d: D._shingle_sets(d),
+            "bands": _build_bands,
+            "shingles": lambda d, _existing: D._shingle_sets(d),
         }
         for sub, build in builders.items():
             try:
-                have = (
-                    spark.read.parquet(f"{near_dup_index}/{sub}")
-                    .select("doc_id")
-                    .distinct()
-                )
-                todo = corpus_now.join(have, "doc_id", "left_anti")
+                existing = spark.read.parquet(f"{near_dup_index}/{sub}")
             except AnalysisException:
+                existing = None
+            if existing is not None:
+                have = existing.select("doc_id").distinct()
+                todo = corpus_now.join(have, "doc_id", "left_anti")
+            else:
                 todo = corpus_now
-            build(todo).write.mode("append").parquet(f"{near_dup_index}/{sub}")
+            build(todo, existing).write.mode("append").parquet(f"{near_dup_index}/{sub}")
 
     def _sink(batch_df, batch_id):
         batch_df.persist()
@@ -159,11 +200,16 @@ def run_document_stream(
             good, quarantine = split_corrupt(batch_df, required_col="doc_id")
             kept = document_features_batch(good)
             # cross-batch dedup: drop content already in the corpus
+            # (narrow try: only the path-probing read may mean "first
+            # batch" -- a failure in the join itself must propagate)
             try:
-                seen = spark.read.parquet(output_dir).select("fingerprint").distinct()
-                kept = kept.join(seen, "fingerprint", "left_anti")
+                seen = spark.read.parquet(output_dir)
             except AnalysisException:
-                pass  # first batch: corpus does not exist yet
+                seen = None  # first batch: corpus does not exist yet
+            if seen is not None:
+                kept = kept.join(
+                    seen.select("fingerprint").distinct(), "fingerprint", "left_anti"
+                )
             if near_dup_index:
                 kept = kept.join(
                     F.broadcast(_near_dup_keep_ids(kept)), "doc_id", "left_semi"
@@ -186,10 +232,13 @@ def run_document_stream(
             # failed between this append and the checkpoint commit
             # doesn't re-append the same error rows on retry
             try:
-                seen_err = spark.read.parquet(quarantine_dir).select("error_id").distinct()
-                quarantine = quarantine.join(seen_err, "error_id", "left_anti")
+                seen_err = spark.read.parquet(quarantine_dir)
             except AnalysisException:
-                pass  # first batch: quarantine does not exist yet
+                seen_err = None  # first batch: quarantine does not exist yet
+            if seen_err is not None:
+                quarantine = quarantine.join(
+                    seen_err.select("error_id").distinct(), "error_id", "left_anti"
+                )
             if quarantine.limit(1).count():
                 quarantine.write.mode("append").parquet(quarantine_dir)
             if near_dup_index:

@@ -112,18 +112,27 @@ def run_embedding_stream(
                 .drop("_rn")
             )
             # cross-batch: vec_ids already in the layout never re-enter
+            # (same narrow-try rule: only the path-probing read may be
+            # treated as "first batch")
             try:
-                have = (
-                    spark.read.parquet(f"{layout_path}/corpus")
-                    .select("vec_id")
-                    .distinct()
-                )
-                good = good.join(have, "vec_id", "left_anti")
+                have = spark.read.parquet(f"{layout_path}/corpus")
             except AnalysisException:
-                pass  # first batch: layout does not exist yet
+                have = None  # first batch: layout does not exist yet
+            if have is not None:
+                good = good.join(
+                    have.select("vec_id").distinct(), "vec_id", "left_anti"
+                )
             new = good.select("vec_id", "embedding")
+            # ONLY the centroids read is allowed to mean "first batch":
+            # materialize_ivf overwrites the corpus, so an
+            # AnalysisException escaping from assign_cells or the
+            # append (schema drift, bad layout) must PROPAGATE, not
+            # silently replace the accumulated corpus with one batch.
             try:
                 cents = spark.read.parquet(f"{layout_path}/centroids")
+            except AnalysisException:
+                cents = None  # first batch: layout does not exist yet
+            if cents is not None:
                 assigned = assign_cells(new, cents)
                 (
                     assigned.repartition("cell")
@@ -131,18 +140,18 @@ def run_embedding_stream(
                     .partitionBy("cell")
                     .parquet(f"{layout_path}/corpus")
                 )
-            except AnalysisException:
+            elif new.limit(1).count():
                 # first batch trains the quantizer and creates the layout
-                if new.limit(1).count():
-                    materialize_ivf(new, layout_path, n_cells=n_cells)
+                materialize_ivf(new, layout_path, n_cells=n_cells)
             if quarantine.limit(1).count():
                 try:
-                    seen_err = (
-                        spark.read.parquet(quarantine_dir).select("error_id").distinct()
-                    )
-                    quarantine = quarantine.join(seen_err, "error_id", "left_anti")
+                    seen = spark.read.parquet(quarantine_dir)
                 except AnalysisException:
-                    pass
+                    seen = None  # quarantine dir does not exist yet
+                if seen is not None:
+                    quarantine = quarantine.join(
+                        seen.select("error_id").distinct(), "error_id", "left_anti"
+                    )
                 quarantine.write.mode("append").parquet(quarantine_dir)
         finally:
             batch_df.unpersist()

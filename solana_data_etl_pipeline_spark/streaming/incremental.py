@@ -25,6 +25,7 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from solana_data_etl_pipeline_spark.config import Config
 from solana_data_etl_pipeline_spark.operators.parse import parse_blocks
@@ -56,7 +57,19 @@ def run_backfill(
     """
     config = config or Config.load()
     warehouse.connect()
-    processed = {r[0] for r in warehouse.processed_slots().collect()}
+    # Collect only the slots inside the backfill window: the slot
+    # range predicate is pushed into the warehouse scan (parquet
+    # row-group stats / JDBC WHERE), so a backfill of one day against
+    # a 100 TB warehouse pulls one day's worth of slot ids to the
+    # driver, not the warehouse's entire processed-slot history.
+    # Correctness does not depend on this set -- insert_events has its
+    # own distributed anti-join -- it only short-circuits fetches.
+    processed = {
+        r[0]
+        for r in warehouse.processed_slots()
+        .filter(F.col("slot").between(start_slot, end_slot))
+        .collect()
+    }
     total = 0
     for lo, hi in chunk_ranges(start_slot, end_slot, config.etl.backfill_chunk_size):
         slots = [s for s in range(lo, hi + 1) if s not in processed]
