@@ -443,6 +443,50 @@ def materialize_ivf(
     return path
 
 
+def retrain_ivf(
+    spark,
+    path: str,
+    n_cells: int = 16,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> dict:
+    """IVF drift repair, run at compaction cadence: retrain the coarse
+    quantizer on the CURRENT corpus and rewrite the whole layout
+    (cell-partitioned corpus + centroid side table TOGETHER, so a
+    prober never observes centroids from one quantizer generation
+    against a corpus partitioned by another) via the compaction swap
+    protocol (sinks/compaction.py swap_dir; recover_swap on entry
+    repairs any previously crashed swap).
+
+    Why it exists: the streaming ingest (streaming/embeddings.py)
+    deliberately keeps the ingest-time quantizer and only ASSIGNS new
+    vectors to the nearest stale centroid. Under drift -- new content
+    clusters the training corpus never had -- those clusters straddle
+    stale cell boundaries and split across cells, so fixed-nprobe
+    probes lose their neighbors (the measured 0.98-vs-0.44 planted
+    recall gap between a fitted and an arbitrary quantizer, SCALE.md).
+    Retraining restores the quantizer-fits-corpus invariant that IVF
+    recall rests on.
+
+    Scale shape: one KMeans fit over the corpus (per Lloyd pass: one
+    nlist-row centroid broadcast + map-side assignment + per-cell mean
+    agg -- at 100 TB, fit on a sample and keep the full-corpus pass
+    for the final assignment), one cell shuffle for the partitioned
+    rewrite -- the same cost as the initial materialize_ivf, paid at
+    compaction cadence, never per batch. Returns a summary dict."""
+    import uuid
+
+    from solana_data_etl_pipeline_spark.sinks.compaction import recover_swap, swap_dir
+
+    recover_swap(path)
+    current = spark.read.parquet(f"{path}/corpus").select("vec_id", "embedding")
+    tmp = f"{path.rstrip('/')}._retrain_{uuid.uuid4().hex[:8]}"
+    materialize_ivf(current, tmp, n_cells=n_cells, max_iter=max_iter, seed=seed)
+    n = spark.read.parquet(f"{tmp}/corpus").count()
+    swap_dir(path, tmp)
+    return {"vectors": n, "n_cells": n_cells, "path": path}
+
+
 def knn_ivf_materialized(
     spark,
     path: str,

@@ -60,6 +60,35 @@ def document_features_batch(good: DataFrame) -> DataFrame:
     )
 
 
+def cap_new_bands(
+    new_bands: DataFrame, existing: DataFrame | None, max_bucket: int | None
+) -> DataFrame:
+    """Enforce materialize_minhash's degenerate-bucket cap on band rows
+    APPENDED to a continuously-grown index, against TOTAL bucket width
+    (existing index rows + the new rows). A batch whose rows would push
+    a (band, band_sig) bucket past the cap contributes nothing to that
+    bucket -- mirroring the build-time rule, which drops over-wide
+    buckets entirely. The existing-side count is a partial-agg groupBy
+    over the index's join keys: the shuffle carries at most |distinct
+    buckets| rows per partition, and the index is being scanned each
+    batch anyway for the probe join."""
+    if max_bucket is None:
+        return new_bands
+    cols = new_bands.columns  # the equi-join reorders; appends must not
+    wspec = Window.partitionBy("band", "band_sig")
+    new_bands = new_bands.withColumn("_new", F.count(F.lit(1)).over(wspec))
+    if existing is not None:
+        have = existing.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("_have")
+        )
+        new_bands = new_bands.join(have, ["band", "band_sig"], "left").fillna(
+            0, subset=["_have"]
+        )
+    else:
+        new_bands = new_bands.withColumn("_have", F.lit(0))
+    return new_bands.filter(F.col("_new") + F.col("_have") <= max_bucket).select(cols)
+
+
 def run_document_stream(
     spark: SparkSession,
     input_dir: str,
@@ -140,29 +169,6 @@ def run_document_stream(
             dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
             return kept.select("doc_id").join(F.broadcast(dropped), "doc_id", "left_anti")
 
-    def _cap_new_bands(new_bands: DataFrame, existing: DataFrame | None) -> DataFrame:
-        """Enforce near_dup_max_bucket on appended band rows against
-        TOTAL bucket width (existing + new). The existing-side count is
-        a partial-agg groupBy over the index's join keys -- the shuffle
-        carries at most |distinct buckets| rows per partition, and the
-        index is being scanned this batch anyway for the probe join."""
-        if near_dup_max_bucket is None:
-            return new_bands
-        wspec = Window.partitionBy("band", "band_sig")
-        new_bands = new_bands.withColumn("_new", F.count(F.lit(1)).over(wspec))
-        if existing is not None:
-            have = existing.groupBy("band", "band_sig").agg(
-                F.count(F.lit(1)).alias("_have")
-            )
-            new_bands = new_bands.join(have, ["band", "band_sig"], "left").fillna(
-                0, subset=["_have"]
-            )
-        else:
-            new_bands = new_bands.withColumn("_have", F.lit(0))
-        return new_bands.filter(
-            F.col("_new") + F.col("_have") <= near_dup_max_bucket
-        ).drop("_new", "_have")
-
     def _catch_up_index():
         """Append band rows + shingles for corpus docs the index does
         not know yet (doc_id anti-join): batch-sized in steady state,
@@ -172,11 +178,13 @@ def run_document_stream(
         plan would let the first append change what the second one's
         anti-join reads (lazy re-evaluation), desynchronizing the
         tables exactly when a partition re-executes. Band appends pass
-        through the accumulated-width bucket cap (_cap_new_bands)."""
+        through the accumulated-width bucket cap (cap_new_bands)."""
         corpus_now = spark.read.parquet(output_dir).select("doc_id", "text")
 
         def _build_bands(d: DataFrame, existing: DataFrame | None) -> DataFrame:
-            return _cap_new_bands(D._band_rows(D.minhash_signatures(d)), existing)
+            return cap_new_bands(
+                D._band_rows(D.minhash_signatures(d)), existing, near_dup_max_bucket
+            )
 
         builders = {
             "bands": _build_bands,

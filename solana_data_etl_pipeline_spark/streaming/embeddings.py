@@ -20,7 +20,10 @@ Protocol per micro-batch:
   (assign_cells, broadcast + map-side combine) and appends
   cell-repartitioned files into the partitioned table. Centroids
   stay the ingest-time quantizer -- standard IVF practice: retrain on
-  drift at compaction cadence, not per batch.
+  drift at compaction cadence, not per batch, via
+  operators/similarity.py retrain_ivf (atomic layout rewrite;
+  restores the quantizer-fits-corpus invariant a drifted stream
+  erodes).
 
 Scale shape: nothing in the batch path touches the existing corpus
 except one vec_id column scan (the anti-join probe; at 100 TB that

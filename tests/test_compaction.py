@@ -118,3 +118,40 @@ def test_compact_partitioned_ivf_layout(spark, tmp_path):
     )
     top = knn_ivf_materialized(spark, layout, queries, k=3, nprobe=1).collect()
     assert len(top) == 3
+
+
+def test_recover_swap_repairs_crashed_swap(spark, tmp_path):
+    """A crash between swap_dir's two renames leaves no dir at `path`
+    (the original parked at ._old_, the rewrite at a temp sibling);
+    recover_swap on the next rewrite's entry restores the parked
+    original and clears all swap debris. A crash AFTER the swap (old
+    dir not yet removed) reduces to debris cleanup."""
+    import shutil
+
+    from solana_data_etl_pipeline_spark.sinks.compaction import recover_swap
+
+    path = str(tmp_path / "tbl")
+    df = _fragmented(spark, path, parts=4, rows=100)
+    expected = sorted(r.id for r in df.collect())
+
+    # simulate the mid-swap crash window: path renamed away, temp left
+    os.rename(path, path + "._old_deadbeef")
+    shutil.copytree(path + "._old_deadbeef", path + "._compact_cafe")
+    assert not os.path.exists(path)
+
+    recover_swap(path)
+    assert os.path.exists(path)
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected
+    assert not os.path.exists(path + "._old_deadbeef")
+    assert not os.path.exists(path + "._compact_cafe")
+
+    # post-swap crash: path intact, stale old dir left behind
+    shutil.copytree(path, path + "._old_1234abcd")
+    recover_swap(path)
+    assert not os.path.exists(path + "._old_1234abcd")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected
+
+    # a full rewrite still runs clean over a repaired table
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["after_files"] == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected

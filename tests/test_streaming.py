@@ -331,6 +331,38 @@ def test_document_stream_near_dup_index(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(f"{idx}/shingles").collect()} == {1, 2, 11, 20}
 
 
+def test_streaming_index_bucket_cap_counts_accumulated_width(spark):
+    """cap_new_bands must enforce the degenerate-bucket cap against
+    TOTAL bucket width (index rows already present + this batch's
+    rows), not per batch -- otherwise a hot bucket grows without bound
+    across batches and every future probe join goes quadratic."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import cap_new_bands
+
+    schema = "doc_id long, band int, band_sig string"
+    existing = spark.createDataFrame(
+        [(1, 0, "hot"), (2, 0, "hot"), (3, 1, "warm")], schema
+    )
+    new = spark.createDataFrame(
+        [(10, 0, "hot"), (11, 1, "warm"), (12, 2, "cold"), (13, 2, "cold")], schema
+    )
+
+    # cap 3: bucket (0,hot) would reach 3 -> kept; every bucket fits
+    got = {tuple(r) for r in cap_new_bands(new, existing, 3).collect()}
+    assert got == {(10, 0, "hot"), (11, 1, "warm"), (12, 2, "cold"), (13, 2, "cold")}
+
+    # cap 2: (0,hot) total would be 3 -> new rows dropped, existing
+    # untouched; (1,warm) reaches exactly 2 -> kept
+    got = {tuple(r) for r in cap_new_bands(new, existing, 2).collect()}
+    assert got == {(11, 1, "warm"), (12, 2, "cold"), (13, 2, "cold")}
+
+    # first batch (no index yet): cap applies within the batch alone
+    got = {tuple(r) for r in cap_new_bands(new, None, 1).collect()}
+    assert got == {(10, 0, "hot"), (11, 1, "warm")}
+
+    # uncapped passthrough
+    assert cap_new_bands(new, existing, None) is new
+
+
 def test_embedding_stream_maintains_ivf_layout(spark, tmp_path):
     """Streaming embedding ingest: first batch trains the quantizer and
     creates the materialize_ivf layout; later batches assign against
@@ -393,3 +425,93 @@ def test_embedding_stream_maintains_ivf_layout(spark, tmp_path):
     run_embedding_stream(spark, land, layout, quar, str(tmp_path / "ckpt2"), n_cells=2, dim=4)
     assert spark.read.parquet(f"{layout}/corpus").count() == 7
     assert spark.read.parquet(quar).count() == n_q
+
+
+def test_retrain_ivf_recovers_recall_after_stream_drift(spark, tmp_path):
+    """A drifted stream erodes IVF recall; retrain_ivf restores it.
+
+    Batch 1 trains the quantizer on clusters A and B. Batch 2 streams
+    in cluster C, centered BETWEEN the stale centroids, with members
+    nudged alternately toward A and B -- so the ingest-time
+    nearest-stale-centroid assignment SPLITS C across both cells, and
+    an nprobe=1 probe near C's center can only ever see half its true
+    neighbors. retrain_ivf refits the quantizer on the current corpus
+    and atomically rewrites the layout; C becomes one coherent cell
+    and the same probe recovers full recall."""
+    import glob
+
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_materialized,
+        retrain_ivf,
+    )
+    from solana_data_etl_pipeline_spark.streaming.embeddings import run_embedding_stream
+
+    land = str(tmp_path / "emb_in")
+    layout = str(tmp_path / "ivf")
+    quar = str(tmp_path / "emb_quar")
+    ckpt = str(tmp_path / "emb_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _vec(i, emb):
+        return json.dumps(
+            {"vec_id": i, "embedding": emb, "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    a = [10.0, 0.0, 0.0, 0.1]
+    b = [0.0, 10.0, 0.1, 0.0]
+    with open(os.path.join(land, "train.jsonl"), "w") as f:
+        for i in range(4):
+            f.write(_vec(i, [x + i * 0.01 for x in a]) + "\n")
+        for i in range(4, 8):
+            f.write(_vec(i, [x + i * 0.01 for x in b]) + "\n")
+    run_embedding_stream(spark, land, layout, quar, ckpt, n_cells=2, dim=4)
+
+    # drift batch: cluster C between A and B, members leaning
+    # alternately A-ward / B-ward so stale assignment splits them
+    with open(os.path.join(land, "drift.jsonl"), "w") as f:
+        for j, i in enumerate(range(20, 28)):
+            s = 1.0 if j % 2 == 0 else -1.0
+            f.write(_vec(i, [5.0 + s + j * 0.01, 5.0 - s, 0.0, 0.0]) + "\n")
+    run_embedding_stream(spark, land, layout, quar, ckpt, n_cells=2, dim=4)
+
+    corpus = spark.read.parquet(f"{layout}/corpus")
+    c_cells = {r.cell for r in corpus.filter("vec_id >= 20").collect()}
+    assert len(c_cells) == 2, "drifted cluster must straddle the stale cells"
+
+    queries = spark.createDataFrame(
+        [(999, [5.0, 5.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    k = 8  # exactly |C|: every true neighbor is a C member
+    exact = {r.neighbor_id for r in knn_bruteforce(corpus, queries, k).collect()}
+    assert exact == set(range(20, 28))
+    before = {
+        r.neighbor_id
+        for r in knn_ivf_materialized(spark, layout, queries, k=k, nprobe=1).collect()
+    }
+    recall_before = len(before & exact) / k
+    assert recall_before <= 0.5, "stale quantizer must lose the split half"
+
+    summary = retrain_ivf(spark, layout, n_cells=3)
+    assert summary["vectors"] == 16
+    # layout swap is complete: no debris, same vec_ids, fresh centroids
+    assert glob.glob(f"{layout}._*") == []
+    corpus2 = spark.read.parquet(f"{layout}/corpus")
+    assert {r.vec_id for r in corpus2.collect()} == set(range(8)) | set(range(20, 28))
+    assert spark.read.parquet(f"{layout}/centroids").count() == 3
+    c_cells2 = {r.cell for r in corpus2.filter("vec_id >= 20").collect()}
+    assert len(c_cells2) == 1, "refit quantizer must give C one coherent cell"
+
+    after = {
+        r.neighbor_id
+        for r in knn_ivf_materialized(spark, layout, queries, k=k, nprobe=1).collect()
+    }
+    assert len(after & exact) / k == 1.0
+
+    # the retrained layout keeps streaming: next batch assigns against
+    # the NEW centroids and stays probe-able
+    with open(os.path.join(land, "post.jsonl"), "w") as f:
+        f.write(_vec(30, [5.0, 5.0, 0.01, 0.0]) + "\n")
+    run_embedding_stream(spark, land, layout, quar, ckpt, n_cells=3, dim=4)
+    got = {r.vec_id: r.cell for r in spark.read.parquet(f"{layout}/corpus").collect()}
+    assert got[30] == got[20], "post-retrain ingest must join the refit C cell"
