@@ -121,6 +121,32 @@ def main() -> None:
     lsh_jac = _pairs(full["dedup_minhash_lsh"](spark, sf_dir), "doc_a", "doc_b")
     recall["dedup_minhash_lsh_pairs"] = round(len(exact_jac & lsh_jac) / max(len(exact_jac), 1), 3)
 
+    # simhash pigeonhole pair recall vs exact all-pairs hamming.
+    # Both variants are measured: the uncapped pigeonhole (provably
+    # complete w.r.t. the fingerprint — this row should read 1.0, and
+    # anything else is a bug) and the REGISTERED bucket-capped variant,
+    # whose number shows what the degenerate-bucket guard costs on THIS
+    # corpus. The synthetic docs are homogeneous enough that at 32-bit
+    # ~17% of ALL doc pairs sit within hamming<=3, so nearly every
+    # segment bucket exceeds the cap — the cap correctly refuses that
+    # quadratic work (pair-emission is the wrong operator in that
+    # regime; the cluster/keeper operators are the scale path).
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        simhash_bruteforce_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    _docs_tbl = load_table(spark, sf_dir, "documents")
+    exact_sh = _pairs(simhash_bruteforce_pairs(_docs_tbl), "doc_a", "doc_b")
+    for tag, sh_df in (
+        ("", full["simhash_near_dup"](spark, sf_dir)),
+        ("_uncapped", simhash_near_dup_pairs(_docs_tbl, max_hamming=3)),
+    ):
+        got_sh = _pairs(sh_df, "doc_a", "doc_b")
+        recall[f"simhash_near_dup_pairs{tag}"] = round(
+            len(exact_sh & got_sh) / max(len(exact_sh), 1), 3
+        )
+
     exact_cos = _pairs(
         embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35),
         "vec_a",

@@ -504,6 +504,32 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_bruteforce_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Exact all-pairs hamming twin of simhash_near_dup_pairs
+    (deliberately quadratic, UNREGISTERED -- exists only so bench.py
+    can measure the pigeonhole plan's pair recall against ground
+    truth, the same evidence standard as ngram_jaccard_pairs for the
+    minhash plan). Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    fp = simhash(df, text_col, bits)
+    l, r = fp.alias("l"), fp.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

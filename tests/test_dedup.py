@@ -337,29 +337,15 @@ def test_simhash_near_dup_pigeonhole_complete(spark):
     """Pigeonhole candidates are COMPLETE w.r.t. the fingerprint:
     uncapped simhash_near_dup_pairs equals the brute-force
     all-pairs hamming filter exactly."""
-    from pyspark.sql import functions as F
-
-    from solana_data_etl_pipeline_spark.operators.dedup import simhash, simhash_near_dup_pairs
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        simhash_bruteforce_pairs,
+        simhash_near_dup_pairs,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
     got = sorted(
         map(tuple, simhash_near_dup_pairs(docs, max_hamming=3).collect())
     )
-    fp = simhash(docs)
-    a, b = fp.alias("a"), fp.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    brute = sorted(
-        map(
-            tuple,
-            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .filter(ham <= 3)
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                ham.cast("long").alias("hamming"),
-            )
-            .collect(),
-        )
-    )
+    brute = sorted(map(tuple, simhash_bruteforce_pairs(docs, max_hamming=3).collect()))
     assert got == brute
     assert all(h <= 3 for _, _, h in got)
