@@ -292,7 +292,7 @@ def materialize_minhash(
     _shingle_sets(df, text_col).write.mode("overwrite").parquet(f"{path}/shingles")
 
 
-def delta_dedup_materialized(
+def delta_match_pairs(
     spark,
     index_path: str,
     delta: DataFrame,
@@ -300,19 +300,17 @@ def delta_dedup_materialized(
     threshold: float = 0.5,
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
-) -> DataFrame:
-    """Incremental near-dup dedup: the doc_ids of `delta` that survive
-    against an already-materialized corpus index -- the continuous-
-    ingest path, where re-pairing the whole corpus per batch
-    (O(corpus) per batch, O(corpus^2) cumulative) is replaced by
-    probing the index (O(delta) band rows joined against it).
-
-    Drop rule, deterministic and set-based: a delta doc is dropped iff
-    it verifies (exact Jaccard >= threshold) against ANY corpus doc it
-    shares an LSH band bucket with, or against a SMALLER-ID delta doc
-    (min-id-wins within the batch -- the batch twin of
-    keep_representatives' min-label rule, without the iterative
-    closure a single batch doesn't need).
+) -> tuple[DataFrame, DataFrame]:
+    """Verified near-dup MATCH PAIRS of a delta batch against an
+    already-materialized corpus index (materialize_minhash): returns
+    `(corpus_hits, delta_pairs)` where corpus_hits = (delta_id,
+    corpus_id) exact-Jaccard-verified collisions against the index and
+    delta_pairs = (doc_a, doc_b), doc_a < doc_b, verified pairs WITHIN
+    the batch. Both frames are unique per pair (candidates are
+    distinct before the verify filter, and the shingle-set joins are
+    one-row-per-key). delta_dedup_materialized derives its drop set
+    from these; streaming/clusters.py records them so dropped docs
+    keep cluster attribution.
 
     Scale shape: delta band rows and shingles are zero-shuffle
     projections; both candidate joins BROADCAST the delta side, so the
@@ -342,16 +340,15 @@ def delta_dedup_materialized(
         .select(F.col("d.doc_id").alias("delta_id"), F.col("c.doc_id").alias("corpus_id"))
         .distinct()
     )
-    dropped_c = (
+    corpus_hits = (
         cand_c.join(idx_sh.alias("cs"), cand_c.corpus_id == F.col("cs.doc_id"))
         .join(F.broadcast(d_sh.alias("ds")), cand_c.delta_id == F.col("ds.doc_id"))
         .filter(jac(F.col("ds.sh"), F.col("cs.sh")) >= threshold)
-        .select(F.col("delta_id").alias("doc_id"))
-        .distinct()
+        .select("delta_id", "corpus_id")
     )
-    # batch-internal hits: min-id-wins over verified delta-delta pairs
-    # (every frame here derives from the SMALL delta batch -- broadcast
-    # hints keep all of them off the shuffle path)
+    # batch-internal hits (every frame here derives from the SMALL
+    # delta batch -- broadcast hints keep all of them off the shuffle
+    # path)
     l, r = d_bands.alias("l"), d_bands.alias("r")
     cand_d = (
         l.join(
@@ -364,13 +361,42 @@ def delta_dedup_materialized(
         .distinct()
     )
     sa, sb = d_sh.alias("sa"), d_sh.alias("sb")
-    dropped_d = (
+    delta_pairs = (
         cand_d.join(F.broadcast(sa), cand_d.doc_a == F.col("sa.doc_id"))
         .join(F.broadcast(sb), cand_d.doc_b == F.col("sb.doc_id"))
         .filter(jac(F.col("sa.sh"), F.col("sb.sh")) >= threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        .select("doc_a", "doc_b")
     )
+    return corpus_hits, delta_pairs
+
+
+def delta_dedup_materialized(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Incremental near-dup dedup: the doc_ids of `delta` that survive
+    against an already-materialized corpus index -- the continuous-
+    ingest path, where re-pairing the whole corpus per batch
+    (O(corpus) per batch, O(corpus^2) cumulative) is replaced by
+    probing the index (O(delta) band rows joined against it).
+
+    Drop rule, deterministic and set-based: a delta doc is dropped iff
+    it verifies (exact Jaccard >= threshold) against ANY corpus doc it
+    shares an LSH band bucket with (a corpus hit), or against a
+    SMALLER-ID delta doc (min-id-wins within the batch -- the batch
+    twin of keep_representatives' min-label rule, without the
+    iterative closure a single batch doesn't need). Pair discovery and
+    plan shape live in delta_match_pairs."""
+    corpus_hits, delta_pairs = delta_match_pairs(
+        spark, index_path, delta, text_col, threshold, num_hashes, bands
+    )
+    dropped_c = corpus_hits.select(F.col("delta_id").alias("doc_id")).distinct()
+    dropped_d = delta_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     # the dropped set is bounded by the delta batch -- broadcasting it
     # leaves the delta scan entirely shuffle-free end to end
     return delta.select("doc_id").join(

@@ -46,7 +46,7 @@ def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
 
 
 #: sibling-dir suffixes a crashed rewrite can leave behind
-_SWAP_PREFIXES = ("._old_", "._compact_", "._zorder_", "._retrain_")
+_SWAP_PREFIXES = ("._old_", "._compact_", "._zorder_", "._retrain_", "._remap_")
 
 
 def _swap_debris(path: str) -> list[str]:

@@ -138,7 +138,15 @@ def run_document_stream(
     nothing to that bucket -- mirroring the build-time rule, which
     drops over-wide buckets entirely. Recall note is the same as
     materialize_minhash's: exact duplicates lost to a capped bucket
-    were already caught by the exact-fingerprint stage."""
+    were already caught by the exact-fingerprint stage.
+
+    Near-dup runs also maintain CLUSTER ids continuously
+    (streaming/clusters.py): every verified pair is logged per epoch
+    and folded into an incrementally-maintained component-id table, so
+    dropped docs keep attribution to their retained representative and
+    components that later merge through a shared match get one id --
+    the labels agree with batch connected_components over the same
+    pairs (read them back with streaming.clusters.streamed_clusters)."""
     from solana_data_etl_pipeline_spark.sinks.quarantine import (
         CORRUPT_COL,
         split_corrupt,
@@ -155,19 +163,41 @@ def run_document_stream(
     )
 
     from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.streaming.clusters import (
+        append_pairs,
+        catch_up_clusters,
+    )
 
-    def _near_dup_keep_ids(kept):
-        """doc_ids of `kept` that survive near-dup dedup against the
-        index (plus min-id-wins within the batch). Falls back to
-        batch-internal-only before the index exists."""
+    def _near_dup_matches(kept):
+        """(corpus_hits, delta_pairs) of `kept` against the index --
+        both eagerly checkpointed so the one probe execution feeds the
+        keep/drop decision AND the cluster pair log. Falls back to
+        batch-internal pairs only before the index exists (narrow
+        probe: only the path-probing read may mean "first batch")."""
         try:
-            return D.delta_dedup_materialized(
-                spark, near_dup_index, kept, threshold=near_dup_threshold
-            )
+            spark.read.parquet(f"{near_dup_index}/bands")
         except AnalysisException:
             pairs = D.minhash_lsh_pairs(kept, threshold=near_dup_threshold)
-            dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-            return kept.select("doc_id").join(F.broadcast(dropped), "doc_id", "left_anti")
+            return None, pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        hits, dpairs = D.delta_match_pairs(
+            spark, near_dup_index, kept, threshold=near_dup_threshold
+        )
+        return (
+            hits.localCheckpoint(eager=True),
+            dpairs.localCheckpoint(eager=True),
+        )
+
+    def _near_dup_keep_ids(kept, hits, dpairs):
+        """doc_ids of `kept` that survive near-dup dedup: drop docs
+        that verified against the corpus index, or against a
+        smaller-id doc within the batch (delta_dedup_materialized's
+        drop rule, derived from the already-checkpointed pairs)."""
+        dropped = dpairs.select(F.col("doc_b").alias("doc_id"))
+        if hits is not None:
+            dropped = dropped.unionByName(hits.select(F.col("delta_id").alias("doc_id")))
+        return kept.select("doc_id").join(
+            F.broadcast(dropped.distinct()), "doc_id", "left_anti"
+        )
 
     def _catch_up_index():
         """Append band rows + shingles for corpus docs the index does
@@ -219,8 +249,25 @@ def run_document_stream(
                     seen.select("fingerprint").distinct(), "fingerprint", "left_anti"
                 )
             if near_dup_index:
+                hits, dpairs = _near_dup_matches(kept)
+                # pair log BEFORE the corpus write: once the corpus
+                # commits, a replayed batch is emptied by the
+                # fingerprint anti-join and the pairs would be
+                # unrecoverable (append_pairs is write-once per epoch,
+                # so the replay's empty recompute cannot erase them)
+                all_pairs = dpairs
+                if hits is not None:
+                    all_pairs = all_pairs.unionByName(
+                        hits.select(
+                            F.col("delta_id").alias("doc_a"),
+                            F.col("corpus_id").alias("doc_b"),
+                        )
+                    )
+                append_pairs(spark, near_dup_index, all_pairs, epoch=batch_id)
                 kept = kept.join(
-                    F.broadcast(_near_dup_keep_ids(kept)), "doc_id", "left_semi"
+                    F.broadcast(_near_dup_keep_ids(kept, hits, dpairs)),
+                    "doc_id",
+                    "left_semi",
                 )
             kept.select(
                 "doc_id",
@@ -253,6 +300,10 @@ def run_document_stream(
                 # AFTER the corpus write, so the dedup above never sees
                 # this batch's own docs in the index
                 _catch_up_index()
+                # fold the pair log into cluster ids (idempotent,
+                # marker-driven -- repairs any previously crashed
+                # catch-up before advancing)
+                catch_up_clusters(spark, near_dup_index)
         finally:
             batch_df.unpersist()
 

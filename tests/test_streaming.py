@@ -515,3 +515,170 @@ def test_retrain_ivf_recovers_recall_after_stream_drift(spark, tmp_path):
     run_embedding_stream(spark, land, layout, quar, ckpt, n_cells=3, dim=4)
     got = {r.vec_id: r.cell for r in spark.read.parquet(f"{layout}/corpus").collect()}
     assert got[30] == got[20], "post-retrain ingest must join the refit C cell"
+
+
+def test_incremental_clusters_unit_merge_and_compose(spark, tmp_path):
+    """streaming/clusters.py maintenance, driven directly: append-only
+    per-doc rows, merges absorbed by the remap log, remaps kept fully
+    resolved under composition, compaction folds and resets."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.dedup import connected_components
+    from solana_data_etl_pipeline_spark.streaming.clusters import (
+        append_pairs,
+        catch_up_clusters,
+        compact_clusters,
+        streamed_clusters,
+    )
+
+    idx = str(tmp_path / "idx")
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    def clusters_now():
+        return {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
+
+    # epoch 0: two separate families
+    append_pairs(spark, idx, pairs_df([(101, 100), (201, 200)]), epoch=0)
+    catch_up_clusters(spark, idx)
+    assert clusters_now() == {100: 100, 101: 100, 200: 200, 201: 200}
+
+    # epoch 1: a bridge doc merges them -> remap 200 -> 100
+    append_pairs(spark, idx, pairs_df([(300, 100), (300, 200)]), epoch=1)
+    catch_up_clusters(spark, idx)
+    assert clusters_now() == {k: 100 for k in (100, 101, 200, 201, 300)}
+    remaps = {(r.old_root, r.new_root) for r in spark.read.parquet(f"{idx}/remaps").collect()}
+    assert remaps == {(200, 100)}
+
+    # epoch 2: a smaller id joins -> root moves to 50; the existing
+    # 200->100 entry must COMPOSE to 200->50 (stay fully resolved)
+    append_pairs(spark, idx, pairs_df([(50, 100)]), epoch=2)
+    catch_up_clusters(spark, idx)
+    assert clusters_now() == {k: 50 for k in (50, 100, 101, 200, 201, 300)}
+    remaps = {(r.old_root, r.new_root) for r in spark.read.parquet(f"{idx}/remaps").collect()}
+    assert remaps == {(200, 50), (100, 50)}
+    olds = {o for o, _ in remaps}
+    news = {n for _, n in remaps}
+    assert not (olds & news), "remap log must stay fully resolved (no chains)"
+
+    # per-doc rows were never rewritten: insert-time roots on disk
+    raw = {r.doc_id: r.cluster_id for r in spark.read.parquet(f"{idx}/clusters").collect()}
+    assert raw[200] == 200 and raw[300] == 100 and raw[50] == 50
+
+    # parity with batch CC over the complete pair log
+    logged = spark.read.parquet(f"{idx}/pairs").select("doc_a", "doc_b")
+    batch = {
+        r.id: r.cluster_id for r in connected_components(logged).collect()
+    }
+    assert clusters_now() == batch
+
+    # idempotency: immediate re-run, and a crash-before-marker replay
+    catch_up_clusters(spark, idx)
+    assert clusters_now() == batch
+    import shutil
+
+    shutil.rmtree(f"{idx}/pairs_done")  # crash before the marker advanced
+    catch_up_clusters(spark, idx)  # reprocesses every epoch
+    assert clusters_now() == batch
+    assert spark.read.parquet(f"{idx}/clusters").count() == 6  # no dup rows
+
+    # compaction folds remaps into the per-doc table and resets the log
+    compact_clusters(spark, idx)
+    assert clusters_now() == batch
+    raw = {r.doc_id: r.cluster_id for r in spark.read.parquet(f"{idx}/clusters").collect()}
+    assert raw == batch
+    assert spark.read.parquet(f"{idx}/remaps").count() == 0
+    compact_clusters(spark, idx)  # empty-log no-op
+    assert clusters_now() == batch
+
+
+def test_document_stream_maintains_clusters(spark, tmp_path):
+    """End-to-end streaming cluster maintenance: streamed corpus
+    cluster ids EQUAL batch connected_components labels over the same
+    verified pairs -- including a cross-component merge discovered two
+    batches after the components formed."""
+    from solana_data_etl_pipeline_spark.operators.dedup import connected_components
+    from solana_data_etl_pipeline_spark.streaming.clusters import streamed_clusters
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    idx = str(tmp_path / "nd_idx")
+    os.makedirs(land, exist_ok=True)
+
+    common = "the shared boilerplate header that both document families carry along verbatim today"
+    a_suf = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    b_suf = "papa amber lima quebec jupiter xray whiskey mercury mike uniform"
+    fam_a = f"{common} {a_suf}"
+    fam_b = f"{common} {b_suf}"
+    bridge = f"{common} {a_suf} {b_suf}"
+    unrelated = "completely different material about spark partitions and shuffle joins in production"
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    def _run():
+        run_document_stream(
+            spark, land, out, quar, ckpt,
+            near_dup_index=idx, near_dup_threshold=0.4,
+        )
+
+    # batch 1: family representatives (J(fam_a, fam_b)=0.33 < 0.4 ->
+    # both kept, no pairs) + an unrelated doc
+    with open(os.path.join(land, "b1.jsonl"), "w") as f:
+        f.write(_doc(100, fam_a) + "\n")
+        f.write(_doc(200, fam_b) + "\n")
+        f.write(_doc(900, unrelated) + "\n")
+    _run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {100, 200, 900}
+
+    # batch 2: one near-dup per family -> dropped, attributed
+    with open(os.path.join(land, "b2.jsonl"), "w") as f:
+        f.write(_doc(101, fam_a + " extra") + "\n")
+        f.write(_doc(201, fam_b + " extra") + "\n")
+    _run()
+    got = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
+    assert got == {100: 100, 101: 100, 200: 200, 201: 200}
+
+    # batch 3: the bridge doc verifies against BOTH retained reps ->
+    # dropped, and its matches merge the two components
+    with open(os.path.join(land, "b3.jsonl"), "w") as f:
+        f.write(_doc(300, bridge) + "\n")
+    _run()
+    got = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
+    assert got == {k: 100 for k in (100, 101, 200, 201, 300)}
+
+    # batch 4: a smaller-id near-dup of family A arrives late -> the
+    # merged component relabels to 50 everywhere (remap composition)
+    with open(os.path.join(land, "b4.jsonl"), "w") as f:
+        f.write(_doc(50, fam_a + " more") + "\n")
+    _run()
+    got = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
+    assert got == {k: 50 for k in (50, 100, 101, 200, 201, 300)}
+
+    # THE parity statement: streamed labels == batch CC over the
+    # logged pair set (doc 900 in neither -- it was never in a pair)
+    logged = spark.read.parquet(f"{idx}/pairs").select("doc_a", "doc_b")
+    batch = {r.id: r.cluster_id for r in connected_components(logged).collect()}
+    assert got == batch
+
+    # corpus membership unchanged by cluster bookkeeping
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {100, 200, 900}
+
+    # lost-checkpoint replay: everything (corpus, pairs, clusters) is
+    # a no-op -- the replayed mega-batch is emptied by the fingerprint
+    # anti-join and write-once epoch logging keeps recorded pairs
+    _run_ckpt2 = lambda: run_document_stream(  # noqa: E731
+        spark, land, out, quar, str(tmp_path / "ckpt2"),
+        near_dup_index=idx, near_dup_threshold=0.4,
+    )
+    _run_ckpt2()
+    got2 = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
+    assert got2 == batch
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {100, 200, 900}
