@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also near-dup dedup each batch against a maintained minhash index",
     )
+    p_scorp.add_argument(
+        "--compact-clusters",
+        action="store_true",
+        help="after the drain, fold the near-dup cluster remap log into the per-doc table",
+    )
 
     p_corp = sub.add_parser("corpus", help="run the training-corpus pipeline over a documents table")
     p_corp.add_argument("--documents", required=True, help="path to a documents parquet table")
@@ -156,6 +161,21 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             n = 0
         print(f"corpus_stream: drained ({n} documents total)")
+        if args.near_dup:
+            from solana_data_etl_pipeline_spark.streaming.clusters import (
+                compact_clusters,
+                streamed_clusters,
+            )
+
+            idx = f"{out}/near_dup_index"
+            if args.compact_clusters:
+                compact_clusters(spark, idx)
+            labels = streamed_clusters(spark, idx)
+            print(
+                "near_dup_clusters: "
+                f"{labels.count()} docs in "
+                f"{labels.select('cluster_id').distinct().count()} clusters"
+            )
         return 0
 
     if args.command == "corpus":

@@ -384,6 +384,52 @@ def weighted_mix(df: DataFrame, weights: dict[str, int], source_col: str = "sour
     return df.filter(bucket < rate)
 
 
+# -- deterministic training-shuffle sharding -------------------------
+
+
+def training_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every doc
+    gets a (shard, pos) under a seeded pseudo-random permutation --
+    the step that turns a curated corpus into shuffled training shards
+    (epoch order must not follow crawl/ingest order, and a retried job
+    must produce byte-identical shards, which rand() cannot).
+
+    key = md5(seed:id) as a uniform 60-bit int; shard = key mod
+    n_shards; pos = rank of the key within its shard (id tiebreak).
+    Changing the seed is a fresh permutation; same seed replays
+    exactly, on any engine.
+
+    Scale shape: the key/shard columns are pure projections; positions
+    need ONE hash exchange on shard + a per-shard sort -- never a
+    global total order. With n_shards sized so a shard fits a task
+    (e.g. 100k shards at 100 TB), each sort is small and independent;
+    writers then partitionBy(shard) with pos as the in-file order."""
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(int(seed))), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("_key"),
+            (key % F.lit(int(n_shards))).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 # -- unigram language-model scoring ----------------------------------
 
 

@@ -697,6 +697,7 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "consistent_sample": _docs(
         lambda df: X.consistent_sample(df, pct=20).select("doc_id", "lang", "n_chars")
     ),
+    "training_shuffle": _docs(lambda df: X.training_shuffle(df, n_shards=16, seed=7)),
     "vocab_top_words": _docs(X.vocab_top_words),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
     "corpus_selection": C.corpus_selection,
@@ -779,6 +780,17 @@ GROUP BY lang
     "consistent_sample": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+""",
+    "training_shuffle": """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(key % 16 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS BIGINT) AS pos
+FROM k
 """,
     "stratified_sample": """
 WITH r AS (
@@ -1663,7 +1675,9 @@ DRIVER_ORDER = [
     # --- reference A-queries rotated BACK in (green r1-r3, out r4-r5)
     #     continuing the parity round-robin; failed_transactions /
     #     top_tokens rotate out after their fresh green r5 verdicts.
-    #     Next robin (round 7): top_wallets back in. ---
+    #     Next robin (round 7): top_wallets back in, plus the round-6
+    #     newcomer training_shuffle (oracle-swept now, added after
+    #     this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

@@ -174,10 +174,20 @@ def test_cli_stream_corpus(spark, tmp_path, capsys):
         f.write(_doc(2, t1 + " extra") + "\n")
         f.write(_doc(3, t2) + "\n")
 
-    rc = main(["--warehouse-path", wh, "stream-corpus", "--input", land, "--near-dup"])
+    rc = main(
+        ["--warehouse-path", wh, "stream-corpus", "--input", land, "--near-dup",
+         "--compact-clusters"]
+    )
     assert rc == 0
+    out2 = capsys.readouterr().out
     docs = spark.read.parquet(f"{wh}/corpus_stream/documents")
     assert {r.doc_id for r in docs.collect()} == {1, 3}
     assert spark.read.parquet(f"{wh}/corpus_stream/near_dup_index/bands").select(
         "doc_id"
     ).distinct().count() == 2
+    # dropped doc 2 attributed to doc 1's cluster; compaction folded
+    # and reset the remap log
+    assert "near_dup_clusters: 2 docs in 1 clusters" in out2
+    idx = f"{wh}/corpus_stream/near_dup_index"
+    raw = {r.doc_id: r.cluster_id for r in spark.read.parquet(f"{idx}/clusters").collect()}
+    assert raw == {1: 1, 2: 1}

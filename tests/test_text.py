@@ -353,3 +353,31 @@ def test_quantile_gate_null_semantics(spark):
     assert kept == [1, 3, 4]
     allnull = spark.createDataFrame([(1, None), (2, None)], "doc_id long, v double")
     assert X.quantile_gate(allnull, "v").count() == 0
+
+
+def test_training_shuffle_is_deterministic_permutation(spark):
+    rows = [(i, f"doc {i} text", "en", "s1", 10 + i) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = X.training_shuffle(df, n_shards=8, seed=7).collect()
+    # a permutation: every doc exactly once, shards in range, positions
+    # contiguous 1..|shard| within each shard
+    assert sorted(r.doc_id for r in got) == list(range(200))
+    assert {r.shard for r in got} <= set(range(8))
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic replay, seed-sensitive reorder
+    again = X.training_shuffle(df, n_shards=8, seed=7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    other = X.training_shuffle(df, n_shards=8, seed=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in other} != {
+        (r.doc_id, r.shard, r.pos) for r in got
+    }
+    # not ingest order: within some shard, doc_ids are not sorted by pos
+    some = max(by_shard, key=lambda s: len(by_shard[s]))
+    ordered = [r.doc_id for r in sorted(got, key=lambda r: (r.shard, r.pos)) if r.shard == some]
+    assert ordered != sorted(ordered)
