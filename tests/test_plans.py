@@ -217,3 +217,15 @@ def test_delta_dedup_all_broadcast_no_sort_merge(plans):
     p = plans("delta_dedup")
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 5
+
+
+def test_training_shuffle_single_exchange_no_global_sort(plans):
+    # the export shuffle's scale contract: shard/key are projections
+    # on a column-pruned scan; positions cost exactly ONE hash
+    # exchange (on shard) + a per-shard sort -- a global total order
+    # (rangepartitioning / single-partition window) would serialize
+    # the corpus through one task at 100 TB
+    p = plans("training_shuffle")
+    assert p.count("Exchange") == 1, p
+    assert "rangepartitioning" not in p.lower()
+    assert "SinglePartition" not in p

@@ -451,3 +451,57 @@ def test_delta_dedup_matches_python_model(spark, tmp_path_factory, corpus_texts,
         for r in delta_dedup_materialized(spark, path, delta_df, threshold=threshold).collect()
     )
     assert got == expected, (corpus_texts, delta_texts, sorted(dropped))
+
+
+@given(
+    epochs=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=0, max_value=12),
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_incremental_clusters_match_batch_cc(spark, tmp_path_factory, epochs):
+    """catch_up_clusters over arbitrary per-epoch pair batches must end
+    exactly where batch connected_components over the union of all
+    pairs ends -- the incremental contracted-graph/remap machinery is
+    pure bookkeeping. Also pins the remap log's fully-resolved
+    invariant after every epoch."""
+    from solana_data_etl_pipeline_spark.operators.dedup import connected_components
+    from solana_data_etl_pipeline_spark.streaming.clusters import (
+        append_pairs,
+        catch_up_clusters,
+        streamed_clusters,
+    )
+
+    idx = str(tmp_path_factory.mktemp("clu"))
+    seen: list[tuple[int, int]] = []
+    for e, batch in enumerate(epochs):
+        pairs = spark.createDataFrame(batch or [(0, 0)], "doc_a long, doc_b long")
+        if not batch:
+            pairs = pairs.filter("doc_a <> doc_a")  # empty epoch
+        append_pairs(spark, idx, pairs, epoch=e)
+        catch_up_clusters(spark, idx)
+        seen.extend((min(a, b), max(a, b)) for a, b in batch)
+        try:
+            remaps = spark.read.parquet(f"{idx}/remaps").collect()
+        except Exception:
+            remaps = []
+        olds = {r.old_root for r in remaps}
+        news = {r.new_root for r in remaps}
+        assert not (olds & news), "remap log must stay fully resolved"
+
+    got = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
+    if not seen:
+        assert got == {}
+        return
+    batch_pairs = spark.createDataFrame(sorted(set(seen)), "doc_a long, doc_b long")
+    want = {r.id: r.cluster_id for r in connected_components(batch_pairs).collect()}
+    assert got == want
