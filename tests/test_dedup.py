@@ -349,3 +349,33 @@ def test_simhash_near_dup_pigeonhole_complete(spark):
     brute = sorted(map(tuple, simhash_bruteforce_pairs(docs, max_hamming=3).collect()))
     assert got == brute
     assert all(h <= 3 for _, _, h in got)
+
+
+def test_connected_components_three_tiers_identical_labels(spark):
+    """The three execution tiers (driver union-find / broadcast rounds
+    / shuffle rounds) must produce IDENTICAL (id, cluster_id) maps on
+    the same graph -- a seeded random graph with chains, merges, and
+    singleton pairs exercises non-trivial component structure."""
+    import random
+
+    rng = random.Random(13)
+    edges = {(rng.randrange(400), rng.randrange(400)) for _ in range(300)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    tiers = {
+        "driver": D.connected_components(pairs),
+        "broadcast": D.connected_components(pairs, _driver_threshold=0),
+        "shuffle": D.connected_components(
+            pairs, _driver_threshold=0, _broadcast_threshold=0
+        ),
+    }
+    maps = {k: {r.id: r.cluster_id for r in v.collect()} for k, v in tiers.items()}
+    assert maps["driver"] == maps["broadcast"] == maps["shuffle"]
+    # min-label contract: every label is its component's minimum member
+    labels = maps["driver"]
+    comp_members: dict = {}
+    for node, lab in labels.items():
+        comp_members.setdefault(lab, []).append(node)
+    for lab, members in comp_members.items():
+        assert lab == min(members)
