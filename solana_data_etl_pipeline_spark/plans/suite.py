@@ -1228,6 +1228,23 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         )
     ),
+    # the embedding twin of dedup_keepers: sign-LSH cosine pairs ->
+    # connected components -> unclustered vectors + one representative
+    # per component. Same keep_representatives machinery (corpus side
+    # never shuffles); completes the embedding dedup story past pairs.
+    "embedding_dedup_keepers": (
+        lambda spark, sf_dir: D.keep_representatives(
+            load_table(spark, sf_dir, "embeddings"),
+            D.embedding_near_dup_lsh(
+                load_table(spark, sf_dir, "embeddings"),
+                threshold=0.35,
+                max_bucket=DEDUP_MAX_BUCKET,
+            ),
+            id_col="vec_id",
+            src_col="vec_a",
+            dst_col="vec_b",
+        )
+    ),
 }
 
 def _minhash_sigs_sql() -> str:
@@ -1400,6 +1417,36 @@ cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
 UNION ALL
 SELECT DISTINCT cluster_id AS doc_id FROM cl
+"""
+
+# embedding keepers: the dedup_embedding_cosine pair pipeline feeding
+# the same recursive-CC + keepers suffix as dedup_keepers
+DEDUP_SQL["embedding_dedup_keepers"] = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_table_buckets_sql(2)},
+kept AS (
+  SELECT vec_id, v, tbl, bkt FROM (
+    SELECT *, count(*) OVER (PARTITION BY tbl, bkt) AS w FROM b
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM kept a JOIN kept c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+  WHERE list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id
+),
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM cl)
+UNION ALL
+SELECT DISTINCT cluster_id AS vec_id FROM cl
 """
 
 # Incremental dedup: same minhash/band pipeline, candidates restricted
@@ -1676,8 +1723,8 @@ DRIVER_ORDER = [
     #     continuing the parity round-robin; failed_transactions /
     #     top_tokens rotate out after their fresh green r5 verdicts.
     #     Next robin (round 7): top_wallets back in, plus the round-6
-    #     newcomer training_shuffle (oracle-swept now, added after
-    #     this round's rotation). ---
+    #     newcomers training_shuffle + embedding_dedup_keepers
+    #     (oracle-swept now, added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---
