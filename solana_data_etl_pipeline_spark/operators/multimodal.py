@@ -108,6 +108,57 @@ def extract_features(media_df: DataFrame, batch_size: int = 256) -> DataFrame:
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _fake_resize(payload: bytes, modality: str, target: int) -> bytes:
+    """Deterministic stand-in for a real media resize (PIL thumbnail /
+    audio downsample / video transcode): keep the payload's first
+    `target` utf-8 characters. Character-based (not byte-based) so the
+    DuckDB oracle can reproduce it exactly with substring()."""
+    return bytes(payload).decode("utf-8")[:target].encode("utf-8")
+
+
+def _unavailable_resize(payload: bytes, modality: str, target: int) -> bytes:
+    raise NotImplementedError(
+        "real media resizing requires codecs not present in this environment; "
+        "register a resizer in RESIZERS['image'|'audio'|'video']"
+    )
+
+
+# Swap entries for real resizers when the codec libraries exist.
+RESIZERS = {
+    "text": _fake_resize,
+    "image": _fake_resize,  # STUB: deterministic fake, not a real resize
+    "audio": _fake_resize,  # STUB
+    "video": _fake_resize,  # STUB
+}
+
+
+def resize_media(media_df: DataFrame, target: int = 40, batch_size: int = 256) -> DataFrame:
+    """Payload -> smaller payload, map-side: the binary column never
+    shuffles, metadata (byte_len, checksum) is recomputed in the same
+    Arrow batch so the output is a valid media table (MEDIA_SCHEMA).
+    This is the resize/transcode slot of a multimodal pipeline; the
+    Spark plumbing (mapInPandas iterator contract, schema, bounded
+    batches) is real, the codec call is the RESIZERS stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                RESIZERS.get(m, _unavailable_resize)(bytes(p), m, target)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "byte_len": [len(b) for b in out],
+                    "checksum": [hashlib.sha256(b).hexdigest() for b in out],
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def media_stats(media_df: DataFrame) -> DataFrame:
     """Metadata-only rollup (never touches payload bytes -> the parquet
     reader prunes the binary column entirely)."""

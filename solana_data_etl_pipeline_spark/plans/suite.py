@@ -1638,6 +1638,13 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
             "media_id", "modality", "byte_len", F.round(F.element_at("feature", 1), 4).alias("f0")
         )
     ),
+    # binary->binary mapInPandas transform; the char-truncation
+    # stand-in makes even the recomputed checksum oracle-exact
+    "media_resize": _media(
+        lambda media: M.resize_media(media, target=40).select(
+            "media_id", "byte_len", "checksum"
+        )
+    ),
 }
 
 MULTIMODAL_SQL: dict[str, str] = {
@@ -1658,6 +1665,13 @@ SELECT doc_id AS media_id, 'text' AS modality,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        round(('0x' || substr(sha256(text), 1, 8))::BIGINT / 4294967296.0, 4) AS f0
 FROM documents
+""",
+    "media_resize": """
+WITH r AS (SELECT doc_id, substring(text, 1, 40) AS t FROM documents)
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(t)) AS BIGINT) AS byte_len,
+       sha256(t) AS checksum
+FROM r
 """,
 }
 
