@@ -167,6 +167,53 @@ def quantile_gate(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    weight_col: str,
+    precision: int = 4,
+) -> DataFrame:
+    """Best-docs-under-a-token-budget selection: keep rows from the
+    highest `score_col` buckets downward while the running sum of
+    `weight_col` (e.g. n_tokens) stays within `budget` -- the
+    curation step that turns 'we can afford N training tokens' into a
+    concrete quality threshold.
+
+    Computed the way a 100 TB job must (same machinery as
+    quantile_gate): NOT a global sort + running-sum window over the
+    corpus, but a fixed-precision HISTOGRAM of the score with per-
+    bucket weight sums (bounded cardinality, map-side combined), one
+    cumulative window over that bounded histogram in score-descending
+    order, threshold = the lowest score bucket still fully within
+    budget. Whole-bucket granularity: a boundary bucket that would
+    overflow the budget is excluded entirely (deterministic; the
+    rounding `precision` bounds how much budget is left unused). If
+    even the top bucket exceeds the budget, nothing is kept. Null
+    scores never qualify.
+
+    Scale shape: one narrow histogram shuffle + a broadcast scalar
+    back onto an unshuffled corpus scan -- the corpus is never
+    sorted."""
+    v = F.round(F.col(score_col).cast("double"), precision)
+    hist = (
+        df.select(v.alias("_v"), F.col(weight_col).alias("_w"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.sum("_w").alias("_c"))
+    )
+    w = Window.orderBy(F.col("_v").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    thr = cum.agg(
+        F.min(F.when(F.col("_cum") <= F.lit(int(budget)), F.col("_v"))).alias("_thr")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(v >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 DEFAULT_LANG_RATES = {"en": 10, "fr": 40, "es": 40, "zh": 100, "de": 100}
 
 

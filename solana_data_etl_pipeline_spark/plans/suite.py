@@ -730,6 +730,16 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             "doc_id", F.col("n_chars").cast("long").alias("n_chars")
         )
     ),
+    # 'we can afford 10k training tokens': highest-alpha-ratio docs
+    # admitted whole-bucket-wise until the token budget is spent
+    "token_budget_select": _docs(
+        lambda df: X.token_budget_select(
+            X.quality_scores(df),
+            budget=10_000,
+            score_col="alpha_ratio",
+            weight_col="n_tokens",
+        ).select("doc_id", "alpha_ratio", "n_tokens")
+    ),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -968,6 +978,24 @@ b AS (
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents, b
 WHERE round(CAST(n_chars AS DOUBLE), 4) BETWEEN lo AND hi
+"""
+
+TEXT_SQL["token_budget_select"] = """
+WITH q AS (
+  SELECT doc_id,
+         round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+h AS (
+  SELECT round(CAST(alpha_ratio AS DOUBLE), 4) AS v, sum(n_tokens) AS c
+  FROM q GROUP BY 1
+),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v DESC) AS cum FROM h),
+b AS (SELECT min(CASE WHEN cum <= 10000 THEN v END) AS thr FROM cum)
+SELECT doc_id, alpha_ratio, n_tokens
+FROM q, b
+WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
 """
 
 # The Spark side computes max-run-in-sorted-array per row (zero
@@ -1737,8 +1765,9 @@ DRIVER_ORDER = [
     #     continuing the parity round-robin; failed_transactions /
     #     top_tokens rotate out after their fresh green r5 verdicts.
     #     Next robin (round 7): top_wallets back in, plus the round-6
-    #     newcomers training_shuffle + embedding_dedup_keepers
-    #     (oracle-swept now, added after this round's rotation). ---
+    #     newcomers training_shuffle + embedding_dedup_keepers +
+    #     media_resize + token_budget_select (oracle-swept now, added
+    #     after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

@@ -381,3 +381,29 @@ def test_training_shuffle_is_deterministic_permutation(spark):
     some = max(by_shard, key=lambda s: len(by_shard[s]))
     ordered = [r.doc_id for r in sorted(got, key=lambda r: (r.shard, r.pos)) if r.shard == some]
     assert ordered != sorted(ordered)
+
+
+def test_token_budget_select_whole_bucket_semantics(spark):
+    # score buckets: 0.9 (weights 40+50), 0.8 (weight 30), 0.5 (weight 100)
+    rows = [
+        (1, 0.9, 40),
+        (2, 0.9, 50),
+        (3, 0.8, 30),
+        (4, 0.5, 100),
+        (5, None, 10),  # null score never qualifies
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w long")
+
+    def kept(budget):
+        return {
+            r.doc_id
+            for r in X.token_budget_select(
+                df, budget=budget, score_col="score", weight_col="w"
+            ).collect()
+        }
+
+    assert kept(300) == {1, 2, 3, 4}   # everything fits
+    assert kept(150) == {1, 2, 3}      # 0.5 bucket would overflow (90+30+100)
+    assert kept(120) == {1, 2, 3}      # boundary: exactly 90+30
+    assert kept(119) == {1, 2}         # 0.8 bucket would overflow
+    assert kept(89) == set()           # even the top bucket exceeds the budget
