@@ -39,10 +39,14 @@ HEAVY = [
     "dedup_clusters",
     "dedup_keepers",
     "delta_dedup",
+    "simhash_near_dup",
     "span_dup_stats",
     "benchmark_contamination",
     "chunk_documents",
     "knn_ivf_materialized",
+    "embedding_dedup_keepers",
+    "training_shuffle",
+    "token_budget_select",
 ]
 
 
