@@ -431,6 +431,69 @@ def weighted_mix(df: DataFrame, weights: dict[str, int], source_col: str = "sour
     return df.filter(bucket < rate)
 
 
+# -- winnowing document fingerprints ---------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS scheme): hash every character k-gram of the normalized
+    text (lowercased, non-alphanumerics stripped), slide a window of
+    `window` consecutive gram hashes, keep each window's MINIMUM --
+    the classic rolling-hash fingerprint selection, guaranteeing any
+    shared substring of length >= k + window - 1 contributes at least
+    one common fingerprint between two documents. Returns exploded
+    (doc_id, fingerprint) rows, distinct per doc.
+
+    The textbook rolling hash is an O(1)-update trick for SEQUENTIAL
+    scanners; in a vectorized engine each gram hashes independently
+    inside one projection, which is the same work batched. Selection
+    is by hash VALUE per window (with 60-bit hashes, value ties are
+    vanishingly rare), so both engines agree without a positional tie
+    rule. Documents shorter than k contribute the hash of their whole
+    normalized text; fewer grams than `window` means one window over
+    what exists.
+
+    Scale shape: ZERO shuffles -- normalization, gram hashing, window
+    minima, and per-doc dedup (array_distinct) are all per-row
+    higher-order expressions; explode emits one row per retained
+    fingerprint. The normalized string is bound to a column first
+    (HOF lambdas get no common-subexpression elimination)."""
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    bound = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", s.alias("_s")
+    )
+    n = F.length("_s")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("_s").substr(i.cast("int"), F.lit(k))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    hashed = bound.select("doc_id", grams.alias("_h"))
+    ng = F.size("_h")
+    maxlong = F.lit((1 << 62)).cast("long")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(ng - F.lit(window - 1), F.lit(1))),
+        lambda j: F.aggregate(
+            F.slice(F.col("_h"), j.cast("int"), window),
+            maxlong,
+            lambda acc, x: F.least(acc, x),
+        ),
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
 # -- deterministic training-shuffle sharding -------------------------
 
 

@@ -730,6 +730,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             "doc_id", F.col("n_chars").cast("long").alias("n_chars")
         )
     ),
+    # MOSS-style winnowing fingerprints: char-5-gram hashes, window-4
+    # minima, zero shuffles (value-selection so both engines agree
+    # without a positional tie rule)
+    "winnow_fingerprints": _docs(X.winnow_fingerprints),
     # 'we can afford 10k training tokens': highest-alpha-ratio docs
     # admitted whole-bucket-wise until the token budget is spent
     "token_budget_select": _docs(
@@ -978,6 +982,26 @@ b AS (
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents, b
 WHERE round(CAST(n_chars AS DOUBLE), 4) BETWEEN lo AND hi
+"""
+
+TEXT_SQL["winnow_fingerprints"] = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15))::BIGINT
+          for i in range(1, greatest(length(s) - 4, 1) + 1)] AS h
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)])
+                        for j in range(1, greatest(len(h) - 3, 1) + 1)]) AS fps
+  FROM g
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m
 """
 
 TEXT_SQL["token_budget_select"] = """
@@ -1766,8 +1790,8 @@ DRIVER_ORDER = [
     #     top_tokens rotate out after their fresh green r5 verdicts.
     #     Next robin (round 7): top_wallets back in, plus the round-6
     #     newcomers training_shuffle + embedding_dedup_keepers +
-    #     media_resize + token_budget_select (oracle-swept now, added
-    #     after this round's rotation). ---
+    #     media_resize + token_budget_select + winnow_fingerprints
+    #     (oracle-swept now, added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

@@ -407,3 +407,38 @@ def test_token_budget_select_whole_bucket_semantics(spark):
     assert kept(120) == {1, 2, 3}      # boundary: exactly 90+30
     assert kept(119) == {1, 2}         # 0.8 bucket would overflow
     assert kept(89) == set()           # even the top bucket exceeds the budget
+
+
+def test_winnow_fingerprints_matches_python_model_and_guarantee(spark):
+    import hashlib
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "Quick brown fox jumps high over fences"),   # shares 'quickbrownfoxjumps'
+        (3, "zz"),                                        # shorter than k
+        (4, "completely unrelated material here"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in X.winnow_fingerprints(df, k=5, window=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+
+    def model(text, k=5, w=4):
+        import re
+
+        s = re.sub(r"[^a-z0-9]", "", text.lower())
+        n_g = max(len(s) - k + 1, 1)
+        h = [
+            int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(n_g)
+        ]
+        n_w = max(len(h) - w + 1, 1)
+        return {min(h[j : j + w]) for j in range(n_w)}
+
+    for doc_id, text in texts:
+        assert got[doc_id] == model(text), doc_id
+    # the winnowing guarantee: a shared substring of length >= k+w-1
+    # (here 'quickbrownfoxjumps', 18 chars) yields a common fingerprint
+    assert got[1] & got[2]
+    # unrelated docs share nothing
+    assert not (got[1] & got[4])
