@@ -494,6 +494,52 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing >= `min_shared` winnowing fingerprints --
+    the MOSS overlap detector: near-dup / plagiarism candidates from
+    substring-level evidence (each shared fingerprint witnesses a
+    shared substring of length >= k, and any shared run >= k+window-1
+    is guaranteed to be seen). Returns (doc_a, doc_b, shared) with
+    doc_a < doc_b.
+
+    Scale shape: this is the inverted-index self-join, but over the
+    winnowed ~2/(window+1) SAMPLE of gram positions instead of every
+    gram -- the index is a fraction of the full n-gram join's
+    (ngram_jaccard_pairs' PPJoin degenerate) and the fingerprint
+    pipeline itself is zero-shuffle. `max_bucket` caps degenerate
+    fingerprint buckets (boilerplate strings) with a count window over
+    the join key, reusing the join's exchange -- the same guard as
+    every LSH plan here."""
+    fp = winnow_fingerprints(df, k=k, window=window, text_col=text_col)
+    if max_bucket is not None:
+        wspec = Window.partitionBy("fingerprint")
+        fp = (
+            fp.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 # -- deterministic training-shuffle sharding -------------------------
 
 

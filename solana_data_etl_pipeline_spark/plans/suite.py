@@ -734,6 +734,12 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # minima, zero shuffles (value-selection so both engines agree
     # without a positional tie rule)
     "winnow_fingerprints": _docs(X.winnow_fingerprints),
+    # MOSS overlap detector over the winnowed sample (capped buckets)
+    "winnow_overlap_pairs": _docs(
+        lambda df: X.winnow_overlap_pairs(
+            df, min_shared=2, max_bucket=DEDUP_MAX_BUCKET
+        )
+    ),
     # 'we can afford 10k training tokens': highest-alpha-ratio docs
     # admitted whole-bucket-wise until the token budget is spent
     "token_budget_select": _docs(
@@ -1471,6 +1477,23 @@ UNION ALL
 SELECT DISTINCT cluster_id AS doc_id FROM cl
 """
 
+# MOSS overlap pairs: reuse the winnowing pipeline verbatim up to its
+# final SELECT (so the two oracles cannot drift), then the capped
+# inverted-index join + shared-count filter
+_WINNOW_PREFIX = TEXT_SQL["winnow_fingerprints"].rsplit("\nSELECT doc_id,", 1)[0]
+TEXT_SQL["winnow_overlap_pairs"] = _WINNOW_PREFIX + f""",
+fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m),
+kept AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT *, count(*) OVER (PARTITION BY fingerprint) AS w FROM fp
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+FROM kept l JOIN kept r ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
 # embedding keepers: the dedup_embedding_cosine pair pipeline feeding
 # the same recursive-CC + keepers suffix as dedup_keepers
 DEDUP_SQL["embedding_dedup_keepers"] = f"""
@@ -1790,8 +1813,9 @@ DRIVER_ORDER = [
     #     top_tokens rotate out after their fresh green r5 verdicts.
     #     Next robin (round 7): top_wallets back in, plus the round-6
     #     newcomers training_shuffle + embedding_dedup_keepers +
-    #     media_resize + token_budget_select + winnow_fingerprints
-    #     (oracle-swept now, added after this round's rotation). ---
+    #     media_resize + token_budget_select + winnow_fingerprints +
+    #     winnow_overlap_pairs (oracle-swept now, added after this
+    #     round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

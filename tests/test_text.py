@@ -442,3 +442,23 @@ def test_winnow_fingerprints_matches_python_model_and_guarantee(spark):
     assert got[1] & got[2]
     # unrelated docs share nothing
     assert not (got[1] & got[4])
+
+
+def test_winnow_overlap_pairs_detects_shared_substrings(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "yesterday the quick brown fox jumps over the lazy dog once again happily"
+    c = "entirely different content with no overlap whatsoever in any phrasing"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in X.winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert set(got) == {(1, 2)}  # the long shared run is witnessed; c pairs with nobody
+    assert got[(1, 2)] >= 2
+    # bucket cap drops boilerplate fingerprints: with cap 1, every
+    # fingerprint shared by both docs sits in a width-2 bucket -> gone
+    assert (
+        X.winnow_overlap_pairs(df, min_shared=1, max_bucket=1).count() == 0
+    )
