@@ -229,3 +229,24 @@ def test_training_shuffle_single_exchange_no_global_sort(plans):
     assert p.count("Exchange") == 1, p
     assert "rangepartitioning" not in p.lower()
     assert "SinglePartition" not in p
+
+
+def test_winnow_fingerprints_zero_shuffle(plans):
+    # grams, window minima, and per-doc dedup are per-row HOF
+    # expressions: no wide operation anywhere. The only Exchange
+    # allowed is ensure_parallelism's deliberate ROUND-ROBIN
+    # scan-spread (single parquet file at test SF) -- a hash or range
+    # exchange would mean a real shuffle crept in
+    p = plans("winnow_fingerprints")
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
+    assert p.count("Exchange") <= 1, p
+
+
+def test_winnow_overlap_pairs_single_join_no_cartesian(plans):
+    # per side: one round-robin scan-spread + ONE fingerprint hash
+    # exchange shared by the cap window and the equi-join (same key),
+    # plus the final pair aggregation -- 6 exchanges total, and never
+    # a cartesian product
+    p = plans("winnow_overlap_pairs")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 6, p
