@@ -505,3 +505,89 @@ def test_incremental_clusters_match_batch_cc(spark, tmp_path_factory, epochs):
     batch_pairs = spark.createDataFrame(sorted(set(seen)), "doc_a long, doc_b long")
     want = {r.id: r.cluster_id for r in connected_components(batch_pairs).collect()}
     assert got == want
+
+
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30),
+    n_shards=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=3),
+)
+@settings(**SETTINGS)
+def test_training_shuffle_matches_python_model(spark, ids, n_shards, seed):
+    """training_shuffle against an independent Python model of the
+    md5 keying, sharding, and per-shard ranking."""
+    import hashlib
+
+    from solana_data_etl_pipeline_spark.operators.text import training_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in training_shuffle(df, n_shards=n_shards, seed=seed).collect()
+    }
+
+    def key(i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    by_shard = {}
+    for i in ids:
+        by_shard.setdefault(key(i) % n_shards, []).append(i)
+    for shard, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda x: (key(x), x)), start=1):
+            want[i] = (shard, pos)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(min_value=0, max_value=1, width=16)),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(min_value=0, max_value=300),
+)
+@settings(**SETTINGS)
+def test_token_budget_select_matches_python_model(spark, rows, budget):
+    """token_budget_select against an independent Python model of the
+    histogram/cumulative/threshold rule."""
+    from solana_data_etl_pipeline_spark.operators.text import token_budget_select
+
+    data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, score double, w long")
+    got = {
+        r.doc_id
+        for r in token_budget_select(
+            df, budget=budget, score_col="score", weight_col="w"
+        ).collect()
+    }
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x):
+        # mirror Spark's HALF_UP (Python round() is banker's)
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    buckets = {}
+    for _i, (s, w) in enumerate(rows):
+        if s is None:
+            continue
+        buckets.setdefault(r4(s), 0)
+        buckets[r4(s)] += w
+    thr = None
+    cum = 0
+    for v in sorted(buckets, reverse=True):
+        cum += buckets[v]
+        if cum <= budget:
+            thr = v
+        else:
+            break
+    want = (
+        set()
+        if thr is None
+        else {i for i, (s, w) in enumerate(rows) if s is not None and r4(s) >= thr}
+    )
+    assert got == want
