@@ -43,6 +43,19 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("health", help="source connectivity check")
 
+    p_sql = sub.add_parser(
+        "sql",
+        help="ad-hoc SQL over the warehouse (every parquet table under "
+        "the warehouse path is registered as a view by directory name)",
+    )
+    p_sql.add_argument("--query", "-q", required=True, help="SQL to run")
+    p_sql.add_argument(
+        "--format",
+        choices=["show", "jsonl"],
+        default="show",
+        help="show = pretty table (first 50 rows); jsonl = one JSON object per row",
+    )
+
     p_ana = sub.add_parser("analytics", help="recompute analytics tables")
     p_ana.add_argument("--as-of", default=None, help="ISO timestamp; default = max block_time")
 
@@ -107,6 +120,40 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("solana-etl-cli")
     warehouse = create_warehouse(spark, config.warehouse)
+
+    if args.command == "sql":
+        # The reference warehouse was a Postgres database its users
+        # queried ad hoc (docs/SCHEMA.md); this is that surface on
+        # Spark SQL. Every parquet table directory under the warehouse
+        # path registers as a TEMP VIEW named after the directory, so
+        # `SELECT ... FROM events JOIN analytics_top_tokens ...` just
+        # works. Views are lazy scans -- registration costs one
+        # directory listing, and Catalyst prunes/pushes into each scan
+        # as usual.
+        import os
+
+        registered = []
+        root = config.warehouse.path
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                sub_path = os.path.join(root, name)
+                if not os.path.isdir(sub_path) or name.startswith("_"):
+                    continue
+                try:
+                    spark.read.parquet(sub_path).createOrReplaceTempView(name)
+                    registered.append(name)
+                except Exception:
+                    continue  # non-table dir (checkpoints, indexes)
+        if "fact_events" in registered:
+            # canonical alias: the reference SQL calls it `events`
+            spark.table("fact_events").createOrReplaceTempView("events")
+        result = spark.sql(args.query)
+        if args.format == "jsonl":
+            for line in result.toJSON().toLocalIterator():
+                print(line)
+        else:
+            result.show(50, truncate=False)
+        return 0
 
     if args.command == "health":
         from solana_data_etl_pipeline_spark.streaming.incremental import run_health_check
