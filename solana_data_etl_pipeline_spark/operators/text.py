@@ -961,6 +961,48 @@ def span_dup_stats(
     )
 
 
+def span_dedup_rewrite(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Duplicated-span REMOVAL (the acting sibling of span_dup_stats,
+    per Lee et al. 2022: remove all but one occurrence of repeated
+    substrings instead of dropping whole documents): the corpus-wide
+    FIRST occurrence of every duplicated word n-gram -- ordered by
+    (doc_id, pos) -- is retained; tokens covered by every LATER
+    occurrence are deleted from their document. Returns (doc_id,
+    n_tokens, removed_tokens, clean_text). Deterministic: the
+    first-occurrence rule is a row_number over a total order.
+
+    Scale shape: gram generation is per-row; occurrences are first
+    THINNED to duplicated grams (one narrow count agg with map-side
+    combine + a semi-join -- all occurrences of a duplicated gram
+    survive, so ranking the thinned set equals ranking the full set),
+    then ONE rank window partitioned by gram; covered positions union
+    per doc through a distinct + collect_list bounded by document
+    length; the rewrite itself is a per-row filter over the token
+    array. Production substring dedup runs n>=50 (Lee et al.), where
+    duplicated-gram occurrences are a sparse fraction of the corpus
+    and the thinning does the heavy lifting."""
+    base = df.select("doc_id", tokens_col(text_col).alias("_tk"))
+    g = word_ngrams_pos(df, n, text_col).select("doc_id", "pos", "gram")
+    dup = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= 2)
+    occ = g.join(dup.select("gram"), "gram")
+    win = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    extra = occ.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") >= 2)
+    cov = extra.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("p"),
+    ).distinct()
+    rem = cov.groupBy("doc_id").agg(F.sort_array(F.collect_list("p")).alias("_rem"))
+    out = base.join(rem, "doc_id", "left")
+    rem_arr = F.coalesce(F.col("_rem"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("_tk"), lambda x, i: ~F.array_contains(rem_arr, i))
+    return out.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size(rem_arr).cast("long").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 # -- benchmark decontamination ---------------------------------------
 
 

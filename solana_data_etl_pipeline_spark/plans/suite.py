@@ -730,6 +730,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             "doc_id", F.col("n_chars").cast("long").alias("n_chars")
         )
     ),
+    # the acting sibling of span_dup_stats: remove all but the first
+    # occurrence of every duplicated word 3-gram
+    "span_dedup_rewrite": _docs(lambda df: X.span_dedup_rewrite(df, n=3)),
     # MOSS-style winnowing fingerprints: char-5-gram hashes, window-4
     # minima, zero shuffles (value-selection so both engines agree
     # without a positional tie rule)
@@ -988,6 +991,39 @@ b AS (
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents, b
 WHERE round(CAST(n_chars AS DOUBLE), 4) BETWEEN lo AND hi
+"""
+
+TEXT_SQL["span_dedup_rewrite"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(tk[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+  FROM t, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(i)
+),
+x AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM g
+  ) WHERE rn >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS p
+  FROM x, UNNEST(range(pos, pos + 3)) AS u(p)
+),
+m AS (
+  SELECT doc_id, count(*) AS removed, list(p ORDER BY p) AS rem
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(m.removed, 0) AS BIGINT) AS removed_tokens,
+       coalesce(array_to_string(
+         [tk[CAST(i AS INT)] for i in range(1, len(tk) + 1)
+          if NOT list_contains(coalesce(m.rem, []), i - 1)],
+         ' '), '') AS clean_text
+FROM t LEFT JOIN m ON t.doc_id = m.doc_id
 """
 
 TEXT_SQL["winnow_fingerprints"] = """
@@ -1814,8 +1850,8 @@ DRIVER_ORDER = [
     #     Next robin (round 7): top_wallets back in, plus the round-6
     #     newcomers training_shuffle + embedding_dedup_keepers +
     #     media_resize + token_budget_select + winnow_fingerprints +
-    #     winnow_overlap_pairs (oracle-swept now, added after this
-    #     round's rotation). ---
+    #     winnow_overlap_pairs + span_dedup_rewrite (oracle-swept
+    #     now, added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

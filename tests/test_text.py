@@ -462,3 +462,26 @@ def test_winnow_overlap_pairs_detects_shared_substrings(spark):
     assert (
         X.winnow_overlap_pairs(df, min_shared=1, max_bucket=1).count() == 0
     )
+
+
+def test_span_dedup_rewrite_first_occurrence_retained(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x y a b c"),          # 'a b c' repeats doc1@0 -> removed here
+            (3, "p q r p q r p q r"),  # within-doc period-3 repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.span_dedup_rewrite(df, n=3).collect()}
+    # corpus-wide first occurrence (doc 1) keeps its text whole
+    assert got[1].clean_text == "a b c d e"
+    assert got[1].removed_tokens == 0
+    # the later occurrence in doc 2 loses exactly the covered span
+    assert got[2].clean_text == "x y"
+    assert got[2].removed_tokens == 3
+    # within-doc: every gram's first occurrence sits in the first
+    # period; the union of later covers is positions 3..8
+    assert got[3].clean_text == "p q r"
+    assert got[3].removed_tokens == 6
+    assert all(r.n_tokens in (5, 9) for r in got.values())
