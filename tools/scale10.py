@@ -41,6 +41,7 @@ HEAVY = [
     "delta_dedup",
     "simhash_near_dup",
     "span_dup_stats",
+    "span_dedup_rewrite",
     "benchmark_contamination",
     "chunk_documents",
     "knn_ivf_materialized",
