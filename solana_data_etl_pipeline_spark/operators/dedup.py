@@ -725,6 +725,44 @@ def keep_representatives(
     return non_dup.unionByName(reps)
 
 
+def keep_representatives_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware variant of keep_representatives: the retained
+    member of each near-dup component is the one with the HIGHEST
+    `score_col` (ties broken by smallest id), not the smallest id --
+    the standard corpus practice of keeping the longest / cleanest /
+    best-scored duplicate rather than an arbitrary one.
+
+    Scale shape: identical to keep_representatives -- the component
+    labels are docs-in-pairs sized, so the score join BROADCASTS the
+    labels against the un-shuffled corpus, the representative rank
+    window runs over the tiny clustered set only, and the final
+    anti-join again broadcasts the labels. The corpus never
+    shuffles."""
+    labels = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    scored = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score")).join(
+        F.broadcast(labels), "id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col("id").asc()
+    )
+    reps = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id").alias(id_col))
+    )
+    non_dup = df.select(id_col).join(
+        F.broadcast(labels.select(F.col("id").alias(id_col))), id_col, "left_anti"
+    )
+    return non_dup.unionByName(reps)
+
+
 def embedding_near_dup_lsh(
     emb_df: DataFrame,
     threshold: float = 0.95,

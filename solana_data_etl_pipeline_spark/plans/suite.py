@@ -1322,6 +1322,15 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         )
     ),
+    # quality-aware keepers: longest doc wins its component (ties:
+    # smallest id) -- the corpus practice of keeping the best dup
+    "dedup_keepers_quality": _docs(
+        lambda df: D.keep_representatives_by(
+            df,
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET),
+            score_col="n_chars",
+        )
+    ),
     # the embedding twin of dedup_keepers: sign-LSH cosine pairs ->
     # connected components -> unclustered vectors + one representative
     # per component. Same keep_representatives machinery (corpus side
@@ -1511,6 +1520,23 @@ cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
 UNION ALL
 SELECT DISTINCT cluster_id AS doc_id FROM cl
+"""
+
+# quality-aware keepers: same clusters CTE, representative = argmax
+# n_chars (ties: min id) per component
+DEDUP_SQL["dedup_keepers_quality"] = _CLUSTERS_PREFIX + """,
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+rep AS (
+  SELECT id AS doc_id FROM (
+    SELECT cl.id,
+           row_number() OVER (PARTITION BY cl.cluster_id
+                              ORDER BY d.n_chars DESC, cl.id ASC) AS rn
+    FROM cl JOIN documents d ON d.doc_id = cl.id
+  ) WHERE rn = 1
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
+UNION ALL
+SELECT doc_id FROM rep
 """
 
 # MOSS overlap pairs: reuse the winnowing pipeline verbatim up to its
@@ -1850,8 +1876,9 @@ DRIVER_ORDER = [
     #     Next robin (round 7): top_wallets back in, plus the round-6
     #     newcomers training_shuffle + embedding_dedup_keepers +
     #     media_resize + token_budget_select + winnow_fingerprints +
-    #     winnow_overlap_pairs + span_dedup_rewrite (oracle-swept
-    #     now, added after this round's rotation). ---
+    #     winnow_overlap_pairs + span_dedup_rewrite +
+    #     dedup_keepers_quality (oracle-swept now, added after this
+    #     round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

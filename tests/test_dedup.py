@@ -379,3 +379,23 @@ def test_connected_components_three_tiers_identical_labels(spark):
         comp_members.setdefault(lab, []).append(node)
     for lab, members in comp_members.items():
         assert lab == min(members)
+
+
+def test_keep_representatives_by_score(spark):
+    """Quality-aware keepers: the highest-scored member wins its
+    component (ties: smallest id); unclustered docs always survive."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (8, 5), (9, 42)],
+        "doc_id long, n_chars long",
+    )
+    # components: {1,2,3} and {7,8}; 9 unclustered
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long")
+    kept = {
+        r.doc_id
+        for r in D.keep_representatives_by(docs, pairs, score_col="n_chars").collect()
+    }
+    # 2 wins {1,2,3} on score; 7 wins {7,8} on the min-id tiebreak
+    assert kept == {2, 7, 9}
+    # contrast with min-id keepers
+    kept_min = {r.doc_id for r in D.keep_representatives(docs, pairs).collect()}
+    assert kept_min == {1, 7, 9}
