@@ -622,6 +622,52 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-bigram CONDITIONAL log-probability per document -- one
+    order up from unigram_logprob and one step closer to the CCNet
+    LM-perplexity filter: score = mean over bigram positions of
+    ln(count(w1,w2) / count(w1 as context)), i.e. mean ln P(w2|w1)
+    under the corpus MLE bigram model. Repetitive/boilerplate text
+    scores HIGH (its transitions are corpus-typical); incoherent
+    token salad scores low -- used together with unigram_logprob the
+    pair separates 'unusual vocabulary' from 'unusual transitions'.
+
+    Scale shape: same as unigram_logprob, one n-gram order up -- the
+    per-row bigram explode feeds a (w1,w2) count and a w1 context
+    count (both partial+final aggs), the scoring pass joins both ON
+    the exploded rows reusing their hash partitioning, and one
+    groupBy(doc_id) averages. All linear; the bigram table is
+    vocabulary^-bounded and AQE broadcasts it when it measures
+    small."""
+    tk = tokens_col(text_col)
+    base = df.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - 1),
+        lambda i: F.struct(
+            F.element_at("_tk", i).alias("w1"),
+            F.element_at("_tk", i + 1).alias("w2"),
+        ),
+    )
+    b = (
+        base.select("doc_id", F.explode(pairs).alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cbg = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cctx = b.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    return (
+        b.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_bigrams"),
+            F.round(F.avg(F.log(F.col("cb") / F.col("cc"))), 4).alias(
+                "avg_bigram_logprob"
+            ),
+        )
+    )
+
+
 # -- repetition-based quality signals --------------------------------
 
 

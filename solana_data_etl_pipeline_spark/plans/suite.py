@@ -722,6 +722,7 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # tests/test_oracle_parity.py like every all_queries() member
     "span_dup_stats": _docs(lambda df: X.span_dup_stats(df, n=3)),
     "unigram_logprob": _docs(X.unigram_logprob),
+    "bigram_logprob": _docs(X.bigram_logprob),
     # window=16/stride=8 because the synthetic docs average ~50 tokens
     # (production RAG chunking runs 256/192 -- same plan, bigger slices)
     "chunk_documents": _docs(lambda df: X.chunk_documents(df, window=16, stride=8)),
@@ -933,6 +934,23 @@ bench AS (SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'),
 corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE source <> '{_BENCH_SOURCE}')
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap_grams
 FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+TEXT_SQL["bigram_logprob"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+b AS (
+  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+  FROM t, UNNEST(range(1, greatest(len(tk), 1))) AS u(i)
+  WHERE len(tk) >= 2 AND tk[CAST(i AS INT)] <> '' AND tk[CAST(i + 1 AS INT)] <> ''
+),
+cbg AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+cctx AS (SELECT w1, count(*) AS cc FROM b GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
+       round(avg(ln(cb / cc)), 4) AS avg_bigram_logprob
+FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1)
 GROUP BY doc_id
 """
 
@@ -1877,8 +1895,8 @@ DRIVER_ORDER = [
     #     newcomers training_shuffle + embedding_dedup_keepers +
     #     media_resize + token_budget_select + winnow_fingerprints +
     #     winnow_overlap_pairs + span_dedup_rewrite +
-    #     dedup_keepers_quality (oracle-swept now, added after this
-    #     round's rotation). ---
+    #     dedup_keepers_quality + bigram_logprob (oracle-swept now,
+    #     added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

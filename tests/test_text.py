@@ -485,3 +485,25 @@ def test_span_dedup_rewrite_first_occurrence_retained(spark):
     assert got[3].clean_text == "p q r"
     assert got[3].removed_tokens == 6
     assert all(r.n_tokens in (5, 9) for r in got.values())
+
+
+def test_bigram_logprob_matches_python_model(spark):
+    import math
+
+    texts = [(1, "a b a b a c"), (2, "a b"), (3, "c a b")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.bigram_logprob(df).collect()}
+
+    bigrams = []
+    for _i, t in texts:
+        tk = t.split()
+        bigrams.extend(list(zip(tk, tk[1:])))
+    from collections import Counter
+
+    cb = Counter(bigrams)
+    cc = Counter(w1 for w1, _ in bigrams)
+    for doc_id, t in texts:
+        tk = t.split()
+        lps = [math.log(cb[(a, b)] / cc[a]) for a, b in zip(tk, tk[1:])]
+        assert got[doc_id].n_scored_bigrams == len(lps)
+        assert abs(got[doc_id].avg_bigram_logprob - round(sum(lps) / len(lps), 4)) < 1e-9
