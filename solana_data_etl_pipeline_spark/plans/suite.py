@@ -1340,6 +1340,16 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         )
     ),
+    # dedup health reporting: how large are the near-dup families
+    "dedup_cluster_sizes": _docs(
+        lambda df: D.connected_components(
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .groupBy(F.col("_sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    ),
     # quality-aware keepers: longest doc wins its component (ties:
     # smallest id) -- the corpus practice of keeping the best dup
     "dedup_keepers_quality": _docs(
@@ -1538,6 +1548,14 @@ cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
 UNION ALL
 SELECT DISTINCT cluster_id AS doc_id FROM cl
+"""
+
+# cluster-size distribution: same clusters CTE
+DEDUP_SQL["dedup_cluster_sizes"] = _CLUSTERS_PREFIX + """,
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS s FROM cl GROUP BY cluster_id)
+SELECT CAST(s AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY s
 """
 
 # quality-aware keepers: same clusters CTE, representative = argmax
@@ -1895,8 +1913,8 @@ DRIVER_ORDER = [
     #     newcomers training_shuffle + embedding_dedup_keepers +
     #     media_resize + token_budget_select + winnow_fingerprints +
     #     winnow_overlap_pairs + span_dedup_rewrite +
-    #     dedup_keepers_quality + bigram_logprob (oracle-swept now,
-    #     added after this round's rotation). ---
+    #     dedup_keepers_quality + bigram_logprob + dedup_cluster_sizes
+    #     (oracle-swept now, added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---
