@@ -136,6 +136,18 @@ def append_pairs(
     norm.write.mode("overwrite").parquet(part)
 
 
+def _pending_pairs(spark: SparkSession, index_path: str, last: int) -> DataFrame | None:
+    """Pairs epochs newer than `last`. The epoch predicate lands on
+    the PARTITION column (pairs are laid out one dir per epoch), so
+    the scan prunes processed epochs at the file source -- at scale
+    the catch-up touches only the unprocessed tail, never the whole
+    log (partition-pruning pinned by test)."""
+    all_pairs = _read_or_none(spark, f"{index_path}/pairs")
+    if all_pairs is None:
+        return None
+    return all_pairs.filter(F.col("epoch") > F.lit(int(last)))
+
+
 def catch_up_clusters(spark: SparkSession, index_path: str) -> None:
     """Fold every pairs epoch newer than the `pairs_done` marker into
     clusters + remaps. Idempotent and self-healing: safe to call at
@@ -154,10 +166,9 @@ def catch_up_clusters(spark: SparkSession, index_path: str) -> None:
     recover_swap(f"{index_path}/pairs_done")
     marker = _read_or_none(spark, f"{index_path}/pairs_done")
     last = marker.agg(F.max("epoch")).collect()[0][0] if marker is not None else -1
-    all_pairs = _read_or_none(spark, f"{index_path}/pairs")
-    if all_pairs is None:
+    pending = _pending_pairs(spark, index_path, last)
+    if pending is None:
         return
-    pending = all_pairs.filter(F.col("epoch") > F.lit(last))
     top = pending.agg(F.max("epoch")).collect()[0][0]
     if top is None:
         return

@@ -682,3 +682,37 @@ def test_document_stream_maintains_clusters(spark, tmp_path):
     got2 = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
     assert got2 == batch
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {100, 200, 900}
+
+
+def test_cluster_pairs_log_partition_pruning_and_write_once(spark, tmp_path):
+    """Scale contract of the pair log: the catch-up's pending read
+    prunes processed epoch PARTITIONS at the file source, and a
+    replayed epoch cannot overwrite recorded pairs (write-once)."""
+    from solana_data_etl_pipeline_spark.streaming.clusters import (
+        _pending_pairs,
+        append_pairs,
+        catch_up_clusters,
+        streamed_clusters,
+    )
+
+    idx = str(tmp_path / "idx")
+    for e in range(3):
+        pairs = spark.createDataFrame([(e * 10 + 1, e * 10 + 2)], "doc_a long, doc_b long")
+        append_pairs(spark, idx, pairs, epoch=e)
+
+    pend = _pending_pairs(spark, idx, last=1)
+    plan = pend._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(epoch" in plan and "(epoch" in plan, plan
+    assert {r.doc_a for r in pend.collect()} == {21}  # only epoch 2 scanned
+
+    # write-once: a replay of epoch 0 with DIFFERENT (here: empty)
+    # content must not erase the recorded pairs
+    append_pairs(
+        spark, idx,
+        spark.createDataFrame([], "doc_a long, doc_b long"),
+        epoch=0,
+    )
+    assert _pending_pairs(spark, idx, last=-1).count() == 3
+    catch_up_clusters(spark, idx)
+    got = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
+    assert got == {1: 1, 2: 1, 11: 11, 12: 11, 21: 21, 22: 21}
