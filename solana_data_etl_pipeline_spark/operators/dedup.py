@@ -763,6 +763,56 @@ def keep_representatives_by(
     return non_dup.unionByName(reps)
 
 
+def leakage_free_split(
+    df: DataFrame,
+    val_pct: int = 20,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val split WITH cross-split near-dup
+    decontamination: docs are split by the consistent hash-mod rule
+    (stable across engines/reruns), then any TRAIN doc that is a
+    near-dup of any VAL doc is dropped -- the standard guard against
+    evaluation leakage (a held-out doc whose twin stayed in training
+    measures memorization, not generalization). Val docs always
+    survive; train docs survive iff they have no cross-split match.
+    Returns (doc_id, split).
+
+    Scale shape: the split column is a pure projection (same hash-mod
+    as consistent_sample); near-dup pairs come from the standard
+    capped MinHash-LSH plan; the cross-split filter and the final
+    anti-join run over the pairs-sized frames, broadcast against the
+    un-shuffled corpus."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    labeled = df.select(
+        id_col, F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split")
+    )
+    pairs = minhash_lsh_pairs(df, text_col=text_col, threshold=threshold, max_bucket=max_bucket)
+    # label the pair endpoints WITHOUT broadcasting the corpus-sized
+    # label frame: the pairs frame is the small side, so it is the
+    # broadcast build in both joins and the label projection streams
+    la = labeled.select(F.col(id_col).alias("doc_a"), F.col("split").alias("_sa"))
+    lb = labeled.select(F.col(id_col).alias("doc_b"), F.col("split").alias("_sb"))
+    cross = lb.join(
+        F.broadcast(la.join(F.broadcast(pairs), "doc_a")), "doc_b"
+    ).filter(F.col("_sa") != F.col("_sb"))
+    leaking_train = (
+        cross.select(
+            F.when(F.col("_sa") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias(id_col)
+        ).distinct()
+    )
+    return labeled.join(F.broadcast(leaking_train), id_col, "left_anti")
+
+
 def embedding_near_dup_lsh(
     emb_df: DataFrame,
     threshold: float = 0.95,

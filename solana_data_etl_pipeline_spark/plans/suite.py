@@ -1340,6 +1340,13 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         )
     ),
+    # eval-leakage guard: consistent hash split, then train docs that
+    # near-dup a val doc are dropped
+    "leakage_free_split": _docs(
+        lambda df: D.leakage_free_split(
+            df, val_pct=20, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET
+        )
+    ),
     # dedup health reporting: how large are the near-dup families
     "dedup_cluster_sizes": _docs(
         lambda df: D.connected_components(
@@ -1548,6 +1555,25 @@ cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
 UNION ALL
 SELECT DISTINCT cluster_id AS doc_id FROM cl
+"""
+
+# leakage-free split: the clusters pipeline's verified pairs CTE +
+# hash-mod split + cross-split drop rule
+DEDUP_SQL["leakage_free_split"] = _CLUSTERS_PREFIX + """,
+lbl AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+),
+leak AS (
+  SELECT DISTINCT CASE WHEN a.split = 'train' THEN p.doc_a ELSE p.doc_b END AS doc_id
+  FROM pairs p
+  JOIN lbl a ON p.doc_a = a.doc_id
+  JOIN lbl b ON p.doc_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT doc_id, split FROM lbl WHERE doc_id NOT IN (SELECT doc_id FROM leak)
 """
 
 # cluster-size distribution: same clusters CTE
@@ -1914,7 +1940,8 @@ DRIVER_ORDER = [
     #     media_resize + token_budget_select + winnow_fingerprints +
     #     winnow_overlap_pairs + span_dedup_rewrite +
     #     dedup_keepers_quality + bigram_logprob + dedup_cluster_sizes
-    #     (oracle-swept now, added after this round's rotation). ---
+    #     + leakage_free_split (oracle-swept now, added after this
+    #     round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

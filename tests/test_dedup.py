@@ -399,3 +399,33 @@ def test_keep_representatives_by_score(spark):
     # contrast with min-id keepers
     kept_min = {r.doc_id for r in D.keep_representatives(docs, pairs).collect()}
     assert kept_min == {1, 7, 9}
+
+
+def test_leakage_free_split_drops_train_twins_of_val_docs(spark):
+    """Cross-split near-dups: the TRAIN side of any train/val pair is
+    dropped; val docs always survive; same-split near-dups are
+    untouched (within-split dedup is a separate concern)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    other = "completely different material about spark partitions and shuffle joins here"
+    rows = [(i, base) for i in range(40)] + [(100 + i, other) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.split for r in D.leakage_free_split(df, val_pct=20, threshold=0.2).collect()}
+
+    # recompute the hash split independently
+    import hashlib
+
+    def split_of(i):
+        return "val" if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100 < 20 else "train"
+
+    fam_a = list(range(40))
+    fam_b = [100 + i for i in range(10)]
+    for fam in (fam_a, fam_b):
+        vals = [i for i in fam if split_of(i) == "val"]
+        trains = [i for i in fam if split_of(i) == "train"]
+        if vals:
+            # every val doc kept, every train twin dropped
+            assert all(got.get(i) == "val" for i in vals)
+            assert all(i not in got for i in trains)
+        else:
+            # no val member -> the whole train family survives
+            assert all(got.get(i) == "train" for i in trains)
