@@ -586,6 +586,59 @@ def training_shuffle(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    tau: float = 0.5,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source sampling (the mT5/XLM-R multilingual
+    recipe): source s with corpus share p_s is sampled in proportion
+    to p_s^tau -- tau<1 UP-samples small sources and damps dominant
+    ones, tau=1 is proportional, tau=0 is uniform-over-sources. The
+    overall take is target_frac of the corpus; per-source keep
+    probability min(1, target_frac * N * q_s / n_s) is applied with
+    the deterministic hash-mod rule (stable across engines and
+    reruns, composes with the other samplers). Returns the kept rows
+    with their source rate attached (rate_bp, basis points).
+
+    Scale shape: one tiny per-source count agg; the rate table is
+    sources-sized and BROADCAST onto the un-shuffled corpus scan; the
+    filter itself is a pure projection. Rates are rounded to basis
+    points on both engines so the hash-mod comparison is integral."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_w", F.pow(F.col("_n") / F.col("_tot"), F.lit(float(tau))))
+        .withColumn("_wsum", F.sum("_w").over(Window.partitionBy()))
+        .select(
+            source_col,
+            F.least(
+                F.lit(10_000),
+                F.round(
+                    F.lit(float(target_frac))
+                    * F.col("_tot")
+                    * (F.col("_w") / F.col("_wsum"))
+                    / F.col("_n")
+                    * 10_000
+                ).cast("long"),
+            ).alias("rate_bp"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 10_000
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("rate_bp"))
+    )
+
+
 # -- unigram language-model scoring ----------------------------------
 
 

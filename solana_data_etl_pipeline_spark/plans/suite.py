@@ -706,6 +706,12 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "weighted_mix": _docs(
         lambda df: X.weighted_mix(df, _MIX_WEIGHTS).select("doc_id", "source", "lang")
     ),
+    # mT5-style temperature sampling: tau=0.5 up-samples small sources
+    "temperature_mix": _docs(
+        lambda df: X.temperature_mix(df, tau=0.5, target_frac=0.5).select(
+            "doc_id", "source", "rate_bp"
+        )
+    ),
     # benchmark slice = src19, corpus = everything else; n=3 because
     # the synthetic generator's short documents share no longer grams
     # (production decontamination runs n=13, the published heuristic)
@@ -935,6 +941,19 @@ corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE source <> '{_BENCH_SOUR
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap_grams
 FROM corpus JOIN bench USING (gram)
 GROUP BY doc_id
+"""
+
+TEXT_SQL["temperature_mix"] = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT sum(n) AS N FROM c),
+r AS (
+  SELECT source,
+         least(10000, CAST(round(0.5 * t.N * (power(c.n / t.N, 0.5) / sum(power(c.n / t.N, 0.5)) OVER ()) / c.n * 10000) AS BIGINT)) AS rate_bp
+  FROM c, t
+)
+SELECT d.doc_id, d.source, r.rate_bp
+FROM documents d JOIN r ON d.source = r.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < r.rate_bp
 """
 
 TEXT_SQL["bigram_logprob"] = """
@@ -1940,8 +1959,8 @@ DRIVER_ORDER = [
     #     media_resize + token_budget_select + winnow_fingerprints +
     #     winnow_overlap_pairs + span_dedup_rewrite +
     #     dedup_keepers_quality + bigram_logprob + dedup_cluster_sizes
-    #     + leakage_free_split (oracle-swept now, added after this
-    #     round's rotation). ---
+    #     + leakage_free_split + temperature_mix (oracle-swept now,
+    #     added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

@@ -507,3 +507,26 @@ def test_bigram_logprob_matches_python_model(spark):
         lps = [math.log(cb[(a, b)] / cc[a]) for a, b in zip(tk, tk[1:])]
         assert got[doc_id].n_scored_bigrams == len(lps)
         assert abs(got[doc_id].avg_bigram_logprob - round(sum(lps) / len(lps), 4)) < 1e-9
+
+
+def test_temperature_mix_upsamples_small_sources(spark):
+    """tau<1 keeps small sources at (near-)full rate while damping the
+    dominant source; rates follow the p^tau formula."""
+    rows = [(i, "t", "big") for i in range(900)] + [(1000 + i, "t", "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = X.temperature_mix(df, tau=0.5, target_frac=0.5)
+    rates = {r.source: r.rate_bp for r in out.select("source", "rate_bp").distinct().collect()}
+    # analytic: w_big=sqrt(.9), w_small=sqrt(.1); q_small/q_big = 1/3;
+    # keep_small = min(1, .5*1000*q_small/100) > keep_big = .5*1000*q_big/900
+    import math
+
+    wb, ws = math.sqrt(0.9), math.sqrt(0.1)
+    qb, qs_ = wb / (wb + ws), ws / (wb + ws)
+    exp_big = round(0.5 * 1000 * qb / 900 * 10000)
+    exp_small = min(10000, round(0.5 * 1000 * qs_ / 100 * 10000))
+    assert rates == {"big": exp_big, "small": exp_small}
+    assert rates["small"] > rates["big"]
+    # determinism
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in X.temperature_mix(df, tau=0.5, target_frac=0.5).collect()}
+    assert a == b
