@@ -813,6 +813,48 @@ def leakage_free_split(
     return labeled.join(F.broadcast(leaking_train), id_col, "left_anti")
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-SUBSET duplicate pairs by shingle CONTAINMENT
+    (|A∩B| / min(|A|,|B|) >= threshold, Broder's containment): the
+    duplication mode symmetric Jaccard under-scores -- a short doc
+    quoted whole inside a long one has containment ~1 but Jaccard
+    ~|A|/|B|, so MinHash-LSH (which estimates Jaccard) both misses
+    the candidates and rejects the verify. Candidates here come from
+    shared WINNOWING fingerprints instead: any shared run of
+    k+window-1 characters surfaces the pair regardless of how
+    different the document LENGTHS are, which is exactly the
+    asymmetric case. Verify is exact word-shingle containment.
+    Returns (doc_a, doc_b, containment), doc_a < doc_b.
+
+    Scale shape: the winnowed candidate join runs over the
+    ~2/(window+1) fingerprint sample with the standard bucket cap;
+    the verify joins touch candidate pairs only. Docs too short to
+    have shingles never divide by zero -- the null containment is
+    filtered on both engines."""
+    from solana_data_etl_pipeline_spark.operators.text import winnow_overlap_pairs
+
+    cand = winnow_overlap_pairs(
+        df, min_shared=1, max_bucket=max_bucket, text_col=text_col
+    ).select("doc_a", "doc_b")
+    sh = _shingle_sets(df, text_col)
+    a, b = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    cont = F.round(
+        inter / F.least(F.size(F.col("sa.sh")), F.size(F.col("sb.sh"))), 4
+    )
+    return (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def embedding_near_dup_lsh(
     emb_df: DataFrame,
     threshold: float = 0.95,

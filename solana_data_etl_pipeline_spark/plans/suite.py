@@ -1359,6 +1359,13 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         )
     ),
+    # near-subset duplication: winnowing candidates + exact
+    # containment verify (the mode Jaccard under-scores)
+    "containment_pairs": _docs(
+        lambda df: D.containment_pairs(
+            df, threshold=0.5, max_bucket=DEDUP_MAX_BUCKET
+        )
+    ),
     # eval-leakage guard: consistent hash split, then train docs that
     # near-dup a val doc are dropped
     "leakage_free_split": _docs(
@@ -1636,6 +1643,30 @@ FROM kept l JOIN kept r ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
+
+# containment pairs: winnowing candidate CTEs + word-shingle verify
+DEDUP_SQL["containment_pairs"] = _WINNOW_PREFIX + f""",
+fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m),
+kept AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT *, count(*) OVER (PARTITION BY fingerprint) AS w FROM fp
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM kept l JOIN kept r ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+),
+{SHINGLES_SQL}
+SELECT doc_a, doc_b, containment FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sa.sh, sb.sh)) / least(len(sa.sh), len(sb.sh)), 4) AS containment
+  FROM cand
+  JOIN sh sa ON cand.doc_a = sa.doc_id
+  JOIN sh sb ON cand.doc_b = sb.doc_id
+)
+WHERE containment >= 0.5
+"""
+
 
 # embedding keepers: the dedup_embedding_cosine pair pipeline feeding
 # the same recursive-CC + keepers suffix as dedup_keepers
@@ -1959,8 +1990,8 @@ DRIVER_ORDER = [
     #     media_resize + token_budget_select + winnow_fingerprints +
     #     winnow_overlap_pairs + span_dedup_rewrite +
     #     dedup_keepers_quality + bigram_logprob + dedup_cluster_sizes
-    #     + leakage_free_split + temperature_mix (oracle-swept now,
-    #     added after this round's rotation). ---
+    #     + leakage_free_split + temperature_mix + containment_pairs
+    #     (oracle-swept now, added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
     # --- round-5 driver-verified, kept for a second verdict ---

@@ -429,3 +429,22 @@ def test_leakage_free_split_drops_train_twins_of_val_docs(spark):
         else:
             # no val member -> the whole train family survives
             assert all(got.get(i) == "train" for i in trains)
+
+
+def test_containment_pairs_catches_near_subset_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment ~1 but
+    Jaccard low -- containment_pairs finds it, the Jaccard-based plan
+    does not at the same threshold."""
+    short = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = ("unrelated filler sentence number %d with plenty of distinct words " * 1)
+    long_doc = " ".join(filler % i for i in range(8)) + " " + short
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "entirely different text about nothing shared here")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.containment for r in D.containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert not any(3 in p for p in got)
+    # the same pair under symmetric Jaccard scores far below 0.9
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.3
