@@ -48,6 +48,10 @@ HEAVY = [
     "embedding_dedup_keepers",
     "training_shuffle",
     "token_budget_select",
+    "containment_pairs",
+    "leakage_free_split",
+    "temperature_mix",
+    "bigram_logprob",
 ]
 
 
