@@ -124,11 +124,16 @@ def _unavailable_resize(payload: bytes, modality: str, target: int) -> bytes:
 
 
 # Swap entries for real resizers when the codec libraries exist.
+# Unlike _fake_decode (which hashes arbitrary bytes), _fake_resize
+# utf-8-DECODES the payload -- honest only for the text modality the
+# synthetic tables use. Real binary payloads would hit an opaque
+# UnicodeDecodeError (or silent corruption), so image/audio/video map
+# to the explicit NotImplementedError hook until real codecs exist.
 RESIZERS = {
     "text": _fake_resize,
-    "image": _fake_resize,  # STUB: deterministic fake, not a real resize
-    "audio": _fake_resize,  # STUB
-    "video": _fake_resize,  # STUB
+    "image": _unavailable_resize,
+    "audio": _unavailable_resize,
+    "video": _unavailable_resize,
 }
 
 

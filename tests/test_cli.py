@@ -218,4 +218,7 @@ def test_cli_sql_adhoc_over_warehouse(spark, tmp_path, capsys):
     rc = main(["--warehouse-path", wh, "sql", "-q",
                "SELECT count(*) AS c FROM events e JOIN events f ON e.event_id = f.event_id"])
     assert rc == 0
-    assert "| c " in capsys.readouterr().out or True  # show() format printed
+    out = capsys.readouterr().out
+    # show() table format: a header row containing the alias and at
+    # least one data row between the +---+ rules
+    assert "c" in out and out.count("+") >= 2

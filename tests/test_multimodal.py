@@ -47,6 +47,19 @@ def test_resize_media_truncates_and_recomputes_metadata(media):
     assert got == [(f.name, f.dataType) for f in media.schema.fields]
 
 
+def test_binary_modality_resize_raises_not_silent_corruption(spark):
+    # real binary payloads (non-utf8) must hit the explicit
+    # NotImplementedError codec hook, never the utf-8-truncating text
+    # stand-in (which would raise an opaque UnicodeDecodeError or --
+    # worse -- silently corrupt bytes that happen to decode)
+    img = spark.createDataFrame(
+        [(4, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\xff"), 10, "c")],
+        M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|register a resizer"):
+        M.resize_media(img).collect()
+
+
 def test_unknown_modality_raises_in_both_pipelines(spark):
     weird = spark.createDataFrame(
         [(9, "hologram", bytearray(b"xx"), 2, "c")],
