@@ -813,10 +813,18 @@ def leakage_free_split(
     return labeled.join(F.broadcast(leaking_train), id_col, "left_anti")
 
 
+#: default hot-bucket cap for containment_pairs: winnowing fingerprints
+#: of boilerplate substrings (license headers, templates) form wide
+#: buckets whose candidate self-join is quadratic; an uncapped default
+#: would make the naive call a scale-killer. Callers doing forensic
+#: (recall-1) runs pass max_bucket=None explicitly.
+CONTAINMENT_MAX_BUCKET = 64
+
+
 def containment_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = CONTAINMENT_MAX_BUCKET,
     text_col: str = "text",
 ) -> DataFrame:
     """Near-SUBSET duplicate pairs by shingle CONTAINMENT

@@ -442,21 +442,27 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     the MOSS scheme): hash every character k-gram of the normalized
-    text (lowercased, non-alphanumerics stripped), slide a window of
-    `window` consecutive gram hashes, keep each window's MINIMUM --
-    the classic rolling-hash fingerprint selection, guaranteeing any
-    shared substring of length >= k + window - 1 contributes at least
-    one common fingerprint between two documents. Returns exploded
-    (doc_id, fingerprint) rows, distinct per doc.
+    text (lowercased, non-alphanumerics stripped -- UNICODE
+    alphanumerics kept, so non-Latin content fingerprints instead of
+    normalizing to ""), slide a window of `window` consecutive gram
+    hashes, keep each window's MINIMUM -- the classic rolling-hash
+    fingerprint selection, guaranteeing any shared substring of
+    length >= k + window - 1 contributes at least one common
+    fingerprint between two documents. Returns exploded (doc_id,
+    fingerprint) rows, distinct per doc.
 
     The textbook rolling hash is an O(1)-update trick for SEQUENTIAL
     scanners; in a vectorized engine each gram hashes independently
     inside one projection, which is the same work batched. Selection
     is by hash VALUE per window (with 60-bit hashes, value ties are
     vanishingly rare), so both engines agree without a positional tie
-    rule. Documents shorter than k contribute the hash of their whole
-    normalized text; fewer grams than `window` means one window over
-    what exists.
+    rule. Documents whose normalized text is shorter than k (e.g.
+    punctuation-only docs, which normalize to "") contribute NOTHING:
+    a sub-k doc has no k-gram to witness a shared substring, and
+    hashing the remnant would funnel every such doc into one
+    degenerate md5("")-style bucket -- a quadratic blowup for any
+    downstream candidate join. Fewer grams than `window` means one
+    window over what exists.
 
     Scale shape: ZERO shuffles -- normalization, gram hashing, window
     minima, and per-doc dedup (array_distinct) are all per-row
@@ -465,9 +471,11 @@ def winnow_fingerprints(
     (HOF lambdas get no common-subexpression elimination)."""
     from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
 
-    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    bound = ensure_parallelism(df.select("doc_id", F.col(text_col))).select(
-        "doc_id", s.alias("_s")
+    s = F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]", "")
+    bound = (
+        ensure_parallelism(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", s.alias("_s"))
+        .filter(F.length("_s") >= k)
     )
     n = F.length("_s")
     grams = F.transform(

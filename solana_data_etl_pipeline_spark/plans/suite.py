@@ -1063,10 +1063,12 @@ SELECT t.doc_id,
 FROM t LEFT JOIN m ON t.doc_id = m.doc_id
 """
 
-TEXT_SQL["winnow_fingerprints"] = """
+TEXT_SQL["winnow_fingerprints"] = r"""
 WITH t AS (
-  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-  FROM documents
+  SELECT doc_id, s FROM (
+    SELECT doc_id, regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g') AS s
+    FROM documents
+  ) WHERE length(s) >= 5
 ),
 g AS (
   SELECT doc_id,

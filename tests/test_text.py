@@ -415,8 +415,11 @@ def test_winnow_fingerprints_matches_python_model_and_guarantee(spark):
     texts = [
         (1, "The quick brown fox jumps over the lazy dog"),
         (2, "Quick brown fox jumps high over fences"),   # shares 'quickbrownfoxjumps'
-        (3, "zz"),                                        # shorter than k
+        (3, "zz"),                                        # shorter than k -> no fingerprints
         (4, "completely unrelated material here"),
+        (5, "!!! ... ???"),                               # normalizes to "" -> no fingerprints
+        (6, "Дама сдавала в багаж диван чемодан саквояж"),  # non-Latin content fingerprints
+        (7, "汉字文本也要有指纹不能归一化成空串"),              # CJK content fingerprints
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = {}
@@ -424,24 +427,27 @@ def test_winnow_fingerprints_matches_python_model_and_guarantee(spark):
         got.setdefault(r.doc_id, set()).add(r.fingerprint)
 
     def model(text, k=5, w=4):
-        import re
-
-        s = re.sub(r"[^a-z0-9]", "", text.lower())
-        n_g = max(len(s) - k + 1, 1)
+        s = "".join(ch for ch in text.lower() if ch.isalnum())
+        if len(s) < k:
+            return set()
         h = [
             int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
-            for i in range(n_g)
+            for i in range(len(s) - k + 1)
         ]
         n_w = max(len(h) - w + 1, 1)
         return {min(h[j : j + w]) for j in range(n_w)}
 
     for doc_id, text in texts:
-        assert got[doc_id] == model(text), doc_id
+        assert got.get(doc_id, set()) == model(text), doc_id
     # the winnowing guarantee: a shared substring of length >= k+w-1
     # (here 'quickbrownfoxjumps', 18 chars) yields a common fingerprint
     assert got[1] & got[2]
     # unrelated docs share nothing
     assert not (got[1] & got[4])
+    # sub-k / empty-normalized docs emit NOTHING (no shared degenerate
+    # md5("") bucket), while non-Latin docs DO fingerprint
+    assert 3 not in got and 5 not in got
+    assert got[6] and got[7] and not (got[6] & got[7])
 
 
 def test_winnow_overlap_pairs_detects_shared_substrings(spark):
