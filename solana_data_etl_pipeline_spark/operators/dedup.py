@@ -763,6 +763,40 @@ def keep_representatives_by(
     return non_dup.unionByName(reps)
 
 
+def decontaminate_split(
+    labeled: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """CLUSTER-LEVEL cross-split decontamination: given (id, split)
+    labels and near-dup pairs, drop every TRAIN doc whose connected
+    component (under the pair graph) contains ANY val doc -- including
+    train docs linked to val only TRANSITIVELY (a train-train-val
+    chain inside one near-dup family), which a direct-pair-only rule
+    would leave in training. Val docs always survive.
+
+    Scale shape: connected_components runs over the pairs-sized graph;
+    the component labels are docs-in-pairs sized, so they BROADCAST
+    onto the un-shuffled corpus label projection; val-component
+    discovery, the leak set, and the final anti-join all operate on
+    those small frames."""
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    member = labeled.join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), id_col
+    )
+    val_comps = (
+        member.filter(F.col("split") == "val").select("cluster_id").distinct()
+    )
+    leaking_train = (
+        member.filter(F.col("split") == "train")
+        .join(F.broadcast(val_comps), "cluster_id")
+        .select(id_col)
+    )
+    return labeled.join(F.broadcast(leaking_train), id_col, "left_anti")
+
+
 def leakage_free_split(
     df: DataFrame,
     val_pct: int = 20,
@@ -773,18 +807,21 @@ def leakage_free_split(
 ) -> DataFrame:
     """Deterministic train/val split WITH cross-split near-dup
     decontamination: docs are split by the consistent hash-mod rule
-    (stable across engines/reruns), then any TRAIN doc that is a
-    near-dup of any VAL doc is dropped -- the standard guard against
-    evaluation leakage (a held-out doc whose twin stayed in training
-    measures memorization, not generalization). Val docs always
-    survive; train docs survive iff they have no cross-split match.
-    Returns (doc_id, split).
+    (stable across engines/reruns), then any TRAIN doc whose near-dup
+    CLUSTER (connected component of the verified pair graph) contains
+    a VAL doc is dropped -- the standard guard against evaluation
+    leakage (a held-out doc whose twin stayed in training measures
+    memorization, not generalization). Cluster-level, not
+    direct-pair-level: a train doc chained to val through other train
+    docs is still a leakage vector, so the whole val-touching family
+    leaves training. Val docs always survive. Returns (doc_id,
+    split).
 
     Scale shape: the split column is a pure projection (same hash-mod
     as consistent_sample); near-dup pairs come from the standard
-    capped MinHash-LSH plan; the cross-split filter and the final
-    anti-join run over the pairs-sized frames, broadcast against the
-    un-shuffled corpus."""
+    capped MinHash-LSH plan; the component/leak machinery runs over
+    pairs-sized frames broadcast against the un-shuffled corpus (see
+    decontaminate_split)."""
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
             "long"
@@ -795,22 +832,7 @@ def leakage_free_split(
         id_col, F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split")
     )
     pairs = minhash_lsh_pairs(df, text_col=text_col, threshold=threshold, max_bucket=max_bucket)
-    # label the pair endpoints WITHOUT broadcasting the corpus-sized
-    # label frame: the pairs frame is the small side, so it is the
-    # broadcast build in both joins and the label projection streams
-    la = labeled.select(F.col(id_col).alias("doc_a"), F.col("split").alias("_sa"))
-    lb = labeled.select(F.col(id_col).alias("doc_b"), F.col("split").alias("_sb"))
-    cross = lb.join(
-        F.broadcast(la.join(F.broadcast(pairs), "doc_a")), "doc_b"
-    ).filter(F.col("_sa") != F.col("_sb"))
-    leaking_train = (
-        cross.select(
-            F.when(F.col("_sa") == "train", F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias(id_col)
-        ).distinct()
-    )
-    return labeled.join(F.broadcast(leaking_train), id_col, "left_anti")
+    return decontaminate_split(labeled, pairs, id_col=id_col)
 
 
 #: default hot-bucket cap for containment_pairs: winnowing fingerprints

@@ -1585,21 +1585,24 @@ UNION ALL
 SELECT DISTINCT cluster_id AS doc_id FROM cl
 """
 
-# leakage-free split: the clusters pipeline's verified pairs CTE +
-# hash-mod split + cross-split drop rule
+# leakage-free split: the clusters pipeline (verified pairs ->
+# recursive-CTE components) + hash-mod split + CLUSTER-LEVEL drop
+# rule -- any train member of a component containing a val doc leaks
 DEDUP_SQL["leakage_free_split"] = _CLUSTERS_PREFIX + """,
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
 lbl AS (
   SELECT doc_id,
          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 20
               THEN 'val' ELSE 'train' END AS split
   FROM documents
 ),
+vc AS (
+  SELECT DISTINCT cl.cluster_id FROM cl JOIN lbl ON cl.id = lbl.doc_id
+  WHERE lbl.split = 'val'
+),
 leak AS (
-  SELECT DISTINCT CASE WHEN a.split = 'train' THEN p.doc_a ELSE p.doc_b END AS doc_id
-  FROM pairs p
-  JOIN lbl a ON p.doc_a = a.doc_id
-  JOIN lbl b ON p.doc_b = b.doc_id
-  WHERE a.split <> b.split
+  SELECT cl.id AS doc_id FROM cl JOIN lbl ON cl.id = lbl.doc_id
+  WHERE lbl.split = 'train' AND cl.cluster_id IN (SELECT cluster_id FROM vc)
 )
 SELECT doc_id, split FROM lbl WHERE doc_id NOT IN (SELECT doc_id FROM leak)
 """

@@ -431,6 +431,22 @@ def test_leakage_free_split_drops_train_twins_of_val_docs(spark):
             assert all(got.get(i) == "train" for i in trains)
 
 
+def test_decontaminate_split_is_cluster_level_not_direct_pair(spark):
+    """A train doc linked to val only TRANSITIVELY (train-train-val
+    chain) must also be dropped: the whole val-touching component
+    leaves training, not just direct partners."""
+    labeled = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "val"), (4, "train"), (5, "train"), (6, "val")],
+        "doc_id long, split string",
+    )
+    # component {1,2,3}: 1 touches val 3 only through 2
+    # component {4,5}: all-train family, untouched
+    # 6: unclustered val
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.split for r in D.decontaminate_split(labeled, pairs).collect()}
+    assert got == {3: "val", 4: "train", 5: "train", 6: "val"}
+
+
 def test_containment_pairs_catches_near_subset_jaccard_misses(spark):
     """A short doc quoted whole inside a long one: containment ~1 but
     Jaccard low -- containment_pairs finds it, the Jaccard-based plan
