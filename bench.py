@@ -157,6 +157,36 @@ def main() -> None:
         len(exact_cos & lsh_cos) / max(len(exact_cos), 1), 3
     )
 
+    # cap-coverage diagnostics for every capped LSH family (the 'no
+    # silent caps' observability frames): est_pair_coverage ~0 on a
+    # family means its registered capped pair plan is in the
+    # density-degenerate regime (simhash here, by design of the
+    # synthetic corpus -- see SCALE.md routing rule).
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        embedding_cap_stats,
+        minhash_cap_stats,
+        simhash_cap_stats,
+    )
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+
+    cap_coverage: dict[str, dict] = {}
+    for fam, frame in (
+        ("minhash", minhash_cap_stats(_docs_tbl, max_bucket=DEDUP_MAX_BUCKET)),
+        ("simhash", simhash_cap_stats(_docs_tbl, max_bucket=DEDUP_MAX_BUCKET)),
+        (
+            "embedding",
+            embedding_cap_stats(
+                load_table(spark, sf_dir, "embeddings"), max_bucket=DEDUP_MAX_BUCKET
+            ),
+        ),
+    ):
+        row = frame.collect()[0]
+        cap_coverage[fam] = {
+            "dropped_buckets": int(row["dropped_buckets"]),
+            "n_buckets": int(row["n_buckets"]),
+            "est_pair_coverage": float(row["est_pair_coverage"]),
+        }
+
     # planted-near-dup recall: the raw numbers above are structurally
     # bounded by the DATA (the exact top-10 of the synthetic vectors
     # sit at cosine ~0.3-0.4, where sign-LSH collision probability is
@@ -215,6 +245,7 @@ def main() -> None:
                 "queries": timings,
                 "baseline_twins": twins,
                 "recall": recall,
+                "cap_coverage": cap_coverage,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
             }

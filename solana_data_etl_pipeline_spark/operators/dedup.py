@@ -175,6 +175,109 @@ def _band_rows(sig_df: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHAS
     return sig_df.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
 
 
+def lsh_cap_stats(
+    bucket_rows: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Coverage diagnostic for a bucket-capped LSH candidate join --
+    the observability counterpart of the `max_bucket` guard used by
+    every capped pair operator here (minhash / simhash / embedding /
+    winnowing). The cap bounds the worst case by REFUSING quadratic
+    pair emission from degenerate buckets; on density-degenerate
+    corpora (measured: simhash at 32 bits on the synthetic tables,
+    where ~17% of ALL pairs sit within hamming 3) that refusal can
+    silently drop >99% of true pairs. This frame makes the truncation
+    observable so callers detect the regime and route dense families
+    to the cluster/keeper path instead (SCALE.md routing rule).
+
+    Returns ONE row:
+      n_buckets / dropped_buckets  -- buckets total vs over-cap
+      dropped_rows                 -- bucket rows the cap removed
+      candidate_pairs_uncapped     -- sum over buckets of C(w, 2)
+      candidate_pairs_kept         -- same sum over surviving buckets
+      est_pair_coverage            -- kept / uncapped (1.0 = no loss)
+
+    `est_pair_coverage` is CANDIDATE-space coverage (bucket-local
+    pair counts, summed across bands/tables, so multi-band collisions
+    count once per band) -- a cheap, deterministic proxy that tracks
+    true-pair recall tightly in the degenerate regime it exists to
+    flag (sf0.1 simhash: est coverage 0.003 vs measured capped recall
+    0.002, BENCH recall table). Cost: ONE narrow groupBy over the
+    same (key, doc) projection the candidate join shuffles -- no
+    corpus rescans, no joins.
+    """
+    sizes = bucket_rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_w"))
+    pairs = (F.col("_w") * (F.col("_w") - 1) / 2).cast("long")
+    over = F.col("_w") > max_bucket
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(over.cast("long")).cast("long").alias("dropped_buckets"),
+        F.sum(F.when(over, F.col("_w")).otherwise(0)).cast("long").alias("dropped_rows"),
+        F.sum(pairs).cast("long").alias("candidate_pairs_uncapped"),
+        F.sum(F.when(over, F.lit(0)).otherwise(pairs)).cast("long").alias("candidate_pairs_kept"),
+    )
+    return agg.withColumn(
+        "est_pair_coverage",
+        F.round(
+            F.col("candidate_pairs_kept")
+            / F.greatest(F.col("candidate_pairs_uncapped"), F.lit(1)),
+            4,
+        ),
+    )
+
+
+def minhash_cap_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """lsh_cap_stats over the exact band buckets minhash_lsh_pairs
+    joins on: what the cap would drop at this `max_bucket`."""
+    sigs = minhash_signatures(df, text_col, num_hashes)
+    b = _band_rows(sigs, bands, num_hashes // bands)
+    return lsh_cap_stats(b, ["band", "band_sig"], max_bucket)
+
+
+def simhash_cap_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """lsh_cap_stats over the pigeonhole segment buckets
+    simhash_near_dup_pairs joins on."""
+    n_seg = max_hamming + 1
+    seg_bits = bits // n_seg
+    fp = simhash(df, text_col, bits)
+    segs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * seg_bits)
+            .bitwiseAND(F.lit((1 << seg_bits) - 1))
+            .cast("long")
+            for i in range(n_seg)
+        ]
+    )
+    b = fp.select("doc_id", F.posexplode(segs).alias("seg", "seg_val"))
+    return lsh_cap_stats(b, ["seg", "seg_val"], max_bucket)
+
+
+def embedding_cap_stats(
+    emb_df: DataFrame, n_tables: int = 2, max_bucket: int = 50
+) -> DataFrame:
+    """lsh_cap_stats over the (table, bucket) hyperplane buckets
+    embedding_near_dup_lsh joins on."""
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        LSH_PLANES,
+        table_bucket_col,
+    )
+
+    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
+    v = emb_df.select("vec_id", F.posexplode(buckets).alias("table", "bucket"))
+    return lsh_cap_stats(v, ["table", "bucket"], max_bucket)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -197,6 +300,11 @@ def minhash_lsh_pairs(
     signature, can dominate the whole job at corpus scale). Capped
     buckets trade recall for a bounded worst case; exact duplicates
     lost this way are caught by the cheap exact_duplicates pass.
+    The truncation is OBSERVABLE: minhash_cap_stats reports dropped
+    buckets + estimated pair coverage over the identical band
+    buckets -- run it whenever a capped corpus's density is unknown
+    (coverage ~0 means pair emission is the wrong operator for that
+    family; route to the cluster/keeper path).
     """
     from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
 
@@ -490,7 +598,12 @@ def simhash_near_dup_pairs(
     projections; the candidate equi-join shuffles only (segment,
     value, id, fp) rows; `max_bucket` caps degenerate segment buckets
     with a count window over the join keys (no extra shuffle), the
-    same guard as the minhash plans.
+    same guard as the minhash plans. At 32 bits a homogeneous corpus
+    can be density-DEGENERATE (sf0.1 synthetic: ~17% of ALL pairs
+    within hamming 3), where the cap silently refuses ~99.8% of true
+    pairs -- simhash_cap_stats surfaces exactly that (est coverage
+    ~0.003 there); check it before trusting capped pair output, and
+    use the cluster/keeper operators for dense families.
     """
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
@@ -908,7 +1021,9 @@ def embedding_near_dup_lsh(
 
     `max_bucket` drops (table, bucket) groups wider than the cap
     before the self-join (same quadratic-degenerate-bucket defense as
-    minhash_lsh_pairs -- e.g. an all-zeros embedding cluster).
+    minhash_lsh_pairs -- e.g. an all-zeros embedding cluster);
+    embedding_cap_stats reports what the cap drops over the identical
+    buckets.
     """
     from solana_data_etl_pipeline_spark.operators.similarity import (
         _dvec,

@@ -1394,6 +1394,23 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             score_col="n_chars",
         )
     ),
+    # cap-coverage diagnostics: the observability companion of every
+    # capped LSH pair plan (VERDICT r6 'no silent caps'). One narrow
+    # groupBy over the same bucket projection the candidate join
+    # shuffles; est_pair_coverage ~0 flags the density-degenerate
+    # regime where pair emission is the wrong operator and the
+    # cluster/keeper path is the route (SCALE.md).
+    "minhash_cap_stats": _docs(
+        lambda df: D.minhash_cap_stats(df, max_bucket=DEDUP_MAX_BUCKET)
+    ),
+    "simhash_cap_stats": _docs(
+        lambda df: D.simhash_cap_stats(df, max_bucket=DEDUP_MAX_BUCKET)
+    ),
+    "embedding_cap_stats": (
+        lambda spark, sf_dir: D.embedding_cap_stats(
+            load_table(spark, sf_dir, "embeddings"), max_bucket=DEDUP_MAX_BUCKET
+        )
+    ),
     # the embedding twin of dedup_keepers: sign-LSH cosine pairs ->
     # connected components -> unclustered vectors + one representative
     # per component. Same keep_representatives machinery (corpus side
@@ -1671,6 +1688,43 @@ SELECT doc_a, doc_b, containment FROM (
 )
 WHERE containment >= 0.5
 """
+
+
+# cap-coverage diagnostics: reuse each pair oracle's bucket CTEs
+# verbatim (so the diagnostic grades the EXACT buckets the candidate
+# join uses), then one aggregate over bucket widths
+def _cap_stats_suffix(keys: str, cap: int) -> str:
+    return f""",
+sz AS (SELECT {keys}, count(*) AS w FROM src GROUP BY 1, 2),
+sz2 AS (SELECT w, CAST(w * (w - 1) / 2 AS BIGINT) AS p FROM sz)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN w > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+       CAST(sum(CASE WHEN w > {cap} THEN w ELSE 0 END) AS BIGINT) AS dropped_rows,
+       CAST(sum(p) AS BIGINT) AS candidate_pairs_uncapped,
+       CAST(sum(CASE WHEN w > {cap} THEN 0 ELSE p END) AS BIGINT) AS candidate_pairs_kept,
+       round(sum(CASE WHEN w > {cap} THEN 0 ELSE p END) / greatest(sum(p), 1), 4) AS est_pair_coverage
+FROM sz2
+"""
+
+
+DEDUP_SQL["minhash_cap_stats"] = (
+    DEDUP_SQL["dedup_minhash_lsh"].rsplit(",\nkept AS", 1)[0]
+    + ",\nsrc AS (SELECT band AS k1, band_sig AS k2 FROM bands)"
+    + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
+)
+
+DEDUP_SQL["simhash_cap_stats"] = (
+    DEDUP_SQL["simhash_near_dup"].rsplit(",\nkept AS", 1)[0]
+    + ",\nsrc AS (SELECT seg AS k1, seg_val AS k2 FROM segs)"
+    + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
+)
+
+DEDUP_SQL["embedding_cap_stats"] = (
+    f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    + _table_buckets_sql(2)
+    + ",\nsrc AS (SELECT tbl AS k1, bkt AS k2 FROM b)"
+    + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
+)
 
 
 # embedding keepers: the dedup_embedding_cosine pair pipeline feeding

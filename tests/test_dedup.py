@@ -431,6 +431,32 @@ def test_leakage_free_split_drops_train_twins_of_val_docs(spark):
             assert all(got.get(i) == "train" for i in trains)
 
 
+def test_cap_stats_fire_on_dense_corpus(spark):
+    """Density-degenerate corpus (every doc a near-twin): the bucket
+    cap silently refuses nearly all pair emission -- the diagnostic
+    must make that observable (dropped buckets > 0, est coverage
+    collapsing), and must read 1.0 when the cap doesn't bite."""
+    rows = [(i, f"the quick brown fox jumps over the lazy dog number {i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tight = D.simhash_cap_stats(df, max_bucket=10).collect()[0]
+    assert tight.dropped_buckets > 0
+    assert tight.est_pair_coverage < 0.5
+    assert tight.candidate_pairs_kept < tight.candidate_pairs_uncapped
+    # and the capped pair op really does emit fewer pairs than exist
+    n_capped = D.simhash_near_dup_pairs(df, max_bucket=10).count()
+    n_true = D.simhash_bruteforce_pairs(df).count()
+    assert n_capped < n_true
+
+    loose = D.simhash_cap_stats(df, max_bucket=100_000).collect()[0]
+    assert loose.dropped_buckets == 0
+    assert loose.est_pair_coverage == 1.0
+
+    # same contract on the minhash band buckets
+    mh = D.minhash_cap_stats(df, max_bucket=5).collect()[0]
+    assert mh.dropped_buckets > 0 and mh.est_pair_coverage < 1.0
+
+
 def test_decontaminate_split_is_cluster_level_not_direct_pair(spark):
     """A train doc linked to val only TRANSITIVELY (train-train-val
     chain) must also be dropped: the whole val-touching component
