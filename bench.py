@@ -89,6 +89,26 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         twins[name] = round(statistics.median(samples), 3)
 
+    # the materialized-IVF layout is cached per sf_dir (build happens
+    # at ingest cadence, probes amortize it), so the BUILD cost is
+    # timed explicitly here instead of being smeared into the
+    # knn_ivf_materialized query samples
+    import shutil
+    import tempfile
+
+    from solana_data_etl_pipeline_spark.operators.similarity import materialize_ivf
+    from solana_data_etl_pipeline_spark.plans.suite import load_table as _lt
+
+    _emb = _lt(spark, sf_dir, "embeddings")
+    samples = []
+    for _ in range(RUNS):
+        d = tempfile.mkdtemp(prefix="ivf_build_bench_")
+        t0 = time.perf_counter()
+        materialize_ivf(_emb, d, cell_col="label")
+        samples.append(time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    twins["ivf_build"] = round(statistics.median(samples), 3)
+
     # measured recall of the approximate plans against their exact
     # twins (non-graded, like the twin timings): turns the analytic
     # 1-(1-p^b)^L claims in operators/similarity.py into per-round
