@@ -493,6 +493,52 @@ def test_span_dedup_rewrite_first_occurrence_retained(spark):
     assert all(r.n_tokens in (5, 9) for r in got.values())
 
 
+def test_span_dedup_rewrite_matches_position_set_model(spark):
+    """The interval-union rewrite must be position-identical to the
+    definitional model (explode covered positions of every later
+    occurrence, union, filter tokens) -- across overlapping, adjacent
+    and disjoint spans, and at the long-gram configs (n=8) real
+    substring dedup uses."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 8):
+        got = {r.doc_id: r for r in X.span_dedup_rewrite(df, n=n).collect()}
+
+        # definitional model
+        occs = []  # (gram, doc_id, pos)
+        for doc_id, t in rows:
+            tk = t.split()
+            for p in range(len(tk) - n + 1):
+                occs.append((tuple(tk[p : p + n]), doc_id, p))
+        from collections import Counter
+
+        cnt = Counter(g for g, _, _ in occs)
+        later = sorted(
+            (g, d, p) for g, d, p in occs if cnt[g] >= 2
+        )
+        seen: set = set()
+        removed: dict = {d: set() for d, _ in rows}
+        for g, d, p in later:
+            if g in seen:
+                removed[d].update(range(p, p + n))
+            else:
+                seen.add(g)
+        for doc_id, t in rows:
+            tk = t.split()
+            rem = removed[doc_id]
+            want = " ".join(w for i, w in enumerate(tk) if i not in rem)
+            assert got[doc_id].clean_text == want, (n, doc_id)
+            assert got[doc_id].removed_tokens == len(rem), (n, doc_id)
+            assert got[doc_id].n_tokens == len(tk)
+
+
 def test_bigram_logprob_matches_python_model(spark):
     import math
 
