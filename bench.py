@@ -177,6 +177,23 @@ def main() -> None:
         len(exact_cos & lsh_cos) / max(len(exact_cos), 1), 3
     )
 
+    # containment pair recall vs the exact inverted-index twin (same
+    # evidence standard as the minhash/simhash rows): the registered
+    # plan's candidates come from shared winnowing fingerprints, so
+    # its misses are pairs whose shared material never forms a run of
+    # k+window-1 normalized chars (or whose fingerprints got capped)
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        containment_bruteforce_pairs,
+    )
+
+    exact_cont = _pairs(
+        containment_bruteforce_pairs(_docs_tbl, threshold=0.5), "doc_a", "doc_b"
+    )
+    got_cont = _pairs(full["containment_pairs"](spark, sf_dir), "doc_a", "doc_b")
+    recall["containment_pairs"] = round(
+        len(exact_cont & got_cont) / max(len(exact_cont), 1), 3
+    )
+
     # cap-coverage diagnostics for every capped LSH family (the 'no
     # silent caps' observability frames): est_pair_coverage ~0 on a
     # family means its registered capped pair plan is in the
@@ -187,12 +204,14 @@ def main() -> None:
         minhash_cap_stats,
         simhash_cap_stats,
     )
+    from solana_data_etl_pipeline_spark.operators.text import winnow_cap_stats
     from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
 
     cap_coverage: dict[str, dict] = {}
     for fam, frame in (
         ("minhash", minhash_cap_stats(_docs_tbl, max_bucket=DEDUP_MAX_BUCKET)),
         ("simhash", simhash_cap_stats(_docs_tbl, max_bucket=DEDUP_MAX_BUCKET)),
+        ("winnow", winnow_cap_stats(_docs_tbl, max_bucket=DEDUP_MAX_BUCKET)),
         (
             "embedding",
             embedding_cap_stats(

@@ -998,6 +998,40 @@ def containment_pairs(
     )
 
 
+def containment_bruteforce_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact containment twin of containment_pairs (UNREGISTERED --
+    exists so bench.py can measure the winnowing-candidate plan's
+    pair recall against ground truth, the same evidence standard as
+    ngram_jaccard_pairs for minhash and simhash_bruteforce_pairs for
+    the pigeonhole plan). Candidates are every pair sharing ANY word
+    shingle -- an inverted-index join whose candidate set is COMPLETE
+    for containment > 0 (a pair with |A∩B| >= 1 shares a shingle by
+    definition), i.e. the PPJoin-degenerate full index that does not
+    scale; verify is the identical exact word-shingle containment.
+    Returns (doc_a, doc_b, containment), doc_a < doc_b."""
+    sh = _shingle_sets(df, text_col)
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    cand = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a, b = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    cont = F.round(inter / F.least(F.size(F.col("sa.sh")), F.size(F.col("sb.sh"))), 4)
+    return (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def embedding_near_dup_lsh(
     emb_df: DataFrame,
     threshold: float = 0.95,

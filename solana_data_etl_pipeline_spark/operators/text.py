@@ -548,6 +548,25 @@ def winnow_overlap_pairs(
     )
 
 
+def winnow_cap_stats(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    max_bucket: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap-coverage diagnostic over the winnowing fingerprint buckets
+    winnow_overlap_pairs / containment_pairs join on (see
+    dedup.lsh_cap_stats): measured at sf0.1 the containment plan's
+    only misses are CAP loss (capped recall 0.926, uncapped 1.000,
+    SCALE.md), so this frame is how a caller knows whether a capped
+    run lost candidate mass to boilerplate buckets."""
+    from solana_data_etl_pipeline_spark.operators.dedup import lsh_cap_stats
+
+    fp = winnow_fingerprints(df, k=k, window=window, text_col=text_col)
+    return lsh_cap_stats(fp, ["fingerprint"], max_bucket)
+
+
 # -- deterministic training-shuffle sharding -------------------------
 
 

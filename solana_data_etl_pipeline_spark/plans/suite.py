@@ -1411,6 +1411,9 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             load_table(spark, sf_dir, "embeddings"), max_bucket=DEDUP_MAX_BUCKET
         )
     ),
+    "winnow_cap_stats": _docs(
+        lambda df: X.winnow_cap_stats(df, max_bucket=DEDUP_MAX_BUCKET)
+    ),
     # the embedding twin of dedup_keepers: sign-LSH cosine pairs ->
     # connected components -> unclustered vectors + one representative
     # per component. Same keep_representatives machinery (corpus side
@@ -1723,6 +1726,13 @@ DEDUP_SQL["embedding_cap_stats"] = (
     f"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
     + _table_buckets_sql(2)
     + ",\nsrc AS (SELECT tbl AS k1, bkt AS k2 FROM b)"
+    + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
+)
+
+DEDUP_SQL["winnow_cap_stats"] = (
+    _WINNOW_PREFIX
+    + ",\nfp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m)"
+    + ",\nsrc AS (SELECT fingerprint AS k1, 0 AS k2 FROM fp)"
     + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
 )
 
