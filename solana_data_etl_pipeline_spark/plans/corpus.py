@@ -41,3 +41,59 @@ def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.consistent_sample(selected, pct=SAMPLE_PCT).select(
         "doc_id", "source", "predicted_lang", "n_tokens"
     )
+
+
+# corpus_curation knobs: the near-dup parameters MUST equal the
+# registered dedup suite's (threshold 0.2, bucket cap 50) so the
+# oracle reuses the clusters pipeline's pair/CC CTEs verbatim.
+VAL_PCT = 20
+NEAR_DUP_THRESHOLD = 0.2
+TAU = 0.5
+TARGET_FRAC = 0.8
+TOKEN_BUDGET = 10_000
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data assembly, end to end, as one composed
+    declarative plan -- what a production curation run executes before
+    sharding: quality gates -> exact-dedup keepers -> leakage-free
+    train/val split (cluster-level near-dup decontamination) ->
+    temperature-scaled source rebalancing over the surviving TRAIN
+    docs -> token-budget selection of the best-scored docs that fit
+    the training budget. Returns the curated train set (doc_id,
+    source, n_tokens, alpha_ratio, rate_bp).
+
+    Stage order is the standard one and it matters: dedup/decontam
+    run on the raw corpus (drop rules must see every twin), the mix
+    rates are computed over the POST-gate/dedup/split population
+    (rebalancing what actually remains), and the budget threshold is
+    computed LAST over the mixed candidate set (the budget buys the
+    final corpus, not the pre-mix one).
+
+    Scale shape: every stage is the registered operator's plan --
+    per-doc scoring fuses into the scan, the only corpus-keyed
+    shuffles are the exact-dedup window and the LSH band join, and
+    the split/mix/budget machinery all reduces to pairs-sized or
+    scalar broadcasts against un-shuffled projections."""
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = X.quality_scores(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    keepers = D.exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    split = D.leakage_free_split(
+        docs,
+        val_pct=VAL_PCT,
+        threshold=NEAR_DUP_THRESHOLD,
+        max_bucket=DEDUP_MAX_BUCKET,
+    )
+    train = (
+        docs.select("doc_id", "source")
+        .join(quality, "doc_id")
+        .join(keepers, "doc_id")
+        .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO))
+    )
+    mixed = X.temperature_mix(train, tau=TAU, target_frac=TARGET_FRAC)
+    return X.token_budget_select(
+        mixed, budget=TOKEN_BUDGET, score_col="alpha_ratio", weight_col="n_tokens"
+    ).select("doc_id", "source", "n_tokens", "alpha_ratio", "rate_bp")

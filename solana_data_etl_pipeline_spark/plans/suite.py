@@ -701,6 +701,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "vocab_top_words": _docs(X.vocab_top_words),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
     "corpus_selection": C.corpus_selection,
+    # the full curation pipeline composed end-to-end: gates + exact
+    # keepers + cluster-decontaminated split + temperature mix +
+    # token-budget selection (plans/corpus.py corpus_curation)
+    "corpus_curation": C.corpus_curation,
     "stratified_sample": _docs(X.stratified_sample_stats),
     "pii_stats": _docs(X.pii_stats),
     "weighted_mix": _docs(
@@ -1728,6 +1732,72 @@ DEDUP_SQL["embedding_cap_stats"] = (
     + ",\nsrc AS (SELECT tbl AS k1, bkt AS k2 FROM b)"
     + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
 )
+
+# the composed end-to-end curation pipeline: the clusters pipeline's
+# pair/CC CTEs (shared verbatim -- same threshold/cap as the dedup
+# suite) + cluster-level leakage split + the quality/keeper gates of
+# corpus_selection + temperature mix over the surviving train docs +
+# the token-budget threshold computed last over the mixed set
+TEXT_SQL["corpus_curation"] = _CLUSTERS_PREFIX + f""",
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+lbl AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {C.VAL_PCT}
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+),
+vc AS (
+  SELECT DISTINCT cl.cluster_id FROM cl JOIN lbl ON cl.id = lbl.doc_id
+  WHERE lbl.split = 'val'
+),
+leak AS (
+  SELECT cl.id AS doc_id FROM cl JOIN lbl ON cl.id = lbl.doc_id
+  WHERE lbl.split = 'train' AND cl.cluster_id IN (SELECT cluster_id FROM vc)
+),
+split_ok AS (
+  SELECT doc_id FROM lbl
+  WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM leak)
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio
+  FROM documents
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5({_NORM_TEXT})
+),
+train AS (
+  SELECT d.doc_id, d.source, q.n_tokens, q.alpha_ratio
+  FROM documents d
+  JOIN q USING (doc_id)
+  JOIN keep k ON d.doc_id = k.doc_id
+  JOIN split_ok s ON d.doc_id = s.doc_id
+  WHERE q.n_tokens >= {C.MIN_TOKENS} AND q.alpha_ratio >= {C.MIN_ALPHA_RATIO}
+),
+srcn AS (SELECT source, count(*) AS n FROM train GROUP BY source),
+srct AS (SELECT sum(n) AS N FROM srcn),
+rates AS (
+  SELECT source,
+         least(10000, CAST(round({C.TARGET_FRAC} * srct.N * (power(srcn.n / srct.N, {C.TAU}) / sum(power(srcn.n / srct.N, {C.TAU})) OVER ()) / srcn.n * 10000) AS BIGINT)) AS rate_bp
+  FROM srcn, srct
+),
+mixed AS (
+  SELECT tr.doc_id, tr.source, tr.n_tokens, tr.alpha_ratio, rates.rate_bp
+  FROM train tr JOIN rates USING (source)
+  WHERE ('0x' || substr(md5(CAST(tr.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < rates.rate_bp
+),
+hist AS (
+  SELECT round(CAST(alpha_ratio AS DOUBLE), 4) AS v, sum(n_tokens) AS cwt
+  FROM mixed WHERE alpha_ratio IS NOT NULL GROUP BY 1
+),
+cum2 AS (SELECT v, sum(cwt) OVER (ORDER BY v DESC) AS cum FROM hist),
+thr2 AS (SELECT min(CASE WHEN cum <= {C.TOKEN_BUDGET} THEN v END) AS thr FROM cum2)
+SELECT doc_id, source, n_tokens, alpha_ratio, rate_bp
+FROM mixed, thr2
+WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
+"""
 
 DEDUP_SQL["winnow_cap_stats"] = (
     _WINNOW_PREFIX

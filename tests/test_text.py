@@ -582,3 +582,42 @@ def test_temperature_mix_upsamples_small_sources(spark):
     a = {r.doc_id for r in out.collect()}
     b = {r.doc_id for r in X.temperature_mix(df, tau=0.5, target_frac=0.5).collect()}
     assert a == b
+
+
+def test_corpus_curation_composes_all_selection_stages(spark):
+    """End-to-end curation pipeline contract: the output is train-only,
+    leakage-decontaminated, quality-gated, exact-dedup-kept, inside
+    the token budget, and every row carries its source's mix rate."""
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.plans import corpus as C
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+    from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = C.corpus_curation(spark, sf).collect()
+    assert out  # non-degenerate at the smallest SF
+
+    # token budget respected (whole-bucket granularity => never over)
+    assert sum(r.n_tokens for r in out) <= C.TOKEN_BUDGET
+    # quality gates
+    assert all(r.n_tokens >= C.MIN_TOKENS for r in out)
+    assert all(r.alpha_ratio >= C.MIN_ALPHA_RATIO for r in out)
+    # mix rates are valid basis points
+    assert all(0 <= r.rate_bp <= 10_000 for r in out)
+
+    docs = load_table(spark, sf, "documents")
+    # train-only and leakage-free: every output id survives the
+    # cluster-level decontaminated split as 'train'
+    split = {
+        r.doc_id: r.split
+        for r in D.leakage_free_split(
+            docs,
+            val_pct=C.VAL_PCT,
+            threshold=C.NEAR_DUP_THRESHOLD,
+            max_bucket=DEDUP_MAX_BUCKET,
+        ).collect()
+    }
+    assert all(split.get(r.doc_id) == "train" for r in out)
+    # exact-dedup keepers only
+    keepers = {r.keep_doc_id for r in D.exact_duplicates(docs).collect()}
+    assert all(r.doc_id in keepers for r in out)
