@@ -2137,38 +2137,40 @@ def all_oracle_sql() -> dict[str, str]:
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
 DRIVER_ORDER = [
-    # --- round-5 newcomers, never driver-verified (added after the
-    #     round-5 50 froze; rotated in per the round-5 brief) ---
+    # --- round-6/7 newcomers, never driver-verified: the full
+    #     backlog rotation the round-6 verdict asked for (13 r6
+    #     operators + the r7 composed curation pipeline), heaviest
+    #     plans first ---
+    "span_dedup_rewrite",
+    "embedding_dedup_keepers",
+    "containment_pairs",
+    "leakage_free_split",
+    "training_shuffle",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "token_budget_select",
+    "temperature_mix",
+    "bigram_logprob",
+    "dedup_cluster_sizes",
+    "dedup_keepers_quality",
+    "media_resize",
+    "corpus_curation",
+    # --- reference A-query round-robin: A12 top_wallets back in (last
+    #     driver row r3; /root/reference/src/analytics.rs:619-633) ---
+    "top_wallets",
+    # --- round-5/6 entries kept for a second verdict ---
     "chunk_documents",
     "quantile_gate_chars",
     "delta_dedup",
     "simhash_near_dup",
-    # --- reference A-queries rotated BACK in (green r1-r3, out r4-r5)
-    #     continuing the parity round-robin; failed_transactions /
-    #     top_tokens rotate out after their fresh green r5 verdicts.
-    #     Next robin (round 7): top_wallets back in, plus the round-6
-    #     newcomers training_shuffle + embedding_dedup_keepers +
-    #     media_resize + token_budget_select + winnow_fingerprints +
-    #     winnow_overlap_pairs + span_dedup_rewrite +
-    #     dedup_keepers_quality + bigram_logprob + dedup_cluster_sizes
-    #     + leakage_free_split + temperature_mix + containment_pairs
-    #     (oracle-swept now, added after this round's rotation). ---
     "token_transfer_stats",
     "top_errors",
-    # --- round-5 driver-verified, kept for a second verdict ---
     "dedup_keepers",
     "span_dup_stats",
     "unigram_logprob",
-    # --- round-4 newcomers, driver-verified r4 ---
-    # (pack_sequences / salted_session_stats / merge_dim_wallets /
-    #  pii_stats / weighted_mix rotated out after their green r4
-    #  verdicts; they stay DuckDB-swept by tests/test_oracle_parity)
     "repetition_stats",
     "knn_ivf_materialized",
     # --- core dedup/similarity/media suite ---
-    # (stratified_sample / dedup_exact / simhash_fingerprints /
-    #  label_centroids rotated out after three consecutive green
-    #  verdicts (r3-r5) to free slots for the six rotated in above)
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_clusters",
@@ -2188,34 +2190,23 @@ DRIVER_ORDER = [
     "active_programs",
     "wallet_activity",
     "program_trends",
-    # --- behavioral + temporal ---
+    # --- behavioral + temporal (weekly_cohort_retention, event_funnel,
+    #     hourly_gapfill, asof_attribution, session_window_stats and
+    #     daily_volume_trend rotated out after six consecutive green
+    #     verdicts r1-r6 to free slots for the 15 rotated in above;
+    #     like every rotated entry they stay DuckDB-swept by
+    #     tests/test_oracle_parity on each run) ---
     "cumulative_new_users",
-    "weekly_cohort_retention",
-    "event_funnel",
-    "hourly_gapfill",
     "sketch_rollup",
     "rollup_exact_users",
-    "asof_attribution",
-    "session_window_stats",
-    "daily_volume_trend",
-    # --- text corpus suite ---
-    "language_stats",
+    # --- text corpus suite (language_stats / vocab_top_words /
+    #     tfidf_top_terms rotated out after green r1-r6) ---
     "consistent_sample",
-    "vocab_top_words",
-    "tfidf_top_terms",
     "corpus_selection",
     "benchmark_contamination",
-    # --- relational ---
-    # (region_revenue / price_tier_distribution / small_quantity_revenue /
-    #  lineitem_measures_unpivot rotated out after green r3 verdicts to
-    #  free slots for the round-4 newcomers above; they stay DuckDB-swept
-    #  by tests/test_oracle_parity)
-    "pricing_summary",
-    "nation_trade_balance",
-    "order_cube",
-    "priority_pivot",
-    "order_value_histogram",
-    "inactive_customers",
+    # --- relational: all six rotated out after green r1-r6 verdicts
+    #     (pricing_summary, nation_trade_balance, order_cube,
+    #     priority_pivot, order_value_histogram, inactive_customers) ---
 ]
 
 
