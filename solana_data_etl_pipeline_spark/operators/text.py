@@ -1049,9 +1049,10 @@ def span_dup_stats(
     any scale: 99.9% of 3-gram occurrences are duplicated (tiny
     generator vocabulary), so there is nothing to eliminate."""
     g = word_ngrams_pos(df, n, text_col)
-    dup_grams = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= 2)
-    probe = g
     if bloom_bits:
+        dup_grams = (
+            g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= 2)
+        )
         bitmap = _bloom_bitmap(dup_grams, "gram", bloom_bits, bloom_hashes)
         probe = bloom_prefilter(g, "gram", bitmap, bloom_bits, bloom_hashes)
         # exact recount over the thinned occurrences (see docstring);
@@ -1061,7 +1062,19 @@ def span_dup_stats(
             .agg(F.count(F.lit(1)).alias("_c"))
             .filter(F.col("_c") >= 2)
         )
-    d = probe.join(dup_grams.select("gram"), "gram")
+        d = probe.join(dup_grams.select("gram"), "gram")
+    else:
+        # duplicated-occurrence selection via a count window over the
+        # gram partitioning -- ONE full-stream exchange, vs the
+        # count-agg + join formulation that shuffles the identical
+        # gram stream twice (kept above for the Bloom path, whose
+        # bitmap build needs the distinct dup-gram frame)
+        wg = Window.partitionBy("gram")
+        d = (
+            g.withColumn("_c", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_c") >= 2)
+            .drop("_c")
+        )
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     contrib = F.when(prev.isNull(), F.lit(n)).otherwise(
@@ -1097,90 +1110,92 @@ def span_dedup_rewrite(df: DataFrame, n: int = 3, text_col: str = "text") -> Dat
     n_tokens, removed_tokens, clean_text). Deterministic: the
     first-occurrence rule is a row_number over a total order.
 
-    Scale shape: gram generation is per-row; occurrences are first
-    THINNED to duplicated grams (one narrow count agg with map-side
-    combine + a semi-join -- all occurrences of a duplicated gram
-    survive, so ranking the thinned set equals ranking the full set),
-    then ONE rank window partitioned by gram. Removed coverage is
-    carried as merged INTERVALS, not exploded positions: later
-    occurrences become [pos, pos+n-1] spans, a per-doc cumulative-max
-    window fuses overlapping/adjacent spans into islands (classic
-    interval union -- the fused union is position-identical to the
-    old explode+distinct position set, at interval row counts instead
-    of token row counts), and the rewrite stitches the gap slices
-    BETWEEN intervals with one aggregate() pass -- O(tokens +
-    intervals) per document, vs the O(tokens x removed)
-    array_contains probe this replaces (quadratic per doc when most
-    of a document is duplicated span, the measured 10x-table worst
-    case at n=3). Production substring dedup runs n>=50 (Lee et
-    al.), where duplicated-gram occurrences are sparse and the
-    thinning does the heavy lifting."""
+    Scale shape: gram generation is per-row; later occurrences come
+    from ONE rank window over the (gram)-partitioned occurrence
+    stream -- rn >= 2 both selects duplicated grams and drops each
+    gram's first occurrence, so no separate duplicated-gram count or
+    semi-join exists (the former count-agg + join pipeline shuffled
+    the identical full gram stream TWICE and sorted it twice; one
+    window halves that, measured 4.85 s -> 1.72 s at 10x sf0.1, n=8,
+    and fixes the 10x bend the join's AQE broadcast demotion caused
+    -- ratio 2.8 -> 1.72, SCALE.md). Removed coverage is
+    carried as the sorted START positions of later occurrences (one
+    collect_list groupBy, rows = duplicated-occurrence count -- fewer
+    than the exploded covered-position rows the old plan distincted),
+    and ONE per-row aggregate() pass over that array does the
+    interval-union AND the rewrite together: a cursor walks the
+    sorted spans [s, s+n-1], emitting each kept gap slice and
+    summing newly covered positions -- O(tokens + spans) per
+    document, vs the O(tokens x removed) array_contains probe this
+    replaces (quadratic per doc when most of a document is
+    duplicated span, the measured 10x-table worst case at n=3).
+    Production substring dedup runs n>=50 (Lee et al.), where
+    duplicated-gram occurrences are sparse and the thinning does the
+    heavy lifting."""
     base = df.select("doc_id", tokens_col(text_col).alias("_tk"))
     g = word_ngrams_pos(df, n, text_col).select("doc_id", "pos", "gram")
-    dup = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") >= 2)
-    occ = g.join(dup.select("gram"), "gram")
     win = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    extra = occ.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") >= 2)
-    # interval union per doc: islands = runs of spans where each span
-    # starts at or before (running max end) + 1
-    ivals = extra.select(
-        "doc_id",
-        F.col("pos").cast("int").alias("s"),
-        (F.col("pos") + F.lit(n - 1)).cast("int").alias("e"),
+    extra = g.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") >= 2)
+    starts = extra.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("_st")
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("s")
-    prev_max_e = F.max("e").over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
-    marked = ivals.withColumn(
-        "_new",
-        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1).otherwise(0),
-    )
-    isl = marked.withColumn(
-        "_isl", F.sum("_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    merged = isl.groupBy("doc_id", "_isl").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
-    per_doc = merged.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("s").alias("s"), F.col("e").alias("e")))
-        ).alias("_iv")
-    )
-    out = base.join(per_doc, "doc_id", "left")
+    out = base.join(starts, "doc_id", "left")
     tk = F.col("_tk")
-    iv = F.coalesce(F.col("_iv"), F.array().cast("array<struct<s:int,e:int>>"))
-    removed = F.aggregate(
-        iv,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + (x["e"] - x["s"] + 1).cast("long"),
+    st = F.coalesce(F.col("_st"), F.array().cast("array<int>"))
+    # cursor pass: cur = first 0-based index not yet consumed. For a
+    # span starting at s (covering [s, s+n-1]): tokens [cur, s-1] are
+    # a kept gap (empty when the span overlaps the previous one), the
+    # newly removed count is (s+n) - max(cur, s), and the cursor jumps
+    # to s+n. Spans are sorted and same-length, so the cursor is
+    # monotone and the final tail [cur, n_tokens) is kept.
+    # two single-purpose aggregates (a fused struct accumulator would
+    # be re-inlined once per projected field by CollapseProject and
+    # the heavy pass would run twice -- see the winnow/LSH binding
+    # notes): the removed-count pass carries (cur, removed) only and
+    # is O(spans); the rewrite pass carries (cur, parts).
+    rzero = F.struct(
+        F.lit(0).cast("int").alias("cur"), F.lit(0).cast("long").alias("removed")
     )
-    # stitch gap slices: cursor walks the sorted disjoint intervals,
-    # keeping tokens [cur, s-1] before each and the tail after the last
-    zero = F.struct(
+    removed = F.aggregate(
+        st,
+        rzero,
+        lambda acc, s: F.struct(
+            (s + F.lit(n)).cast("int").alias("cur"),
+            (acc["removed"] + (s + F.lit(n) - F.greatest(acc["cur"], s)).cast("long")).alias(
+                "removed"
+            ),
+        ),
+        lambda acc: acc["removed"],
+    )
+    kzero = F.struct(
         F.lit(0).cast("int").alias("cur"),
         F.array().cast("array<string>").alias("parts"),
     )
 
-    def _step(acc: Column, x: Column) -> Column:
-        part = F.slice(tk, acc["cur"] + 1, F.greatest(x["s"] - acc["cur"], F.lit(0)))
+    def _step(acc: Column, s: Column) -> Column:
+        gap = F.slice(tk, acc["cur"] + 1, F.greatest(s - acc["cur"], F.lit(0)))
         return F.struct(
-            (x["e"] + 1).cast("int").alias("cur"),
-            F.concat(acc["parts"], part).alias("parts"),
+            (s + F.lit(n)).cast("int").alias("cur"),
+            F.concat(acc["parts"], gap).alias("parts"),
         )
 
-    kept = F.aggregate(
-        iv,
-        zero,
+    clean = F.aggregate(
+        st,
+        kzero,
         _step,
-        lambda acc: F.concat(
-            acc["parts"],
-            F.slice(tk, acc["cur"] + 1, F.greatest(F.size(tk) - acc["cur"], F.lit(0))),
+        lambda acc: F.array_join(
+            F.concat(
+                acc["parts"],
+                F.slice(tk, acc["cur"] + 1, F.greatest(F.size(tk) - acc["cur"], F.lit(0))),
+            ),
+            " ",
         ),
     )
     return out.select(
         "doc_id",
         F.size("_tk").cast("long").alias("n_tokens"),
         removed.alias("removed_tokens"),
-        F.array_join(kept, " ").alias("clean_text"),
+        clean.alias("clean_text"),
     )
 
 

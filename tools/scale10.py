@@ -15,9 +15,11 @@ Replication protocol (deterministic, content-disjoint):
   across replicas are fine for the queries timed here -- none of them
   compares embeddings across replicas at a similarity threshold.
 
-Usage: python tools/scale10.py [--skip-gen]
-Writes the replica under .scale10/ (gitignored) and prints a
-per-query table sf0.1 vs 10x with the time ratio.
+Usage: python tools/scale10.py [--skip-gen] [--replicas N] [QUERY ...]
+Writes the replica under .scale{N}/ (gitignored) and prints a
+per-query table sf0.1 vs Nx with the time ratio. `--replicas 100`
+is the third scale point (500k docs); positional QUERY names
+restrict the run to a subset of HEAVY.
 """
 
 from __future__ import annotations
@@ -29,8 +31,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale10")
-REPLICAS = 10
+REPLICAS = (
+    int(sys.argv[sys.argv.index("--replicas") + 1]) if "--replicas" in sys.argv else 10
+)
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f".scale{REPLICAS}"
+)
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 #: the expensive registered plans worth a second scale point
@@ -52,6 +58,7 @@ HEAVY = [
     "leakage_free_split",
     "temperature_mix",
     "bigram_logprob",
+    "corpus_curation",
 ]
 
 
@@ -118,8 +125,12 @@ def main() -> None:
     spark.read.parquet(f"{OUT}/documents.parquet").count()
     qs["dedup_exact"](spark, BASE).write.format("noop").mode("overwrite").save()
 
-    print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
-    for name in HEAVY:
+    wanted = [
+        a for a in sys.argv[1:] if not a.startswith("--") and not a.isdigit()
+    ]
+    run_list = [n for n in HEAVY if not wanted or n in wanted]
+    print(f"{'query':28s} {'sf0.1':>8s} {f'{REPLICAS}x':>8s} {'ratio':>6s}")
+    for name in run_list:
         row = {}
         for tag, d in (("base", BASE), ("x10", OUT)):
             samples = []
