@@ -1116,71 +1116,80 @@ def span_dedup_rewrite(df: DataFrame, n: int = 3, text_col: str = "text") -> Dat
     gram's first occurrence, so no separate duplicated-gram count or
     semi-join exists (the former count-agg + join pipeline shuffled
     the identical full gram stream TWICE and sorted it twice; one
-    window halves that, measured 4.85 s -> 1.72 s at 10x sf0.1, n=8,
-    and fixes the 10x bend the join's AQE broadcast demotion caused
-    -- ratio 2.8 -> 1.72, SCALE.md). Removed coverage is
-    carried as the sorted START positions of later occurrences (one
-    collect_list groupBy, rows = duplicated-occurrence count -- fewer
-    than the exploded covered-position rows the old plan distincted),
-    and ONE per-row aggregate() pass over that array does the
-    interval-union AND the rewrite together: a cursor walks the
-    sorted spans [s, s+n-1], emitting each kept gap slice and
-    summing newly covered positions -- O(tokens + spans) per
-    document, vs the O(tokens x removed) array_contains probe this
-    replaces (quadratic per doc when most of a document is
-    duplicated span, the measured 10x-table worst case at n=3).
-    Production substring dedup runs n>=50 (Lee et al.), where
-    duplicated-gram occurrences are sparse and the thinning does the
-    heavy lifting."""
+    window halves that and removes the 10x AQE-broadcast-demotion
+    bend -- ratio 2.66 -> 1.43, SCALE.md). Removal coverage is then
+    merged into disjoint ISLANDS distributedly (codegen'd window
+    machinery: a per-doc cumulative-max lag marks island starts, a
+    cumulative sum numbers them, one groupBy fuses each island's
+    span), and only the islands -- a handful per document even when
+    nearly every token is duplicated span -- are collected per doc.
+    The per-row rewrite is then O(tokens + islands): one aggregate()
+    cursor pass slices the kept gaps between islands. (The 100x
+    measurement is why islands merge DISTRIBUTED rather than inside
+    the per-row pass: interpreted HOF steps cost ~10 us each, so a
+    24M-step per-row union at the degenerate n=3 config dominated
+    wall time; window operators do the same union in codegen --
+    19.1 s -> 13.0 s at 100x sf0.1, SCALE.md.) This replaces the
+    O(tokens x removed) per-token array_contains probe (quadratic
+    per doc when most of a document is duplicated span, the r6
+    10x-table worst case). Production substring dedup runs n>=50
+    (Lee et al.), where duplicated occurrences are sparse and every
+    stage past the gram window is near-empty."""
     base = df.select("doc_id", tokens_col(text_col).alias("_tk"))
     g = word_ngrams_pos(df, n, text_col).select("doc_id", "pos", "gram")
     win = Window.partitionBy("gram").orderBy("doc_id", "pos")
     extra = g.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") >= 2)
-    starts = extra.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("_st")
+    # interval union, distributed: spans [s, s+n-1] sorted per doc; a
+    # span starts a new island iff it begins past (running max end)+1
+    ivals = extra.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).cast("int").alias("e"),
     )
-    out = base.join(starts, "doc_id", "left")
+    wdoc = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked = ivals.withColumn(
+        "_new",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "_isl", F.sum("_new").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("doc_id", "_isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("s").alias("s"), F.col("e").alias("e")))
+        ).alias("_iv")
+    )
+    out = base.join(per_doc, "doc_id", "left")
     tk = F.col("_tk")
-    st = F.coalesce(F.col("_st"), F.array().cast("array<int>"))
-    # cursor pass: cur = first 0-based index not yet consumed. For a
-    # span starting at s (covering [s, s+n-1]): tokens [cur, s-1] are
-    # a kept gap (empty when the span overlaps the previous one), the
-    # newly removed count is (s+n) - max(cur, s), and the cursor jumps
-    # to s+n. Spans are sorted and same-length, so the cursor is
-    # monotone and the final tail [cur, n_tokens) is kept.
-    # two single-purpose aggregates (a fused struct accumulator would
-    # be re-inlined once per projected field by CollapseProject and
-    # the heavy pass would run twice -- see the winnow/LSH binding
-    # notes): the removed-count pass carries (cur, removed) only and
-    # is O(spans); the rewrite pass carries (cur, parts).
-    rzero = F.struct(
-        F.lit(0).cast("int").alias("cur"), F.lit(0).cast("long").alias("removed")
-    )
+    iv = F.coalesce(F.col("_iv"), F.array().cast("array<struct<s:int,e:int>>"))
     removed = F.aggregate(
-        st,
-        rzero,
-        lambda acc, s: F.struct(
-            (s + F.lit(n)).cast("int").alias("cur"),
-            (acc["removed"] + (s + F.lit(n) - F.greatest(acc["cur"], s)).cast("long")).alias(
-                "removed"
-            ),
-        ),
-        lambda acc: acc["removed"],
+        iv,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (x["e"] - x["s"] + 1).cast("long"),
     )
+    # gap stitching: cur = first 0-based index not yet consumed;
+    # islands are sorted and disjoint, so tokens [cur, s-1] before
+    # each island and the tail after the last are exactly the kept set
     kzero = F.struct(
         F.lit(0).cast("int").alias("cur"),
         F.array().cast("array<string>").alias("parts"),
     )
 
-    def _step(acc: Column, s: Column) -> Column:
-        gap = F.slice(tk, acc["cur"] + 1, F.greatest(s - acc["cur"], F.lit(0)))
+    def _step(acc: Column, x: Column) -> Column:
+        gap = F.slice(tk, acc["cur"] + 1, F.greatest(x["s"] - acc["cur"], F.lit(0)))
         return F.struct(
-            (s + F.lit(n)).cast("int").alias("cur"),
-            F.concat(acc["parts"], gap).alias("parts"),
+            (x["e"] + 1).cast("int").alias("cur"),
+            F.when(x["s"] > acc["cur"], F.concat(acc["parts"], gap))
+            .otherwise(acc["parts"])
+            .alias("parts"),
         )
 
     clean = F.aggregate(
-        st,
+        iv,
         kzero,
         _step,
         lambda acc: F.array_join(
