@@ -998,6 +998,67 @@ def containment_pairs(
     )
 
 
+def cross_corpus_near_dup(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dup decontamination JOIN between two corpora: verified
+    MinHash-LSH matches of corpus docs against a benchmark/eval set --
+    the fuzzy-matching upgrade of benchmark_contamination (exact
+    shared n-grams miss a contaminated doc that was lightly
+    paraphrased or re-whitespaced; Jaccard-verified near-dup pairs
+    catch it). Returns (doc_id, bench_id, jaccard) for every
+    corpus-bench pair sharing an LSH band bucket that verifies at
+    exact shingle Jaccard >= threshold.
+
+    Scale shape: both signature pipelines are zero-shuffle
+    projections; benchmark suites are bounded by construction, so the
+    bench band rows and shingle sets BROADCAST -- the corpus is
+    scanned once and never shuffled (the same asymmetric-join shape
+    as delta_match_pairs, with the bench set playing the delta).
+    Signatures depend only on the document text, so results equal
+    computing signatures corpus-wide and filtering -- which is how
+    the DuckDB oracle checks this exactly."""
+    rows = num_hashes // bands
+    c_bands = _band_rows(minhash_signatures(corpus, text_col, num_hashes), bands, rows)
+    b_bands = _band_rows(minhash_signatures(bench, text_col, num_hashes), bands, rows)
+    cand = (
+        c_bands.alias("c")
+        .join(
+            F.broadcast(b_bands.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("c.doc_id").alias("doc_id"), F.col("b.doc_id").alias("bench_id"))
+        .distinct()
+    )
+    c_sh = _shingle_sets(corpus, text_col)
+    b_sh = _shingle_sets(bench, text_col)
+    jac = (
+        F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        / (
+            F.size(F.col("sa.sh"))
+            + F.size(F.col("sb.sh"))
+            - F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        )
+    )
+    return (
+        cand.join(c_sh.alias("sa"), cand.doc_id == F.col("sa.doc_id"))
+        .join(F.broadcast(b_sh.alias("sb")), cand.bench_id == F.col("sb.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("doc_id"),
+            F.col("sb.doc_id").alias("bench_id"),
+            jac.alias("_j"),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select("doc_id", "bench_id", F.round("_j", 4).alias("jaccard"))
+    )
+
+
 def containment_bruteforce_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -666,6 +666,46 @@ def temperature_mix(
     )
 
 
+# -- tokenizer-training support: BPE merge statistics ----------------
+
+
+def bpe_merge_stats(df: DataFrame, top_n: int = 50, text_col: str = "text") -> DataFrame:
+    """Adjacent-symbol pair frequencies over the character-level word
+    corpus -- the statistic the FIRST merge step of BPE tokenizer
+    training maximizes (Sennrich et al. 2016: repeatedly merge the
+    most frequent adjacent pair). A tokenizer-training pipeline at
+    corpus scale runs exactly this aggregation per merge round; the
+    top-1 row IS the first merge, and the top-N table seeds the merge
+    queue. Counts weight by occurrence (every word occurrence
+    contributes its pairs), ties broken (lhs, rhs) ascending.
+    Returns (lhs, rhs, pair_count).
+
+    Scale shape: word explode and per-word pair generation are
+    per-row projections; the only shuffle is the (lhs, rhs) count's
+    partial+final agg -- bounded by symbol-pair cardinality (~|charset|^2),
+    tiny regardless of corpus size -- followed by a
+    TakeOrderedAndProject top-N. Single-character words contribute
+    nothing."""
+    tok = df.select(F.explode(tokens_col(text_col)).alias("w")).filter(
+        (F.col("w") != "") & (F.length("w") >= 2)
+    )
+    idx = F.sequence(F.lit(1), F.length("w") - 1)
+    prs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.col("w").substr(i.cast("int"), F.lit(1)).alias("l"),
+            F.col("w").substr((i + 1).cast("int"), F.lit(1)).alias("r"),
+        ),
+    )
+    return (
+        tok.select(F.explode(prs).alias("p"))
+        .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+        .limit(top_n)
+    )
+
+
 # -- unigram language-model scoring ----------------------------------
 
 

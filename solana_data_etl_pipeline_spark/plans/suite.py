@@ -764,6 +764,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             weight_col="n_tokens",
         ).select("doc_id", "alpha_ratio", "n_tokens")
     ),
+    # first-merge BPE statistics: the aggregation a tokenizer-training
+    # round maximizes (top adjacent character pairs, occurrence-weighted)
+    "bpe_merge_stats": _docs(X.bpe_merge_stats),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -1087,6 +1090,21 @@ m AS (
   FROM g
 )
 SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m
+"""
+
+TEXT_SQL["bpe_merge_stats"] = r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+),
+p AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS lhs, substr(w, CAST(i + 1 AS INT), 1) AS rhs
+  FROM w, UNNEST(range(1, greatest(length(w), 1))) AS u(i)
+  WHERE w <> '' AND length(w) >= 2
+)
+SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+ORDER BY pair_count DESC, lhs, rhs
+LIMIT 50
 """
 
 TEXT_SQL["token_budget_select"] = """
@@ -1417,6 +1435,16 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     ),
     "winnow_cap_stats": _docs(
         lambda df: X.winnow_cap_stats(df, max_bucket=DEDUP_MAX_BUCKET)
+    ),
+    # near-dup decontamination JOIN: corpus (source != src19) docs that
+    # fuzzy-match the benchmark slice (src19) at Jaccard >= 0.2 -- the
+    # paraphrase-robust upgrade of benchmark_contamination
+    "benchmark_near_dup": _docs(
+        lambda df: D.cross_corpus_near_dup(
+            df.filter(F.col("source") != _BENCH_SOURCE),
+            df.filter(F.col("source") == _BENCH_SOURCE),
+            threshold=0.2,
+        )
     ),
     # the embedding twin of dedup_keepers: sign-LSH cosine pairs ->
     # connected components -> unclustered vectors + one representative
@@ -1798,6 +1826,34 @@ SELECT doc_id, source, n_tokens, alpha_ratio, rate_bp
 FROM mixed, thr2
 WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
 """
+
+# near-dup decontamination join: signatures depend only on doc text,
+# so the oracle computes the one corpus-wide minhash/band pipeline
+# (shared verbatim with dedup_minhash_lsh) and splits by source
+DEDUP_SQL["benchmark_near_dup"] = (
+    DEDUP_SQL["dedup_minhash_lsh"].rsplit(",\nkept AS", 1)[0]
+    + f""",
+cb AS (
+  SELECT bands.* FROM bands JOIN documents d USING (doc_id)
+  WHERE d.source <> '{_BENCH_SOURCE}'
+),
+bb AS (
+  SELECT bands.* FROM bands JOIN documents d USING (doc_id)
+  WHERE d.source = '{_BENCH_SOURCE}'
+),
+cand AS (
+  SELECT DISTINCT cb.doc_id AS doc_id, bb.doc_id AS bench_id
+  FROM cb JOIN bb ON cb.band = bb.band AND cb.band_sig = bb.band_sig
+)
+SELECT doc_id, bench_id, round(jac, 4) AS jaccard FROM (
+  SELECT cand.doc_id AS doc_id, cand.bench_id AS bench_id,
+         len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+  FROM cand
+  JOIN sh sa ON cand.doc_id = sa.doc_id
+  JOIN sh sb ON cand.bench_id = sb.doc_id
+) WHERE jac >= 0.2
+"""
+)
 
 DEDUP_SQL["winnow_cap_stats"] = (
     _WINNOW_PREFIX

@@ -490,3 +490,24 @@ def test_containment_pairs_catches_near_subset_jaccard_misses(spark):
     # the same pair under symmetric Jaccard scores far below 0.9
     jac = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()}
     assert jac[(1, 2)] < 0.3
+
+
+def test_cross_corpus_near_dup_catches_paraphrase(spark):
+    """A benchmark doc that exact n-gram decontamination would need
+    long shared grams for is still caught by the Jaccard-verified
+    near-dup join; unrelated corpus docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river today")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # same doc with only trailing words changed: high jaccard
+            (1, "the quick brown fox jumps over the lazy dog near the river now ok"),
+            (2, "entirely unrelated material about spark shuffle partitions and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.bench_id): r.jaccard for r in D.cross_corpus_near_dup(corpus, bench, threshold=0.2).collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 0.2
+    assert not any(d == 2 for d, _ in got)

@@ -621,3 +621,14 @@ def test_corpus_curation_composes_all_selection_stages(spark):
     # exact-dedup keepers only
     keepers = {r.keep_doc_id for r in D.exact_duplicates(docs).collect()}
     assert all(r.doc_id in keepers for r in out)
+
+
+def test_bpe_merge_stats_counts_adjacent_pairs(spark):
+    """First-merge BPE statistic: occurrence-weighted adjacent
+    character pair counts, ties broken (lhs, rhs) ascending."""
+    df = spark.createDataFrame(
+        [(1, "aab aab"), (2, "ba x")], "doc_id long, text string"
+    )
+    got = [(r.lhs, r.rhs, r.pair_count) for r in X.bpe_merge_stats(df, top_n=10).collect()]
+    # pairs: 'aab' x2 -> (a,a) x2, (a,b) x2 ; 'ba' -> (b,a) ; 'x' single char -> nothing
+    assert got == [("a", "a", 2), ("a", "b", 2), ("b", "a", 1)]
