@@ -194,6 +194,27 @@ def main() -> None:
         len(exact_cont & got_cont) / max(len(exact_cont), 1), 3
     )
 
+    # cross-corpus near-dup decontamination recall vs the exact
+    # all-pairs twin (bench side bounded, so ground truth is cheap)
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        cross_corpus_near_dup_bruteforce,
+    )
+    from solana_data_etl_pipeline_spark.plans.suite import _BENCH_SOURCE
+
+    _corp = _docs_tbl.filter(F.col("source") != _BENCH_SOURCE)
+    _bench_slice = _docs_tbl.filter(F.col("source") == _BENCH_SOURCE)
+    exact_x = {
+        (r["doc_id"], r["bench_id"])
+        for r in cross_corpus_near_dup_bruteforce(_corp, _bench_slice, threshold=0.2).collect()
+    }
+    got_x = {
+        (r["doc_id"], r["bench_id"])
+        for r in full["benchmark_near_dup"](spark, sf_dir).collect()
+    }
+    recall["benchmark_near_dup"] = round(
+        len(exact_x & got_x) / max(len(exact_x), 1), 3
+    )
+
     # cap-coverage diagnostics for every capped LSH family (the 'no
     # silent caps' observability frames): est_pair_coverage ~0 on a
     # family means its registered capped pair plan is in the

@@ -1059,6 +1059,32 @@ def cross_corpus_near_dup(
     )
 
 
+def cross_corpus_near_dup_bruteforce(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact all-pairs twin of cross_corpus_near_dup (UNREGISTERED --
+    bench.py's recall ground truth, same evidence standard as every
+    other approximate plan here): every (corpus, bench) pair scored
+    at exact shingle Jaccard via a broadcast nested-loop product --
+    quadratic in |corpus| x |bench|, tolerable only because benchmark
+    sets are bounded; never the registered path."""
+    c_sh = _shingle_sets(corpus, text_col)
+    b_sh = _shingle_sets(bench, text_col).select(
+        F.col("doc_id").alias("bench_id"), F.col("sh").alias("bsh")
+    )
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("bsh")))
+    jac = inter / (F.size("sh") + F.size("bsh") - inter)
+    return (
+        c_sh.crossJoin(F.broadcast(b_sh))
+        .select("doc_id", "bench_id", jac.alias("_j"))
+        .filter(F.col("_j") >= threshold)
+        .select("doc_id", "bench_id", F.round("_j", 4).alias("jaccard"))
+    )
+
+
 def containment_bruteforce_pairs(
     df: DataFrame,
     threshold: float = 0.5,

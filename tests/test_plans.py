@@ -250,3 +250,41 @@ def test_winnow_overlap_pairs_single_join_no_cartesian(plans):
     p = plans("winnow_overlap_pairs")
     assert "CartesianProduct" not in p
     assert p.count("Exchange") <= 6, p
+
+
+def test_cap_stats_single_narrow_aggregation_no_join(plans):
+    # the cap diagnostics are ONE groupBy over the same bucket
+    # projection the candidate join shuffles -- no join, no corpus
+    # rescan pair: a join appearing here means the diagnostic started
+    # recomputing candidates
+    for q in ["minhash_cap_stats", "simhash_cap_stats", "embedding_cap_stats", "winnow_cap_stats"]:
+        p = plans(q)
+        assert "Join" not in p, q
+        assert p.count("Scan parquet") == 1, q
+
+
+def test_bpe_merge_stats_no_join_bounded_shuffle(plans):
+    # pair generation is per-row; the only wide ops are the bounded
+    # (lhs, rhs) count agg and the top-N
+    p = plans("bpe_merge_stats")
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_benchmark_near_dup_bench_side_broadcast(plans):
+    # the bench band rows and shingle sets broadcast (benchmark suites
+    # are bounded); the corpus is never sort-merge-joined against them
+    p = plans("benchmark_near_dup")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_curation_stays_jvm_side(plans):
+    # the full composed pipeline must never fall off the codegen path:
+    # no Python evaluation of any kind, no cartesian products (the
+    # broadcast-scalar crossJoins plan as BroadcastNestedLoopJoin)
+    p = plans("corpus_curation")
+    assert "EvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "CartesianProduct" not in p
