@@ -59,6 +59,8 @@ HEAVY = [
     "temperature_mix",
     "bigram_logprob",
     "corpus_curation",
+    "benchmark_near_dup",
+    "bpe_merge_stats",
 ]
 
 
