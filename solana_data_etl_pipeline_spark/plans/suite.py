@@ -1416,6 +1416,22 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             score_col="n_chars",
         )
     ),
+    # the SCALE.md routing rule made concrete: on the density-
+    # degenerate simhash family (capped pair recall 0.002, cap stats
+    # est coverage 0.0035), the scale-correct consumer is the
+    # cluster/keeper path over the UNCAPPED pigeonhole pairs (recall
+    # 1.000 w.r.t. the fingerprint) -- pairs flow straight into
+    # connected components (a dense family needs one surviving path
+    # per member, and CC's output is corpus-bounded even when the
+    # pair list is quadratic) and one representative per hamming
+    # family survives. The adaptive CC tiers absorb the dense pair
+    # graph (2.1M edges at sf0.1 -> shuffle tier; 21k at sf0.001 ->
+    # driver union-find).
+    "simhash_dedup_keepers": _docs(
+        lambda df: D.keep_representatives(
+            df, D.simhash_near_dup_pairs(df, max_hamming=3)
+        )
+    ),
     # cap-coverage diagnostics: the observability companion of every
     # capped LSH pair plan (VERDICT r6 'no silent caps'). One narrow
     # groupBy over the same bucket projection the candidate join
@@ -1826,6 +1842,35 @@ SELECT doc_id, source, n_tokens, alpha_ratio, rate_bp
 FROM mixed, thr2
 WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
 """
+
+# dense-family routing demo: UNCAPPED pigeonhole pairs -> recursive-CTE
+# components -> keepers (the simhash twin of dedup_keepers)
+DEDUP_SQL["simhash_dedup_keepers"] = (
+    DEDUP_SQL["simhash_near_dup"]
+    .rsplit(",\nkept AS", 1)[0]
+    .replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """,
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM segs l JOIN segs r
+    ON l.seg = r.seg AND l.seg_val = r.seg_val AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM cl)
+UNION ALL
+SELECT DISTINCT cluster_id AS doc_id FROM cl
+"""
+)
 
 # near-dup decontamination join: signatures depend only on doc text,
 # so the oracle computes the one corpus-wide minhash/band pipeline

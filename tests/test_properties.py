@@ -591,3 +591,53 @@ def test_token_budget_select_matches_python_model(spark, rows, budget):
         else {i for i, (s, w) in enumerate(rows) if s is not None and r4(s) >= thr}
     )
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=0,
+        max_size=25,
+    ),
+    val_ids=st.sets(st.integers(min_value=0, max_value=30), max_size=10),
+)
+@settings(**SETTINGS)
+def test_decontaminate_split_cluster_property(spark, edges, val_ids):
+    """Cluster-level decontamination invariants over random pair graphs
+    and split assignments: (1) every val doc survives; (2) NO surviving
+    train doc shares a connected component with any val doc; (3) train
+    docs in val-free components all survive."""
+    edges = [(a, b) for a, b in edges if a != b]
+    ids = sorted(set(range(8)) | {i for e in edges for i in e})
+    labeled = spark.createDataFrame(
+        [(i, "val" if i in val_ids else "train") for i in ids],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(edges or [(98, 99)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.split for r in D.decontaminate_split(labeled, pairs).collect()}
+
+    # python union-find ground truth
+    parent = {i: i for i in ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    comp_has_val = {}
+    for i in ids:
+        comp_has_val.setdefault(find(i), False)
+    for i in ids:
+        if i in val_ids:
+            comp_has_val[find(i)] = True
+    for i in ids:
+        if i in val_ids:
+            assert got.get(i) == "val", i
+        elif comp_has_val[find(i)]:
+            assert i not in got, i
+        else:
+            assert got.get(i) == "train", i
