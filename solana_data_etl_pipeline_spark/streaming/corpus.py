@@ -89,6 +89,33 @@ def cap_new_bands(
     return new_bands.filter(F.col("_new") + F.col("_have") <= max_bucket).select(cols)
 
 
+def temperature_rates(counts: DataFrame, tau: float, target_frac: float) -> DataFrame:
+    """Per-source keep rates (basis points) under the mT5 p^tau recipe
+    from a (source, n) count frame -- the same formula as
+    operators/text.py temperature_mix, factored out so the STREAMING
+    pipeline can compute rates over corpus-so-far + batch counts
+    while the batch operator keeps computing them over its input."""
+    tot = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_w", F.pow(F.col("n") / F.col("_tot"), F.lit(float(tau))))
+        .withColumn("_wsum", F.sum("_w").over(Window.partitionBy()))
+        .select(
+            "source",
+            F.least(
+                F.lit(10_000),
+                F.round(
+                    F.lit(float(target_frac))
+                    * F.col("_tot")
+                    * (F.col("_w") / F.col("_wsum"))
+                    / F.col("n")
+                    * 10_000
+                ).cast("long"),
+            ).alias("rate_bp"),
+        )
+    )
+
+
 def run_document_stream(
     spark: SparkSession,
     input_dir: str,
@@ -99,6 +126,10 @@ def run_document_stream(
     near_dup_index: str | None = None,
     near_dup_threshold: float = 0.5,
     near_dup_max_bucket: int | None = 64,
+    temperature_tau: float | None = None,
+    target_frac: float = 0.5,
+    token_budget: int | None = None,
+    policy_log_dir: str | None = None,
 ):
     """Landing zone -> quarantine split -> gates + features -> exact
     dedup -> (optional) NEAR-dup dedup -> language-partitioned corpus
@@ -139,6 +170,28 @@ def run_document_stream(
     drops over-wide buckets entirely. Recall note is the same as
     materialize_minhash's: exact duplicates lost to a capped bucket
     were already caught by the exact-fingerprint stage.
+
+    Streaming CURATION POLICIES (the streaming half of the composed
+    corpus_curation plan) are applied per batch, after dedup:
+
+    - `temperature_tau`: mT5 temperature-scaled source rebalancing.
+      Rates are recomputed each batch from corpus-so-far + batch
+      source counts (streaming curation's honest form: the policy
+      tracks the corpus as it grows, exactly how production pipelines
+      periodically refresh mix rates), applied to the batch with the
+      deterministic hash-mod gate, and -- when `policy_log_dir` is set
+      -- logged per epoch as (epoch, source, rate_bp) so every
+      admission decision is auditable after the fact.
+    - `token_budget`: a hard cap on total corpus tokens. Each batch
+      computes the remaining budget (budget - corpus tokens so far)
+      and admits its best-scored docs within it via the batch
+      token_budget_select machinery (highest alpha_ratio buckets
+      first, whole-bucket granularity); once the corpus reaches the
+      budget, later batches admit nothing.
+
+    Both compose with exactly-once: a replayed batch is emptied by the
+    fingerprint anti-join BEFORE the policy stages, so counts are
+    never double-applied, and the policy log append is keyed by epoch.
 
     Near-dup runs also maintain CLUSTER ids continuously
     (streaming/clusters.py): every verified pair is logged per epoch
@@ -232,6 +285,63 @@ def run_document_stream(
                 todo = corpus_now
             build(todo, existing).write.mode("append").parquet(f"{near_dup_index}/{sub}")
 
+    def _apply_policies(kept: DataFrame, seen: DataFrame | None, batch_id: int) -> DataFrame:
+        """Streaming curation policies over one batch (see docstring):
+        temperature rates from corpus-so-far + batch counts, then the
+        remaining-token-budget selection. Both deterministic given the
+        ingest history; both no-ops on replay-emptied batches."""
+        if temperature_tau is not None:
+            batch_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            counts = batch_counts
+            if seen is not None:
+                counts = (
+                    batch_counts.unionByName(
+                        seen.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                    )
+                    .groupBy("source")
+                    .agg(F.sum("n").alias("n"))
+                )
+            rates = temperature_rates(counts, temperature_tau, target_frac).localCheckpoint(
+                eager=True
+            )
+            if policy_log_dir is not None and kept.limit(1).count():
+                try:
+                    logged = (
+                        spark.read.parquet(policy_log_dir)
+                        .filter(F.col("epoch") == batch_id)
+                        .limit(1)
+                        .count()
+                    )
+                except AnalysisException:
+                    logged = 0
+                if not logged:
+                    rates.withColumn("epoch", F.lit(int(batch_id))).write.mode(
+                        "append"
+                    ).parquet(policy_log_dir)
+            bucket = (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+                ).cast("long")
+                % 10_000
+            )
+            kept = (
+                kept.join(F.broadcast(rates), "source")
+                .filter(bucket < F.col("rate_bp"))
+                .drop("rate_bp")
+            )
+        if token_budget is not None:
+            used = 0
+            if seen is not None:
+                used = seen.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            remaining = int(token_budget) - int(used)
+            if remaining <= 0:
+                kept = kept.filter(F.lit(False))
+            else:
+                kept = X.token_budget_select(
+                    kept, remaining, score_col="alpha_ratio", weight_col="n_tokens"
+                )
+        return kept
+
     def _sink(batch_df, batch_id):
         batch_df.persist()
         try:
@@ -269,6 +379,8 @@ def run_document_stream(
                     "doc_id",
                     "left_semi",
                 )
+            if temperature_tau is not None or token_budget is not None:
+                kept = _apply_policies(kept, seen, batch_id)
             kept.select(
                 "doc_id",
                 "text",

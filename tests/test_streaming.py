@@ -716,3 +716,111 @@ def test_cluster_pairs_log_partition_pruning_and_write_once(spark, tmp_path):
     catch_up_clusters(spark, idx)
     got = {r.doc_id: r.cluster_id for r in streamed_clusters(spark, idx).collect()}
     assert got == {1: 1, 2: 1, 11: 11, 12: 11, 21: 21, 22: 21}
+
+
+def test_document_stream_temperature_policy(spark, tmp_path):
+    """Streaming mT5 temperature rebalancing: rates recomputed per
+    batch from corpus-so-far + batch source counts, logged per epoch,
+    and every admission obeys the hash-mod gate at the logged rate."""
+    import hashlib
+    import math
+
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "in"); out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "quar"); ckpt = str(tmp_path / "ckpt")
+    plog = str(tmp_path / "rates")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, src):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        return json.dumps({"doc_id": i, "text": words, "lang": "en", "source": src,
+                           "ingest_time": "2024-01-01T00:00:00"})
+
+    def _bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10_000
+
+    def _expected_rates(counts, tau=0.5, frac=0.5):
+        n = sum(counts.values())
+        ws = {s: (c / n) ** tau for s, c in counts.items()}
+        wsum = sum(ws.values())
+        return {s: min(10_000, round(frac * n * (ws[s] / wsum) / c * 10_000))
+                for s, c in counts.items()}
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        for i in range(16):
+            f.write(_doc(i, "big") + "\n")
+        for i in range(100, 104):
+            f.write(_doc(i, "small") + "\n")
+    run_document_stream(spark, land, out, quar, ckpt,
+                        temperature_tau=0.5, target_frac=0.5, policy_log_dir=plog)
+
+    r0 = {r.source: r.rate_bp for r in spark.read.parquet(plog).filter("epoch = 0").collect()}
+    assert r0 == _expected_rates({"big": 16, "small": 4})
+    got1 = {r.doc_id: r.source for r in spark.read.parquet(out).collect()}
+    for i in list(range(16)) + list(range(100, 104)):
+        src = "big" if i < 100 else "small"
+        assert (i in got1) == (_bucket(i) < r0[src]), i
+
+    # batch 2: rates now include the admitted corpus counts
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        for i in range(200, 210):
+            f.write(_doc(i, "big") + "\n")
+    run_document_stream(spark, land, out, quar, ckpt,
+                        temperature_tau=0.5, target_frac=0.5, policy_log_dir=plog)
+    corpus_counts = {}
+    for s in got1.values():
+        corpus_counts[s] = corpus_counts.get(s, 0) + 1
+    merged = dict(corpus_counts)
+    merged["big"] = merged.get("big", 0) + 10
+    r1 = {r.source: r.rate_bp for r in spark.read.parquet(plog).filter("epoch = 1").collect()}
+    assert r1 == _expected_rates(merged)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    for i in range(200, 210):
+        assert (i in got2) == (_bucket(i) < r1["big"]), i
+
+    # replay from scratch: corpus and policy log unchanged
+    n_log = spark.read.parquet(plog).count()
+    run_document_stream(spark, land, out, quar, str(tmp_path / "ckpt2"),
+                        temperature_tau=0.5, target_frac=0.5, policy_log_dir=plog)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == got2
+    assert spark.read.parquet(plog).count() == n_log
+
+
+def test_document_stream_token_budget(spark, tmp_path):
+    """Streaming token budget: each batch admits its best-scored docs
+    within the REMAINING budget; once spent, later batches admit
+    nothing; the cap holds across restarts."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "in"); out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "quar"); ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        return json.dumps({"doc_id": i, "text": words, "lang": "en", "source": "s",
+                           "ingest_time": "2024-01-01T00:00:00"})
+
+    budget = 60  # docs are 12 tokens each -> at most 5 admitted ever
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        for i in range(4):
+            f.write(_doc(i) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, token_budget=budget)
+    tok1 = sum(r.n_tokens for r in spark.read.parquet(out).collect())
+    assert 0 < tok1 <= budget
+
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        for i in range(10, 20):
+            f.write(_doc(i) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, token_budget=budget)
+    rows2 = spark.read.parquet(out).collect()
+    assert sum(r.n_tokens for r in rows2) <= budget
+
+    # budget exhausted (or batch won't fit): a third batch adds nothing more than budget
+    with open(os.path.join(land, "c.jsonl"), "w") as f:
+        for i in range(30, 40):
+            f.write(_doc(i) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, token_budget=budget)
+    rows3 = spark.read.parquet(out).collect()
+    assert sum(r.n_tokens for r in rows3) <= budget
