@@ -75,6 +75,27 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="after the drain, fold the near-dup cluster remap log into the per-doc table",
     )
+    p_scorp.add_argument(
+        "--temperature-tau",
+        type=float,
+        default=None,
+        help="mT5 temperature-scaled source rebalancing per batch (rates "
+        "from corpus-so-far + batch counts, logged per epoch under "
+        "<out>/policy_rates)",
+    )
+    p_scorp.add_argument(
+        "--target-frac",
+        type=float,
+        default=0.5,
+        help="overall take fraction for --temperature-tau (default 0.5)",
+    )
+    p_scorp.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="hard cap on total corpus tokens; each batch admits its "
+        "best-scored docs within the remaining budget",
+    )
 
     p_corp = sub.add_parser("corpus", help="run the training-corpus pipeline over a documents table")
     p_corp.add_argument("--documents", required=True, help="path to a documents parquet table")
@@ -202,6 +223,10 @@ def main(argv: list[str] | None = None) -> int:
             f"{out}/quarantine",
             f"{out}/checkpoint",
             near_dup_index=f"{out}/near_dup_index" if args.near_dup else None,
+            temperature_tau=args.temperature_tau,
+            target_frac=args.target_frac,
+            token_budget=args.token_budget,
+            policy_log_dir=f"{out}/policy_rates" if args.temperature_tau is not None else None,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()
