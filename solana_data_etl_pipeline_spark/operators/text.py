@@ -752,13 +752,20 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     token salad scores low -- used together with unigram_logprob the
     pair separates 'unusual vocabulary' from 'unusual transitions'.
 
-    Scale shape: same as unigram_logprob, one n-gram order up -- the
-    per-row bigram explode feeds a (w1,w2) count and a w1 context
-    count (both partial+final aggs), the scoring pass joins both ON
-    the exploded rows reusing their hash partitioning, and one
-    groupBy(doc_id) averages. All linear; the bigram table is
-    vocabulary^-bounded and AQE broadcasts it when it measures
-    small."""
+    Scale shape: the per-row bigram explode is scanned ONCE and both
+    counts attach as COUNT windows over it -- count(*) over (w1, w2)
+    then count(*) over (w1) -- so the plan is three hash exchanges of
+    the gram stream (two window partitionings + the doc_id average)
+    with no joins and no second scan. The former formulation derived
+    (w1,w2)/w1 count TABLES from the stream and joined them back:
+    three scans of the gram source plus two joins whose broadcast
+    flipped to shuffle once the replica-grown vocabulary crossed the
+    AQE threshold -- the r6 10x-table worst (3.61x for 10x data);
+    the window form measured 3.18 s -> 0.94 s at 10x sf0.1 (ratio
+    1.3, SCALE.md). Both windows are unordered partition aggregates;
+    a skewed context word (stopwords) concentrates its partition the
+    same way the former groupBy did -- operators/skew.py salting
+    applies if a deployment's token distribution needs it."""
     tk = tokens_col(text_col)
     base = df.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 2)
     pairs = F.transform(
@@ -773,18 +780,14 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    cbg = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    cctx = b.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
-    return (
-        b.join(cbg, ["w1", "w2"])
-        .join(cctx, "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_scored_bigrams"),
-            F.round(F.avg(F.log(F.col("cb") / F.col("cc"))), 4).alias(
-                "avg_bigram_logprob"
-            ),
-        )
+    scored = b.withColumn(
+        "_cb", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    ).withColumn("_cc", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_bigrams"),
+        F.round(F.avg(F.log(F.col("_cb") / F.col("_cc"))), 4).alias(
+            "avg_bigram_logprob"
+        ),
     )
 
 
