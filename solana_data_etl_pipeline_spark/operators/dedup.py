@@ -976,15 +976,24 @@ def containment_pairs(
 
     Scale shape: the winnowed candidate join runs over the
     ~2/(window+1) fingerprint sample with the standard bucket cap;
-    the verify joins touch candidate pairs only. Docs too short to
-    have shingles never divide by zero -- the null containment is
-    filtered on both engines."""
+    the verify joins touch candidate pairs only, and they are PINNED
+    to sort-merge: in this plan NEITHER verify side is broadcastable
+    at scale -- the candidate list is the large side (substring-level
+    evidence admits far more pairs than LSH), and the shingle-set
+    side is corpus-sized with array payloads whose in-memory rows
+    run ~10x their shuffle-compressed estimate, so the size-based
+    broadcast policy can pick it while under the byte threshold and
+    then fail the heap build (measured: at 100x sf0.1 the unpinned
+    plan dies with notEnoughMemoryToBuildAndBroadcastTableError; the
+    pinned plan completes). Docs too short to have shingles never
+    divide by zero -- the null containment is filtered on both
+    engines."""
     from solana_data_etl_pipeline_spark.operators.text import winnow_overlap_pairs
 
     cand = winnow_overlap_pairs(
         df, min_shared=1, max_bucket=max_bucket, text_col=text_col
     ).select("doc_a", "doc_b")
-    sh = _shingle_sets(df, text_col)
+    sh = _shingle_sets(df, text_col).hint("merge")
     a, b = sh.alias("sa"), sh.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     cont = F.round(
