@@ -62,13 +62,16 @@ def test_asof_and_sessions_single_shuffle(plans):
 
 def test_minhash_pipeline_has_no_aggregate_shuffle_for_signatures(plans):
     # signatures are per-row projections: the only exchanges in the
-    # pair pipeline are the band join, the verify joins, and one
-    # hot-bucket count window per join side (whose (band, band_sig)
-    # partitioning the candidate join reuses at sort-merge scale); no
-    # explode-then-groupBy inverted index survives. A regression to
-    # the groupBy+anti-join capping shape doubles the signature scans
-    # and pushes this count to 14.
-    assert plans("dedup_minhash_lsh").count("Exchange") <= 10
+    # pair pipeline are the band join, the verify joins (pinned to
+    # sort-merge -- the candidate side re-partitions on doc_a/doc_b,
+    # two exchanges the former borderline broadcast avoided, bought
+    # back with interest by not building broadcast relations of the
+    # array-payload shingle side; see minhash_lsh_pairs), and one
+    # hot-bucket count window per join side; no explode-then-groupBy
+    # inverted index survives. A regression to the groupBy+anti-join
+    # capping shape doubles the signature scans and pushes this
+    # count to 16.
+    assert plans("dedup_minhash_lsh").count("Exchange") <= 12
 
 
 def test_filter_pushdown_reaches_scan(plans):
