@@ -666,6 +666,77 @@ def temperature_mix(
     )
 
 
+def tokenize_corpus(df: DataFrame, vocab_size: int = 1000, text_col: str = "text") -> DataFrame:
+    """Vocab-based NUMERICALIZATION -- the materialization step between
+    a curated text corpus and model-ready training shards: token ids
+    1..V are assigned by corpus frequency rank (ties: token
+    ascending), anything outside the top-V maps to 0 (the unk id).
+    Returns (doc_id, n_tokens, oov_count, token_ids) with token_ids
+    as the space-joined id sequence in document order (a portable
+    string; exporters cast to int arrays at write time).
+
+    Scale shape: the vocabulary is built from one token count agg
+    (map-side combined), ranked with one window over the
+    VOCABULARY-sized frame (bounded by construction -- vocab_size
+    caps it, same boundedness argument as vocab_top_words' top-N),
+    then BROADCAST onto the exploded token stream (vocabularies are
+    bounded; a corpus's token stream is not); one groupBy(doc_id)
+    reassembles documents. Empty tokens are excluded from both the
+    vocabulary and the id sequences."""
+    toks = df.select(
+        "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.orderBy(F.desc("_f"), F.asc("token"))
+    vocab = (
+        counts.withColumn("id", F.row_number().over(w).cast("int"))
+        .filter(F.col("id") <= vocab_size)
+        .select("token", "id")
+    )
+    j = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda x: x["id"].cast("string")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("id") == 0).cast("int")).cast("long").alias("oov_count"),
+        F.array_join(ids, " ").alias("token_ids"),
+    )
+
+
+def source_quota_sample(
+    df: DataFrame,
+    max_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document QUOTAS (domain caps): keep at most
+    `max_per_source` docs per source, chosen deterministically by the
+    consistent md5-of-id order -- so the kept set is a stable random
+    sample of each source, not its crawl-order head, and reruns /
+    engines agree exactly. The standard guard against one domain
+    dominating a mixed corpus when proportional rates are not wanted.
+
+    Scale shape: ONE hash exchange on the source key + a per-source
+    rank window. A pathologically hot source concentrates its
+    partition (the window must order that source's rows); if a
+    deployment's largest domain exceeds a task's comfort, the
+    histogram-threshold machinery (token_budget_select's shape, keyed
+    per source) is the drop-in replacement -- for ordinary domain
+    distributions the single window is the cheaper plan."""
+    key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_source)
+        .drop("_rn")
+    )
+
+
 # -- tokenizer-training support: BPE merge statistics ----------------
 
 

@@ -767,6 +767,14 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # first-merge BPE statistics: the aggregation a tokenizer-training
     # round maximizes (top adjacent character pairs, occurrence-weighted)
     "bpe_merge_stats": _docs(X.bpe_merge_stats),
+    # vocab-based numericalization: frequency-ranked ids, 0 = unk
+    "tokenize_corpus": _docs(lambda df: X.tokenize_corpus(df, vocab_size=200)),
+    # per-source domain quotas: a stable md5-ordered sample per source
+    "source_quota_sample": _docs(
+        lambda df: X.source_quota_sample(df, max_per_source=10).select(
+            "doc_id", "source", "lang"
+        )
+    ),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -1105,6 +1113,42 @@ SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS pair_count
 FROM p GROUP BY 1, 2
 ORDER BY pair_count DESC, lhs, rhs
 LIMIT 50
+"""
+
+TEXT_SQL["tokenize_corpus"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[CAST(i AS INT)] AS token
+  FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+  WHERE tk[CAST(i AS INT)] <> ''
+),
+c AS (SELECT token, count(*) AS f FROM tok GROUP BY 1),
+v AS (
+  SELECT token, id FROM (
+    SELECT token, CAST(row_number() OVER (ORDER BY f DESC, token) AS INT) AS id FROM c
+  ) WHERE id <= 200
+),
+j AS (
+  SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
+  FROM tok LEFT JOIN v USING (token)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_count,
+       array_to_string(list(id ORDER BY pos), ' ') AS token_ids
+FROM j GROUP BY doc_id
+"""
+
+TEXT_SQL["source_quota_sample"] = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
 """
 
 TEXT_SQL["token_budget_select"] = """

@@ -632,3 +632,35 @@ def test_bpe_merge_stats_counts_adjacent_pairs(spark):
     got = [(r.lhs, r.rhs, r.pair_count) for r in X.bpe_merge_stats(df, top_n=10).collect()]
     # pairs: 'aab' x2 -> (a,a) x2, (a,b) x2 ; 'ba' -> (b,a) ; 'x' single char -> nothing
     assert got == [("a", "a", 2), ("a", "b", 2), ("b", "a", 1)]
+
+
+def test_tokenize_corpus_frequency_ranked_ids(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a c"), (2, "a b zz")], "doc_id long, text string"
+    )
+    # freqs: a=3, b=2, c=1, zz=1 -> ids a=1, b=2, c=3 (tie c<zz), zz=4
+    got = {r.doc_id: r for r in X.tokenize_corpus(df, vocab_size=3).collect()}
+    assert got[1].token_ids == "2 1 1 3"
+    assert got[1].n_tokens == 4 and got[1].oov_count == 0
+    # zz falls outside the top-3 vocab -> unk id 0
+    assert got[2].token_ids == "1 2 0"
+    assert got[2].oov_count == 1
+
+
+def test_source_quota_sample_caps_and_is_stable(spark):
+    import hashlib
+
+    rows = [(i, f"text {i}", "en", "big" if i < 40 else "small", 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    kept = {r.doc_id for r in X.source_quota_sample(df, max_per_source=5).collect()}
+    again = {r.doc_id for r in X.source_quota_sample(df, max_per_source=5).collect()}
+    assert kept == again  # deterministic
+    by_src = {"big": [], "small": []}
+    for i in kept:
+        by_src["big" if i < 40 else "small"].append(i)
+    assert len(by_src["big"]) == 5 and len(by_src["small"]) == 5
+    # kept = the 5 smallest md5 keys per source, not the ingest head
+    def key(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+    want_big = sorted(range(40), key=key)[:5]
+    assert sorted(by_src["big"]) == sorted(want_big)
