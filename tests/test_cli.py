@@ -222,3 +222,37 @@ def test_cli_sql_adhoc_over_warehouse(spark, tmp_path, capsys):
     # show() table format: a header row containing the alias and at
     # least one data row between the +---+ rules
     assert "c" in out and out.count("+") >= 2
+
+
+def test_cli_stream_corpus_curation_flags(spark, tmp_path, capsys):
+    """The streaming curation policy flags reach run_document_stream:
+    temperature rates get logged under policy_rates and the token
+    budget caps the corpus."""
+    import json
+    import os
+
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    wh = str(tmp_path / "wh")
+
+    def _doc(i, src):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        return json.dumps(
+            {"doc_id": i, "text": words, "lang": "en", "source": src,
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        for i in range(12):
+            f.write(_doc(i, "big") + "\n")
+        for i in range(100, 103):
+            f.write(_doc(i, "small") + "\n")
+
+    rc = main(["--warehouse-path", wh, "stream-corpus", "--input", land,
+               "--temperature-tau", "0.5", "--token-budget", "120"])
+    assert rc == 0
+    out = str(tmp_path / "wh") + "/corpus_stream"
+    rates = {r.source: r.rate_bp for r in spark.read.parquet(f"{out}/policy_rates").collect()}
+    assert set(rates) == {"big", "small"} and all(0 <= v <= 10_000 for v in rates.values())
+    docs = spark.read.parquet(f"{out}/documents").collect()
+    assert docs and sum(r.n_tokens for r in docs) <= 120
