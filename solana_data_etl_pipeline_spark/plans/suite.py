@@ -2285,7 +2285,15 @@ DRIVER_ORDER = [
     # --- round-6/7 newcomers, never driver-verified: the full
     #     backlog rotation the round-6 verdict asked for (13 r6
     #     operators + the r7 composed curation pipeline), heaviest
-    #     plans first ---
+    #     plans first.
+    #     Next robin (round 8): rotate in the post-rotation r7
+    #     newcomers -- minhash/simhash/embedding/winnow_cap_stats,
+    #     simhash_dedup_keepers, benchmark_near_dup, bpe_merge_stats,
+    #     tokenize_corpus, source_quota_sample (all oracle-swept now)
+    #     -- plus the A-query robin passenger (top_tokens or
+    #     failed_transactions, last green r5), rotating out whichever
+    #     of this round's 15 newcomers come back green plus the
+    #     longest-green core entries. ---
     "span_dedup_rewrite",
     "embedding_dedup_keepers",
     "containment_pairs",
