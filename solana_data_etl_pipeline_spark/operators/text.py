@@ -666,6 +666,49 @@ def temperature_mix(
     )
 
 
+#: C4-style line-cleaning knobs (Raffel et al. 2020, §2.2 "Colossal
+#: Clean Crawled Corpus": keep lines ending in terminal punctuation
+#: with at least N words; drop pages containing boilerplate markers
+#: or code braces). Deliberately small and literal so the oracle SQL
+#: mirrors them verbatim.
+C4_MIN_LINE_WORDS = 5
+C4_PAGE_BLOCKLIST = ["lorem ipsum", "{"]
+
+
+def c4_clean(df: DataFrame, min_line_words: int = C4_MIN_LINE_WORDS, text_col: str = "text") -> DataFrame:
+    """C4-style line-level page cleaning: split the document into
+    lines, keep only lines that END IN TERMINAL PUNCTUATION
+    ('.', '!', '?', optionally followed by a closing quote) and carry
+    at least `min_line_words` words; drop the PAGE entirely when it
+    contains a blocklist marker ('lorem ipsum' boilerplate, a '{'
+    code brace). Returns (doc_id, n_lines, kept_lines, page_filtered,
+    clean_text) with clean_text the newline-joined kept lines ('' for
+    filtered pages). The standard first-pass web-text gate, upstream
+    of the quality/dedup stages here.
+
+    Scale shape: a pure per-row projection -- line split, per-line
+    regexp + word-count checks, and the page test are higher-order /
+    string expressions fused into the scan; ZERO shuffles."""
+    ln = F.split(F.col(text_col), "\n")
+    trimmed = lambda l: F.trim(l)  # noqa: E731
+    keep_line = lambda l: (  # noqa: E731
+        trimmed(l).rlike("[.!?][\"']?$")
+        & (F.size(F.split(trimmed(l), r"\s+")) >= min_line_words)
+    )
+    kept = F.filter(ln, keep_line)
+    bad = None
+    for marker in C4_PAGE_BLOCKLIST:
+        cond = F.contains(F.lower(F.col(text_col)), F.lit(marker))
+        bad = cond if bad is None else (bad | cond)
+    return df.select(
+        "doc_id",
+        F.size(ln).cast("long").alias("n_lines"),
+        F.when(bad, F.lit(0)).otherwise(F.size(kept)).cast("long").alias("kept_lines"),
+        bad.alias("page_filtered"),
+        F.when(bad, F.lit("")).otherwise(F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
 def tokenize_corpus(df: DataFrame, vocab_size: int = 1000, text_col: str = "text") -> DataFrame:
     """Vocab-based NUMERICALIZATION -- the materialization step between
     a curated text corpus and model-ready training shards: token ids

@@ -769,6 +769,11 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bpe_merge_stats": _docs(X.bpe_merge_stats),
     # vocab-based numericalization: frequency-ranked ids, 0 = unk
     "tokenize_corpus": _docs(lambda df: X.tokenize_corpus(df, vocab_size=200)),
+    # C4 line-level cleaning (the synthetic corpus has no sentence
+    # punctuation, so every line is dropped -- the oracle still
+    # checks the full rule computation; the semantics are exercised
+    # on real sentence data in tests/test_text.py)
+    "c4_clean": _docs(X.c4_clean),
     # per-source domain quotas: a stable md5-ordered sample per source
     "source_quota_sample": _docs(
         lambda df: X.source_quota_sample(df, max_per_source=10).select(
@@ -1138,6 +1143,25 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_count,
        array_to_string(list(id ORDER BY pos), ' ') AS token_ids
 FROM j GROUP BY doc_id
+"""
+
+TEXT_SQL["c4_clean"] = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ln,
+         (contains(lower(text), 'lorem ipsum') OR contains(lower(text), '{')) AS bad
+  FROM documents
+),
+k AS (
+  SELECT doc_id, len(ln) AS n_lines, bad,
+         list_filter(ln, l -> regexp_matches(trim(l), '[.!?]["'']?$')
+                              AND len(string_split_regex(trim(l), '\s+')) >= 5) AS kept
+  FROM t
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(CASE WHEN bad THEN 0 ELSE len(kept) END AS BIGINT) AS kept_lines,
+       bad AS page_filtered,
+       CASE WHEN bad THEN '' ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text
+FROM k
 """
 
 TEXT_SQL["source_quota_sample"] = """

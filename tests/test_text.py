@@ -664,3 +664,30 @@ def test_source_quota_sample_caps_and_is_stable(spark):
         return (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
     want_big = sorted(range(40), key=key)[:5]
     assert sorted(by_src["big"]) == sorted(want_big)
+
+
+def test_c4_clean_line_rules_and_page_blocklist(spark):
+    page = "\n".join([
+        "This is a perfectly good sentence with enough words.",   # kept
+        "Too short.",                                              # <5 words
+        "this line has plenty of words but no terminal mark",      # no punct
+        'He said "it ends with a quote after punctuation."',       # kept (quote after .)
+        "Another fine sentence appears right here today!",         # kept
+        "",                                                        # empty
+    ])
+    rows = [
+        (1, page),
+        (2, "Lorem Ipsum dolor sit amet and so on and on."),      # blocklist page
+        (3, "function f() { return 1; } some words here too."),   # code brace page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.c4_clean(df).collect()}
+    assert got[1].n_lines == 6 and got[1].kept_lines == 3
+    assert not got[1].page_filtered
+    assert got[1].clean_text.split("\n") == [
+        "This is a perfectly good sentence with enough words.",
+        'He said "it ends with a quote after punctuation."',
+        "Another fine sentence appears right here today!",
+    ]
+    for d in (2, 3):
+        assert got[d].page_filtered and got[d].kept_lines == 0 and got[d].clean_text == ""
