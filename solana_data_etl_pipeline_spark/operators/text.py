@@ -963,6 +963,82 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher document-quality rule thresholds (Rae et al. 2021 §A1.1) --
+#: literal so the oracle mirrors them.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    §A1.1 -- the published heuristics repetition_stats' signals come
+    from): word-count bounds, mean word length in [3, 10], symbol
+    (#/ellipsis) to word ratio, bullet-started and ellipsis-ended
+    line fractions, fraction of words with at least one alphabetic
+    character, and the required-stopword presence check. Returns the
+    per-rule signals plus the conjunction (`gopher_pass`), so
+    pipelines can gate on the standard or on any subset.
+
+    Scale shape: every signal is a per-row higher-order/regex
+    expression over the bound token and line arrays -- the whole
+    operator is a ZERO-shuffle projection fused into the corpus
+    scan. Tokens are bound once (HOF re-evaluation pitfall)."""
+    bound = df.select(
+        "doc_id",
+        F.col(text_col),
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != "").alias("_w"),
+        F.split(F.col(text_col), "\n").alias("_ln"),
+    )
+    n_words = F.size("_w")
+    mean_wl = F.aggregate(
+        F.col("_w"), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
+    symbols = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col(text_col), F.lit("…"))
+    )
+    n_lines = F.size("_ln")
+    bullet_frac = F.size(
+        F.filter(F.col("_ln"), lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ) / F.greatest(n_lines, F.lit(1))
+    ellipsis_frac = F.size(
+        F.filter(F.col("_ln"), lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    ) / F.greatest(n_lines, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(F.col("_w"), lambda w: w.rlike(r"\p{L}"))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(F.filter(F.col("_w"), lambda w: w.isin(GOPHER_STOPWORDS)))
+    out = bound.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbols / F.greatest(n_words, F.lit(1)), 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    gpass = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(lo, hi)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return out.withColumn("gopher_pass", gpass)
+
+
 # -- sequence packing (concat-and-chunk) -----------------------------
 
 

@@ -774,6 +774,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # checks the full rule computation; the semantics are exercised
     # on real sentence data in tests/test_text.py)
     "c4_clean": _docs(X.c4_clean),
+    # the full published Gopher quality rule set, per-rule signals +
+    # the conjunction
+    "gopher_quality": _docs(X.gopher_quality),
     # per-source domain quotas: a stable md5-ordered sample per source
     "source_quota_sample": _docs(
         lambda df: X.source_quota_sample(df, max_per_source=10).select(
@@ -1162,6 +1165,38 @@ SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
        bad AS page_filtered,
        CASE WHEN bad THEN '' ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text
 FROM k
+"""
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in X.GOPHER_STOPWORDS)
+TEXT_SQL["gopher_quality"] = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '') AS w,
+         string_split(text, chr(10)) AS ln
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round(list_sum(list_transform(w, x -> length(x))) / greatest(len(w), 1), 4) AS mean_word_len,
+         round((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '…'))) / greatest(len(w), 1), 4) AS symbol_ratio,
+         round(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) / greatest(len(ln), 1), 4) AS bullet_line_frac,
+         round(len(list_filter(ln, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) / greatest(len(ln), 1), 4) AS ellipsis_line_frac,
+         round(len(list_filter(w, x -> regexp_matches(x, '\p{{L}}'))) / greatest(len(w), 1), 4) AS alpha_word_frac,
+         len(list_filter(w, x -> x IN ({_GOPHER_STOPS}))) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       CAST(stopword_hits AS BIGINT) AS stopword_hits,
+       (n_words BETWEEN {X.GOPHER_MIN_WORDS} AND {X.GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {X.GOPHER_MEAN_WORD_LEN[0]} AND {X.GOPHER_MEAN_WORD_LEN[1]}
+        AND symbol_ratio <= {X.GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_line_frac <= {X.GOPHER_MAX_BULLET_FRAC}
+        AND ellipsis_line_frac <= {X.GOPHER_MAX_ELLIPSIS_FRAC}
+        AND alpha_word_frac >= {X.GOPHER_MIN_ALPHA_WORD_FRAC}
+        AND stopword_hits >= {X.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+FROM s
 """
 
 TEXT_SQL["source_quota_sample"] = """

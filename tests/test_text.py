@@ -691,3 +691,21 @@ def test_c4_clean_line_rules_and_page_blocklist(spark):
     ]
     for d in (2, 3):
         assert got[d].page_filtered and got[d].kept_lines == 0 and got[d].clean_text == ""
+
+
+def test_gopher_quality_rules(spark):
+    good = ("the " + "sensible words appear with that pattern and have " * 8).strip()
+    bullets = "\n".join("- bullet item line" for _ in range(10))
+    symbols = "the of and that have with " + "### ... ### ... " * 20
+    short = "the of and that"
+    rows = [(1, good), (2, bullets), (3, symbols), (4, short)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.gopher_quality(df).collect()}
+    assert got[1].gopher_pass
+    assert got[1].stopword_hits >= 2 and got[1].alpha_word_frac >= 0.8
+    # all-bullet page fails the bullet-fraction rule (and word count)
+    assert got[2].bullet_line_frac == 1.0 and not got[2].gopher_pass
+    # symbol-heavy page fails the symbol ratio
+    assert got[3].symbol_ratio > 0.1 and not got[3].gopher_pass
+    # too short
+    assert got[4].n_words < 50 and not got[4].gopher_pass
