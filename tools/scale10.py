@@ -61,6 +61,7 @@ HEAVY = [
     "corpus_curation",
     "benchmark_near_dup",
     "bpe_merge_stats",
+    "tokenize_corpus",
 ]
 
 
