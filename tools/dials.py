@@ -1,0 +1,75 @@
+"""Measured cost/recall DIALS for the approximate-similarity families,
+matching the evidence standard the IVF nprobe curve set (SCALE.md):
+every tunable that trades work for recall gets a measured curve
+against its exact twin, not just the analytic formula.
+
+- MinHash-LSH banding: pair recall vs bands (at fixed num_hashes=16,
+  threshold 0.2) against exact n-gram Jaccard pairs. More bands =
+  lower per-band rows = more candidate collisions = higher recall and
+  more candidate work (the 1-(1-s^r)^b s-curve, s=jaccard, r=16/b).
+- Embedding sign-LSH: pair recall vs table count (threshold 0.35)
+  against the exact cosine cross join. More tables = union of more
+  independent bucketings = recall 1-(1-p^b)^L.
+
+Usage: python tools/dials.py [sf_dir]   (default /root/testdata/sf0.1)
+Prints one markdown table per dial; runtime ~2-4 min at sf0.1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _pairs(df, a, b):
+    return {frozenset((r[a], r[b])) for r in df.collect()}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+    from solana_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("dials")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    print("## MinHash banding dial (num_hashes=16, jaccard>=0.2, vs exact n-gram pairs)")
+    exact = _pairs(D.ngram_jaccard_pairs(docs, threshold=0.2), "doc_a", "doc_b")
+    print(f"true pairs: {len(exact)}")
+    print("| bands | rows/band | candidate pairs | recall | sec |")
+    print("|---|---|---|---|---|")
+    for bands in (2, 4, 8):
+        t0 = time.perf_counter()
+        got_df = D.minhash_lsh_pairs(docs, threshold=0.2, bands=bands, max_bucket=50)
+        got = _pairs(got_df, "doc_a", "doc_b")
+        sec = time.perf_counter() - t0
+        rec = len(exact & got) / max(len(exact), 1)
+        print(f"| {bands} | {16 // bands} | {len(got)} | {rec:.3f} | {sec:.2f} |")
+
+    print()
+    print("## Embedding sign-LSH table dial (cos>=0.35, vs exact cross join)")
+    exact_e = _pairs(D.embedding_near_dup_pairs(emb, threshold=0.35), "vec_a", "vec_b")
+    print(f"true pairs: {len(exact_e)}")
+    print("| tables | verified pairs | recall | sec |")
+    print("|---|---|---|---|")
+    for n_tables in (1, 2, 4):
+        t0 = time.perf_counter()
+        got = _pairs(
+            D.embedding_near_dup_lsh(emb, threshold=0.35, max_bucket=50, n_tables=n_tables),
+            "vec_a",
+            "vec_b",
+        )
+        sec = time.perf_counter() - t0
+        rec = len(exact_e & got) / max(len(exact_e), 1)
+        print(f"| {n_tables} | {len(got)} | {rec:.3f} | {sec:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
