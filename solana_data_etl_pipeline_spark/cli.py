@@ -128,6 +128,20 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="chunk stride (default: 3/4 of the window)",
     )
+    p_corp.add_argument(
+        "--export-shards",
+        type=int,
+        default=None,
+        help="also export the deduped corpus as N deterministic "
+        "shuffled training shards under <out>/shards",
+    )
+    p_corp.add_argument(
+        "--shard-seed",
+        type=int,
+        default=0,
+        help="permutation seed for --export-shards (same seed replays "
+        "byte-order identical shards)",
+    )
 
     args = parser.parse_args(argv)
     config = Config.load()
@@ -289,6 +303,19 @@ def main(argv: list[str] | None = None) -> int:
             chunks.write.mode("overwrite").parquet(f"{out}/corpus_chunks")
             n_chunks = spark.read.parquet(f"{out}/corpus_chunks").count()
             print(f"corpus_chunks: written ({n_chunks} chunks, window={args.chunk_window}, stride={stride})")
+        if args.export_shards:
+            from solana_data_etl_pipeline_spark.sinks.shards import export_shards
+
+            export_shards(
+                spark.read.parquet(f"{out}/documents_dedup"),
+                f"{out}/shards",
+                n_shards=args.export_shards,
+                seed=args.shard_seed,
+            )
+            print(
+                f"shards: written ({args.export_shards} shuffled shards, "
+                f"seed={args.shard_seed})"
+            )
         if args.compact:
             from solana_data_etl_pipeline_spark.sinks.compaction import compact_parquet
 

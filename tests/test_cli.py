@@ -256,3 +256,20 @@ def test_cli_stream_corpus_curation_flags(spark, tmp_path, capsys):
     assert set(rates) == {"big", "small"} and all(0 <= v <= 10_000 for v in rates.values())
     docs = spark.read.parquet(f"{out}/documents").collect()
     assert docs and sum(r.n_tokens for r in docs) <= 120
+
+
+def test_cli_corpus_export_shards(spark, tmp_path, capsys):
+    import glob
+
+    wh = str(tmp_path / "wh")
+    rc = main(["--warehouse-path", wh, "corpus",
+               "--documents", "/root/testdata/sf0.001/documents.parquet",
+               "--export-shards", "4", "--shard-seed", "3"])
+    assert rc == 0
+    assert "shards: written (4 shuffled shards" in capsys.readouterr().out
+    dirs = sorted(glob.glob(f"{wh}/corpus/shards/shard=*"))
+    assert len(dirs) == 4
+    exported = spark.read.parquet(f"{wh}/corpus/shards")
+    deduped = spark.read.parquet(f"{wh}/corpus/documents_dedup")
+    assert exported.count() == deduped.count()
+    assert {"doc_id", "pos", "shard"} <= set(exported.columns)

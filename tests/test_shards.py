@@ -1,0 +1,62 @@
+"""Training-shard export: permutation layout, within-file order, and
+replay determinism of sinks/shards.py."""
+
+import glob
+import hashlib
+
+import pyarrow.parquet as pq
+
+from solana_data_etl_pipeline_spark.sinks.shards import export_shards
+
+
+def _perm_key(i: int, seed: int) -> int:
+    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+
+
+def test_export_shards_layout_order_and_replay(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    export_shards(df, out, n_shards=8, seed=7)
+
+    shard_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(shard_dirs) == 8
+
+    seen = []
+    for d in shard_dirs:
+        shard = int(d.rsplit("=", 1)[1])
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        rows = []
+        for f in files:
+            t = pq.read_table(f, columns=["doc_id", "pos"])
+            rows.extend(zip(t.column("doc_id").to_pylist(), t.column("pos").to_pylist()))
+        # within-shard: pos contiguous from 1 and file order IS pos order
+        assert [p for _, p in rows] == list(range(1, len(rows) + 1))
+        # the permutation law: shard = key mod n, pos ranks the key
+        keys = [_perm_key(i, 7) for i, _ in rows]
+        assert all(k % 8 == shard for k in keys)
+        assert keys == sorted(keys)
+        seen.extend(i for i, _ in rows)
+    # every doc exactly once across shards
+    assert sorted(seen) == list(range(200))
+
+    # replay determinism: a second export yields the identical layout
+    before = {d: [r for f in sorted(glob.glob(f"{d}/*.parquet"))
+                  for r in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()]
+              for d in shard_dirs}
+    export_shards(df, out, n_shards=8, seed=7)
+    after = {d: [r for f in sorted(glob.glob(f"{d}/*.parquet"))
+                 for r in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()]
+             for d in sorted(glob.glob(f"{out}/shard=*"))}
+    assert before == after
+
+    # a different seed is a genuinely different permutation
+    out2 = str(tmp_path / "shards2")
+    export_shards(df, out2, n_shards=8, seed=8)
+    d0 = sorted(glob.glob(f"{out2}/shard=*"))
+    assert {k.rsplit('/', 1)[-1] for k in d0} == {k.rsplit('/', 1)[-1] for k in shard_dirs}
+    other = [r for f in sorted(glob.glob(f"{d0[0]}/*.parquet"))
+             for r in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()]
+    first = before[shard_dirs[0]]
+    assert other != first
