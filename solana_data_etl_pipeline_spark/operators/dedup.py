@@ -650,6 +650,58 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_dedup_keepers(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dense-family dedup via the cluster/keeper route (the SCALE.md
+    routing rule): keep one representative per hamming<=max_hamming
+    simhash family, computed WITHOUT ever emitting the dense family's
+    quadratic doc-pair list. Stage 1 collapses exact-fingerprint
+    duplicates with one LINEAR groupBy (hamming-0 twins -- on a
+    degenerate corpus this alone removes most rows: sf0.1, 5,000 docs
+    -> 2,783 distinct fingerprints); stage 2 runs the uncapped
+    pigeonhole candidate join among the DISTINCT fingerprints'
+    representatives only (complete w.r.t. the fingerprint, recall 1);
+    stage 3 is connected components + min-id keepers over the
+    rep graph. Result-identical to keep_representatives over the
+    full uncapped pair list (pinned by test): identical-fingerprint
+    docs always share a component with their min-id rep (hamming 0
+    collides in every segment), so collapsing them first changes
+    which pairs exist but not which doc_ids survive.
+
+    Returns the kept doc_ids (one column, `doc_id`)."""
+    fp = simhash(df, text_col, bits)
+    reps = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    n_seg = max_hamming + 1
+    seg_bits = bits // n_seg
+    segs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * seg_bits)
+            .bitwiseAND(F.lit((1 << seg_bits) - 1))
+            .cast("long")
+            for i in range(n_seg)
+        ]
+    )
+    b = reps.select("doc_id", "simhash", F.posexplode(segs).alias("seg", "seg_val"))
+    l, r = b.alias("l"), b.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    rep_pairs = (
+        l.join(
+            r,
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.seg_val") == F.col("r.seg_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return keep_representatives(reps.select("doc_id"), rep_pairs)
+
+
 def simhash_bruteforce_pairs(
     df: DataFrame,
     text_col: str = "text",

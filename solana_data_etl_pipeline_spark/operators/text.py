@@ -719,10 +719,13 @@ def tokenize_corpus(df: DataFrame, vocab_size: int = 1000, text_col: str = "text
     string; exporters cast to int arrays at write time).
 
     Scale shape: the vocabulary is built from one token count agg
-    (map-side combined), ranked with one window over the
-    VOCABULARY-sized frame (bounded by construction -- vocab_size
-    caps it, same boundedness argument as vocab_top_words' top-N),
-    then BROADCAST onto the exploded token stream (vocabularies are
+    (map-side combined), the top-V selected with a distributed
+    TakeOrderedAndProject (orderBy + limit -- per-partition top-V
+    heaps merged on one task, never a global sort of the full
+    CORPUS-scale vocabulary; ranking by window alone would funnel
+    every distinct token through a single partition), then ranked
+    with one window over the now vocab_size-BOUNDED frame and
+    BROADCAST onto the exploded token stream (vocabularies are
     bounded; a corpus's token stream is not); one groupBy(doc_id)
     reassembles documents. Empty tokens are excluded from both the
     vocabulary and the id sequences."""
@@ -730,11 +733,10 @@ def tokenize_corpus(df: DataFrame, vocab_size: int = 1000, text_col: str = "text
         "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_f"))
+    top = counts.orderBy(F.desc("_f"), F.asc("token")).limit(vocab_size)
     w = Window.orderBy(F.desc("_f"), F.asc("token"))
-    vocab = (
-        counts.withColumn("id", F.row_number().over(w).cast("int"))
-        .filter(F.col("id") <= vocab_size)
-        .select("token", "id")
+    vocab = top.withColumn("id", F.row_number().over(w).cast("int")).select(
+        "token", "id"
     )
     j = toks.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")

@@ -1522,19 +1522,14 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # the SCALE.md routing rule made concrete: on the density-
     # degenerate simhash family (capped pair recall 0.002, cap stats
     # est coverage 0.0035), the scale-correct consumer is the
-    # cluster/keeper path over the UNCAPPED pigeonhole pairs (recall
-    # 1.000 w.r.t. the fingerprint) -- pairs flow straight into
-    # connected components (a dense family needs one surviving path
-    # per member, and CC's output is corpus-bounded even when the
-    # pair list is quadratic) and one representative per hamming
-    # family survives. The adaptive CC tiers absorb the dense pair
-    # graph (2.1M edges at sf0.1 -> shuffle tier; 21k at sf0.001 ->
-    # driver union-find).
-    "simhash_dedup_keepers": _docs(
-        lambda df: D.keep_representatives(
-            df, D.simhash_near_dup_pairs(df, max_hamming=3)
-        )
-    ),
+    # cluster/keeper path -- and the operator never emits the dense
+    # family's quadratic doc-pair list: exact-fingerprint twins
+    # collapse LINEARLY first, the uncapped pigeonhole join runs among
+    # distinct-fingerprint representatives only, CC + min-id keepers
+    # finish. Result-identical to keepers over the full uncapped pair
+    # list (pinned by test + this oracle, which computes the naive
+    # full-pair form).
+    "simhash_dedup_keepers": _docs(D.simhash_dedup_keepers),
     # cap-coverage diagnostics: the observability companion of every
     # capped LSH pair plan (VERDICT r6 'no silent caps'). One narrow
     # groupBy over the same bucket projection the candidate join

@@ -511,3 +511,35 @@ def test_cross_corpus_near_dup_catches_paraphrase(spark):
     got = {(r.doc_id, r.bench_id): r.jaccard for r in D.cross_corpus_near_dup(corpus, bench, threshold=0.2).collect()}
     assert (1, 100) in got and got[(1, 100)] >= 0.2
     assert not any(d == 2 for d, _ in got)
+
+
+def test_simhash_dedup_keepers_equals_naive_full_pair_form(spark):
+    """The fingerprint-collapsed keeper plan must keep exactly the
+    doc_ids the naive form (keep_representatives over the full
+    uncapped pigeonhole pair list) keeps -- including hamming-0 twins
+    dropped by the linear collapse and transitive hamming chains."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = (
+        [(i, base) for i in range(6)]                      # identical: hamming 0 family
+        + [(10, base + " extra"), (11, base + " extra")]   # second family
+        + [(20, "completely different text about spark shuffles and joins here now")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r.doc_id for r in D.simhash_dedup_keepers(df).collect()}
+    naive = {
+        r.doc_id
+        for r in D.keep_representatives(
+            df, D.simhash_near_dup_pairs(df, max_hamming=3)
+        ).collect()
+    }
+    assert fast == naive
+    # and on the real corpus slice
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast2 = {r.doc_id for r in D.simhash_dedup_keepers(docs).collect()}
+    naive2 = {
+        r.doc_id
+        for r in D.keep_representatives(
+            docs, D.simhash_near_dup_pairs(docs, max_hamming=3)
+        ).collect()
+    }
+    assert fast2 == naive2
