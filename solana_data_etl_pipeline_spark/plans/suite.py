@@ -2336,45 +2336,38 @@ def all_oracle_sql() -> dict[str, str]:
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
 DRIVER_ORDER = [
-    # --- round-6/7 newcomers, never driver-verified: the full
-    #     backlog rotation the round-6 verdict asked for (13 r6
-    #     operators + the r7 composed curation pipeline), heaviest
-    #     plans first.
-    #     Next robin (round 8): rotate in the post-rotation r7
-    #     newcomers -- minhash/simhash/embedding/winnow_cap_stats,
-    #     simhash_dedup_keepers, benchmark_near_dup, bpe_merge_stats,
-    #     tokenize_corpus, source_quota_sample (all oracle-swept now)
-    #     -- plus the A-query robin passenger (top_tokens or
-    #     failed_transactions, last green r5), rotating out whichever
-    #     of this round's 15 newcomers come back green plus the
-    #     longest-green core entries. ---
-    "span_dedup_rewrite",
-    "embedding_dedup_keepers",
+    # --- round-8 rotation: the eleven r7-registered operators that
+    #     never had a driver verdict (oracle-swept at sf0.001 every
+    #     test run; this is their sf0.01 CORRECTNESS gate), heaviest
+    #     plans first. ---
+    "simhash_dedup_keepers",
+    "benchmark_near_dup",
+    "gopher_quality",
+    "c4_clean",
+    "tokenize_corpus",
+    "source_quota_sample",
+    "bpe_merge_stats",
+    "minhash_cap_stats",
+    "simhash_cap_stats",
+    "embedding_cap_stats",
+    "winnow_cap_stats",
+    # --- reference A-query round-robin: A8 top_tokens + A9
+    #     failed_transactions back in (last driver rows r5;
+    #     /root/reference/src/analytics.rs:459-473,495-533) ---
+    "top_tokens",
+    "failed_transactions",
+    # --- round-7 entries kept for a second verdict (containment's
+    #     capped default is semantics-flagged; leakage_free_split
+    #     went cluster-level only last round) ---
     "containment_pairs",
     "leakage_free_split",
-    "training_shuffle",
-    "winnow_fingerprints",
     "winnow_overlap_pairs",
-    "token_budget_select",
-    "temperature_mix",
-    "bigram_logprob",
-    "dedup_cluster_sizes",
     "dedup_keepers_quality",
-    "media_resize",
     "corpus_curation",
-    # --- reference A-query round-robin: A12 top_wallets back in (last
-    #     driver row r3; /root/reference/src/analytics.rs:619-633) ---
-    "top_wallets",
-    # --- round-5/6 entries kept for a second verdict ---
-    "chunk_documents",
-    "quantile_gate_chars",
+    # --- round-5/6 entries kept ---
     "delta_dedup",
     "simhash_near_dup",
-    "token_transfer_stats",
-    "top_errors",
     "dedup_keepers",
-    "span_dup_stats",
-    "unigram_logprob",
     "repetition_stats",
     "knn_ivf_materialized",
     # --- core dedup/similarity/media suite ---

@@ -291,7 +291,17 @@ def run_document_stream(
         remaining-token-budget selection. Both deterministic given the
         ingest history; both no-ops on replay-emptied batches."""
         if temperature_tau is not None:
-            batch_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            # Eagerly checkpoint the tiny per-source count frame: it is
+            # the ONLY evaluation of the batch's feature/dedup pipeline
+            # this policy stage triggers, and both the non-empty log
+            # guard below and the corpus-so-far union reuse it instead
+            # of re-running the batch plan.
+            batch_counts = (
+                kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            batch_nonempty = bool(batch_counts.limit(1).count())
             counts = batch_counts
             if seen is not None:
                 counts = (
@@ -304,7 +314,7 @@ def run_document_stream(
             rates = temperature_rates(counts, temperature_tau, target_frac).localCheckpoint(
                 eager=True
             )
-            if policy_log_dir is not None and kept.limit(1).count():
+            if policy_log_dir is not None and batch_nonempty:
                 try:
                     logged = (
                         spark.read.parquet(policy_log_dir)
