@@ -97,3 +97,68 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_budget_select(
         mixed, budget=TOKEN_BUDGET, score_col="alpha_ratio", weight_col="n_tokens"
     ).select("doc_id", "source", "n_tokens", "alpha_ratio", "rate_bp")
+
+
+# corpus_curation_v2 swaps the simple MIN_TOKENS/alpha constants for
+# the PUBLISHED gate operators a production curation run uses: C4
+# page/line cleaning (Raffel et al. 2020 §2.2) and the full Gopher
+# rule set (Rae et al. 2021 §A1.1). Budget is tighter than v1 so the
+# threshold stage is exercised (non-vacuous) on the test corpora.
+V2_TOKEN_BUDGET = 5_000
+
+
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curation with the published quality gates threaded in as
+    the pipeline's gate stages: C4 cleaning (page-blocklist drop +
+    line-keeping signals) and the Gopher rule conjunction replace the
+    v1 MIN_TOKENS/alpha-ratio constants; downstream the composition is
+    unchanged -- exact-dedup keepers -> cluster-level leakage-free
+    train/val split -> temperature mix -> token-budget selection, with
+    the budget stage weighted by Gopher's n_words and scored by the
+    CONTINUOUS char-level alpha_ratio (Gopher's word-level
+    alpha_word_frac is a gate signal, not a scorer: on all-alphabetic
+    corpora it is identically 1.0, which degenerates the budget
+    histogram to a single level). Returns (doc_id, source, n_words,
+    alpha_ratio, kept_lines, rate_bp).
+
+    Dedup and the decontamination split deliberately see the RAW text,
+    not C4's clean_text: drop rules must see every twin, and cleaning
+    can make two near-twins differ -- raw-text decontamination is the
+    conservative direction. C4's kept_lines rides along in the output
+    so the line-cleaning computation is hash-verified even on corpora
+    whose documents carry no line structure (the synthetic tables:
+    zero newlines, so kept_lines is 0 and the page gate does the
+    filtering there).
+
+    Scale shape: both gate operators are ZERO-shuffle per-doc
+    projections (bound token/line arrays, fused into the corpus scan),
+    so v2 adds no exchange over v1 -- the corpus-keyed shuffles remain
+    the exact-dedup window and the LSH band join, and mix/budget still
+    reduce to broadcast-sized frames."""
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    c4 = X.c4_clean(docs).select("doc_id", "kept_lines", "page_filtered")
+    gq = X.gopher_quality(docs).select("doc_id", "n_words", "gopher_pass")
+    quality = X.quality_scores(docs).select("doc_id", "alpha_ratio")
+    keepers = D.exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    split = D.leakage_free_split(
+        docs,
+        val_pct=VAL_PCT,
+        threshold=NEAR_DUP_THRESHOLD,
+        max_bucket=DEDUP_MAX_BUCKET,
+    )
+    train = (
+        docs.select("doc_id", "source")
+        .join(c4, "doc_id")
+        .join(gq, "doc_id")
+        .join(quality, "doc_id")
+        .join(keepers, "doc_id")  # semi-join shape: keepers has unique doc_id
+        .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .filter(~F.col("page_filtered") & F.col("gopher_pass"))
+        .select("doc_id", "source", "n_words", "alpha_ratio", "kept_lines")
+    )
+    mixed = X.temperature_mix(train, tau=TAU, target_frac=TARGET_FRAC)
+    return X.token_budget_select(
+        mixed, budget=V2_TOKEN_BUDGET, score_col="alpha_ratio", weight_col="n_words"
+    ).select("doc_id", "source", "n_words", "alpha_ratio", "kept_lines", "rate_bp")

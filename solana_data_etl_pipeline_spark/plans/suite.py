@@ -705,6 +705,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # keepers + cluster-decontaminated split + temperature mix +
     # token-budget selection (plans/corpus.py corpus_curation)
     "corpus_curation": C.corpus_curation,
+    # v2: the published gates (C4 cleaning + Gopher rule set) threaded
+    # in as the pipeline's gate stages (plans/corpus.py
+    # corpus_curation_v2)
+    "corpus_curation_v2": C.corpus_curation_v2,
     "stratified_sample": _docs(X.stratified_sample_stats),
     "pii_stats": _docs(X.pii_stats),
     "weighted_mix": _docs(
@@ -1941,6 +1945,112 @@ FROM mixed, thr2
 WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
 """
 
+# corpus_curation_v2: same composed skeleton, with the published gate
+# operators' CTEs (c4_clean page/line logic + the full gopher_quality
+# rule set) replacing v1's MIN_TOKENS/alpha constants; mix/budget run
+# over the Gopher signals (n_words weight, alpha_word_frac score).
+TEXT_SQL["corpus_curation_v2"] = _CLUSTERS_PREFIX + rf""",
+cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+lbl AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {C.VAL_PCT}
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+),
+vc AS (
+  SELECT DISTINCT cl.cluster_id FROM cl JOIN lbl ON cl.id = lbl.doc_id
+  WHERE lbl.split = 'val'
+),
+leak AS (
+  SELECT cl.id AS doc_id FROM cl JOIN lbl ON cl.id = lbl.doc_id
+  WHERE lbl.split = 'train' AND cl.cluster_id IN (SELECT cluster_id FROM vc)
+),
+split_ok AS (
+  SELECT doc_id FROM lbl
+  WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM leak)
+),
+c4t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ln,
+         (contains(lower(text), 'lorem ipsum') OR contains(lower(text), '{{')) AS bad
+  FROM documents
+),
+c4 AS (
+  SELECT doc_id, bad AS page_filtered,
+         CAST(CASE WHEN bad THEN 0 ELSE len(list_filter(ln,
+           l -> regexp_matches(trim(l), '[.!?]["'']?$')
+                AND len(string_split_regex(trim(l), '\s+')) >= {X.C4_MIN_LINE_WORDS})) END AS BIGINT) AS kept_lines
+  FROM c4t
+),
+gt AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '') AS w,
+         string_split(text, chr(10)) AS ln
+  FROM documents
+),
+gs AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round(list_sum(list_transform(w, x -> length(x))) / greatest(len(w), 1), 4) AS mean_word_len,
+         round((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '…'))) / greatest(len(w), 1), 4) AS symbol_ratio,
+         round(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) / greatest(len(ln), 1), 4) AS bullet_line_frac,
+         round(len(list_filter(ln, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) / greatest(len(ln), 1), 4) AS ellipsis_line_frac,
+         round(len(list_filter(w, x -> regexp_matches(x, '\p{{L}}'))) / greatest(len(w), 1), 4) AS alpha_word_frac,
+         len(list_filter(w, x -> x IN ({_GOPHER_STOPS}))) AS stopword_hits
+  FROM gt
+),
+gq AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         (n_words BETWEEN {X.GOPHER_MIN_WORDS} AND {X.GOPHER_MAX_WORDS}
+          AND mean_word_len BETWEEN {X.GOPHER_MEAN_WORD_LEN[0]} AND {X.GOPHER_MEAN_WORD_LEN[1]}
+          AND symbol_ratio <= {X.GOPHER_MAX_SYMBOL_RATIO}
+          AND bullet_line_frac <= {X.GOPHER_MAX_BULLET_FRAC}
+          AND ellipsis_line_frac <= {X.GOPHER_MAX_ELLIPSIS_FRAC}
+          AND alpha_word_frac >= {X.GOPHER_MIN_ALPHA_WORD_FRAC}
+          AND stopword_hits >= {X.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+  FROM gs
+),
+q AS (
+  SELECT doc_id,
+         round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio
+  FROM documents
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5({_NORM_TEXT})
+),
+train AS (
+  SELECT d.doc_id, d.source, gq.n_words, q.alpha_ratio, c4.kept_lines
+  FROM documents d
+  JOIN c4 USING (doc_id)
+  JOIN gq USING (doc_id)
+  JOIN q USING (doc_id)
+  JOIN keep k ON d.doc_id = k.doc_id
+  JOIN split_ok s ON d.doc_id = s.doc_id
+  WHERE NOT c4.page_filtered AND gq.gopher_pass
+),
+srcn AS (SELECT source, count(*) AS n FROM train GROUP BY source),
+srct AS (SELECT sum(n) AS N FROM srcn),
+rates AS (
+  SELECT source,
+         least(10000, CAST(round({C.TARGET_FRAC} * srct.N * (power(srcn.n / srct.N, {C.TAU}) / sum(power(srcn.n / srct.N, {C.TAU})) OVER ()) / srcn.n * 10000) AS BIGINT)) AS rate_bp
+  FROM srcn, srct
+),
+mixed AS (
+  SELECT tr.doc_id, tr.source, tr.n_words, tr.alpha_ratio, tr.kept_lines, rates.rate_bp
+  FROM train tr JOIN rates USING (source)
+  WHERE ('0x' || substr(md5(CAST(tr.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < rates.rate_bp
+),
+hist AS (
+  SELECT round(CAST(alpha_ratio AS DOUBLE), 4) AS v, sum(n_words) AS cwt
+  FROM mixed WHERE alpha_ratio IS NOT NULL GROUP BY 1
+),
+cum2 AS (SELECT v, sum(cwt) OVER (ORDER BY v DESC) AS cum FROM hist),
+thr2 AS (SELECT min(CASE WHEN cum <= {C.V2_TOKEN_BUDGET} THEN v END) AS thr FROM cum2)
+SELECT doc_id, source, n_words, alpha_ratio, kept_lines, rate_bp
+FROM mixed, thr2
+WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
+"""
+
 # dense-family routing demo: UNCAPPED pigeonhole pairs -> recursive-CTE
 # components -> keepers (the simhash twin of dedup_keepers)
 DEDUP_SQL["simhash_dedup_keepers"] = (
@@ -2351,6 +2461,8 @@ DRIVER_ORDER = [
     "simhash_cap_stats",
     "embedding_cap_stats",
     "winnow_cap_stats",
+    # --- round-8 new builds ---
+    "corpus_curation_v2",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---
