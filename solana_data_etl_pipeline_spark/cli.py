@@ -139,8 +139,29 @@ def main(argv: list[str] | None = None) -> int:
         "--shard-seed",
         type=int,
         default=0,
-        help="permutation seed for --export-shards (same seed replays "
-        "byte-order identical shards)",
+        help="permutation seed for --export-shards/--token-shards "
+        "(same seed replays byte-order identical shards)",
+    )
+    p_corp.add_argument(
+        "--token-shards",
+        type=int,
+        default=None,
+        help="also export MODEL-READY token-id shards under "
+        "<out>/token_shards: tokenize (frequency-ranked vocab ids) -> "
+        "pack the shuffled per-shard streams into fixed-budget "
+        "sequences -> N deterministic shard files",
+    )
+    p_corp.add_argument(
+        "--vocab-size",
+        type=int,
+        default=1000,
+        help="vocabulary size for --token-shards numericalization",
+    )
+    p_corp.add_argument(
+        "--seq-budget",
+        type=int,
+        default=2048,
+        help="packed sequence length (tokens) for --token-shards",
     )
 
     args = parser.parse_args(argv)
@@ -315,6 +336,22 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"shards: written ({args.export_shards} shuffled shards, "
                 f"seed={args.shard_seed})"
+            )
+        if args.token_shards:
+            from solana_data_etl_pipeline_spark.sinks.shards import export_token_shards
+
+            export_token_shards(
+                spark.read.parquet(f"{out}/documents_dedup"),
+                f"{out}/token_shards",
+                n_shards=args.token_shards,
+                vocab_size=args.vocab_size,
+                budget=args.seq_budget,
+                seed=args.shard_seed,
+            )
+            print(
+                f"token_shards: written ({args.token_shards} model-ready "
+                f"token-id shards, vocab={args.vocab_size}, "
+                f"budget={args.seq_budget}, seed={args.shard_seed})"
             )
         if args.compact:
             from solana_data_etl_pipeline_spark.sinks.compaction import compact_parquet

@@ -1155,6 +1155,61 @@ def pack_sequences(
     )
 
 
+def tokenize_pack(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Numericalization composed with sequence packing -- the bridge
+    between a curated TEXT corpus and model-ready training sequences:
+    tokenize_corpus assigns frequency-ranked token ids, then each
+    shard's id streams are packed back-to-back into fixed-`budget`
+    sequences (pack_sequences' concat-and-chunk layout, offsets over
+    the TOKENIZED counts). Returns (doc_id, <shard_col>, n_tokens,
+    oov_count, start_offset, first_seq, last_seq, token_ids) -- what a
+    shard exporter materializes per document.
+
+    Scale shape: tokenize_corpus's one vocab agg + broadcast rank
+    join + per-doc reassembly, then ONE join back to the (id, shard)
+    projection (both sides doc_id-keyed) and ONE cumulative window
+    partitioned by shard. For export, sinks/shards.py
+    export_token_shards replaces the column shard with the seeded
+    training_shuffle permutation so packing order equals the shuffled
+    read order."""
+    t = tokenize_corpus(df, vocab_size=vocab_size, text_col=text_col)
+    base = df.select(id_col, shard_col).join(t, id_col)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn("first_seq", F.floor(F.col("start_offset") / budget).cast("long"))
+        .withColumn(
+            "last_seq",
+            F.floor(
+                (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / budget
+            ).cast("long"),
+        )
+        .select(
+            id_col,
+            shard_col,
+            "n_tokens",
+            "oov_count",
+            "start_offset",
+            "first_seq",
+            "last_seq",
+            "token_ids",
+        )
+    )
+
+
 # -- duplicated-span statistics --------------------------------------
 
 

@@ -732,6 +732,13 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     "repetition_stats": _docs(X.repetition_stats),
     "pack_sequences": _docs(lambda df: X.pack_sequences(df, budget=_PACK_BUDGET)),
+    # numericalize -> pack composed (vocab 200, the tokenize_corpus
+    # registry setting; source-sharded so the oracle is pure SQL --
+    # the seeded-permutation form is sinks/shards.py
+    # export_token_shards, covered by tests/test_shards.py)
+    "tokenize_pack": _docs(
+        lambda df: X.tokenize_pack(df, vocab_size=200, budget=_PACK_BUDGET)
+    ),
     # full-registry entries (not in the 50-slot driver order): swept by
     # tests/test_oracle_parity.py like every all_queries() member
     "span_dup_stats": _docs(lambda df: X.span_dup_stats(df, n=3)),
@@ -1150,6 +1157,45 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_count,
        array_to_string(list(id ORDER BY pos), ' ') AS token_ids
 FROM j GROUP BY doc_id
+"""
+
+TEXT_SQL["tokenize_pack"] = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[CAST(i AS INT)] AS token
+  FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+  WHERE tk[CAST(i AS INT)] <> ''
+),
+c AS (SELECT token, count(*) AS f FROM tok GROUP BY 1),
+v AS (
+  SELECT token, id FROM (
+    SELECT token, CAST(row_number() OVER (ORDER BY f DESC, token) AS INT) AS id FROM c
+  ) WHERE id <= 200
+),
+j AS (
+  SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS id
+  FROM tok LEFT JOIN v USING (token)
+),
+ids AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov_count,
+         array_to_string(list(id ORDER BY pos), ' ') AS token_ids
+  FROM j GROUP BY doc_id
+),
+p AS (
+  SELECT d.doc_id, d.source, ids.n_tokens, ids.oov_count, ids.token_ids,
+         sum(ids.n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents d JOIN ids USING (doc_id)
+)
+SELECT doc_id, source, n_tokens, oov_count,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
+       CAST((cum - n_tokens + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq,
+       token_ids
+FROM p
 """
 
 TEXT_SQL["c4_clean"] = r"""
@@ -2463,6 +2509,7 @@ DRIVER_ORDER = [
     "winnow_cap_stats",
     # --- round-8 new builds ---
     "corpus_curation_v2",
+    "tokenize_pack",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---

@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solana_data_etl_pipeline_spark.operators.text import training_shuffle
+from pyspark.sql import Window
+
+from solana_data_etl_pipeline_spark.operators.text import tokenize_corpus, training_shuffle
 
 
 def export_shards(
@@ -39,6 +41,65 @@ def export_shards(
     assigned = training_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
     out = (
         df.join(assigned, id_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def export_token_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    vocab_size: int = 1000,
+    budget: int = 2048,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """MODEL-READY token-id shards, end to end: numericalize
+    (operators/text.py tokenize_corpus), assign every doc its seeded
+    (shard, pos) under training_shuffle's permutation, pack the
+    SHUFFLED per-shard id streams into fixed-`budget` sequences
+    (cumulative offsets in pos order -- packing order equals the
+    order a training job reads the shard, which is the property that
+    makes the first_seq/last_seq boundaries real), and write
+    `shard=N/` parquet with token_ids as array<int>. Same seed
+    replays byte-order identical; a new seed is a fresh epoch
+    permutation over the SAME vocabulary ids. Docs with zero tokens
+    carry nothing to pack and are dropped; the resulting pos holes
+    keep the shuffled order intact.
+
+    Scale shape: one vocab agg + broadcast rank join (tokenize), one
+    doc_id-keyed join of ids onto the permutation, then ONE hash
+    exchange on shard that serves the position rank, the packing
+    window, AND the partitioned write -- no other shuffle. Shard
+    count is the parallelism knob (100k shards at 100 TB keeps each
+    sort/file task-sized)."""
+    t = tokenize_corpus(df, vocab_size=vocab_size, text_col=text_col)
+    assigned = training_shuffle(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    j = t.join(assigned, id_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    out = (
+        j.withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn("first_seq", F.floor(F.col("start_offset") / budget).cast("long"))
+        .withColumn(
+            "last_seq",
+            F.floor(
+                (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / budget
+            ).cast("long"),
+        )
+        .withColumn(
+            "token_ids",
+            F.transform(F.split("token_ids", " "), lambda x: x.cast("int")),
+        )
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "pos")
     )

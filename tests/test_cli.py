@@ -273,3 +273,40 @@ def test_cli_corpus_export_shards(spark, tmp_path, capsys):
     deduped = spark.read.parquet(f"{wh}/corpus/documents_dedup")
     assert exported.count() == deduped.count()
     assert {"doc_id", "pos", "shard"} <= set(exported.columns)
+
+
+def test_cli_corpus_token_shards(spark, tmp_path, capsys):
+    import glob
+
+    wh = str(tmp_path / "wh")
+    rc = main(["--warehouse-path", wh, "corpus",
+               "--documents", "/root/testdata/sf0.001/documents.parquet",
+               "--token-shards", "4", "--vocab-size", "50",
+               "--seq-budget", "64", "--shard-seed", "3"])
+    assert rc == 0
+    assert "token_shards: written (4 model-ready" in capsys.readouterr().out
+    dirs = sorted(glob.glob(f"{wh}/corpus/token_shards/shard=*"))
+    assert len(dirs) == 4
+    exported = spark.read.parquet(f"{wh}/corpus/token_shards")
+    deduped = spark.read.parquet(f"{wh}/corpus/documents_dedup")
+    # every deduped doc lands in exactly one shard with an id sequence
+    assert exported.count() == deduped.count()
+    rows = exported.collect()
+    for r in rows:
+        assert len(r.token_ids) == r.n_tokens
+        assert all(isinstance(t, int) and 0 <= t <= 50 for t in r.token_ids)
+    # packing law within each shard: offsets are the cumulative token
+    # stream in pos order, sequence bounds follow the 64-token budget
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.pos)
+        cum = 0
+        for r in rs:
+            assert r.start_offset == cum
+            assert r.first_seq == r.start_offset // 64
+            assert r.last_seq == (r.start_offset + max(r.n_tokens, 1) - 1) // 64
+            cum += r.n_tokens

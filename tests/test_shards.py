@@ -60,3 +60,35 @@ def test_export_shards_layout_order_and_replay(spark, tmp_path):
              for r in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()]
     first = before[shard_dirs[0]]
     assert other != first
+
+
+def test_export_token_shards_replay_identical(spark, tmp_path):
+    from solana_data_etl_pipeline_spark.sinks.shards import export_token_shards
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(5 + i % 4))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "tok")
+    export_token_shards(df, out, n_shards=4, vocab_size=5, budget=16, seed=9)
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == 4
+
+    def _layout(root):
+        return {
+            d.rsplit("/", 1)[-1]: [
+                r
+                for f in sorted(glob.glob(f"{d}/*.parquet"))
+                for r in pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+            ]
+            for d in sorted(glob.glob(f"{root}/shard=*"))
+        }
+
+    before = _layout(out)
+    export_token_shards(df, out, n_shards=4, vocab_size=5, budget=16, seed=9)
+    assert _layout(out) == before
+    # ids respect the vocab bound; oov maps to 0
+    t = spark.read.parquet(out)
+    assert t.count() == 60
+    for r in t.select("token_ids").collect():
+        assert all(0 <= x <= 5 for x in r.token_ids)
