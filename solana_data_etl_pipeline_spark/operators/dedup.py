@@ -1081,6 +1081,102 @@ def containment_pairs(
     )
 
 
+def materialize_winnow(
+    df: DataFrame,
+    path: str,
+    k: int = 5,
+    window: int = 4,
+    max_bucket: int | None = None,
+    text_col: str = "text",
+) -> None:
+    """Write the corpus DECONTAMINATION index for the containment /
+    winnowing family -- the substring-evidence twin of
+    materialize_minhash: `{path}/fingerprints` = (doc_id, fingerprint)
+    winnowing rows, `{path}/shingles` = (doc_id, sh) word-shingle sets
+    for exact containment verification. Built once at ingest/
+    compaction cadence; every future ingest batch is then checked
+    against the corpus at DELTA cost (delta_containment) instead of
+    the batch operator's full-corpus rescan.
+
+    `max_bucket` caps degenerate fingerprint buckets (boilerplate
+    substrings) AT BUILD TIME with one count window, amortized over
+    every probe -- same trade and same observability (winnow_cap_stats)
+    as the batch plan's cap."""
+    from solana_data_etl_pipeline_spark.operators.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, k=k, window=window, text_col=text_col)
+    if max_bucket is not None:
+        wspec = Window.partitionBy("fingerprint")
+        fp = (
+            fp.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
+    fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
+    _shingle_sets(df, text_col).write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def delta_containment(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    min_shared: int = 1,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental DECONTAMINATION probe: verified containment hits
+    (|A∩B| / min, Broder) of an ingest batch against an
+    already-materialized winnowing index (materialize_winnow) --
+    new data checked against the corpus at delta cost, the
+    containment-family mirror of delta_match_pairs. Returns
+    (delta_id, corpus_id, containment) for every batch doc that
+    shares >= `min_shared` winnowing fingerprints with a corpus doc
+    and verifies at `threshold`; callers anti-join the delta on
+    delta_id to admit only clean docs.
+
+    Scale shape: the delta's fingerprints and shingles are
+    zero-shuffle projections of the BATCH; the candidate join
+    BROADCASTS the delta fingerprints against one scan of the index
+    (the corpus never shuffles), and the verify joins BROADCAST the
+    delta-bounded candidate list and the delta shingles against one
+    scan of the index shingles -- per-batch cost is O(delta +
+    index-scan), not O(corpus LSH rebuild). Both broadcasts are
+    bounded by construction (batch-sized), which is exactly the
+    frame class SCALE.md's broadcast policy admits."""
+    from solana_data_etl_pipeline_spark.operators.text import winnow_fingerprints
+
+    idx_fp = spark.read.parquet(f"{index_path}/fingerprints")
+    idx_sh = spark.read.parquet(f"{index_path}/shingles")
+    d_fp = winnow_fingerprints(delta, k=k, window=window, text_col=text_col)
+    d_sh = _shingle_sets(delta, text_col)
+    cand = (
+        idx_fp.alias("c")
+        .join(
+            F.broadcast(d_fp.alias("d")),
+            F.col("c.fingerprint") == F.col("d.fingerprint"),
+        )
+        .groupBy(
+            F.col("d.doc_id").alias("delta_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("delta_id", "corpus_id")
+    )
+    inter = F.size(F.array_intersect(F.col("ds.sh"), F.col("cs.sh")))
+    cont = F.round(
+        inter / F.least(F.size(F.col("ds.sh")), F.size(F.col("cs.sh"))), 4
+    )
+    return (
+        idx_sh.alias("cs")
+        .join(F.broadcast(cand), F.col("cs.doc_id") == cand.corpus_id)
+        .join(F.broadcast(d_sh.alias("ds")), cand.delta_id == F.col("ds.doc_id"))
+        .select("delta_id", "corpus_id", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def cross_corpus_near_dup(
     corpus: DataFrame,
     bench: DataFrame,

@@ -1485,6 +1485,39 @@ def _delta_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: materialized winnowing decontamination index dirs keyed by sf_dir
+#: -- same rationale and lifecycle as _DELTA_DEDUP_INDEX above.
+_DELTA_WINNOW_INDEX: dict[str, str] = {}
+
+
+def _delta_winnow_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _DELTA_WINNOW_INDEX.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="winnow_index_")
+        D.materialize_winnow(docs.filter(~(F.col("doc_id") % 10 == 7)), path)
+        _DELTA_WINNOW_INDEX[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def _delta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination under the driver's hard signal:
+    materialize the corpus (doc_id % 10 != 7) winnowing index, probe
+    it with the ingest batch (doc_id % 10 == 7). Uncapped index so
+    the oracle reproduces candidates exactly (the cap is exercised
+    under oracle by containment_pairs/winnow_cap_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _delta_winnow_index(spark, sf_dir)
+    return D.delta_containment(
+        spark, path, docs.filter(F.col("doc_id") % 10 == 7), threshold=0.5
+    ).orderBy("delta_id", "corpus_id")
+
+
 def _delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup under the driver's hard signal:
     materialize the corpus (doc_id % 10 != 7) LSH index, probe it with
@@ -1524,6 +1557,10 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # plus itself; uncapped buckets so the oracle reproduces candidates
     # exactly (the cap is exercised under oracle by dedup_minhash_lsh)
     "delta_dedup": _delta_dedup,
+    # incremental decontamination: the containment/winnowing family's
+    # materialized-index probe (corpus %10!=7 indexed once, batch
+    # %10==7 checked against it at delta cost)
+    "delta_containment": _delta_containment,
     "dedup_clusters": _docs(
         lambda df: D.connected_components(
             D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
@@ -1884,6 +1921,29 @@ SELECT doc_a, doc_b, containment FROM (
   FROM cand
   JOIN sh sa ON cand.doc_a = sa.doc_id
   JOIN sh sb ON cand.doc_b = sb.doc_id
+)
+WHERE containment >= 0.5
+"""
+
+
+# incremental decontamination: winnowing CTEs shared verbatim with
+# containment_pairs, candidates restricted to (batch %10==7) x
+# (corpus %10!=7), exact containment verify -- the set the uncapped
+# materialized-index probe must reproduce
+DEDUP_SQL["delta_containment"] = _WINNOW_PREFIX + f""",
+fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+  FROM fp d JOIN fp c ON d.fingerprint = c.fingerprint
+  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+),
+{SHINGLES_SQL}
+SELECT delta_id, corpus_id, containment FROM (
+  SELECT delta_id, corpus_id,
+         round(len(list_intersect(sd.sh, sc.sh)) / least(len(sd.sh), len(sc.sh)), 4) AS containment
+  FROM cand
+  JOIN sh sd ON cand.delta_id = sd.doc_id
+  JOIN sh sc ON cand.corpus_id = sc.doc_id
 )
 WHERE containment >= 0.5
 """
@@ -2510,6 +2570,7 @@ DRIVER_ORDER = [
     # --- round-8 new builds ---
     "corpus_curation_v2",
     "tokenize_pack",
+    "delta_containment",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---

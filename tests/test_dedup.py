@@ -543,3 +543,64 @@ def test_simhash_dedup_keepers_equals_naive_full_pair_form(spark):
         ).collect()
     }
     assert fast2 == naive2
+
+
+def test_delta_containment_materialized_index(spark, tmp_path):
+    """Incremental decontamination: an ingest batch probed against the
+    materialized winnowing index. A batch doc quoted whole inside a
+    corpus doc verifies at containment ~1 (the asymmetric case
+    symmetric Jaccard misses); clean docs produce no hits."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_containment,
+        materialize_winnow,
+    )
+
+    quoted = "the quick brown fox jumps over the lazy dog near the river bank"
+    long_host = (
+        "introductory framing sentence with extra words here "
+        + quoted
+        + " closing remarks trailing the quotation with more words after it"
+    )
+    other = "completely different material about spark partitions and shuffle joins"
+    corpus = spark.createDataFrame(
+        [(1, long_host), (2, other)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "widx")
+    materialize_winnow(corpus, path)
+
+    delta = spark.createDataFrame(
+        [
+            (10, quoted),  # contained in corpus doc 1 -> hit, containment ~1
+            (11, "fresh unrelated text mentioning parquet row groups and columnar io"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = delta_containment(spark, path, delta, threshold=0.5).collect()
+    assert [(h.delta_id, h.corpus_id) for h in hits] == [(10, 1)]
+    assert hits[0].containment >= 0.9
+
+    # replay invariance: probing does not mutate the index
+    again = delta_containment(spark, path, delta, threshold=0.5).collect()
+    assert [(h.delta_id, h.corpus_id, h.containment) for h in again] == [
+        (h.delta_id, h.corpus_id, h.containment) for h in hits
+    ]
+
+
+def test_materialize_winnow_build_time_cap(spark, tmp_path):
+    """A boilerplate fingerprint shared by more than max_bucket corpus
+    docs is dropped at BUILD time, so probes never join through it."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_containment,
+        materialize_winnow,
+    )
+
+    boiler = "standard license header text repeated on every file in the tree"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "widx")
+    materialize_winnow(corpus, path, max_bucket=5)
+    assert spark.read.parquet(f"{path}/fingerprints").count() == 0
+
+    delta = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    assert delta_containment(spark, path, delta, threshold=0.5).count() == 0
