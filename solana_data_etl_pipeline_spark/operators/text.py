@@ -782,6 +782,65 @@ def source_quota_sample(
     )
 
 
+def source_quota_sample_hot(
+    df: DataFrame,
+    max_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """source_quota_sample's HOT-SOURCE fallback: the identical kept
+    set (same key order, same quota), computed without ever sorting a
+    whole source in one task. The md5 key's HIGH bits define
+    `n_buckets` ordered histogram buckets; per-(source, bucket)
+    counts roll up to a per-source cumulative (a window over the
+    BUCKET-AGGREGATED frame -- at most n_buckets rows per source, so
+    the per-source partition is bounded regardless of how hot the
+    source is), and each row keeps iff its bucket's preceding
+    cumulative plus its rank WITHIN the bucket fits the quota.
+    Within-bucket ranks partition by (source, bucket), spreading a
+    pathologically hot source over n_buckets tasks.
+
+    Result-identical to source_quota_sample wherever both apply
+    (bucket-major order IS key order: buckets are the key's leading
+    bits), pinned by the shared oracle; use this form when one
+    domain's row count exceeds a task's comfort, the single-window
+    form for ordinary distributions (one exchange vs two)."""
+    step = (1 << 60) // int(n_buckets)  # md5-15-hex keys are < 2^60
+    key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    with_key = df.withColumn("_key", key).withColumn(
+        "_bkt", (F.col("_key") / F.lit(step)).cast("long")
+    )
+    stats = (
+        with_key.groupBy(source_col, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_prev_cum",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy(source_col)
+                    .orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("_prev_cum") < max_per_source)  # prune full-past buckets
+        .select(source_col, "_bkt", "_prev_cum")
+    )
+    wb = Window.partitionBy(source_col, "_bkt").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        with_key.join(stats, [source_col, "_bkt"])
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_prev_cum") + F.col("_rn") <= max_per_source)
+        .drop("_key", "_bkt", "_prev_cum", "_rn")
+    )
+
+
 # -- tokenizer-training support: BPE merge statistics ----------------
 
 

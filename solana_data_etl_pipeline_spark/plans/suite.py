@@ -794,6 +794,13 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             "doc_id", "source", "lang"
         )
     ),
+    # hot-source fallback: histogram-threshold quota, result-identical
+    # to the rank form (shares its oracle verbatim below)
+    "source_quota_hot": _docs(
+        lambda df: X.source_quota_sample_hot(df, max_per_source=10).select(
+            "doc_id", "source", "lang"
+        )
+    ),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -1259,6 +1266,10 @@ SELECT doc_id, source, lang FROM (
   FROM documents
 ) WHERE rn <= 10
 """
+
+# the hot-source fallback is pinned result-identical to the rank form:
+# one oracle grades both
+TEXT_SQL["source_quota_hot"] = TEXT_SQL["source_quota_sample"]
 
 TEXT_SQL["token_budget_select"] = """
 WITH q AS (
@@ -2571,6 +2582,7 @@ DRIVER_ORDER = [
     "corpus_curation_v2",
     "tokenize_pack",
     "delta_containment",
+    "source_quota_hot",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---
@@ -2582,7 +2594,6 @@ DRIVER_ORDER = [
     "containment_pairs",
     "leakage_free_split",
     "winnow_overlap_pairs",
-    "dedup_keepers_quality",
     "corpus_curation",
     # --- round-5/6 entries kept ---
     "delta_dedup",

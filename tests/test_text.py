@@ -709,3 +709,34 @@ def test_gopher_quality_rules(spark):
     assert got[3].symbol_ratio > 0.1 and not got[3].gopher_pass
     # too short
     assert got[4].n_words < 50 and not got[4].gopher_pass
+
+
+def test_source_quota_hot_matches_rank_form_with_planted_hot_source(spark):
+    """The histogram-threshold fallback keeps the EXACT set the
+    per-source rank window keeps, including on a pathologically hot
+    source (one domain with 100x the rows of the others) -- the
+    regime the fallback exists for."""
+    from solana_data_etl_pipeline_spark.operators.text import (
+        source_quota_sample,
+        source_quota_sample_hot,
+    )
+
+    rows = [(i, "hot") for i in range(2000)]
+    rows += [(10_000 + i, f"cold{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    for quota in (7, 25):
+        rank = {
+            (r.doc_id, r.source)
+            for r in source_quota_sample(df, max_per_source=quota).collect()
+        }
+        hot = {
+            (r.doc_id, r.source)
+            for r in source_quota_sample_hot(df, max_per_source=quota).collect()
+        }
+        assert hot == rank
+        per_src = {}
+        for _, s in hot:
+            per_src[s] = per_src.get(s, 0) + 1
+        assert per_src["hot"] == quota
+        assert all(v <= quota for v in per_src.values())
