@@ -215,6 +215,58 @@ def main() -> None:
         len(exact_x & got_x) / max(len(exact_x), 1), 3
     )
 
+    # planted-PARAPHRASE decontamination recall: the row above is
+    # bounded by whatever cross-source overlap the synthetic corpus
+    # happens to contain (possibly none); light paraphrase is the
+    # regime the fuzzy decontaminator exists for, so measure it
+    # directly -- 50 corpus docs with every 10th word dropped become a
+    # synthetic bench set, and recall is the fraction of planted
+    # (source, paraphrase) pairs the LSH plan emits. The exact
+    # brute-force twin is measured alongside: the gap LSH-vs-exact is
+    # candidate loss; exact-vs-1.0 is threshold loss from the
+    # perturbation itself.
+    from solana_data_etl_pipeline_spark.operators.dedup import cross_corpus_near_dup
+
+    _p_offset = 100_000
+    _pb_rows = []
+    for r in _docs_tbl.orderBy("doc_id").limit(50).collect():
+        words = r["text"].split()
+        kept = [w for i, w in enumerate(words) if i % 10 != 9]
+        _pb_rows.append((_p_offset + int(r["doc_id"]), " ".join(kept)))
+    _pb = spark.createDataFrame(_pb_rows, "doc_id long, text string")
+    planted = {(bid - _p_offset, bid) for bid, _ in _pb_rows}
+    got_pp = {
+        (r["doc_id"], r["bench_id"])
+        for r in cross_corpus_near_dup(_docs_tbl, _pb, threshold=0.2).collect()
+    }
+    exact_pp = {
+        (r["doc_id"], r["bench_id"])
+        for r in cross_corpus_near_dup_bruteforce(_docs_tbl, _pb, threshold=0.2).collect()
+    }
+    recall["benchmark_near_dup_paraphrase"] = round(
+        len(planted & got_pp) / len(planted), 3
+    )
+    recall["benchmark_near_dup_paraphrase_exact"] = round(
+        len(planted & exact_pp) / len(planted), 3
+    )
+
+    # incremental decontamination recall: the delta_containment probe
+    # (uncapped materialized winnowing index, %10 split) vs the exact
+    # containment truth restricted to cross (batch x corpus) pairs --
+    # reuses the brute-force set computed above.
+    cross_truth = {
+        p
+        for p in exact_cont
+        if sum(1 for x in p if x % 10 == 7) == 1
+    }
+    got_delta = {
+        frozenset((r["delta_id"], r["corpus_id"]))
+        for r in full["delta_containment"](spark, sf_dir).collect()
+    }
+    recall["delta_containment"] = round(
+        len(cross_truth & got_delta) / max(len(cross_truth), 1), 3
+    )
+
     # cap-coverage diagnostics for every capped LSH family (the 'no
     # silent caps' observability frames): est_pair_coverage ~0 on a
     # family means its registered capped pair plan is in the

@@ -1177,13 +1177,28 @@ def delta_containment(
     )
 
 
+#: Decontamination-tuned LSH scheme for cross_corpus_near_dup: 16
+#: bands x 2 rows puts the s-curve threshold at (1/16)^(1/2) = 0.25,
+#: vs 0.71 for the dedup default (4x4). The difference is the point:
+#: lightly-paraphrased contamination sits at Jaccard ~0.4-0.6, where
+#: the dedup scheme's candidate probability collapses (measured:
+#: planted every-10th-word-drop paraphrases, J~0.55 -> recall 0.32,
+#: exactly the analytic 1-(1-J^4)^4; the 16x2 scheme's analytic
+#: probability there is 0.997). Cost is 4x the band rows -- paid on
+#: the BOUNDED bench side's broadcast and one wider corpus projection,
+#: not on any shuffle.
+DECON_HASHES = 32
+DECON_BANDS = 16
+DECON_ROWS = DECON_HASHES // DECON_BANDS  # 2
+
+
 def cross_corpus_near_dup(
     corpus: DataFrame,
     bench: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
-    num_hashes: int = MINHASH_HASHES,
-    bands: int = MINHASH_BANDS,
+    num_hashes: int = DECON_HASHES,
+    bands: int = DECON_BANDS,
 ) -> DataFrame:
     """Near-dup decontamination JOIN between two corpora: verified
     MinHash-LSH matches of corpus docs against a benchmark/eval set --

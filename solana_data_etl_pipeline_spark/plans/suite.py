@@ -1677,14 +1677,14 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     ),
 }
 
-def _minhash_sigs_sql() -> str:
+def _minhash_sigs_sql(num_hashes: int = D.MINHASH_HASHES) -> str:
     """Mirror of dedup.minhash_signatures: md5 base hash once per
     shingle, affine rehash per seed, per-doc min."""
-    a, b = D.minhash_coeffs()
+    a, b = D.minhash_coeffs(num_hashes)
     mins = ",\n           ".join(
-        f"min(({a[s]} * base + {b[s]}) % {D.MINHASH_MOD}) AS h{s}" for s in range(D.MINHASH_HASHES)
+        f"min(({a[s]} * base + {b[s]}) % {D.MINHASH_MOD}) AS h{s}" for s in range(num_hashes)
     )
-    arr = ", ".join(f"h{s}" for s in range(D.MINHASH_HASHES))
+    arr = ", ".join(f"h{s}" for s in range(num_hashes))
     base = H64_SQL.format(x="g") + " % 2147483648"
     return f"""
 sigs AS (
@@ -2200,8 +2200,18 @@ SELECT DISTINCT cluster_id AS doc_id FROM cl
 # near-dup decontamination join: signatures depend only on doc text,
 # so the oracle computes the one corpus-wide minhash/band pipeline
 # (shared verbatim with dedup_minhash_lsh) and splits by source
+# decontamination runs the 16-band x 2-row scheme (dedup.DECON_*:
+# s-curve threshold 0.25 so J~0.5 paraphrase pairs collide with
+# p~0.997, vs 0.32 under the 4x4 dedup scheme -- measured in bench.py
+# benchmark_near_dup_paraphrase), so its oracle re-derives sigs/bands
+# at that scheme instead of reusing the dedup prefix
 DEDUP_SQL["benchmark_near_dup"] = (
-    DEDUP_SQL["dedup_minhash_lsh"].rsplit(",\nkept AS", 1)[0]
+    f"""WITH {SHINGLES_SQL},
+{_minhash_sigs_sql(D.DECON_HASHES)},
+bands AS (
+  SELECT doc_id, b AS band, md5(array_to_string(mh[b*{D.DECON_ROWS}+1 : b*{D.DECON_ROWS}+{D.DECON_ROWS}], ',')) AS band_sig
+  FROM sigs, UNNEST(range(0, {D.DECON_BANDS})) AS u(b)
+)"""
     + f""",
 cb AS (
   SELECT bands.* FROM bands JOIN documents d USING (doc_id)
