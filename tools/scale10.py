@@ -62,6 +62,15 @@ HEAVY = [
     "benchmark_near_dup",
     "bpe_merge_stats",
     "tokenize_corpus",
+    # round-8 registrants
+    "simhash_dedup_keepers",
+    "winnow_overlap_pairs",
+    "corpus_curation_v2",
+    "tokenize_pack",
+    "delta_containment",
+    "source_quota_hot",
+    "gopher_quality",
+    "c4_clean",
 ]
 
 
