@@ -96,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
         help="hard cap on total corpus tokens; each batch admits its "
         "best-scored docs within the remaining budget",
     )
+    p_scorp.add_argument(
+        "--gates",
+        choices=["simple", "published"],
+        default="simple",
+        help="quality-gate generation: 'simple' = MIN_TOKENS/alpha "
+        "constants, 'published' = C4 page cleaning + the full Gopher "
+        "rule conjunction (the corpus_curation_v2 gates)",
+    )
 
     p_corp = sub.add_parser("corpus", help="run the training-corpus pipeline over a documents table")
     p_corp.add_argument("--documents", required=True, help="path to a documents parquet table")
@@ -262,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
             target_frac=args.target_frac,
             token_budget=args.token_budget,
             policy_log_dir=f"{out}/policy_rates" if args.temperature_tau is not None else None,
+            gates=args.gates,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()

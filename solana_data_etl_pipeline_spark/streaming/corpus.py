@@ -37,10 +37,17 @@ DOC_LANDING_SCHEMA = (
 )
 
 
-def document_features_batch(good: DataFrame) -> DataFrame:
+def document_features_batch(good: DataFrame, gates: str = "simple") -> DataFrame:
     """Gated, deduplicated (batch-internal), feature-annotated corpus
     rows from one micro-batch of parsed landing-zone documents. Pure
-    batch logic so tests and backfills reuse it identically."""
+    batch logic so tests and backfills reuse it identically.
+
+    `gates` mirrors the batch pipeline's two gate generations:
+    "simple" = the MIN_TOKENS/alpha constants (corpus_selection /
+    corpus_curation), "published" = C4 page cleaning + the full Gopher
+    rule conjunction (corpus_curation_v2). Both are zero-shuffle
+    per-doc projections, so the choice changes WHICH scan-fused
+    predicates gate the batch, not the plan shape."""
     feats = X.doc_features(good).select(
         "doc_id", "n_tokens", "alpha_ratio", "predicted_lang", "fingerprint"
     )
@@ -49,8 +56,22 @@ def document_features_batch(good: DataFrame) -> DataFrame:
         good.select("doc_id", "text", "lang", "source", "ingest_time")
         .join(feats, "doc_id")
         .join(pii, "doc_id")
-        .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO))
     )
+    if gates == "published":
+        c4 = X.c4_clean(good).select("doc_id", "page_filtered")
+        gq = X.gopher_quality(good).select("doc_id", "gopher_pass")
+        annotated = (
+            annotated.join(c4, "doc_id")
+            .join(gq, "doc_id")
+            .filter(~F.col("page_filtered") & F.col("gopher_pass"))
+            .drop("page_filtered", "gopher_pass")
+        )
+    elif gates == "simple":
+        annotated = annotated.filter(
+            (F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        )
+    else:
+        raise ValueError(f"unknown gate policy: {gates!r}")
     # batch-internal exact dedup: first doc_id wins per content hash
     w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
     return (
@@ -130,6 +151,7 @@ def run_document_stream(
     target_frac: float = 0.5,
     token_budget: int | None = None,
     policy_log_dir: str | None = None,
+    gates: str = "simple",
 ):
     """Landing zone -> quarantine split -> gates + features -> exact
     dedup -> (optional) NEAR-dup dedup -> language-partitioned corpus
@@ -356,7 +378,7 @@ def run_document_stream(
         batch_df.persist()
         try:
             good, quarantine = split_corrupt(batch_df, required_col="doc_id")
-            kept = document_features_batch(good)
+            kept = document_features_batch(good, gates=gates)
             # cross-batch dedup: drop content already in the corpus
             # (narrow try: only the path-probing read may mean "first
             # batch" -- a failure in the join itself must propagate)

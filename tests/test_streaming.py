@@ -824,3 +824,39 @@ def test_document_stream_token_budget(spark, tmp_path):
     run_document_stream(spark, land, out, quar, ckpt, token_budget=budget)
     rows3 = spark.read.parquet(out).collect()
     assert sum(r.n_tokens for r in rows3) <= budget
+
+
+def test_document_stream_published_gates(spark, tmp_path):
+    """gates='published' swaps the MIN_TOKENS/alpha constants for the
+    C4 page gate + Gopher rule conjunction (the corpus_curation_v2
+    gates): a Gopher-passing doc survives, a brace-marked page and a
+    stopword-free doc are dropped."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    # >= 50 words, mean word length in [3,10], stopwords present
+    passing = " ".join(
+        "the quick brown fox jumps over that lazy dog with steady paces".split()
+        * 5
+    )
+    braces = passing + " { code block }"          # C4 page blocklist
+    no_stop = " ".join(f"word{i}" for i in range(60))  # zero stopword hits
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, passing) + "\n")
+        f.write(_doc(2, braces) + "\n")
+        f.write(_doc(3, no_stop) + "\n")
+
+    run_document_stream(spark, land, out, quar, ckpt, gates="published")
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
