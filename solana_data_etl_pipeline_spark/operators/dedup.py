@@ -1137,14 +1137,20 @@ def delta_containment(
     delta_id to admit only clean docs.
 
     Scale shape: the delta's fingerprints and shingles are
-    zero-shuffle projections of the BATCH; the candidate join
-    BROADCASTS the delta fingerprints against one scan of the index
-    (the corpus never shuffles), and the verify joins BROADCAST the
-    delta-bounded candidate list and the delta shingles against one
-    scan of the index shingles -- per-batch cost is O(delta +
-    index-scan), not O(corpus LSH rebuild). Both broadcasts are
-    bounded by construction (batch-sized), which is exactly the
-    frame class SCALE.md's broadcast policy admits."""
+    zero-shuffle projections of the BATCH and broadcast (bounded by
+    the batch contract -- the frame class SCALE.md's policy admits);
+    the candidate join therefore scans the index once without
+    shuffling the corpus. The candidate LIST is deliberately NOT
+    broadcast: its size is delta-width x bucket-width, which grows
+    with the CORPUS against an uncapped index (measured: the 10x
+    sweep's forced-broadcast form died on driver.maxResultSize), so
+    the verify join against the index shingles is left to the
+    planner (sort-merge at scale) with only the delta shingles
+    broadcast -- the same shape as delta_match_pairs' corpus-hits
+    verify. Production indexes should be built with
+    materialize_winnow's max_bucket, which bounds candidates at
+    delta_fp_rows x cap regardless of corpus size; the registered
+    query does exactly that with the cap mirrored in its oracle."""
     from solana_data_etl_pipeline_spark.operators.text import winnow_fingerprints
 
     idx_fp = spark.read.parquet(f"{index_path}/fingerprints")
@@ -1169,8 +1175,7 @@ def delta_containment(
         inter / F.least(F.size(F.col("ds.sh")), F.size(F.col("cs.sh"))), 4
     )
     return (
-        idx_sh.alias("cs")
-        .join(F.broadcast(cand), F.col("cs.doc_id") == cand.corpus_id)
+        cand.join(idx_sh.alias("cs"), F.col("cs.doc_id") == cand.corpus_id)
         .join(F.broadcast(d_sh.alias("ds")), cand.delta_id == F.col("ds.doc_id"))
         .select("delta_id", "corpus_id", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)

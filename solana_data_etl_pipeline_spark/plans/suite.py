@@ -1510,7 +1510,9 @@ def _delta_winnow_index(spark: SparkSession, sf_dir: str) -> str:
 
         docs = load_table(spark, sf_dir, "documents")
         path = tempfile.mkdtemp(prefix="winnow_index_")
-        D.materialize_winnow(docs.filter(~(F.col("doc_id") % 10 == 7)), path)
+        D.materialize_winnow(
+            docs.filter(~(F.col("doc_id") % 10 == 7)), path, max_bucket=DEDUP_MAX_BUCKET
+        )
         _DELTA_WINNOW_INDEX[sf_dir] = path
         atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
@@ -1519,9 +1521,11 @@ def _delta_winnow_index(spark: SparkSession, sf_dir: str) -> str:
 def _delta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental decontamination under the driver's hard signal:
     materialize the corpus (doc_id % 10 != 7) winnowing index, probe
-    it with the ingest batch (doc_id % 10 == 7). Uncapped index so
-    the oracle reproduces candidates exactly (the cap is exercised
-    under oracle by containment_pairs/winnow_cap_stats)."""
+    it with the ingest batch (doc_id % 10 == 7). The index is built
+    with the standard bucket cap -- the production shape, since an
+    uncapped index lets the candidate list grow as delta-width x
+    bucket-width with corpus size (the 10x sweep measured the blowup)
+    -- and the oracle mirrors the corpus-side cap exactly."""
     docs = load_table(spark, sf_dir, "documents")
     path = _delta_winnow_index(spark, sf_dir)
     return D.delta_containment(
@@ -1943,10 +1947,16 @@ WHERE containment >= 0.5
 # materialized-index probe must reproduce
 DEDUP_SQL["delta_containment"] = _WINNOW_PREFIX + f""",
 fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m),
+cfp AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT *, count(*) OVER (PARTITION BY fingerprint) AS w
+    FROM fp WHERE doc_id % 10 <> 7
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
-  FROM fp d JOIN fp c ON d.fingerprint = c.fingerprint
-  WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+  FROM fp d JOIN cfp c ON d.fingerprint = c.fingerprint
+  WHERE d.doc_id % 10 = 7
 ),
 {SHINGLES_SQL}
 SELECT delta_id, corpus_id, containment FROM (
