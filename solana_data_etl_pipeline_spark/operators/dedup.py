@@ -679,6 +679,17 @@ def simhash_dedup_keepers(
     collides in every segment), so collapsing them first changes
     which pairs exist but not which doc_ids survive.
 
+    WIDTH DIAL (measured, SCALE.md round-8 sweep): the pigeonhole
+    bucket domain is fixed at 2^(bits/(max_hamming+1)) values per
+    segment, so once DISTINCT fingerprints outgrow it the rep join
+    turns quadratic -- at 100x (280k reps) the 32-bit default bends
+    to 19.6x/decade while bits=60 (32k-value segments) stays at
+    5.0x for 100x data. Keep 2^(bits/(h+1)) comfortably above
+    distinct-fingerprint count / target bucket width: 32-bit
+    saturates near 1e5 reps; use bits=60 beyond that (64 is
+    unavailable -- the 1<<63 bit-weight literal overflows a signed
+    long).
+
     Returns the kept doc_ids (one column, `doc_id`)."""
     fp = simhash(df, text_col, bits)
     reps = fp.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
