@@ -2610,11 +2610,13 @@ DRIVER_ORDER = [
     "failed_transactions",
     # --- round-7 entries kept for a second verdict (containment's
     #     capped default is semantics-flagged; leakage_free_split
-    #     went cluster-level only last round) ---
+    #     went cluster-level only last round). corpus_curation v1
+    #     (green r7) rotates out -- corpus_curation_v2 strictly
+    #     contains its composition; winnow_overlap_pairs (green r7)
+    #     rotates out -- containment_pairs exercises the same capped
+    #     winnowing join in-driver. Both stay oracle-swept. ---
     "containment_pairs",
     "leakage_free_split",
-    "winnow_overlap_pairs",
-    "corpus_curation",
     # --- round-5/6 entries kept ---
     "delta_dedup",
     "simhash_near_dup",
