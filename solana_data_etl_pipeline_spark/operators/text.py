@@ -1214,6 +1214,88 @@ def pack_sequences(
     )
 
 
+def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ONE-SCAN fusion of the corpus_curation_v2 gate signals:
+    c4_clean's page verdict + kept-line count, gopher_quality's
+    signals + rule conjunction, and quality_scores' char-level
+    alpha_ratio, computed in a single zero-shuffle projection over
+    one bound (token-array, line-array) pair. Exists because the
+    composed pipeline joining the three standalone operators pays
+    three corpus-keyed joins for signals that are all per-row
+    expressions of the same scan; the fusion is pinned
+    COLUMN-IDENTICAL to that composition by test
+    (tests/test_text.py), same standard as doc_features vs its
+    standalone operators. Measured honestly (SCALE.md): at sf0.1 the
+    two forms are a WASH (the gate frames are small enough that the
+    composition's joins all broadcast; interpreted-HOF re-evaluation
+    costs the fusion about what the joins cost the composition), and
+    at 100x fused is slightly ahead (21.0 vs 22.6 s) -- the fusion's
+    claim is the ASYMPTOTE: it has zero corpus-keyed exchanges where
+    the composition grows three once the gate frames outgrow the
+    broadcast threshold. Returns (doc_id, n_words, alpha_ratio,
+    kept_lines, page_filtered, gopher_pass)."""
+    bound = df.select(
+        "doc_id",
+        F.col(text_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
+        ).alias("_w"),
+        F.split(F.col(text_col), "\n").alias("_ln"),
+    )
+    n_words = F.size("_w")
+    mean_wl = F.aggregate(
+        F.col("_w"), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
+    symbols = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col(text_col), F.lit("…"))
+    )
+    n_lines = F.size("_ln")
+    bullet_frac = F.size(
+        F.filter(F.col("_ln"), lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ) / F.greatest(n_lines, F.lit(1))
+    ellipsis_frac = F.size(
+        F.filter(F.col("_ln"), lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    ) / F.greatest(n_lines, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(F.col("_w"), lambda w: w.rlike(r"\p{L}"))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(F.filter(F.col("_w"), lambda w: w.isin(GOPHER_STOPWORDS)))
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    gpass = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.round(mean_wl, 4).between(lo, hi)
+        & (F.round(symbols / F.greatest(n_words, F.lit(1)), 4) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.round(bullet_frac, 4) <= GOPHER_MAX_BULLET_FRAC)
+        & (F.round(ellipsis_frac, 4) <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.round(alpha_frac, 4) >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    keep_line = lambda l: (  # noqa: E731
+        F.trim(l).rlike("[.!?][\"']?$")
+        & (F.size(F.split(F.trim(l), r"\s+")) >= C4_MIN_LINE_WORDS)
+    )
+    bad = None
+    for marker in C4_PAGE_BLOCKLIST:
+        cond = F.contains(F.lower(F.col(text_col)), F.lit(marker))
+        bad = cond if bad is None else (bad | cond)
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]", ""))
+    return bound.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            alpha_chars / F.greatest(F.length(F.col(text_col)), F.lit(1)), 4
+        ).alias("alpha_ratio"),
+        F.when(bad, F.lit(0))
+        .otherwise(F.size(F.filter(F.col("_ln"), keep_line)))
+        .cast("long")
+        .alias("kept_lines"),
+        bad.alias("page_filtered"),
+        gpass.alias("gopher_pass"),
+    )
+
+
 def tokenize_pack(
     df: DataFrame,
     vocab_size: int = 1000,

@@ -138,9 +138,12 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
 
     docs = load_table(spark, sf_dir, "documents")
-    c4 = X.c4_clean(docs).select("doc_id", "kept_lines", "page_filtered")
-    gq = X.gopher_quality(docs).select("doc_id", "n_words", "gopher_pass")
-    quality = X.quality_scores(docs).select("doc_id", "alpha_ratio")
+    # one-scan fused gate signals (c4 + gopher + alpha_ratio): the
+    # three standalone operators are per-row projections of the SAME
+    # scan, so joining them would pay three corpus-keyed joins for
+    # zero information -- curation_gates is pinned column-identical
+    # to that composition by test
+    gates = X.curation_gates(docs)
     keepers = D.exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
     split = D.leakage_free_split(
         docs,
@@ -150,9 +153,7 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = (
         docs.select("doc_id", "source")
-        .join(c4, "doc_id")
-        .join(gq, "doc_id")
-        .join(quality, "doc_id")
+        .join(gates, "doc_id")
         .join(keepers, "doc_id")  # semi-join shape: keepers has unique doc_id
         .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
         .filter(~F.col("page_filtered") & F.col("gopher_pass"))

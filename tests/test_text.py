@@ -740,3 +740,39 @@ def test_source_quota_hot_matches_rank_form_with_planted_hot_source(spark):
             per_src[s] = per_src.get(s, 0) + 1
         assert per_src["hot"] == quota
         assert all(v <= quota for v in per_src.values())
+
+
+def test_curation_gates_column_identical_to_composition(spark):
+    """The fused one-scan gate projection equals the three standalone
+    operators joined on doc_id, column for column -- the doc_features
+    standard for every fused scorer here."""
+    from solana_data_etl_pipeline_spark.operators.text import (
+        c4_clean,
+        curation_gates,
+        gopher_quality,
+        quality_scores,
+    )
+
+    rows = [
+        (1, " ".join("the quick brown fox and that lazy dog have words with".split() * 6)),
+        (2, "Short line.\nAnother proper sentence with enough words here.\n- bullet"),
+        (3, "lorem ipsum boilerplate page with the usual markers in it"),
+        (4, "word " * 60 + "{ code }"),
+        (5, ""),
+        (6, "…trailing ellipsis line…\n# symbols ### everywhere ..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {r.doc_id: r.asDict() for r in curation_gates(df).collect()}
+    composed = {
+        r.doc_id: r.asDict()
+        for r in (
+            gopher_quality(df)
+            .select("doc_id", "n_words", "gopher_pass")
+            .join(c4_clean(df).select("doc_id", "kept_lines", "page_filtered"), "doc_id")
+            .join(quality_scores(df).select("doc_id", "alpha_ratio"), "doc_id")
+        ).collect()
+    }
+    assert set(fused) == set(composed)
+    for i in fused:
+        for k, v in composed[i].items():
+            assert fused[i][k] == v, (i, k, fused[i][k], v)
