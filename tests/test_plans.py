@@ -291,3 +291,71 @@ def test_corpus_curation_stays_jvm_side(plans):
     assert "EvalPython" not in p
     assert "MapInPandas" not in p
     assert "CartesianProduct" not in p
+
+
+def test_curation_v2_gate_stage_zero_extra_exchanges(plans):
+    # the fused gate projection must add NO corpus-keyed exchange over
+    # v1's composition: v2 == v1's spine (exact-dedup window + LSH
+    # band pipeline + split/mix/budget) with gates as scan-fused
+    # predicates. Pin v2's exchange count to at most v1's + 1 (the
+    # single gate-frame join can add one at most when AQE declines to
+    # broadcast); also keep it JVM-side like v1.
+    v1 = plans("corpus_curation").count("Exchange")
+    v2 = plans("corpus_curation_v2")
+    assert v2.count("Exchange") <= v1 + 1, (v2.count("Exchange"), v1)
+    assert "EvalPython" not in v2 and "CartesianProduct" not in v2
+
+
+def test_curation_gates_is_zero_shuffle_projection(spark):
+    from solana_data_etl_pipeline_spark.operators.text import curation_gates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = curation_gates(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_tokenize_pack_vocab_broadcast_and_bounded_exchanges(plans):
+    # the vocabulary must reach the token stream as a BROADCAST (a
+    # shuffle join keyed on token would shuffle the corpus-scale
+    # stream), the top-V selection must be TakeOrderedAndProject
+    # (never a global sort of the unbounded vocab), and the whole
+    # plan's exchange budget stays small: vocab agg, doc reassembly,
+    # pack join/window
+    p = plans("tokenize_pack")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange") <= 6, p.count("Exchange")
+
+
+def test_delta_containment_candidate_list_never_broadcast_by_us(plans):
+    # the candidate list is delta-width x bucket-width: NOT bounded by
+    # construction, so the plan must not carry a forced broadcast of
+    # it (the 10x sweep measured the driver.maxResultSize blowup).
+    # The batch-bounded delta fingerprints/shingles MAY broadcast --
+    # so the pin is structural: no BroadcastExchange may sit above the
+    # candidate join's aggregate (the shared-count groupBy).
+    p = plans("delta_containment")
+    # the aggregate producing the candidate list feeds a join; if a
+    # broadcast of it regressed in, the plan would show
+    # BroadcastExchange directly consuming the HashAggregate chain on
+    # (delta_id, corpus_id). Assert the verify join consumes it via a
+    # non-broadcast child instead.
+    import re
+
+    assert not re.search(
+        r"BroadcastExchange[^\n]*\n[^\n]*HashAggregate[^\n]*corpus_id", p
+    ), "candidate list is broadcast again"
+
+
+def test_source_quota_hot_no_per_source_row_window(plans):
+    # the fallback exists to avoid sorting a whole source in one task:
+    # every row-level window must partition by (source, bucket), never
+    # by source alone; the only source-partitioned window runs over
+    # the bucket-AGGREGATED frame (bounded rows per source)
+    p = plans("source_quota_hot")
+    # row_number windows in the plan: the within-bucket rank
+    assert "row_number" in p
+    # the per-source cumulative runs over the aggregated stats frame:
+    # its window spec appears after a HashAggregate, not over the scan
+    assert p.count("Window") <= 2
