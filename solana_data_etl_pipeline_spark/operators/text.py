@@ -393,6 +393,37 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pii_hits", total).withColumn("has_pii", F.col("pii_hits") > 0)
 
 
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII REDACTION -- the acting sibling of pii_scan: every match of
+    each pattern is replaced in the text with its typed placeholder
+    (`<EMAIL>`, `<PHONE>`, ...), the standard pre-training rewrite
+    when dropping whole documents would waste the surrounding text.
+    Patterns apply in the fixed PII_PATTERNS order (longest-structure
+    kinds like emails first), each over the OUTPUT of the previous
+    rewrite, so both engines compose identically. Returns
+    (doc_id, redacted_count, clean_text).
+
+    Scale shape: a chain of regexp_replace projections fused into the
+    scan -- ZERO shuffles, like every per-doc rewrite here;
+    redacted_count is pii_scan's total recomputed on the original
+    text in the same projection."""
+    clean = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
+    total = sum(
+        (
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            for pat in PII_PATTERNS.values()
+        ),
+        F.lit(0).cast("long"),
+    )
+    return df.select(
+        "doc_id",
+        total.alias("redacted_count"),
+        clean.alias("clean_text"),
+    )
+
+
 def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level contamination rates: per-kind document frequency
     and hit totals in one partial+final aggregation over the scan."""
@@ -1348,6 +1379,41 @@ def tokenize_pack(
             "last_seq",
             "token_ids",
         )
+    )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard packing HEALTH for the pack_sequences layout: how
+    many fixed-`budget` sequences each shard yields and how much of
+    the final sequence is padding waste -- the number a training job
+    actually budgets GPUs by (sequences, not documents). Returns
+    (<shard_col>, n_docs, total_tokens, n_sequences, padding_tokens,
+    fill_ratio); fill_ratio = total/(n_sequences*budget), 1.0 = no
+    waste.
+
+    Scale shape: pack_sequences' one shard-partitioned window, then a
+    groupBy on the SAME shard key -- the aggregation reuses the
+    window's partitioning, so no additional exchange appears (pinned
+    in tests/test_plans.py)."""
+    packed = pack_sequences(df, budget=budget, shard_col=shard_col, id_col=id_col)
+    agg = packed.groupBy(shard_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("last_seq") + 1).cast("long").alias("n_sequences"),
+    )
+    cap = F.col("n_sequences") * budget
+    return agg.select(
+        shard_col,
+        "n_docs",
+        "total_tokens",
+        "n_sequences",
+        (cap - F.col("total_tokens")).cast("long").alias("padding_tokens"),
+        F.round(F.col("total_tokens") / cap, 4).alias("fill_ratio"),
     )
 
 

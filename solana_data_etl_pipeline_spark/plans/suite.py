@@ -711,6 +711,12 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "corpus_curation_v2": C.corpus_curation_v2,
     "stratified_sample": _docs(X.stratified_sample_stats),
     "pii_stats": _docs(X.pii_stats),
+    # the acting sibling of pii_scan: typed-placeholder rewrite
+    "pii_redact": _docs(X.pii_redact),
+    # per-shard packing waste under the pack_sequences layout
+    "packing_efficiency": _docs(
+        lambda df: X.packing_efficiency(df, budget=_PACK_BUDGET)
+    ),
     "weighted_mix": _docs(
         lambda df: X.weighted_mix(df, _MIX_WEIGHTS).select("doc_id", "source", "lang")
     ),
@@ -961,6 +967,51 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN pii_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
        {_PII_AGGS}
 FROM t
+"""
+
+# redaction chain generated from the same pattern table, applied in
+# the same order over the previous rewrite's output on both engines
+_PII_REDACT = "text"
+for _kind, _pat in X.PII_PATTERNS.items():
+    _PII_REDACT = f"regexp_replace({_PII_REDACT}, '{_pat}', '<{_kind.upper()}>', 'g')"
+_PII_COUNT_TOTAL = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))" for pat in X.PII_PATTERNS.values()
+)
+
+TEXT_SQL["pii_redact"] = f"""
+SELECT doc_id,
+       CAST({_PII_COUNT_TOTAL} AS BIGINT) AS redacted_count,
+       {_PII_REDACT} AS clean_text
+FROM documents
+"""
+
+# packing health: the pack_sequences CTE grouped per shard
+TEXT_SQL["packing_efficiency"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT source, n_tokens,
+         CAST((cum - n_tokens + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq
+  FROM c
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(max(last_seq) + 1 AS BIGINT) AS n_sequences
+  FROM p GROUP BY source
+)
+SELECT source, n_docs, total_tokens, n_sequences,
+       CAST(n_sequences * {_PACK_BUDGET} - total_tokens AS BIGINT) AS padding_tokens,
+       round(total_tokens / (n_sequences * {_PACK_BUDGET}), 4) AS fill_ratio
+FROM g
 """
 
 TEXT_SQL["weighted_mix"] = f"""
@@ -2603,6 +2654,8 @@ DRIVER_ORDER = [
     "tokenize_pack",
     "delta_containment",
     "source_quota_hot",
+    "pii_redact",
+    "packing_efficiency",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---

@@ -776,3 +776,44 @@ def test_curation_gates_column_identical_to_composition(spark):
     for i in fused:
         for k, v in composed[i].items():
             assert fused[i][k] == v, (i, k, fused[i][k], v)
+
+
+def test_pii_redact_planted_patterns(spark):
+    """Typed placeholders replace every match; clean documents pass
+    through byte-identical; counts equal pii_scan totals."""
+    from solana_data_etl_pipeline_spark.operators.text import pii_redact, pii_scan
+
+    rows = [
+        (1, "contact alice@example.com or bob@test.org today"),
+        (2, "call 555-123-4567 from 10.0.0.1 about ssn 123-45-6789"),
+        (3, "a perfectly clean sentence with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert "<EMAIL>" in got[1].clean_text and "alice@example.com" not in got[1].clean_text
+    assert got[1].clean_text.count("<EMAIL>") == 2
+    assert "<IPV4>" in got[2].clean_text and "10.0.0.1" not in got[2].clean_text
+    assert "<SSN_LIKE>" in got[2].clean_text or "<PHONE>" in got[2].clean_text
+    assert got[3].clean_text == rows[2][1]
+    assert got[3].redacted_count == 0
+    scan = {r.doc_id: r.pii_hits for r in pii_scan(df).collect()}
+    for i in got:
+        assert got[i].redacted_count == scan[i]
+
+
+def test_packing_efficiency_hand_model(spark):
+    """Two shards with known token streams: sequence counts and waste
+    follow the budget arithmetic exactly."""
+    from solana_data_etl_pipeline_spark.operators.text import packing_efficiency
+
+    rows = [
+        (1, "a b c d", "s1"),     # 4 tokens
+        (2, "e f g", "s1"),       # 3 -> s1 total 7, budget 4 -> 2 seqs, 1 pad
+        (3, "h i j k l", "s2"),   # 5 -> 2 seqs, 3 pad
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in packing_efficiency(df, budget=4).collect()}
+    assert got["s1"].n_sequences == 2 and got["s1"].padding_tokens == 1
+    assert got["s1"].fill_ratio == 0.875
+    assert got["s2"].n_sequences == 2 and got["s2"].padding_tokens == 3
+    assert got["s2"].total_tokens == 5 and got["s2"].n_docs == 1
