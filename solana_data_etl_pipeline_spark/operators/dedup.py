@@ -1399,6 +1399,114 @@ def embedding_near_dup_lsh(
     )
 
 
+def materialize_embedding_lsh(
+    emb_df: DataFrame,
+    path: str,
+    n_tables: int = 2,
+    max_bucket: int | None = None,
+) -> None:
+    """Write the corpus EMBEDDING near-dup index -- the vector twin of
+    materialize_minhash/materialize_winnow, completing the
+    materialized-index story across all three dedup families:
+    `{path}/buckets` = (vec_id, table, bucket, v, n) hyperplane-LSH
+    bucket rows carrying the normalized vector payload, so probes
+    verify exact cosine FROM THE INDEX without rereading embeddings.
+    `max_bucket` caps degenerate (table, bucket) groups at build time
+    (one count window, amortized over every probe) -- the production
+    shape, since the bucket domain is constant (2^planes values) and
+    widths grow with the corpus."""
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        LSH_PLANES,
+        _dvec,
+        norm_expr,
+        table_bucket_col,
+    )
+
+    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
+    v = emb_df.select(
+        F.col("vec_id"),
+        _dvec(F.col("embedding")).alias("v"),
+        norm_expr(F.col("embedding")).alias("n"),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    if max_bucket is not None:
+        wspec = Window.partitionBy("table", "bucket")
+        v = (
+            v.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
+    v.write.mode("overwrite").parquet(f"{path}/buckets")
+
+
+def delta_embedding_dedup(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Incremental embedding dedup: the vec_ids of a delta batch that
+    survive against an already-materialized hyperplane-LSH index
+    (materialize_embedding_lsh) -- the embedding mirror of
+    delta_dedup_materialized. Drop rule, deterministic and set-based:
+    a delta vector is dropped iff it verifies (exact cosine >=
+    threshold) against ANY index vector it shares a (table, bucket)
+    with, or against a SMALLER-ID delta vector (min-id-wins within
+    the batch).
+
+    Scale shape: the delta's bucket rows (vector payload included)
+    are bounded by the batch contract and BROADCAST against one scan
+    of the index -- candidate generation AND the cosine verify happen
+    in that single join (both sides carry vectors), so the corpus
+    never shuffles and nothing unbounded is ever broadcast; the
+    batch-internal join is delta x delta, broadcast likewise."""
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        LSH_PLANES,
+        _dvec,
+        dot_raw,
+        norm_expr,
+        table_bucket_col,
+    )
+
+    idx = spark.read.parquet(f"{index_path}/buckets")
+    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
+    d = delta.select(
+        F.col("vec_id"),
+        _dvec(F.col("embedding")).alias("v"),
+        norm_expr(F.col("embedding")).alias("n"),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    cos_ic = dot_raw(F.col("c.v"), F.col("d.v")) / (F.col("c.n") * F.col("d.n"))
+    corpus_dropped = (
+        idx.alias("c")
+        .join(
+            F.broadcast(d.alias("d")),
+            (F.col("c.table") == F.col("d.table"))
+            & (F.col("c.bucket") == F.col("d.bucket")),
+        )
+        .filter(cos_ic >= threshold)
+        .select(F.col("d.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    l, r = d.alias("l"), d.alias("r")
+    cos_dd = dot_raw(F.col("l.v"), F.col("r.v")) / (F.col("l.n") * F.col("r.n"))
+    batch_dropped = (
+        l.join(
+            F.broadcast(r),
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .filter(cos_dd >= threshold)
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return delta.select("vec_id").join(
+        F.broadcast(corpus_dropped.unionByName(batch_dropped)), "vec_id", "left_anti"
+    )
+
+
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (doc_a < doc_b, cos >= threshold).
 

@@ -1584,6 +1584,43 @@ def _delta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("delta_id", "corpus_id")
 
 
+#: materialized embedding-LSH index dirs keyed by sf_dir -- same
+#: rationale and lifecycle as _DELTA_DEDUP_INDEX above.
+_DELTA_EMB_INDEX: dict[str, str] = {}
+
+
+def _delta_embedding_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _DELTA_EMB_INDEX.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="emb_lsh_index_")
+        D.materialize_embedding_lsh(
+            emb.filter(~(F.col("vec_id") % 10 == 7)), path, max_bucket=DEDUP_MAX_BUCKET
+        )
+        _DELTA_EMB_INDEX[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def _delta_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup under the driver's hard signal:
+    materialize the corpus (vec_id % 10 != 7) hyperplane-LSH index
+    with the standard bucket cap (the constant 2^planes bucket domain
+    makes widths grow with the corpus -- same production-shape choice
+    as delta_containment), probe it with the batch (vec_id % 10 == 7)
+    at the registered suite's 0.35 threshold. Oracle mirrors the
+    corpus-side cap exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _delta_embedding_index(spark, sf_dir)
+    return D.delta_embedding_dedup(
+        spark, path, emb.filter(F.col("vec_id") % 10 == 7), threshold=0.35
+    ).orderBy("vec_id")
+
+
 def _delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup under the driver's hard signal:
     materialize the corpus (doc_id % 10 != 7) LSH index, probe it with
@@ -1627,6 +1664,10 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # materialized-index probe (corpus %10!=7 indexed once, batch
     # %10==7 checked against it at delta cost)
     "delta_containment": _delta_containment,
+    # incremental embedding dedup: the vector family's materialized
+    # index probe -- completes the delta story across all three
+    # dedup families
+    "delta_embedding_dedup": _delta_embedding_dedup,
     "dedup_clusters": _docs(
         lambda df: D.connected_components(
             D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
@@ -2334,6 +2375,35 @@ UNION ALL
 SELECT DISTINCT cluster_id AS vec_id FROM cl
 """
 
+# Incremental embedding dedup: bucket CTEs shared with the embedding
+# pair/keeper oracles; corpus-side rows capped (mirroring the capped
+# index build), candidates = batch x corpus + batch-internal, exact
+# cosine verify, min-id-wins within the batch.
+DEDUP_SQL["delta_embedding_dedup"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_table_buckets_sql(2)},
+ck AS (
+  SELECT vec_id, v, tbl, bkt FROM (
+    SELECT *, count(*) OVER (PARTITION BY tbl, bkt) AS w
+    FROM b WHERE vec_id % 10 <> 7
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+),
+dk AS (SELECT vec_id, v, tbl, bkt FROM b WHERE vec_id % 10 = 7),
+chit AS (
+  SELECT DISTINCT d.vec_id
+  FROM dk d JOIN ck c ON d.tbl = c.tbl AND d.bkt = c.bkt
+  WHERE list_dot_product(d.v, c.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
+),
+dpair AS (
+  SELECT DISTINCT r.vec_id
+  FROM dk l JOIN dk r ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id
+  WHERE list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.35
+),
+dropped AS (SELECT vec_id FROM chit UNION SELECT vec_id FROM dpair)
+SELECT vec_id FROM embeddings
+WHERE vec_id % 10 = 7 AND vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
 # Incremental dedup: same minhash/band pipeline, candidates restricted
 # to pairs involving the delta split, drop rules = corpus hit OR
 # smaller-id delta hit (min-id-wins within the batch).
@@ -2656,6 +2726,7 @@ DRIVER_ORDER = [
     "source_quota_hot",
     "pii_redact",
     "packing_efficiency",
+    "delta_embedding_dedup",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---
@@ -2670,10 +2741,11 @@ DRIVER_ORDER = [
     #     winnowing join in-driver. Both stay oracle-swept. ---
     "containment_pairs",
     "leakage_free_split",
-    # --- round-5/6 entries kept ---
+    # --- round-5/6 entries kept (dedup_keepers, green r5-r7, rotates
+    #     out -- its pairs->CC->representatives spine stays in-driver
+    #     via dedup_clusters and simhash_dedup_keepers) ---
     "delta_dedup",
     "simhash_near_dup",
-    "dedup_keepers",
     "repetition_stats",
     "knn_ivf_materialized",
     # --- core dedup/similarity/media suite ---

@@ -604,3 +604,47 @@ def test_materialize_winnow_build_time_cap(spark, tmp_path):
 
     delta = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
     assert delta_containment(spark, path, delta, threshold=0.5).count() == 0
+
+
+def test_delta_embedding_dedup_materialized_index(spark, tmp_path):
+    """Incremental embedding dedup: a batch vector nearly parallel to
+    an indexed corpus vector is dropped, an orthogonal one survives,
+    and batch-internal twins resolve min-id-wins."""
+    import math
+
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_embedding_dedup,
+        materialize_embedding_lsh,
+    )
+
+    dim = 8
+    base = [1.0] * dim
+    ortho = [1.0, -1.0] * (dim // 2)
+    corpus = spark.createDataFrame(
+        [(1, base), (2, ortho)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "eidx")
+    materialize_embedding_lsh(corpus, path)
+
+    near_base = [1.0] * (dim - 1) + [0.9]          # cos ~ 0.999 with base
+    fresh = [0.0] * (dim - 1) + [1.0]
+    delta = spark.createDataFrame(
+        [
+            (10, near_base),       # corpus hit -> dropped
+            (11, fresh),           # survives
+            (12, [x * 1.01 for x in fresh]),  # twin of 11 -> dropped (min-id)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept = sorted(
+        r.vec_id
+        for r in delta_embedding_dedup(spark, path, delta, threshold=0.95).collect()
+    )
+    assert kept == [11]
+
+    # replay invariance
+    again = sorted(
+        r.vec_id
+        for r in delta_embedding_dedup(spark, path, delta, threshold=0.95).collect()
+    )
+    assert again == kept
