@@ -267,6 +267,32 @@ def main() -> None:
         len(cross_truth & got_delta) / max(len(cross_truth), 1), 3
     )
 
+    # incremental embedding dedup: drop-decision recall vs the exact
+    # all-pairs cosine truth (reusing exact_cos). Ground truth: a
+    # batch vector (%10==7) must drop iff it has an above-threshold
+    # pair with a corpus vector or with a SMALLER-ID batch vector.
+    truth_drop = set()
+    for p in exact_cos:
+        a, b = sorted(p)
+        if b % 10 == 7:  # partner is corpus OR a smaller-id twin
+            truth_drop.add(b)
+        if a % 10 == 7 and b % 10 != 7:
+            truth_drop.add(a)
+    delta_ids = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 7)
+        .select("vec_id")
+        .collect()
+    }
+    survivors = {
+        r["vec_id"] for r in full["delta_embedding_dedup"](spark, sf_dir).collect()
+    }
+    got_drop = delta_ids - survivors
+    recall["delta_embedding_dedup_drops"] = round(
+        len(truth_drop & got_drop) / max(len(truth_drop), 1), 3
+    )
+
     # cap-coverage diagnostics for every capped LSH family (the 'no
     # silent caps' observability frames): est_pair_coverage ~0 on a
     # family means its registered capped pair plan is in the
@@ -346,6 +372,32 @@ def main() -> None:
                 if rr["neighbor_id"] == rr["query_id"] - offset:
                     hit[rr["query_id"]] = True
             recall[f"{name}_planted@.{tag}"] = round(len(hit) / len(rows), 3)
+
+    # planted drop-recall for the incremental embedding probe: the raw
+    # delta_embedding_dedup_drops row above is measured at the suite's
+    # stress threshold 0.35 (where 2-table sign-LSH collision is a few
+    # percent by design); ingest dedup's actual regime is near-dup, so
+    # perturb 50 INDEXED corpus vectors to cos 0.97 and measure the
+    # fraction the index probe correctly drops at threshold 0.95.
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_embedding_dedup as _ded,
+    )
+    from solana_data_etl_pipeline_spark.plans.suite import _delta_embedding_index
+
+    _eidx = _delta_embedding_index(spark, sf_dir)
+    rng2 = np.random.default_rng(43)
+    rows2 = []
+    for r in emb_tbl.filter(F.col("vec_id") % 10 != 7).orderBy("vec_id").limit(50).collect():
+        v = np.asarray(r["embedding"], dtype=float)
+        v = v / np.linalg.norm(v)
+        u = rng2.standard_normal(v.size)
+        u -= u.dot(v) * v
+        u /= np.linalg.norm(u)
+        vq = 0.97 * v + np.sqrt(1.0 - 0.97**2) * u
+        rows2.append((offset + int(r["vec_id"]), [float(x) for x in vq]))
+    pb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    kept2 = _ded(spark, _eidx, pb2, threshold=0.95).count()
+    recall["delta_embedding_dedup_planted@.97"] = round(1 - kept2 / len(rows2), 3)
 
     total = round(sum(timings.values()), 3)
     print(

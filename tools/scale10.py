@@ -71,6 +71,9 @@ HEAVY = [
     "source_quota_hot",
     "gopher_quality",
     "c4_clean",
+    "delta_embedding_dedup",
+    "pii_redact",
+    "packing_efficiency",
 ]
 
 
