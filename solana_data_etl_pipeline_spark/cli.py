@@ -151,6 +151,20 @@ def main(argv: list[str] | None = None) -> int:
         "(same seed replays byte-order identical shards)",
     )
     p_corp.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="BENCH_PARQUET",
+        help="drop corpus docs that near-dup match (MinHash-LSH at the "
+        "paraphrase-tuned 16x2 scheme + exact Jaccard verify) any doc "
+        "in this benchmark/eval parquet table (doc_id, text)",
+    )
+    p_corp.add_argument(
+        "--decon-threshold",
+        type=float,
+        default=0.5,
+        help="exact-Jaccard verify threshold for --decontaminate",
+    )
+    p_corp.add_argument(
         "--token-shards",
         type=int,
         default=None,
@@ -308,6 +322,23 @@ def main(argv: list[str] | None = None) -> int:
         pairs = D.minhash_lsh_pairs(docs, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
         kept = D.keep_representatives(docs, pairs)
         deduped = docs.join(kept, "doc_id", "left_semi")
+        if args.decontaminate:
+            # benchmark sets are bounded by construction, so the
+            # cross-corpus join broadcasts the bench side and the
+            # corpus never shuffles (operators/dedup.py
+            # cross_corpus_near_dup); contaminated doc_ids are a
+            # pairs-sized frame -- broadcast anti-join
+            bench = spark.read.parquet(args.decontaminate).select("doc_id", "text")
+            hits = (
+                D.cross_corpus_near_dup(
+                    deduped, bench, threshold=args.decon_threshold
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            from pyspark.sql import functions as F
+
+            deduped = deduped.join(F.broadcast(hits), "doc_id", "left_anti")
         if args.zorder:
             # carry n_tokens/predicted_lang onto the corpus rows (from
             # the ALREADY-WRITTEN features, not the unmaterialized
@@ -323,6 +354,11 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.parquet(f"{out}/documents_dedup").count()
         print(f"doc_features: written ({n_in} docs)")
         print(f"documents_dedup: written ({n_out} kept of {n_in})")
+        if args.decontaminate:
+            print(
+                f"decontaminated: against {args.decontaminate} "
+                f"(threshold={args.decon_threshold})"
+            )
         if args.chunk_window:
             stride = args.chunk_stride or max(1, args.chunk_window * 3 // 4)
             chunks = X.chunk_documents(

@@ -310,3 +310,31 @@ def test_cli_corpus_token_shards(spark, tmp_path, capsys):
             assert r.first_seq == r.start_offset // 64
             assert r.last_seq == (r.start_offset + max(r.n_tokens, 1) - 1) // 64
             cum += r.n_tokens
+
+
+def test_cli_corpus_decontaminate(spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    # benchmark set = lightly-paraphrased copies of two real corpus
+    # docs (drop every 10th word) -- the regime the fuzzy
+    # decontaminator exists for -- plus one unrelated doc
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    two = src.orderBy("doc_id").limit(2).collect()
+    rows = []
+    for r in two:
+        words = r.text.split()
+        rows.append((9_000_000 + r.doc_id, " ".join(w for i, w in enumerate(words) if i % 10 != 9)))
+    rows.append((9_999_999, "totally unrelated benchmark question about nothing"))
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(bench_path)
+
+    rc = main(["--warehouse-path", wh, "corpus",
+               "--documents", "/root/testdata/sf0.001/documents.parquet",
+               "--decontaminate", bench_path, "--decon-threshold", "0.2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "decontaminated: against" in out
+    kept_ids = {r.doc_id for r in spark.read.parquet(f"{wh}/corpus/documents_dedup").collect()}
+    # the two paraphrase-source docs must be gone (or their dedup
+    # representative if the source doc lost batch dedup first)
+    for r in two:
+        assert r.doc_id not in kept_ids
