@@ -817,3 +817,41 @@ def test_packing_efficiency_hand_model(spark):
     assert got["s1"].fill_ratio == 0.875
     assert got["s2"].n_sequences == 2 and got["s2"].padding_tokens == 3
     assert got["s2"].total_tokens == 5 and got["s2"].n_docs == 1
+
+
+def test_corpus_curation_v2_composes_published_gates(spark):
+    """v2 pipeline contract: the output passes the PUBLISHED gates
+    (Gopher conjunction, C4 page gate), stays train-only under the
+    decontaminated split, respects the tighter token budget, and
+    carries valid mix rates."""
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.operators import text as X
+    from solana_data_etl_pipeline_spark.plans import corpus as C
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+    from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = C.corpus_curation_v2(spark, sf).collect()
+    assert out  # non-degenerate
+
+    assert sum(r.n_words for r in out) <= C.V2_TOKEN_BUDGET
+    assert all(0 <= r.rate_bp <= 10_000 for r in out)
+
+    docs = load_table(spark, sf, "documents")
+    gq = {r.doc_id: r.gopher_pass for r in X.gopher_quality(docs).collect()}
+    c4 = {r.doc_id: r.page_filtered for r in X.c4_clean(docs).collect()}
+    assert all(gq[r.doc_id] for r in out)
+    assert all(not c4[r.doc_id] for r in out)
+
+    split = {
+        r.doc_id: r.split
+        for r in D.leakage_free_split(
+            docs,
+            val_pct=C.VAL_PCT,
+            threshold=C.NEAR_DUP_THRESHOLD,
+            max_bucket=DEDUP_MAX_BUCKET,
+        ).collect()
+    }
+    assert all(split.get(r.doc_id) == "train" for r in out)
+    keepers = {r.keep_doc_id for r in D.exact_duplicates(docs).collect()}
+    assert all(r.doc_id in keepers for r in out)
