@@ -70,6 +70,37 @@ def main() -> None:
         rec = len(exact_e & got) / max(len(exact_e), 1)
         print(f"| {n_tables} | {len(got)} | {rec:.3f} | {sec:.2f} |")
 
+    print()
+    print("## Decontamination scheme dial (planted paraphrase J~0.55, vs plant)")
+    # the knob behind cross_corpus_near_dup's 16x2 default: planted
+    # every-10th-word-drop paraphrases of 50 corpus docs, recall =
+    # fraction of planted (source, paraphrase) pairs each (hashes,
+    # bands) scheme emits. The analytic column is 1-(1-J^r)^b at the
+    # measured mean planted Jaccard.
+    offset = 100_000
+    rows, planted = [], set()
+    for r in docs.orderBy("doc_id").limit(50).collect():
+        words = r["text"].split()
+        kept = [w for i, w in enumerate(words) if i % 10 != 9]
+        rows.append((offset + int(r["doc_id"]), " ".join(kept)))
+        planted.add((int(r["doc_id"]), offset + int(r["doc_id"])))
+    pb = spark.createDataFrame(rows, "doc_id long, text string")
+    print("| hashes | bands | rows/band | s-curve thr | planted recall | sec |")
+    print("|---|---|---|---|---|---|")
+    for num_hashes, bands in ((16, 4), (16, 8), (32, 8), (32, 16)):
+        r_ = num_hashes // bands
+        t0 = time.perf_counter()
+        got = {
+            (x["doc_id"], x["bench_id"])
+            for x in D.cross_corpus_near_dup(
+                docs, pb, threshold=0.2, num_hashes=num_hashes, bands=bands
+            ).collect()
+        }
+        sec = time.perf_counter() - t0
+        thr = (1 / bands) ** (1 / r_)
+        rec = len(planted & got) / len(planted)
+        print(f"| {num_hashes} | {bands} | {r_} | {thr:.2f} | {rec:.3f} | {sec:.2f} |")
+
 
 if __name__ == "__main__":
     main()
