@@ -679,7 +679,11 @@ _MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 10, "src3": 25}
 
 # the source slice standing in for a benchmark set in the registered
 # decontamination query
-_BENCH_SOURCE = "src19"
+# src6 (was src19 through r7): chosen so the benchmark slice has
+# verified cross-source near-dups at sf0.01 (5 pairs at Jaccard>=0.2)
+# -- the benchmark_near_dup driver row was passing VACUOUSLY on an
+# empty result with src19. Constant shared by operator and oracle.
+_BENCH_SOURCE = "src6"
 
 # token budget for the registered packing query: small enough that
 # every synthetic shard spans multiple sequences and long documents
@@ -726,7 +730,7 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             "doc_id", "source", "rate_bp"
         )
     ),
-    # benchmark slice = src19, corpus = everything else; n=3 because
+    # benchmark slice = _BENCH_SOURCE, corpus = everything else; n=3 because
     # the synthetic generator's short documents share no longer grams
     # (production decontamination runs n=13, the published heuristic)
     "benchmark_contamination": _docs(
@@ -1744,8 +1748,8 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     "winnow_cap_stats": _docs(
         lambda df: X.winnow_cap_stats(df, max_bucket=DEDUP_MAX_BUCKET)
     ),
-    # near-dup decontamination JOIN: corpus (source != src19) docs that
-    # fuzzy-match the benchmark slice (src19) at Jaccard >= 0.2 -- the
+    # near-dup decontamination JOIN: corpus docs that fuzzy-match the
+    # benchmark slice (_BENCH_SOURCE) at Jaccard >= 0.2 -- the
     # paraphrase-robust upgrade of benchmark_contamination
     "benchmark_near_dup": _docs(
         lambda df: D.cross_corpus_near_dup(
