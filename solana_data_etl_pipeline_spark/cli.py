@@ -97,6 +97,20 @@ def main(argv: list[str] | None = None) -> int:
         "best-scored docs within the remaining budget",
     )
     p_scorp.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="BENCH_PARQUET",
+        help="block benchmark contamination at ingest: batches are "
+        "probed against the bench set's winnowing index with exact "
+        "containment verification",
+    )
+    p_scorp.add_argument(
+        "--decon-threshold",
+        type=float,
+        default=0.5,
+        help="containment verify threshold for --decontaminate",
+    )
+    p_scorp.add_argument(
         "--gates",
         choices=["simple", "published"],
         default="simple",
@@ -285,6 +299,8 @@ def main(argv: list[str] | None = None) -> int:
             token_budget=args.token_budget,
             policy_log_dir=f"{out}/policy_rates" if args.temperature_tau is not None else None,
             gates=args.gates,
+            decontaminate_bench=args.decontaminate,
+            decon_threshold=args.decon_threshold,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()

@@ -152,10 +152,19 @@ def run_document_stream(
     token_budget: int | None = None,
     policy_log_dir: str | None = None,
     gates: str = "simple",
+    decontaminate_bench: str | None = None,
+    decon_threshold: float = 0.5,
 ):
-    """Landing zone -> quarantine split -> gates + features -> exact
-    dedup -> (optional) NEAR-dup dedup -> language-partitioned corpus
-    parquet.
+    """Landing zone -> quarantine split -> gates + features ->
+    (optional) benchmark DECONTAMINATION -> exact dedup -> (optional)
+    NEAR-dup dedup -> language-partitioned corpus parquet.
+
+    `decontaminate_bench` (a parquet docs table) blocks benchmark
+    contamination AT INGEST: the bench set's winnowing index is built
+    once before the stream starts, and each batch is probed against
+    it with exact-containment verification at `decon_threshold`
+    (delta cost per batch; the static index is the decontamination
+    twin of the continuously-grown near-dup index).
 
     Exactly-once effect: the stream checkpoint prevents re-reading
     drained files, and the cross-batch fingerprint anti-join makes
@@ -374,11 +383,42 @@ def run_document_stream(
                 )
         return kept
 
+    # benchmark decontamination at INGEST: the bench set is static, so
+    # its winnowing index (fingerprints + shingle sets, bucket-capped)
+    # is built ONCE before the stream starts and every batch probes it
+    # at delta cost (operators/dedup.py delta_containment) -- the
+    # containment evidence catches a bench doc quoted whole inside a
+    # crawled page, which Jaccard-based near-dup under-scores.
+    decon_index = None
+    if decontaminate_bench is not None:
+        import solana_data_etl_pipeline_spark.operators.dedup as DD
+
+        decon_index = f"{output_dir}_decon_index"
+        try:
+            spark.read.parquet(f"{decon_index}/fingerprints")
+        except AnalysisException:
+            DD.materialize_winnow(
+                spark.read.parquet(decontaminate_bench).select("doc_id", "text"),
+                decon_index,
+                max_bucket=near_dup_max_bucket,
+            )
+
     def _sink(batch_df, batch_id):
         batch_df.persist()
         try:
             good, quarantine = split_corrupt(batch_df, required_col="doc_id")
             kept = document_features_batch(good, gates=gates)
+            if decon_index is not None:
+                import solana_data_etl_pipeline_spark.operators.dedup as DD
+
+                contaminated = (
+                    DD.delta_containment(
+                        spark, decon_index, kept, threshold=decon_threshold
+                    )
+                    .select(F.col("delta_id").alias("doc_id"))
+                    .distinct()
+                )
+                kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
             # cross-batch dedup: drop content already in the corpus
             # (narrow try: only the path-probing read may mean "first
             # batch" -- a failure in the join itself must propagate)

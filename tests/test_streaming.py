@@ -860,3 +860,52 @@ def test_document_stream_published_gates(spark, tmp_path):
 
     run_document_stream(spark, land, out, quar, ckpt, gates="published")
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_document_stream_ingest_decontamination(spark, tmp_path):
+    """A batch doc containing a benchmark doc verbatim is blocked at
+    ingest via the static winnowing index; clean docs pass; a second
+    drain reuses the index and stays exactly-once."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    bench_text = "what is the capital of france and why does it matter to geography"
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    clean = "a perfectly ordinary training document with plenty of words to keep around"
+    contaminated = "intro words before the quiz " + bench_text + " closing words after it"
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, clean) + "\n")
+        f.write(_doc(2, contaminated) + "\n")
+
+    run_document_stream(
+        spark, land, out, quar, ckpt,
+        decontaminate_bench=bench_path, decon_threshold=0.5,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+    # second drain: another contaminated doc blocked, fresh doc kept
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(3, "the " + bench_text) + "\n")
+        f.write(_doc(4, "yet another clean training document mentioning completely different things about spark shuffles") + "\n")
+
+    run_document_stream(
+        spark, land, out, quar, ckpt,
+        decontaminate_bench=bench_path, decon_threshold=0.5,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 4}
