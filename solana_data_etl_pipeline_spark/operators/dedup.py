@@ -720,6 +720,32 @@ def simhash_dedup_keepers(
     return keep_representatives(reps.select("doc_id"), rep_pairs)
 
 
+def recommended_simhash_bits(
+    n_distinct: int, max_hamming: int = 3, target_bucket: int = 64
+) -> int:
+    """The SCALE.md width rule as code: smallest supported fingerprint
+    width whose pigeonhole segment domain 2^(bits/(h+1)) keeps the
+    EXPECTED bucket width (distinct fingerprints / domain) at or
+    under `target_bucket` -- the knob that kept simhash_dedup_keepers
+    sublinear at 100x (32-bit bent to 19.6x/decade at 280k reps;
+    60-bit measured 5.0x for 100x data). Supported widths are
+    multiples of (max_hamming+1) from the 32-bit floor (narrower
+    fingerprints weaken the hamming SIGNAL itself, not just the
+    buckets) up to 60; 64 is unavailable (the 1<<63 bit-weight
+    literal overflows a signed long)."""
+    n_seg = max_hamming + 1
+    floor_seg = max(4, -(-32 // n_seg))  # ceil(32/n_seg)
+    best = None
+    for seg_bits in range(floor_seg, 61 // n_seg + 1):
+        bits = seg_bits * n_seg
+        if bits > 60:
+            break
+        best = bits
+        if n_distinct / (1 << seg_bits) <= target_bucket:
+            return bits
+    return best if best is not None else 60
+
+
 def simhash_bruteforce_pairs(
     df: DataFrame,
     text_col: str = "text",

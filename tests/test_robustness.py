@@ -75,3 +75,48 @@ def test_config_env_overrides(monkeypatch):
     cfg = Config.load()
     assert cfg.etl.batch_size == 250
     assert cfg.rpc.rate_limit_per_second == 7
+
+
+def test_round8_operators_on_empty_and_degenerate_input(spark):
+    """Empty corpora and token-free docs flow through the round-8
+    operators without errors or NULL-poisoned outputs."""
+    from solana_data_etl_pipeline_spark.operators.text import (
+        curation_gates,
+        packing_efficiency,
+        pii_redact,
+        source_quota_sample_hot,
+        tokenize_pack,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert curation_gates(empty).count() == 0
+    assert pii_redact(empty).count() == 0
+    assert tokenize_pack(empty).count() == 0
+    assert packing_efficiency(empty).count() == 0
+    assert source_quota_sample_hot(empty, max_per_source=5).count() == 0
+
+    degenerate = spark.createDataFrame(
+        [(1, "", "s"), (2, "   ", "s"), (3, "one real doc with several proper words", "s")],
+        "doc_id long, text string, source string",
+    )
+    # token-free docs: gates compute (not crash), packing skips them
+    gates = {r.doc_id: r for r in curation_gates(degenerate).collect()}
+    assert gates[1].n_words == 0 and gates[1].gopher_pass is False
+    packed = {r.doc_id: r for r in tokenize_pack(degenerate).collect()}
+    assert 3 in packed and packed[3].n_tokens == 7
+    quota = source_quota_sample_hot(degenerate, max_per_source=2).count()
+    assert quota == 2
+
+
+def test_recommended_simhash_bits_rule(spark):
+    """The width rule: small corpora fit 32-bit; 1e5+ distinct
+    fingerprints at the default cap need wider; the 60-bit ceiling
+    holds (64 overflows a signed long and is never returned)."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        recommended_simhash_bits,
+    )
+
+    assert recommended_simhash_bits(3_000) == 32        # 2^8=256 buckets x 64 cap
+    assert recommended_simhash_bits(280_000) > 32       # the measured 100x regime
+    assert recommended_simhash_bits(280_000) <= 60
+    assert recommended_simhash_bits(10**12) == 60       # ceiling, never 64
