@@ -414,6 +414,22 @@ def main(argv: list[str] | None = None) -> int:
                 f"token-id shards, vocab={args.vocab_size}, "
                 f"budget={args.seq_budget}, seed={args.shard_seed})"
             )
+            # packing health over the WRITTEN shards (reads the shard
+            # layout back -- no recompute of the tokenize pipeline)
+            import pyspark.sql.functions as _F
+
+            per_shard = (
+                spark.read.parquet(f"{out}/token_shards")
+                .groupBy("shard")
+                .agg((_F.max("last_seq") + 1).alias("n_seq"), _F.sum("n_tokens").alias("tok"))
+                .agg(_F.sum("n_seq").alias("n_seq"), _F.sum("tok").alias("tok"))
+                .first()
+            )
+            fill = per_shard["tok"] / (per_shard["n_seq"] * args.seq_budget)
+            print(
+                f"packing: {per_shard['n_seq']} sequences of {args.seq_budget} "
+                f"tokens, fill_ratio={fill:.4f}"
+            )
         if args.compact:
             from solana_data_etl_pipeline_spark.sinks.compaction import compact_parquet
 

@@ -284,7 +284,9 @@ def test_cli_corpus_token_shards(spark, tmp_path, capsys):
                "--token-shards", "4", "--vocab-size", "50",
                "--seq-budget", "64", "--shard-seed", "3"])
     assert rc == 0
-    assert "token_shards: written (4 model-ready" in capsys.readouterr().out
+    cli_out = capsys.readouterr().out
+    assert "token_shards: written (4 model-ready" in cli_out
+    assert "packing:" in cli_out and "fill_ratio=" in cli_out
     dirs = sorted(glob.glob(f"{wh}/corpus/token_shards/shard=*"))
     assert len(dirs) == 4
     exported = spark.read.parquet(f"{wh}/corpus/token_shards")
