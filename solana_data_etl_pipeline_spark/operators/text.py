@@ -997,6 +997,66 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Interpolation weight on the bigram term of interp_logprob -- a
+#: literal so the oracle mirrors it; 0.7/0.3 is the classic Jelinek-
+#: Mercer two-gram setting.
+INTERP_LAMBDA = 0.7
+
+
+def interp_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED bigram log-probability per document
+    -- the deployable form of the CCNet-style LM quality filter:
+    score = mean over bigram positions of
+    ln(lambda * P(w2|w1) + (1-lambda) * P(w2)), with both terms MLE
+    over the corpus bigram stream (P(w2) = count of w2 as a
+    continuation / total bigrams). Pure-bigram scoring
+    (bigram_logprob) assigns ln(1) to every SINGLETON transition --
+    a doc of entirely novel-but-plausible text scores artificially
+    high and an unseen transition would be -inf under a held-out
+    model; interpolation backs every position off to the
+    continuation unigram, which is how production perplexity filters
+    actually smooth. Returns (doc_id, n_scored_bigrams,
+    avg_interp_logprob).
+
+    Scale shape: the bigram stream is exploded once and scored with
+    THREE count windows over it -- (w1,w2), (w1), (w2) -- plus ONE
+    scalar total attached as a broadcast crossJoin (a global count
+    window would funnel the stream through a single partition; the
+    scalar agg is map-side combined). No joins against derived count
+    tables, no second shuffle of the stream beyond the window
+    partitionings -- the same count-window shape whose rewrite took
+    bigram_logprob from 3.61x to 1.3x at 10x (SCALE.md)."""
+    tk = tokens_col(text_col)
+    base = df.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - 1),
+        lambda i: F.struct(
+            F.element_at("_tk", i).alias("w1"),
+            F.element_at("_tk", i + 1).alias("w2"),
+        ),
+    )
+    b = (
+        base.select("doc_id", F.explode(pairs).alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    lam = F.lit(float(INTERP_LAMBDA))
+    scored = (
+        b.crossJoin(F.broadcast(tot))
+        .withColumn("_cb", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")))
+        .withColumn("_cc", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+        .withColumn("_cw", F.count(F.lit(1)).over(Window.partitionBy("w2")))
+    )
+    p = lam * (F.col("_cb") / F.col("_cc")) + (F.lit(1.0) - lam) * (
+        F.col("_cw") / F.col("_n")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_bigrams"),
+        F.round(F.avg(F.log(p)), 4).alias("avg_interp_logprob"),
+    )
+
+
 # -- repetition-based quality signals --------------------------------
 
 
@@ -1750,3 +1810,43 @@ def benchmark_contamination(corpus: DataFrame, bench: DataFrame, n: int = 13) ->
     bench_grams = word_ngrams(bench, n).select("gram").distinct()
     hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_overlap_grams"))
+
+
+def novelty_scores(
+    corpus: DataFrame, ref: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document NOVELTY against a reference corpus -- the
+    data-SELECTION inverse of benchmark_contamination: the fraction of
+    a doc's distinct word n-grams NOT present in the reference set.
+    Selecting high-novelty documents is the standard move when growing
+    a corpus without re-buying content the model has already seen
+    (dedup catches copies; novelty quantifies partial redundancy).
+    Returns (doc_id, n_grams, novel_grams, novelty) with novelty in
+    [0, 1]; docs shorter than n grams contribute nothing (no grams to
+    judge novelty on).
+
+    Scale shape: identical to benchmark_contamination -- corpus grams
+    generated per-row (never shuffled), reference gram set broadcast
+    (reference slices are bounded by the deployment contract; drop
+    the hint if a deployment's reference outgrows broadcast and AQE
+    plans the shuffle), LEFT join marks membership, one narrow
+    (doc_id, partials) aggregation."""
+    corpus_grams = word_ngrams(corpus, n, text_col)
+    ref_grams = (
+        word_ngrams(ref, n, text_col)
+        .select("gram")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    marked = corpus_grams.join(F.broadcast(ref_grams), "gram", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("novel_grams"),
+        F.round(
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("novelty"),
+    )

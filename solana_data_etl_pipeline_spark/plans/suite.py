@@ -733,6 +733,19 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # benchmark slice = _BENCH_SOURCE, corpus = everything else; n=3 because
     # the synthetic generator's short documents share no longer grams
     # (production decontamination runs n=13, the published heuristic)
+    # data-selection inverse of contamination: fraction of a doc's
+    # grams unseen in the reference (_BENCH_SOURCE) slice
+    "novelty_scores": (
+        lambda spark, sf_dir: X.novelty_scores(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("source") != _BENCH_SOURCE
+            ),
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("source") == _BENCH_SOURCE
+            ),
+            n=3,
+        )
+    ),
     "benchmark_contamination": _docs(
         lambda df: X.benchmark_contamination(
             df.filter(F.col("source") != _BENCH_SOURCE),
@@ -754,6 +767,8 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "span_dup_stats": _docs(lambda df: X.span_dup_stats(df, n=3)),
     "unigram_logprob": _docs(X.unigram_logprob),
     "bigram_logprob": _docs(X.bigram_logprob),
+    # Jelinek-Mercer interpolated form (continuation-unigram backoff)
+    "interp_logprob": _docs(X.interp_logprob),
     # window=16/stride=8 because the synthetic docs average ~50 tokens
     # (production RAG chunking runs 256/192 -- same plan, bigger slices)
     "chunk_documents": _docs(lambda df: X.chunk_documents(df, window=16, stride=8)),
@@ -1039,6 +1054,26 @@ FROM corpus JOIN bench USING (gram)
 GROUP BY doc_id
 """
 
+TEXT_SQL["novelty_scores"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, source, array_to_string(tk[i:i+2], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(tk) - 2)) AS t(i)
+),
+ref AS (SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'),
+corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE source <> '{_BENCH_SOURCE}'),
+m AS (
+  SELECT corpus.doc_id, CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END AS novel
+  FROM corpus LEFT JOIN ref USING (gram)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(novel) AS BIGINT) AS novel_grams,
+       round(sum(novel) / count(*), 4) AS novelty
+FROM m GROUP BY doc_id
+"""
+
 TEXT_SQL["temperature_mix"] = """
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 t AS (SELECT sum(n) AS N FROM c),
@@ -1066,6 +1101,25 @@ cctx AS (SELECT w1, count(*) AS cc FROM b GROUP BY 1)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln(cb / cc)), 4) AS avg_bigram_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1)
+GROUP BY doc_id
+"""
+
+TEXT_SQL["interp_logprob"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+b AS (
+  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+  FROM t, UNNEST(range(1, greatest(len(tk), 1))) AS u(i)
+  WHERE len(tk) >= 2 AND tk[CAST(i AS INT)] <> '' AND tk[CAST(i + 1 AS INT)] <> ''
+),
+cbg AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+cctx AS (SELECT w1, count(*) AS cc FROM b GROUP BY 1),
+ccon AS (SELECT w2, count(*) AS cw FROM b GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
+       round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
+FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
 """
 
@@ -2731,6 +2785,8 @@ DRIVER_ORDER = [
     "pii_redact",
     "packing_efficiency",
     "delta_embedding_dedup",
+    "interp_logprob",
+    "novelty_scores",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---
@@ -2745,13 +2801,14 @@ DRIVER_ORDER = [
     #     winnowing join in-driver. Both stay oracle-swept. ---
     "containment_pairs",
     "leakage_free_split",
-    # --- round-5/6 entries kept (dedup_keepers, green r5-r7, rotates
-    #     out -- its pairs->CC->representatives spine stays in-driver
-    #     via dedup_clusters and simhash_dedup_keepers) ---
+    # --- round-5/6 entries kept (dedup_keepers, repetition_stats and
+    #     knn_ivf_materialized -- all green r5-r7 -- rotate out: the
+    #     pairs->CC spine stays via dedup_clusters +
+    #     simhash_dedup_keepers, the IVF family via knn_ivf, and the
+    #     materialized layout's DPP plan is pinned in
+    #     tests/test_plans.py) ---
     "delta_dedup",
     "simhash_near_dup",
-    "repetition_stats",
-    "knn_ivf_materialized",
     # --- core dedup/similarity/media suite ---
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

@@ -855,3 +855,71 @@ def test_corpus_curation_v2_composes_published_gates(spark):
     assert all(split.get(r.doc_id) == "train" for r in out)
     keepers = {r.keep_doc_id for r in D.exact_duplicates(docs).collect()}
     assert all(r.doc_id in keepers for r in out)
+
+
+def test_interp_logprob_backs_off_singleton_transitions(spark):
+    """Interpolation separates what pure-bigram scoring cannot: two
+    docs whose every transition is a SINGLETON (ln(1)=0 under the
+    MLE bigram model) score differently when their continuations
+    have different corpus frequency; exact values match the
+    Jelinek-Mercer hand model."""
+    import math
+
+    from solana_data_etl_pipeline_spark.operators.text import (
+        INTERP_LAMBDA,
+        bigram_logprob,
+        interp_logprob,
+    )
+
+    # bigrams: (a,b) (b,a) (a,c) -> all singleton transitions; corpus
+    # continuations: b x1, a x1, c x1 ... craft shared continuations:
+    rows = [
+        (1, "x common y"),     # (x,common) (common,y)
+        (2, "z common w"),     # (z,common) (common,w)
+        (3, "p q"),            # (p,q) -- rare continuation q
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc 3's transition is a singleton in a singleton context: pure
+    # bigram scores it ln(1)=0, indistinguishable from boilerplate
+    pure = {r.doc_id: r.avg_bigram_logprob for r in bigram_logprob(df).collect()}
+    assert pure[3] == 0.0
+
+    got = {r.doc_id: r.avg_interp_logprob for r in interp_logprob(df).collect()}
+    # hand model: N=5 bigrams; contexts x:1 common:2 z:1 p:1;
+    # continuations common:2 y:1 w:1 q:1
+    lam, N = INTERP_LAMBDA, 5.0
+
+    def p(p_big, cw):
+        return lam * p_big + (1 - lam) * (cw / N)
+
+    exp1 = round((math.log(p(1.0, 2)) + math.log(p(0.5, 1))) / 2, 4)
+    exp3 = round(math.log(p(1.0, 1)), 4)
+    assert got[1] == exp1
+    assert got[3] == exp3
+    # interpolation now ranks doc 3 below a perfect-singleton score
+    assert got[3] < 0.0
+
+
+def test_novelty_scores_against_reference(spark):
+    """Novelty fractions follow the hand model: a doc fully covered by
+    the reference scores 0, a disjoint doc 1, a half-covered doc 0.5;
+    sub-n docs contribute nothing."""
+    from solana_data_etl_pipeline_spark.operators.text import novelty_scores
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # all grams in ref -> 0
+            (2, "one two three four"),              # disjoint -> 1
+            (3, "alpha beta gamma epsilon"),        # grams: (a b g) seen, (b g e) novel
+            (4, "xy"),                              # sub-n -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in novelty_scores(corpus, ref, n=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].novelty == 0.0
+    assert got[2].novelty == 1.0
+    assert got[3].novelty == 0.5 and got[3].n_grams == 2 and got[3].novel_grams == 1
