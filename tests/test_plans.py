@@ -359,3 +359,29 @@ def test_source_quota_hot_no_per_source_row_window(plans):
     # the per-source cumulative runs over the aggregated stats frame:
     # its window spec appears after a HashAggregate, not over the scan
     assert p.count("Window") <= 2
+
+
+def test_interp_logprob_windows_share_gram_exchanges(plans):
+    # three count windows -- (w1,w2), (w1), (w2) -- must plan over TWO
+    # gram-keyed exchanges (hash(w1) satisfies the (w1,w2) clustering),
+    # never as joins against derived count tables; the corpus total is
+    # a 1-row broadcast (BroadcastNestedLoopJoin Cross), not a global
+    # window (which would funnel the bigram stream through one task)
+    p = plans("interp_logprob")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" not in p  # no count-table join-backs
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    # w1 + w2 + final doc_id + the scalar agg's SinglePartition
+    assert p.count("Exchange hashpartitioning") == 3, p
+    assert p.count("Window") == 3
+
+
+def test_novelty_scores_corpus_side_unshuffled(plans):
+    # same contract as benchmark_contamination: corpus grams are
+    # per-row (array_distinct before explode) probing the BROADCAST
+    # reference gram set; the only exchanges are the reference-side
+    # distinct, the broadcast itself, and the final per-doc count
+    p = plans("novelty_scores")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange") <= 3, p.count("Exchange")

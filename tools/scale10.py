@@ -74,6 +74,8 @@ HEAVY = [
     "delta_embedding_dedup",
     "pii_redact",
     "packing_efficiency",
+    "interp_logprob",
+    "novelty_scores",
 ]
 
 
