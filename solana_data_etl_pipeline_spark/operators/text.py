@@ -1003,7 +1003,9 @@ def bigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
 INTERP_LAMBDA = 0.7
 
 
-def interp_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+def interp_logprob(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Jelinek-Mercer INTERPOLATED bigram log-probability per document
     -- the deployable form of the CCNet-style LM quality filter:
     score = mean over bigram positions of
@@ -1025,9 +1027,16 @@ def interp_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     scalar agg is map-side combined). No joins against derived count
     tables, no second shuffle of the stream beyond the window
     partitionings -- the same count-window shape whose rewrite took
-    bigram_logprob from 3.61x to 1.3x at 10x (SCALE.md)."""
+    bigram_logprob from 3.61x to 1.3x at 10x (SCALE.md).
+
+    `carry_cols` rides extra per-document columns (e.g. lang) through
+    the bigram stream into the output -- one narrow string per bigram
+    row, cheaper than the doc_id-keyed join-back a downstream
+    consumer would otherwise pay to recover them."""
     tk = tokens_col(text_col)
-    base = df.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 2)
+    base = df.select("doc_id", *carry_cols, tk.alias("_tk")).filter(
+        F.size("_tk") >= 2
+    )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("_tk") - 1),
         lambda i: F.struct(
@@ -1036,8 +1045,13 @@ def interp_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     b = (
-        base.select("doc_id", F.explode(pairs).alias("_p"))
-        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        base.select("doc_id", *carry_cols, F.explode(pairs).alias("_p"))
+        .select(
+            "doc_id",
+            *carry_cols,
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
+        )
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
     tot = b.agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -1051,9 +1065,71 @@ def interp_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     p = lam * (F.col("_cb") / F.col("_cc")) + (F.lit(1.0) - lam) * (
         F.col("_cw") / F.col("_n")
     )
-    return scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id", *carry_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_scored_bigrams"),
         F.round(F.avg(F.log(p)), 4).alias("avg_interp_logprob"),
+    )
+
+
+def grouped_quantile_buckets(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    bounds: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    precision: int = 4,
+) -> DataFrame:
+    """CCNet-style per-group quantile bucketing: within each group
+    (e.g. language), split documents into `labels` buckets by their
+    score's position in the group's distribution -- the head/middle/
+    tail perplexity partition CCNet feeds to its sampling stage
+    (ascending score, so with score = log-probability the top bucket
+    is the LOW-perplexity head). Ties share a rounded score and
+    therefore a bucket -- deterministic, no row_number lottery.
+    Returns the scored frame plus a `bucket` column; null scores get
+    a null bucket (no measurable score, no quantile position).
+
+    Scale shape: quantile_gate's histogram scheme made per-group --
+    NOT a per-group percent_rank over raw rows (the whole group
+    through one window task: the hot-source killer) and NOT
+    percentile() (buffers every value in the agg). One narrow
+    (group, rounded-score) histogram shuffle with map-side combine,
+    cumulative windows over the BOUNDED histogram, a per-group
+    threshold row, and a broadcast join back onto the un-reshuffled
+    scored frame. The scored frame feeds BOTH the histogram and the
+    output join, so it is lazily localCheckpoint'd -- without it the
+    DAG re-derives the (potentially expensive) upstream scoring
+    pipeline once per branch; the checkpoint is one narrow row per
+    document, computed once at action time."""
+    if len(labels) != len(bounds) + 1:
+        raise ValueError("need exactly one more label than bounds")
+    scored = scored.localCheckpoint(eager=False)
+    v = F.round(F.col(score_col).cast("double"), precision)
+    hist = (
+        scored.select(F.col(group_col).alias("_g"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("_total", F.sum("_c").over(Window.partitionBy("_g")))
+        .withColumn("_frac", F.col("_cum") / F.col("_total"))
+    )
+    thresholds = cum.groupBy("_g").agg(
+        *[
+            F.min(F.when(F.col("_frac") >= q, F.col("_v"))).alias(f"_t{i}")
+            for i, q in enumerate(bounds)
+        ]
+    )
+    bucket = F.lit(labels[-1])
+    for i in range(len(bounds) - 1, -1, -1):
+        bucket = F.when(v <= F.col(f"_t{i}"), F.lit(labels[i])).otherwise(bucket)
+    return (
+        scored.join(F.broadcast(thresholds), scored[group_col] == F.col("_g"), "left")
+        .withColumn("bucket", F.when(v.isNotNull(), bucket))
+        .drop("_g", *[f"_t{i}" for i in range(len(bounds))])
     )
 
 

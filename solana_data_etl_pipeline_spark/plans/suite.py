@@ -769,6 +769,15 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # CCNet head/middle/tail: per-language quantile bucketing of the
+    # interpolated LM score (ascending, so head = low-perplexity top)
+    "perplexity_buckets": _docs(
+        lambda df: X.grouped_quantile_buckets(
+            X.interp_logprob(df, carry_cols=("lang",)),
+            "lang",
+            "avg_interp_logprob",
+        )
+    ),
     # window=16/stride=8 because the synthetic docs average ~50 tokens
     # (production RAG chunking runs 256/192 -- same plan, bigger slices)
     "chunk_documents": _docs(lambda df: X.chunk_documents(df, window=16, stride=8)),
@@ -1121,6 +1130,47 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["perplexity_buckets"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+b AS (
+  SELECT doc_id, lang, tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+  FROM t, UNNEST(range(1, greatest(len(tk), 1))) AS u(i)
+  WHERE len(tk) >= 2 AND tk[CAST(i AS INT)] <> '' AND tk[CAST(i + 1 AS INT)] <> ''
+),
+cbg AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+cctx AS (SELECT w1, count(*) AS cc FROM b GROUP BY 1),
+ccon AS (SELECT w2, count(*) AS cw FROM b GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b),
+s AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
+         round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
+  FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
+  GROUP BY doc_id, lang
+),
+hist AS (
+  SELECT lang AS g, round(avg_interp_logprob, 4) AS v, count(*) AS c
+  FROM s GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS total
+  FROM hist
+),
+thr AS (
+  SELECT g,
+         min(CASE WHEN cum * 1.0 / total >= 1.0 / 3.0 THEN v END) AS t0,
+         min(CASE WHEN cum * 1.0 / total >= 2.0 / 3.0 THEN v END) AS t1
+  FROM cum GROUP BY g
+)
+SELECT s.doc_id, s.lang, s.n_scored_bigrams, s.avg_interp_logprob,
+       CASE WHEN round(s.avg_interp_logprob, 4) <= t0 THEN 'tail'
+            WHEN round(s.avg_interp_logprob, 4) <= t1 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM s LEFT JOIN thr ON s.lang = thr.g
 """
 
 TEXT_SQL["unigram_logprob"] = """

@@ -385,3 +385,19 @@ def test_novelty_scores_corpus_side_unshuffled(plans):
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
     assert p.count("Exchange") <= 3, p.count("Exchange")
+
+
+def test_perplexity_buckets_histogram_scheme_not_row_windows(plans):
+    # the CCNet bucketing must follow quantile_gate's histogram
+    # scheme: the cumulative windows run over the BOUNDED per-group
+    # histogram (partitioned by group, never SinglePartition and
+    # never over raw doc rows), thresholds broadcast back, and the
+    # scored frame is computed ONCE (lazy checkpoint) -- a duplicated
+    # scoring pipeline would double the dominant stage at 100 TB
+    p = plans("perplexity_buckets")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SinglePartition" not in p
+    # one scoring pipeline, two checkpoint consumers
+    assert p.count("Scan ExistingRDD") == 2, p
+    assert p.count("Window") == 2

@@ -923,3 +923,46 @@ def test_novelty_scores_against_reference(spark):
     assert got[1].novelty == 0.0
     assert got[2].novelty == 1.0
     assert got[3].novelty == 0.5 and got[3].n_grams == 2 and got[3].novel_grams == 1
+
+
+def test_grouped_quantile_buckets_hand_model(spark):
+    """Per-group thirds follow the hand model; ties share a bucket
+    (the whole tied histogram bin lands below the threshold it
+    defines); groups bucket independently; null scores get null."""
+    from solana_data_etl_pipeline_spark.operators.text import grouped_quantile_buckets
+
+    rows = [(i, "a", float(i)) for i in range(1, 7)]          # 1..6
+    rows += [(10, "b", 1.0), (11, "b", 1.0), (12, "b", 1.0), (13, "b", 2.0)]
+    rows += [(20, "c", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    got = {r.doc_id: r.bucket for r in grouped_quantile_buckets(df, "lang", "score").collect()}
+    assert [got[i] for i in range(1, 7)] == ["tail", "tail", "middle", "middle", "head", "head"]
+    # group b: v=1 holds 3/4 of the mass -> both thresholds are 1.0;
+    # every tied doc is 'tail', the remaining doc is 'head'
+    assert [got[i] for i in (10, 11, 12, 13)] == ["tail", "tail", "tail", "head"]
+    assert got[20] is None
+
+
+def test_perplexity_buckets_partition_is_per_lang_third(spark):
+    """The registered composition produces a (roughly) 1/3 split per
+    language on real data and scores agree with interp_logprob."""
+    from solana_data_etl_pipeline_spark.operators.text import (
+        grouped_quantile_buckets,
+        interp_logprob,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = grouped_quantile_buckets(
+        interp_logprob(docs, carry_cols=("lang",)), "lang", "avg_interp_logprob"
+    )
+    per = {(r.lang, r.bucket): r["count"] for r in out.groupBy("lang", "bucket").count().collect()}
+    langs = {lang for lang, _ in per}
+    for lang in langs:
+        n = sum(v for (l, _), v in per.items() if l == lang)
+        for b in ("tail", "middle", "head"):
+            # ties can skew bins, but every bucket must be populated
+            # and no bucket may swallow the language
+            assert 0 < per.get((lang, b), 0) < n
+    base = {r.doc_id: r.avg_interp_logprob for r in interp_logprob(docs).collect()}
+    for r in out.limit(50).collect():
+        assert r.avg_interp_logprob == base[r.doc_id]

@@ -76,6 +76,7 @@ HEAVY = [
     "packing_efficiency",
     "interp_logprob",
     "novelty_scores",
+    "perplexity_buckets",
 ]
 
 
