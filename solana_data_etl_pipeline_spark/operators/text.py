@@ -1733,6 +1733,67 @@ def span_dup_stats(
     )
 
 
+def line_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide duplicate-LINE removal, first occurrence wins --
+    the C4 page-dedup rule ("discard all but one of any span occurring
+    more than once") applied at line granularity, the form web-corpus
+    pipelines deploy against boilerplate (nav bars, cookie banners,
+    footers repeated across millions of pages). A line's first
+    occurrence is the corpus-ordered minimum (doc_id, pos); every
+    later exact copy is dropped; whitespace-only lines are structure,
+    not content -- never deduped, always kept. Returns (doc_id,
+    n_lines, kept_lines, removed_lines, clean_text) with clean_text
+    the newline-join of surviving lines in original order.
+
+    Scale shape: the keeper table is a map-side-combined
+    groupBy(line) -- NOT a per-line sort window, whose hot keys (a
+    boilerplate line repeated across half the web) would funnel every
+    copy through one task; the partial agg reduces each hot key
+    per-partition first. Unique lines (the overwhelming mass) never
+    join at all: the join's right side is filtered to DUPLICATED
+    distinct lines only, so the verify join is corpus x
+    duplicate-mass, AQE skew-splittable, and a left-miss means
+    kept-by-uniqueness. Reconstruction is one doc_id-keyed
+    aggregation (array_sort over collected (pos, line) structs)."""
+    ls = F.split(F.col(text_col), "\n")
+    lines = df.select("doc_id", F.posexplode(ls).alias("pos", "line"))
+    content = lines.filter(F.trim("line") != "")
+    dup_keepers = (
+        content.groupBy("line")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("line", "_first")
+    )
+    kept = (
+        (F.trim("line") == "")
+        | F.col("_first").isNull()
+        | (
+            (F.col("_first.doc_id") == F.col("doc_id"))
+            & (F.col("_first.pos") == F.col("pos"))
+        )
+    )
+    marked = lines.join(dup_keepers, "line", "left").withColumn("_kept", kept)
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_kept").cast("int")).cast("long").alias("kept_lines"),
+        F.sum((~F.col("_kept")).cast("int")).cast("long").alias("removed_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
 def span_dedup_rewrite(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Duplicated-span REMOVAL (the acting sibling of span_dup_stats,
     per Lee et al. 2022: remove all but one occurrence of repeated

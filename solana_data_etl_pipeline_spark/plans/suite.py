@@ -765,6 +765,35 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # full-registry entries (not in the 50-slot driver order): swept by
     # tests/test_oracle_parity.py like every all_queries() member
     "span_dup_stats": _docs(lambda df: X.span_dup_stats(df, n=3)),
+    # C4's cross-page rule at line granularity: corpus-wide duplicate
+    # lines removed, first (doc_id, pos) occurrence wins. The
+    # synthetic generator emits single-line docs (no '\n', no exact
+    # text dups -- raw registration would be VACUOUS), so the query
+    # paginates each doc into 8-token lines first: planted near-dups
+    # share 8-token runs, giving the dedup real cross-doc work
+    "line_dedup": _docs(
+        lambda df: X.line_dedup(
+            df.withColumn("_tk", F.split(F.trim(F.col("text")), r"\s+"))
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.ceil(F.size("_tk") / 8).cast("int"), F.lit(1)
+                            ),
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(F.col("_tk"), (i - F.lit(1)) * 8 + 1, 8), " "
+                        ),
+                    ),
+                    "\n",
+                ),
+            )
+            .drop("_tk")
+        )
+    ),
     "unigram_logprob": _docs(X.unigram_logprob),
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
@@ -1130,6 +1159,36 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["line_dedup"] = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+),
+pages AS (
+  SELECT doc_id,
+         string_agg(array_to_string(tk[CAST(s AS INT):CAST(s + 7 AS INT)], ' '), chr(10) ORDER BY s) AS text
+  FROM tok, UNNEST(generate_series(1, greatest(len(tk), 1), 8)) AS g(s)
+  GROUP BY doc_id
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM pages),
+l AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, a[CAST(i AS INT)] AS line
+  FROM ls, UNNEST(range(1, len(a) + 1)) AS u(i)
+),
+c AS (SELECT *, trim(line) <> '' AS is_content FROM l),
+r AS (
+  SELECT *,
+         CASE WHEN is_content THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) END AS rn,
+         CASE WHEN is_content THEN count(*) OVER (PARTITION BY line) END AS cnt
+  FROM c
+),
+k AS (SELECT doc_id, pos, line, (NOT is_content) OR cnt = 1 OR rn = 1 AS kept FROM r)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS removed_lines,
+       coalesce(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+FROM k GROUP BY doc_id
 """
 
 TEXT_SQL["perplexity_buckets"] = f"""

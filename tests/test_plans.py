@@ -401,3 +401,18 @@ def test_perplexity_buckets_histogram_scheme_not_row_windows(plans):
     # one scoring pipeline, two checkpoint consumers
     assert p.count("Scan ExistingRDD") == 2, p
     assert p.count("Window") == 2
+
+
+def test_line_dedup_no_per_line_sort_window(plans):
+    # the keeper table must be a map-side-combined groupBy(line) --
+    # a per-line sort window would funnel every copy of a hot
+    # boilerplate line through one task. The duplicated-keepers side
+    # is corpus-derived, so its join strategy is AQE's call (no
+    # forced broadcast); pin what must hold either way: no windows,
+    # no single-partition funnel, and only the keeper agg + final
+    # doc aggregation as exchanges
+    p = plans("line_dedup")
+    assert "Window" not in p
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 3, p.count("Exchange")

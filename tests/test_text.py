@@ -966,3 +966,27 @@ def test_perplexity_buckets_partition_is_per_lang_third(spark):
     base = {r.doc_id: r.avg_interp_logprob for r in interp_logprob(docs).collect()}
     for r in out.limit(50).collect():
         assert r.avg_interp_logprob == base[r.doc_id]
+
+
+def test_line_dedup_first_wins_and_structure_kept(spark):
+    """Planted boilerplate: the corpus-first occurrence (lowest
+    doc_id, then pos) survives, every later exact copy is dropped
+    (across docs AND within a doc), whitespace-only lines are never
+    deduped, and clean_text preserves original line order."""
+    from solana_data_etl_pipeline_spark.operators.text import line_dedup
+
+    rows = [
+        (1, "unique alpha\ncookie banner\nunique beta"),
+        (2, "cookie banner\n  \nunique gamma\ncookie banner"),
+        (3, "  \nunique delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert got[1].clean_text == "unique alpha\ncookie banner\nunique beta"
+    assert (got[1].n_lines, got[1].kept_lines, got[1].removed_lines) == (3, 3, 0)
+    # doc 2: both copies of the banner lose to doc 1's; the
+    # whitespace line is structural and stays
+    assert got[2].clean_text == "  \nunique gamma"
+    assert (got[2].n_lines, got[2].kept_lines, got[2].removed_lines) == (4, 2, 2)
+    assert got[3].clean_text == "  \nunique delta"
+    assert got[3].removed_lines == 0

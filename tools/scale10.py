@@ -77,6 +77,7 @@ HEAVY = [
     "interp_logprob",
     "novelty_scores",
     "perplexity_buckets",
+    "line_dedup",
 ]
 
 
