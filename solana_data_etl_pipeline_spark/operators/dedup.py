@@ -1533,6 +1533,151 @@ def delta_embedding_dedup(
     )
 
 
+def semdedup_keepers(
+    emb_df: DataFrame,
+    threshold: float = 0.30,
+    cluster_col: str = "label",
+    refine_bits: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedded corpus. Cluster the embedding space,
+    call within-cluster pairs at cosine >= `threshold` semantic
+    duplicates, and keep from each duplicate GROUP (the connected
+    component -- near-duplication chains) the single member with the
+    LOWEST cosine to its cluster centroid, the paper's keeper rule:
+    the most peripheral member preserves the most diversity. Returns
+    every surviving vector as (vec_id, cluster, group_size,
+    centroid_cos), group_size 1 for vectors with no in-cluster
+    duplicate.
+
+    Cluster assignment is pluggable: `cluster_col` names an existing
+    assignment (default the ingest-time `label`, the same stance as
+    knn_ivf's cell; kmeans_cells supplies a geometric one).
+    `refine_bits` splits every cluster by leading sign-LSH bits --
+    the paper's "k scales with N" contract made a concrete dial:
+    within-cluster pair cost is quadratic in cluster size, so ~3.3
+    extra bits per data decade hold per-cluster mass (and the pair
+    budget) constant. Cross-(sub)cluster duplicates go unseen BY
+    DESIGN -- the paper's accepted loss, measured here against the
+    unclustered brute-force twin in tests.
+
+    Scale shape: centroids are one narrow map-side-combined
+    (cluster, dim) cell aggregation, re-assembled and BROADCAST back
+    (bounded by k by construction -- k is the dial above); vectors
+    are double-cast and norm-projected ONCE before any join; the
+    pair join is a cluster-keyed equi-join (never a cartesian);
+    components run on the pairs-sized graph via the adaptive CC; the
+    keeper choice is a components-sized aggregation. Cosines are
+    rounded to 4dp BEFORE thresholding/argmin so the decision is
+    engine-portable."""
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        _dvec,
+        dot_raw,
+        lsh_planes,
+        norm_expr,
+    )
+
+    base = emb_df.select(
+        "vec_id",
+        _dvec(F.col("embedding")).alias("_v"),
+        norm_expr(F.col("embedding")).alias("_n"),
+        F.col(cluster_col).cast("long").alias("_cl"),
+    )
+    if refine_bits:
+        planes = lsh_planes(n_planes=refine_bits)
+        planes_col = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+        powers = F.array(
+            *[F.lit(2**p).cast("long") for p in range(refine_bits)]
+        )
+        dots = F.transform(
+            planes_col,
+            lambda row: F.aggregate(
+                F.zip_with(row, F.col("_v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        bits = F.zip_with(
+            dots,
+            powers,
+            lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0).cast("long")),
+        )
+        sub = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        base = base.withColumn(
+            "_cl", F.col("_cl") * (2**refine_bits) + sub
+        )
+    cells = (
+        base.select("_cl", F.posexplode("_v").alias("dim", "val"))
+        .groupBy("_cl", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    cent = cells.groupBy("_cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("_cvec")
+    )
+    cent = cent.select("_cl", "_cvec", norm_expr(F.col("_cvec")).alias("_cn"))
+    scored = base.join(F.broadcast(cent), "_cl").select(
+        "vec_id",
+        "_cl",
+        "_v",
+        "_n",
+        F.round(
+            dot_raw(F.col("_v"), F.col("_cvec")) / (F.col("_n") * F.col("_cn")), 4
+        ).alias("centroid_cos"),
+    )
+    a = scored.select(
+        F.col("_cl"), F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = scored.select(
+        F.col("_cl"), F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = (
+        a.join(b, ["_cl"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(
+                dot_raw(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+            )
+            >= threshold
+        )
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    # members feeds BOTH output branches (singletons + group reps);
+    # lazily checkpointed so the scoring join computes once -- and it
+    # is the narrow projection (no vectors), so the checkpoint is a
+    # few dozen bytes per row
+    members = (
+        scored.join(comp, scored["vec_id"] == comp["id"], "left")
+        .select(
+            scored["vec_id"], "_cl", "centroid_cos", F.col("cluster_id").alias("_comp")
+        )
+        .localCheckpoint(eager=False)
+    )
+    singles = members.filter(F.col("_comp").isNull()).select(
+        "vec_id",
+        F.col("_cl").alias("cluster"),
+        F.lit(1).cast("long").alias("group_size"),
+        "centroid_cos",
+    )
+    reps = (
+        members.filter(F.col("_comp").isNotNull())
+        .groupBy("_comp")
+        .agg(
+            F.min(F.struct("centroid_cos", "vec_id", "_cl")).alias("_k"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+        .select(
+            F.col("_k.vec_id").alias("vec_id"),
+            F.col("_k._cl").alias("cluster"),
+            "group_size",
+            F.col("_k.centroid_cos").alias("centroid_cos"),
+        )
+    )
+    return singles.unionByName(reps)
+
+
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (doc_a < doc_b, cos >= threshold).
 

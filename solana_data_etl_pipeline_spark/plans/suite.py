@@ -1938,6 +1938,16 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             dst_col="vec_b",
         )
     ),
+    # SemDeDup: within-cluster cosine dup groups, keep the member
+    # FARTHEST from its cluster centroid. cluster=label (the knn_ivf
+    # ingest-cell stance); threshold 0.30 because the synthetic
+    # vectors have no close pairs (exact top-10 sit at cos 0.30-0.42
+    # -- SCALE.md), and 0.30 yields real in-cluster dup groups
+    "semdedup_keepers": (
+        lambda spark, sf_dir: D.semdedup_keepers(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.30
+        )
+    ),
 }
 
 def _minhash_sigs_sql(num_hashes: int = D.MINHASH_HASHES) -> str:
@@ -2540,6 +2550,51 @@ cl AS (SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
 SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM cl)
 UNION ALL
 SELECT DISTINCT cluster_id AS vec_id FROM cl
+"""
+
+# SemDeDup: label-cluster centroids (6dp cells, the label_centroids
+# convention), within-cluster pairs at rounded cosine >= 0.30,
+# recursive-CTE components, keeper = lowest (rounded centroid-cos,
+# vec_id) per component; untouched vectors survive as singletons.
+DEDUP_SQL["semdedup_keepers"] = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS cl FROM embeddings
+),
+cd AS (
+  SELECT cl, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
+  FROM e, UNNEST(range(1, 65)) AS u(i)
+  GROUP BY cl, i
+),
+cent AS (SELECT cl, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cl),
+s AS (
+  SELECT e.vec_id, e.cl, e.v, {COSINE_SQL.format(a="e.v", b="cvec")} AS ccos
+  FROM e JOIN cent USING (cl)
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM s a JOIN s b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE {COSINE_SQL.format(a="a.v", b="b.v")} >= 0.30
+),
+edges AS (SELECT va AS src, vb AS dst FROM pairs UNION SELECT vb, va FROM pairs),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id
+),
+comp AS (SELECT id, min(lab) AS cmp FROM reach GROUP BY id),
+m AS (SELECT s.vec_id, s.cl, s.ccos, comp.cmp FROM s LEFT JOIN comp ON s.vec_id = comp.id),
+reps AS (
+  SELECT vec_id, cl, ccos, gs FROM (
+    SELECT *, row_number() OVER (PARTITION BY cmp ORDER BY ccos, vec_id) AS rn,
+           count(*) OVER (PARTITION BY cmp) AS gs
+    FROM m WHERE cmp IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT vec_id, cl AS cluster, CAST(1 AS BIGINT) AS group_size, ccos AS centroid_cos
+FROM m WHERE cmp IS NULL
+UNION ALL
+SELECT vec_id, cl AS cluster, CAST(gs AS BIGINT) AS group_size, ccos AS centroid_cos
+FROM reps
 """
 
 # Incremental embedding dedup: bucket CTEs shared with the embedding

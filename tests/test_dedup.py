@@ -648,3 +648,54 @@ def test_delta_embedding_dedup_materialized_index(spark, tmp_path):
         for r in delta_embedding_dedup(spark, path, delta, threshold=0.95).collect()
     )
     assert again == kept
+
+
+def _vec64(*head):
+    v = list(head) + [0.0] * (64 - len(head))
+    return [float(x) for x in v]
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """Planted SemDeDup hand model: a 3-chain of near-identical
+    vectors collapses to ONE keeper -- the member with the LOWEST
+    cosine to the cluster centroid (the paper's rule); orthogonal
+    members survive as singletons; an identical vector in ANOTHER
+    cluster is untouched (cross-cluster loss is by design)."""
+    from solana_data_etl_pipeline_spark.operators.dedup import semdedup_keepers
+
+    rows = [
+        # label 1: three near-dups (pairwise cos ~0.999) + one orthogonal
+        (1, _vec64(1.0, 0.00), 1),
+        (2, _vec64(1.0, 0.02), 1),
+        (3, _vec64(1.0, 0.04), 1),
+        (4, _vec64(0.0, 0.0, 1.0), 1),
+        # label 2: a copy of vec 1 -- different cluster, never paired
+        (5, _vec64(1.0, 0.00), 2),
+        (6, _vec64(0.0, 1.0), 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in semdedup_keepers(df, threshold=0.95).collect()}
+    # the dup group {1,2,3} keeps exactly one member
+    kept_group = [i for i in (1, 2, 3) if i in out]
+    assert len(kept_group) == 1
+    assert out[kept_group[0]].group_size == 3
+    # centroid of label 1 leans toward the dup mass; vec 1 (y=0.00)
+    # and vec 3 (y=0.04) flank it -- the keeper must be the group
+    # member with the minimal centroid cosine, never the medoid
+    assert kept_group[0] in (1, 3)
+    # orthogonal + cross-cluster members all survive as singletons
+    for vid in (4, 5, 6):
+        assert out[vid].group_size == 1
+    assert len(out) == 4
+
+
+def test_semdedup_refine_bits_only_splits_groups(spark):
+    """Finer clusters (refine_bits) can only SHRINK the pair graph:
+    the keeper count is monotonically non-decreasing in refine_bits,
+    and at bits=0 it matches the label-cluster run exactly."""
+    from solana_data_etl_pipeline_spark.operators.dedup import semdedup_keepers
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n0 = semdedup_keepers(emb, threshold=0.30).count()
+    n4 = semdedup_keepers(emb, threshold=0.30, refine_bits=4).count()
+    assert emb.count() >= n4 >= n0

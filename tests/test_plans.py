@@ -416,3 +416,42 @@ def test_line_dedup_no_per_line_sort_window(plans):
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
     assert p.count("Exchange") <= 3, p.count("Exchange")
+
+
+def test_semdedup_centroids_broadcast_pairs_equijoin(spark, plans):
+    # the output plan: no cartesian anywhere, and the narrow members
+    # frame (lazy checkpoint) feeds BOTH branches -- the scoring join
+    # computes once
+    p = plans("semdedup_keepers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Scan ExistingRDD") >= 2
+    # the scoring subplan (upstream of the checkpoint): centroids
+    # BROADCAST back onto the un-reshuffled vector scan, and the pair
+    # join is a cluster-keyed equi-join
+    from __spark_entry__ import _configure
+    from solana_data_etl_pipeline_spark.operators.dedup import semdedup_keepers
+    from solana_data_etl_pipeline_spark.operators.similarity import _dvec, dot_raw, norm_expr
+
+    _configure(spark)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    base = emb.select(
+        "vec_id",
+        _dvec(F.col("embedding")).alias("_v"),
+        norm_expr(F.col("embedding")).alias("_n"),
+        F.col("label").cast("long").alias("_cl"),
+    )
+    cells = (
+        base.select("_cl", F.posexplode("_v").alias("dim", "val"))
+        .groupBy("_cl", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    cent = cells.groupBy("_cl").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]).alias("_cvec")
+    )
+    scored = base.join(F.broadcast(cent), "_cl")
+    sp = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in sp
+    assert "SortMergeJoin" not in sp

@@ -78,6 +78,7 @@ HEAVY = [
     "novelty_scores",
     "perplexity_buckets",
     "line_dedup",
+    "semdedup_keepers",
 ]
 
 
