@@ -2951,6 +2951,9 @@ DRIVER_ORDER = [
     "delta_embedding_dedup",
     "interp_logprob",
     "novelty_scores",
+    "perplexity_buckets",
+    "line_dedup",
+    "semdedup_keepers",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---
@@ -2976,15 +2979,18 @@ DRIVER_ORDER = [
     # --- core dedup/similarity/media suite ---
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    # (embedding_quantize, media_features and dim_tokens -- all green
+    #  through r7 -- rotate out for the three late-r8 registrants
+    #  above; their families stay in-driver via delta_embedding_dedup/
+    #  semdedup_keepers, media_stats + media_frame_sample, and
+    #  dim_wallets + program_dim_rollup, and all three stay
+    #  DuckDB-swept by tests/test_oracle_parity on every run)
     "dedup_clusters",
     "knn_lsh",
     "knn_ivf",
-    "embedding_quantize",
     "media_stats",
     "media_frame_sample",
-    "media_features",
     "dim_wallets",
-    "dim_tokens",
     "program_dim_rollup",
     "doc_features",
     # --- analytics (reference A1-A13 parity) ---
