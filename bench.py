@@ -293,6 +293,46 @@ def main() -> None:
         len(truth_drop & got_drop) / max(len(truth_drop), 1), 3
     )
 
+    # SemDeDup dup-pair coverage: the fraction of exact
+    # above-threshold cosine pairs (tau=0.30, the registered setting)
+    # that share a cluster and are therefore VISIBLE to the
+    # within-cluster pair scan -- the paper's accepted cross-cluster
+    # loss, measured. Also at refine_bits=4 so the k-dial's coverage
+    # cost is on record next to its (SCALE.md) speed gain.
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semdedup_keepers,
+    )
+
+    exact_sem = _pairs(
+        embedding_near_dup_pairs(emb_tbl := load_table(spark, sf_dir, "embeddings"), threshold=0.30),
+        "vec_a",
+        "vec_b",
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb_tbl.select("vec_id", "label").collect()}
+    within = {p for p in exact_sem if len({labels[x] for x in p}) == 1}
+    recall["semdedup_pair_coverage"] = round(
+        len(within) / max(len(exact_sem), 1), 3
+    )
+    # the registered label clustering is a RANDOM partition (coverage
+    # ~1/k by construction); a GEOMETRIC clustering is what SemDeDup
+    # actually runs on -- measure what the trained quantizer buys
+    from solana_data_etl_pipeline_spark.operators.similarity import kmeans_cells as _kc
+
+    kcells = {
+        r["vec_id"]: r["cell"]
+        for r in _kc(emb_tbl, n_cells=10).select("vec_id", "cell").collect()
+    }
+    within_k = {p for p in exact_sem if len({kcells[x] for x in p}) == 1}
+    recall["semdedup_pair_coverage_kmeans"] = round(
+        len(within_k) / max(len(exact_sem), 1), 3
+    )
+    kept_refined = semdedup_keepers(emb_tbl, threshold=0.30, refine_bits=4).count()
+    kept_reg = semdedup_keepers(emb_tbl, threshold=0.30).count()
+    n_emb = emb_tbl.count()
+    recall["semdedup_removed_frac"] = round(1 - kept_reg / n_emb, 3)
+    recall["semdedup_removed_frac_bits4"] = round(1 - kept_refined / n_emb, 3)
+
     # cap-coverage diagnostics for every capped LSH family (the 'no
     # silent caps' observability frames): est_pair_coverage ~0 on a
     # family means its registered capped pair plan is in the
