@@ -1071,6 +1071,75 @@ def interp_logprob(
     )
 
 
+#: hash_embed's output dimensionality -- matches the embeddings
+#: table's EMB_DIM so the encoder's output slots into every
+#: embedding-side operator unchanged.
+HASH_EMBED_DIM = 64
+
+
+def hash_embed(df: DataFrame, dim: int = HASH_EMBED_DIM, text_col: str = "text") -> DataFrame:
+    """Feature-hashing document encoder (signed hashing trick,
+    Weinberger et al. 2009 -- HashingTF's signed form): every token
+    hashes to a dimension and a sign, the document vector is the
+    L2-normalized signed count histogram. A deterministic,
+    model-free, engine-portable embedding -- the bridge that feeds
+    the embedding-side operators (semdedup_keepers, knn_*, embedding
+    near-dup, quantize) straight from the documents table when no
+    learned encoder is deployed; output contract matches the
+    embeddings table: (vec_id, embedding array<double>), vec_id =
+    doc_id. Zero-norm documents (no tokens) come out as zero
+    vectors.
+
+    Scale shape: a pure per-row projection, ZERO shuffles and zero
+    joins. Each token is md5-hashed ONCE into a bound (dim, sign)
+    struct array (the HOF re-eval pitfall: hashing inside the
+    accumulator lambda would re-run md5 `dim` times per token); the
+    histogram accumulates via one aggregate whose step is a dim-wide
+    zip_with -- O(tokens x dim) fused arithmetic in the scan, no
+    exchange anywhere. `dim` must be a power of two: dimension and
+    sign come off the 60-bit hash with mask/shift INTEGER ops -- a
+    division path would round through doubles above 2^53 and break
+    bit-parity with the integer-exact oracle."""
+    from solana_data_etl_pipeline_spark.operators.dedup import _hash64
+
+    if dim & (dim - 1):
+        raise ValueError("dim must be a power of two")
+    shift = dim.bit_length() - 1
+    tk = tokens_col(text_col)
+    base = df.select(F.col("doc_id").alias("vec_id"), tk.alias("_tk"))
+    # md5 once per token; the (dim, sign) split re-reads the cheap
+    # long, not the hash expression
+    hashes = F.transform(F.filter(F.col("_tk"), lambda t: t != ""), _hash64)
+    base = base.select("vec_id", hashes.alias("_hs"))
+    feats = F.transform(
+        F.col("_hs"),
+        lambda h: F.struct(
+            F.pmod(h, F.lit(dim)).cast("int").alias("d"),
+            F.when(F.pmod(F.shiftright(h, shift), 2) == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("sgn"),
+        ),
+    )
+    base = base.select("vec_id", feats.alias("_fs"))
+    idxs = F.array(*[F.lit(i) for i in range(dim)])
+    raw = F.aggregate(
+        F.col("_fs"),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, s: F.zip_with(
+            acc, idxs, lambda v, i: v + F.when(i == s["d"], s["sgn"]).otherwise(F.lit(0.0))
+        ),
+    )
+    base = base.select("vec_id", raw.alias("_raw"))
+    norm = F.sqrt(
+        F.aggregate(F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = base.select("vec_id", "_raw", F.greatest(norm, F.lit(1e-12)).alias("_n"))
+    return base.select(
+        "vec_id",
+        F.transform(F.col("_raw"), lambda x: x / F.col("_n")).alias("embedding"),
+    )
+
+
 def grouped_quantile_buckets(
     scored: DataFrame,
     group_col: str,

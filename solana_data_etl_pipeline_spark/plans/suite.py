@@ -798,6 +798,27 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # feature-hashing encoder bridge: scalar projections of the
+    # hashed document vectors (nnz + two components + L1 pin the
+    # whole vector; arrays themselves stay out of the compare frame)
+    "hash_embed_stats": _docs(
+        lambda df: (
+            lambda e: e.select(
+                "vec_id",
+                F.size(F.filter("embedding", lambda x: x != 0.0))
+                .cast("long")
+                .alias("nnz"),
+                F.round(F.element_at("embedding", 1), 6).alias("e0"),
+                F.round(F.element_at("embedding", 2), 6).alias("e1"),
+                F.round(
+                    F.aggregate(
+                        "embedding", F.lit(0.0), lambda a, x: a + F.abs(x)
+                    ),
+                    6,
+                ).alias("l1"),
+            )
+        )(X.hash_embed(df))
+    ),
     # CCNet head/middle/tail: per-language quantile bucketing of the
     # interpolated LM score (ascending, so head = low-perplexity top)
     "perplexity_buckets": _docs(
@@ -1159,6 +1180,35 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["hash_embed_stats"] = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+t AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+h AS (SELECT doc_id, {H64_SQL.format(x="token")} AS hv FROM t WHERE token <> ''),
+f AS (
+  SELECT doc_id, CAST(hv % 64 AS INT) AS d,
+         CASE WHEN (hv >> 6) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM h
+),
+v AS (SELECT doc_id, d, sum(sgn) AS val FROM f GROUP BY doc_id, d),
+n AS (
+  SELECT doc_id,
+         greatest(sqrt(sum(val * val)), 1e-12) AS nrm,
+         count(*) FILTER (val <> 0) AS nnz,
+         sum(abs(val)) AS l1raw,
+         coalesce(max(CASE WHEN d = 0 THEN val END), 0.0) AS v0,
+         coalesce(max(CASE WHEN d = 1 THEN val END), 0.0) AS v1
+  FROM v GROUP BY doc_id
+)
+SELECT tok.doc_id AS vec_id,
+       CAST(coalesce(nnz, 0) AS BIGINT) AS nnz,
+       round(coalesce(v0 / nrm, 0.0), 6) AS e0,
+       round(coalesce(v1 / nrm, 0.0), 6) AS e1,
+       round(coalesce(l1raw / nrm, 0.0), 6) AS l1
+FROM tok LEFT JOIN n USING (doc_id)
 """
 
 TEXT_SQL["line_dedup"] = """
@@ -2954,6 +3004,7 @@ DRIVER_ORDER = [
     "perplexity_buckets",
     "line_dedup",
     "semdedup_keepers",
+    "hash_embed_stats",
     # --- reference A-query round-robin: A8 top_tokens + A9
     #     failed_transactions back in (last driver rows r5;
     #     /root/reference/src/analytics.rs:459-473,495-533) ---
@@ -2992,7 +3043,9 @@ DRIVER_ORDER = [
     "media_frame_sample",
     "dim_wallets",
     "program_dim_rollup",
-    "doc_features",
+    # (doc_features -- green r1-r7 -- rotates out for hash_embed_stats;
+    #  the fused zero-shuffle gate projection family stays in-driver
+    #  via gopher_quality + c4_clean)
     # --- analytics (reference A1-A13 parity) ---
     "transaction_volume",
     "hourly_volume",

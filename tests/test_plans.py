@@ -455,3 +455,17 @@ def test_semdedup_centroids_broadcast_pairs_equijoin(spark, plans):
     sp = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in sp
     assert "SortMergeJoin" not in sp
+
+
+def test_hash_embed_zero_shuffle_projection(plans):
+    # the encoder is a pure per-row projection: no exchange may
+    # appear before the stats aggregation's final projection -- the
+    # registered stats query's ONLY wide operation is nothing at all
+    # (per-row scalars over per-row vectors)
+    p = plans("hash_embed_stats")
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    import re
+
+    # the only allowed Exchange is ensure_parallelism's round-robin
+    assert not re.search(r"Exchange hashpartitioning", p), p

@@ -990,3 +990,50 @@ def test_line_dedup_first_wins_and_structure_kept(spark):
     assert (got[2].n_lines, got[2].kept_lines, got[2].removed_lines) == (4, 2, 2)
     assert got[3].clean_text == "  \nunique delta"
     assert got[3].removed_lines == 0
+
+
+def test_hash_embed_bag_of_words_properties(spark):
+    """The hashed encoder is an L2-normalized signed bag of words:
+    identical texts embed identically, token ORDER is irrelevant,
+    different texts differ, empty docs are zero vectors, and every
+    nonempty vector has unit norm."""
+    import math
+
+    from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "gamma alpha beta"),
+        (3, "alpha beta gamma delta"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.vec_id: list(r.embedding) for r in hash_embed(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert all(x == 0.0 for x in got[4])
+    for vid in (1, 2, 3):
+        assert math.isclose(sum(x * x for x in got[vid]), 1.0, rel_tol=1e-9)
+
+
+def test_hash_embed_bridges_into_semdedup(spark):
+    """End-to-end bridge: hash_embed output slots straight into
+    semdedup_keepers -- exact-duplicate texts form a cosine-1 dup
+    group and collapse to one keeper."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.dedup import semdedup_keepers
+    from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", 0),
+        (2, "the quick brown fox jumps over the lazy dog", 0),
+        (3, "a completely different document about spark plans", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp int")
+    emb = hash_embed(df).join(df.select(F.col("doc_id").alias("vec_id"), "grp"), "vec_id")
+    out = {r.vec_id: r for r in semdedup_keepers(emb, threshold=0.99, cluster_col="grp").collect()}
+    assert set(out) == {1, 3} or set(out) == {2, 3}
+    kept = 1 if 1 in out else 2
+    assert out[kept].group_size == 2
+    assert out[3].group_size == 1

@@ -79,6 +79,7 @@ HEAVY = [
     "perplexity_buckets",
     "line_dedup",
     "semdedup_keepers",
+    "hash_embed_stats",
 ]
 
 
