@@ -163,3 +163,73 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_budget_select(
         mixed, budget=V2_TOKEN_BUDGET, score_col="alpha_ratio", weight_col="n_words"
     ).select("doc_id", "source", "n_words", "alpha_ratio", "kept_lines", "rate_bp")
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report over the v2 curation pipeline -- the
+    funnel every production curation run publishes next to its output
+    corpus (how many documents and tokens die at each gate is the
+    first thing a data lead reads): raw -> published gates (C4 page +
+    Gopher conjunction) -> exact-dedup keepers -> cluster-level
+    decontaminated train split -> temperature mix -> token budget.
+    Returns one row per stage: (stage_id, stage, docs, tokens), where
+    tokens is the Gopher n_words surviving AT that stage -- the unit
+    the budget stage spends.
+
+    Scale shape: each stage row is a scalar aggregation of the
+    corresponding v2 prefix (map-side combined; the frames are the
+    registered pipeline's own plans); the expensive shared prefix
+    (gates + keepers + LSH split = `train`) is lazily checkpointed so
+    the three downstream stage rows re-read one narrow frame instead
+    of re-running the band-join pipeline each. Consistency with the
+    registered pipeline is pinned by test: the budget row's count
+    equals corpus_curation_v2's output count."""
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    gates = X.curation_gates(docs)
+    gated = gates.filter(~F.col("page_filtered") & F.col("gopher_pass"))
+    keepers = D.exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    deduped = gated.join(keepers, "doc_id")
+    split = D.leakage_free_split(
+        docs,
+        val_pct=VAL_PCT,
+        threshold=NEAR_DUP_THRESHOLD,
+        max_bucket=DEDUP_MAX_BUCKET,
+    )
+    train = (
+        docs.select("doc_id", "source")
+        .join(deduped, "doc_id")
+        .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .select("doc_id", "source", "n_words", "alpha_ratio")
+        .localCheckpoint(eager=False)
+    )
+    mixed = X.temperature_mix(train, tau=TAU, target_frac=TARGET_FRAC)
+    selected = X.token_budget_select(
+        mixed, budget=V2_TOKEN_BUDGET, score_col="alpha_ratio", weight_col="n_words"
+    )
+
+    def stage(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("tokens"),
+        ).select(
+            F.lit(i).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "docs",
+            "tokens",
+        )
+
+    out = stage(gates, 0, "raw")
+    for i, (name, df) in enumerate(
+        [
+            ("gates", gated),
+            ("dedup", deduped),
+            ("decontaminated", train),
+            ("mixed", mixed),
+            ("budget", selected),
+        ],
+        start=1,
+    ):
+        out = out.unionByName(stage(df, i, name))
+    return out

@@ -713,6 +713,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # in as the pipeline's gate stages (plans/corpus.py
     # corpus_curation_v2)
     "corpus_curation_v2": C.corpus_curation_v2,
+    # per-stage attrition through the v2 pipeline (the funnel report
+    # a curation run publishes; budget row pinned == v2's count)
+    "curation_funnel": C.curation_funnel,
     "stratified_sample": _docs(X.stratified_sample_stats),
     "pii_stats": _docs(X.pii_stats),
     # the acting sibling of pii_scan: typed-placeholder rewrite
@@ -2496,6 +2499,32 @@ SELECT doc_id, source, n_words, alpha_ratio, kept_lines, rate_bp
 FROM mixed, thr2
 WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
 """
+
+# funnel: the v2 oracle's CTE chain verbatim, output swapped for
+# per-stage (docs, tokens) counts -- raw / gates / dedup /
+# decontaminated / mixed / budget
+TEXT_SQL["curation_funnel"] = (
+    TEXT_SQL["corpus_curation_v2"].rsplit("\nSELECT doc_id, source, n_words", 1)[0]
+    + """,
+sel AS (
+  SELECT doc_id, n_words FROM mixed, thr2
+  WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
+),
+gated AS (
+  SELECT d.doc_id, gq.n_words FROM documents d
+  JOIN c4 USING (doc_id) JOIN gq USING (doc_id)
+  WHERE NOT c4.page_filtered AND gq.gopher_pass
+),
+deduped AS (SELECT g.doc_id, g.n_words FROM gated g JOIN keep k ON g.doc_id = k.doc_id)
+SELECT CAST(0 AS INT) AS stage_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS docs,
+       CAST(coalesce(sum(n_words), 0) AS BIGINT) AS tokens FROM gq
+UNION ALL SELECT CAST(1 AS INT), 'gates', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM gated
+UNION ALL SELECT CAST(2 AS INT), 'dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM deduped
+UNION ALL SELECT CAST(3 AS INT), 'decontaminated', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM train
+UNION ALL SELECT CAST(4 AS INT), 'mixed', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM mixed
+UNION ALL SELECT CAST(5 AS INT), 'budget', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM sel
+"""
+)
 
 # dense-family routing demo: UNCAPPED pigeonhole pairs -> recursive-CTE
 # components -> keepers (the simhash twin of dedup_keepers)

@@ -1037,3 +1037,27 @@ def test_hash_embed_bridges_into_semdedup(spark):
     kept = 1 if 1 in out else 2
     assert out[kept].group_size == 2
     assert out[3].group_size == 1
+
+
+def test_curation_funnel_monotone_and_pinned_to_v2(spark):
+    """The funnel is monotone non-increasing stage to stage (each
+    stage filters the previous), every stage is non-vacuous on the
+    test corpus (strictly positive counts, and at least one stage
+    strictly attrits), and the budget row equals the registered
+    corpus_curation_v2's output exactly."""
+    from solana_data_etl_pipeline_spark.plans.corpus import (
+        corpus_curation_v2,
+        curation_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(curation_funnel(spark, sf).collect(), key=lambda r: r.stage_id)
+    assert [r.stage for r in rows] == [
+        "raw", "gates", "dedup", "decontaminated", "mixed", "budget",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs <= prev.docs
+        assert cur.tokens <= prev.tokens
+    assert rows[-1].docs > 0
+    assert rows[0].docs > rows[-1].docs
+    assert rows[-1].docs == corpus_curation_v2(spark, sf).count()
