@@ -71,6 +71,19 @@ def main(argv: list[str] | None = None) -> int:
         help="also near-dup dedup each batch against a maintained minhash index",
     )
     p_scorp.add_argument(
+        "--semantic-dedup",
+        action="store_true",
+        help="also SEMANTIC-dedup each batch: hash-embed the docs and "
+        "probe a maintained embedding-LSH index (drops bag-of-words "
+        "twins exact/minhash dedup misses)",
+    )
+    p_scorp.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.95,
+        help="cosine threshold for --semantic-dedup (default 0.95)",
+    )
+    p_scorp.add_argument(
         "--compact-clusters",
         action="store_true",
         help="after the drain, fold the near-dup cluster remap log into the per-doc table",
@@ -294,6 +307,8 @@ def main(argv: list[str] | None = None) -> int:
             f"{out}/quarantine",
             f"{out}/checkpoint",
             near_dup_index=f"{out}/near_dup_index" if args.near_dup else None,
+            semantic_index=f"{out}/semantic_index" if args.semantic_dedup else None,
+            semantic_threshold=args.semantic_threshold,
             temperature_tau=args.temperature_tau,
             target_frac=args.target_frac,
             token_budget=args.token_budget,

@@ -82,12 +82,16 @@ def document_features_batch(good: DataFrame, gates: str = "simple") -> DataFrame
 
 
 def cap_new_bands(
-    new_bands: DataFrame, existing: DataFrame | None, max_bucket: int | None
+    new_bands: DataFrame,
+    existing: DataFrame | None,
+    max_bucket: int | None,
+    keys: tuple[str, str] = ("band", "band_sig"),
 ) -> DataFrame:
     """Enforce materialize_minhash's degenerate-bucket cap on band rows
     APPENDED to a continuously-grown index, against TOTAL bucket width
     (existing index rows + the new rows). A batch whose rows would push
-    a (band, band_sig) bucket past the cap contributes nothing to that
+    a bucket (the `keys` group: minhash (band, band_sig); embedding
+    (table, bucket)) past the cap contributes nothing to that
     bucket -- mirroring the build-time rule, which drops over-wide
     buckets entirely. The existing-side count is a partial-agg groupBy
     over the index's join keys: the shuffle carries at most |distinct
@@ -96,13 +100,13 @@ def cap_new_bands(
     if max_bucket is None:
         return new_bands
     cols = new_bands.columns  # the equi-join reorders; appends must not
-    wspec = Window.partitionBy("band", "band_sig")
+    wspec = Window.partitionBy(*keys)
     new_bands = new_bands.withColumn("_new", F.count(F.lit(1)).over(wspec))
     if existing is not None:
-        have = existing.groupBy("band", "band_sig").agg(
+        have = existing.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("_have")
         )
-        new_bands = new_bands.join(have, ["band", "band_sig"], "left").fillna(
+        new_bands = new_bands.join(have, list(keys), "left").fillna(
             0, subset=["_have"]
         )
     else:
@@ -154,10 +158,27 @@ def run_document_stream(
     gates: str = "simple",
     decontaminate_bench: str | None = None,
     decon_threshold: float = 0.5,
+    semantic_index: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_max_bucket: int | None = 64,
 ):
     """Landing zone -> quarantine split -> gates + features ->
     (optional) benchmark DECONTAMINATION -> exact dedup -> (optional)
-    NEAR-dup dedup -> language-partitioned corpus parquet.
+    NEAR-dup dedup -> (optional) SEMANTIC dedup -> language-
+    partitioned corpus parquet.
+
+    `semantic_index` enables embed-at-ingest semantic dedup: each
+    batch is hash-embedded (operators/text.py hash_embed -- a
+    deployment with a learned encoder swaps the vector source,
+    nothing else changes) and probed against a continuously-grown
+    embedding-LSH index via delta_embedding_dedup's drop rule, at
+    delta cost; the index is caught up after each corpus write with
+    the same self-healing doc_id anti-join as the near-dup index,
+    appends passing the accumulated-width bucket cap
+    (`semantic_max_bucket`) on (table, bucket). Runs AFTER exact and
+    near-dup dedup so only novel content pays embedding cost; it
+    catches what they miss (bag-of-words twins: permuted or
+    re-ordered content).
 
     `decontaminate_bench` (a parquet docs table) blocks benchmark
     contamination AT INGEST: the bench set's winnowing index is built
@@ -282,6 +303,77 @@ def run_document_stream(
         return kept.select("doc_id").join(
             F.broadcast(dropped.distinct()), "doc_id", "left_anti"
         )
+
+    def _embed_bucket_rows(vecs: DataFrame) -> DataFrame:
+        """materialize_embedding_lsh's index-row projection over
+        hashed document vectors: (vec_id, v, n, table, bucket)."""
+        from solana_data_etl_pipeline_spark.operators.similarity import (
+            LSH_PLANES,
+            _dvec,
+            norm_expr,
+            table_bucket_col,
+        )
+
+        buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, 2)
+        return vecs.select(
+            F.col("vec_id"),
+            _dvec(F.col("embedding")).alias("v"),
+            norm_expr(F.col("embedding")).alias("n"),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+
+    def _semantic_keep_ids(kept: DataFrame) -> DataFrame:
+        """doc_ids of `kept` that survive SEMANTIC dedup: the batch is
+        hash-embedded (the model-free encoder; a deployment with a
+        learned encoder swaps the vector source, nothing else) and
+        probed against the materialized embedding-LSH index at delta
+        cost -- delta_embedding_dedup's drop rule (cosine-verified
+        against any index vector sharing a bucket, or a smaller-id
+        batch vector). Before the index exists, batch-internal pairs
+        only (the same narrow fallback as _near_dup_matches)."""
+        from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+        vecs = hash_embed(kept)
+        try:
+            spark.read.parquet(f"{semantic_index}/buckets")
+        except AnalysisException:
+            pairs = D.embedding_near_dup_lsh(
+                vecs, threshold=semantic_threshold, max_bucket=semantic_max_bucket
+            )
+            dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+            return kept.select("doc_id").join(
+                F.broadcast(dropped), "doc_id", "left_anti"
+            )
+        survivors = D.delta_embedding_dedup(
+            spark, semantic_index, vecs, threshold=semantic_threshold
+        )
+        return survivors.select(F.col("vec_id").alias("doc_id"))
+
+    def _catch_up_semantic():
+        """Append embedding-LSH index rows for corpus docs the
+        semantic index does not know yet -- the vector twin of
+        _catch_up_index, same self-healing doc_id anti-join form,
+        appends passing through the accumulated-width bucket cap on
+        the index's (table, bucket) keys."""
+        from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+        corpus_now = spark.read.parquet(output_dir).select("doc_id", "text")
+        try:
+            existing = spark.read.parquet(f"{semantic_index}/buckets")
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            have = existing.select(F.col("vec_id").alias("doc_id")).distinct()
+            todo = corpus_now.join(have, "doc_id", "left_anti")
+        else:
+            todo = corpus_now
+        rows = cap_new_bands(
+            _embed_bucket_rows(hash_embed(todo)),
+            existing,
+            semantic_max_bucket,
+            keys=("table", "bucket"),
+        )
+        rows.write.mode("append").parquet(f"{semantic_index}/buckets")
 
     def _catch_up_index():
         """Append band rows + shingles for corpus docs the index does
@@ -451,6 +543,10 @@ def run_document_stream(
                     "doc_id",
                     "left_semi",
                 )
+            if semantic_index:
+                kept = kept.join(
+                    F.broadcast(_semantic_keep_ids(kept)), "doc_id", "left_semi"
+                )
             if temperature_tau is not None or token_budget is not None:
                 kept = _apply_policies(kept, seen, batch_id)
             kept.select(
@@ -480,6 +576,10 @@ def run_document_stream(
                 )
             if quarantine.limit(1).count():
                 quarantine.write.mode("append").parquet(quarantine_dir)
+            if semantic_index:
+                # AFTER the corpus write (same reasoning as the
+                # near-dup catch-up below)
+                _catch_up_semantic()
             if near_dup_index:
                 # AFTER the corpus write, so the dedup above never sees
                 # this batch's own docs in the index

@@ -340,3 +340,35 @@ def test_cli_corpus_decontaminate(spark, tmp_path, capsys):
     # representative if the source doc lost batch dedup first)
     for r in two:
         assert r.doc_id not in kept_ids
+
+
+def test_cli_stream_corpus_semantic_dedup(spark, tmp_path, capsys):
+    """--semantic-dedup drops a bag-of-words twin (permuted tokens)
+    that the fingerprint gate passes, and maintains the embedding
+    index under the stream output dir."""
+    import json
+    import os
+
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    wh = str(tmp_path / "wh")
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, " ".join(words)) + "\n")
+        f.write(_doc(2, " ".join(reversed(words))) + "\n")
+
+    rc = main(["--warehouse-path", wh, "stream-corpus", "--input", land, "--semantic-dedup"])
+    assert rc == 0
+    assert "drained (1 documents" in capsys.readouterr().out
+    docs = spark.read.parquet(f"{wh}/corpus_stream/documents")
+    assert {r.doc_id for r in docs.collect()} == {1}
+    idx = spark.read.parquet(f"{wh}/corpus_stream/semantic_index/buckets")
+    assert {r.vec_id for r in idx.collect()} == {1}

@@ -909,3 +909,55 @@ def test_document_stream_ingest_decontamination(spark, tmp_path):
         decontaminate_bench=bench_path, decon_threshold=0.5,
     )
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 4}
+
+
+def test_document_stream_semantic_dedup(spark, tmp_path):
+    """Embed-at-ingest semantic dedup: a PERMUTED twin (same bag of
+    words, different order) passes the exact-fingerprint gate but is
+    dropped by the hash-embed probe -- within a batch (min-id wins)
+    and across batches (the materialized embedding index, caught up
+    self-healingly after each corpus write); distinct docs pass."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    sem = str(tmp_path / "sem_index")
+    os.makedirs(land, exist_ok=True)
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+    original = " ".join(words)
+    permuted = " ".join(reversed(words))
+    other = "a completely different training document about spark physical plans and shuffles"
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    # batch 1: original + its in-batch permuted twin + a distinct doc
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, original) + "\n")
+        f.write(_doc(2, permuted) + "\n")
+        f.write(_doc(3, other) + "\n")
+
+    run_document_stream(spark, land, out, quar, ckpt, semantic_index=sem)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+    # the index knows exactly the surviving corpus
+    idx_ids = {r.vec_id for r in spark.read.parquet(f"{sem}/buckets").collect()}
+    assert idx_ids == {1, 3}
+
+    # batch 2: ANOTHER permutation of batch 1's doc (cross-batch
+    # semantic dup -> dropped by the index probe) + a fresh doc
+    rotated = " ".join(words[6:] + words[:6])
+    fresh = "yet another unrelated document describing adaptive query execution in detail"
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(4, rotated) + "\n")
+        f.write(_doc(5, fresh) + "\n")
+
+    run_document_stream(spark, land, out, quar, ckpt, semantic_index=sem)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 5}
+    idx_ids = {r.vec_id for r in spark.read.parquet(f"{sem}/buckets").collect()}
+    assert idx_ids == {1, 3, 5}
