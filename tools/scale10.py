@@ -80,6 +80,7 @@ HEAVY = [
     "line_dedup",
     "semdedup_keepers",
     "hash_embed_stats",
+    "curation_funnel",
 ]
 
 
