@@ -1071,6 +1071,98 @@ def interp_logprob(
     )
 
 
+#: DSIR's hashed-feature bucket count -- a power of two so the
+#: bucket comes off the 60-bit hash with integer mask ops (the same
+#: double-rounding hazard as hash_embed's sign bit).
+DSIR_BUCKETS = 8192
+
+
+def dsir_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR -- Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw-corpus document by the
+    log-likelihood ratio of a TARGET-domain hashed-unigram LM to the
+    raw-corpus LM,
+
+        score(d) = (1/|d|) * sum_t ln(p_target(b(t)) / p_raw(b(t))),
+
+    b(t) the token's hash bucket and both LMs add-one smoothed over
+    the bucket domain. High scores mark documents that look like the
+    target domain -- the published cheap alternative to a trained
+    domain classifier; downstream selection composes with the
+    existing machinery (quantile_gate / token_budget_select /
+    grouped_quantile_buckets over the score). Returns (doc_id,
+    n_tokens, avg_logratio), docs with no tokens omitted.
+
+    Scale shape: both LM count frames aggregate to at most
+    `n_buckets` rows (map-side combined; the domain is fixed by
+    construction), join into one ratio table and BROADCAST; the
+    corpus explodes its token buckets once (per-row hash, never
+    reshuffled) onto that broadcast and reduces with one doc_id
+    aggregation -- the target corpus is scanned once, the raw corpus
+    twice (its own LM + the scoring pass), nothing corpus-sized ever
+    shuffles except the final per-doc combine."""
+    from solana_data_etl_pipeline_spark.operators.dedup import _hash64
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+
+    def buckets(df: DataFrame) -> DataFrame:
+        tk = tokens_col(text_col)
+        b = df.select("doc_id", tk.alias("_tk")).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.filter(F.col("_tk"), lambda t: t != ""),
+                    lambda t: F.pmod(_hash64(t), F.lit(n_buckets)).cast("int"),
+                )
+            ).alias("b"),
+        )
+        return b
+
+    def lm(b: DataFrame, name: str) -> DataFrame:
+        counts = b.groupBy("b").agg(F.count(F.lit(1)).alias("_c"))
+        tot = counts.agg(F.sum("_c").alias("_n"))
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.log(
+                (F.col("_c") + 1) / (F.col("_n") + F.lit(float(n_buckets)))
+            ).alias(name),
+        )
+
+    cb = buckets(corpus)
+    # only corpus buckets ever score, so the raw side is never
+    # missing; a bucket unseen in the TARGET carries its smoothed
+    # floor ln(1 / (N_target + B)) via a broadcast scalar
+    tt = buckets(target).agg(F.count(F.lit(1)).cast("double").alias("_tn"))
+    ratio = (
+        lm(cb, "_lr")
+        .join(lm(buckets(target), "_lt"), "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            (
+                F.coalesce(
+                    F.col("_lt"), F.log(1.0 / (F.col("_tn") + n_buckets))
+                )
+                - F.col("_lr")
+            ).alias("_lr8"),
+        )
+    )
+    return (
+        cb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("_lr8"), 4).alias("avg_logratio"),
+        )
+    )
+
+
 #: hash_embed's output dimensionality -- matches the embeddings
 #: table's EMB_DIM so the encoder's output slots into every
 #: embedding-side operator unchanged.

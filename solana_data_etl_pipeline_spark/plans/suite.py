@@ -801,6 +801,18 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # DSIR importance scoring: target domain = the benchmark slice
+    # (the same target stance as novelty_scores), raw = the rest
+    "dsir_scores": (
+        lambda spark, sf_dir: X.dsir_scores(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("source") != _BENCH_SOURCE
+            ),
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("source") == _BENCH_SOURCE
+            ),
+        )
+    ),
     # feature-hashing encoder bridge: scalar projections of the
     # hashed document vectors (nnz + two components + L1 pin the
     # whole vector; arrays themselves stay out of the compare frame)
@@ -1183,6 +1195,34 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["dsir_scores"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+tb AS (
+  SELECT doc_id, source, CAST({H64_SQL.format(x="token")} % {X.DSIR_BUCKETS} AS INT) AS b
+  FROM (SELECT doc_id, source, unnest(tk) AS token FROM tok)
+  WHERE token <> ''
+),
+cb AS (SELECT doc_id, b FROM tb WHERE source <> '{_BENCH_SOURCE}'),
+tgt AS (SELECT b FROM tb WHERE source = '{_BENCH_SOURCE}'),
+rc AS (SELECT b, count(*) AS c FROM cb GROUP BY b),
+rn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM rc),
+tc AS (SELECT b, count(*) AS c FROM tgt GROUP BY b),
+tn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tgt),
+ratio AS (
+  SELECT rc.b,
+         (CASE WHEN tc.c IS NULL THEN ln(1 / (tn.n + {X.DSIR_BUCKETS}))
+               ELSE ln((tc.c + 1) / (tn.n + {X.DSIR_BUCKETS})) END)
+         - ln((rc.c + 1) / (rn.n + {X.DSIR_BUCKETS})) AS lr8
+  FROM rc LEFT JOIN tc USING (b), rn, tn
+)
+SELECT cb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lr8), 4) AS avg_logratio
+FROM cb JOIN ratio USING (b)
+GROUP BY cb.doc_id
 """
 
 TEXT_SQL["hash_embed_stats"] = f"""

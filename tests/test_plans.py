@@ -469,3 +469,14 @@ def test_hash_embed_zero_shuffle_projection(plans):
 
     # the only allowed Exchange is ensure_parallelism's round-robin
     assert not re.search(r"Exchange hashpartitioning", p), p
+
+
+def test_dsir_ratio_table_broadcast_corpus_unshuffled(plans):
+    # the LM count frames aggregate to <= n_buckets rows (map-side
+    # combined b-keyed exchanges); the ratio table BROADCASTS onto
+    # the exploded corpus buckets; the only corpus-sized exchange is
+    # the final per-doc combine
+    p = plans("dsir_scores")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # ratio build + scoring join
+    assert p.count("Exchange hashpartitioning(doc_id") == 1, p

@@ -1061,3 +1061,43 @@ def test_curation_funnel_monotone_and_pinned_to_v2(spark):
     assert rows[-1].docs > 0
     assert rows[0].docs > rows[-1].docs
     assert rows[-1].docs == corpus_curation_v2(spark, sf).count()
+
+
+def test_dsir_scores_hand_model(spark):
+    """DSIR exact hand model: scores equal the add-one-smoothed
+    hashed-unigram log-likelihood ratio recomputed in pure Python,
+    and the target-looking document outranks the off-domain one."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from solana_data_etl_pipeline_spark.operators.text import DSIR_BUCKETS, dsir_scores
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    target_toks = "spark shuffle spark plan shuffle spark".split()
+    raw_docs = {
+        1: "spark shuffle spark spark plan".split(),
+        2: "llama otter badger weasel marmot".split(),
+    }
+    target = spark.createDataFrame(
+        [(100, " ".join(target_toks))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in raw_docs.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dsir_scores(corpus, target).collect()}
+
+    tc = Counter(bucket(t) for t in target_toks)
+    rc = Counter(bucket(t) for d in raw_docs.values() for t in d)
+    tn, rn = sum(tc.values()), sum(rc.values())
+    for i, toks in raw_docs.items():
+        lr = [
+            math.log((tc.get(bucket(t), 0) + 1) / (tn + DSIR_BUCKETS))
+            - math.log((rc[bucket(t)] + 1) / (rn + DSIR_BUCKETS))
+            for t in toks
+        ]
+        assert got[i].avg_logratio == round(sum(lr) / len(lr), 4)
+        assert got[i].n_tokens == len(toks)
+    assert got[1].avg_logratio > got[2].avg_logratio

@@ -81,6 +81,7 @@ HEAVY = [
     "semdedup_keepers",
     "hash_embed_stats",
     "curation_funnel",
+    "dsir_scores",
 ]
 
 
