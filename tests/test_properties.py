@@ -641,3 +641,70 @@ def test_decontaminate_split_cluster_property(spark, edges, val_ids):
             assert i not in got, i
         else:
             assert got.get(i) == "train", i
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["dup line one", "dup line two", "x y", "p q r", "", "  "]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_line_dedup_matches_python_model(spark, docs):
+    """line_dedup == the obvious Python first-wins model: every
+    distinct CONTENT line survives exactly once across the corpus (at
+    its first (doc_id, pos)), whitespace lines always survive, counts
+    reconcile, and clean_text is the in-order join of survivors."""
+    from solana_data_etl_pipeline_spark.operators.text import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df).collect()}
+
+    seen: set[str] = set()
+    for i, lines in enumerate(docs):
+        kept = []
+        for line in lines:
+            if line.strip() == "":
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.kept_lines == len(kept)
+        assert r.removed_lines == len(lines) - len(kept)
+        assert r.clean_text == "\n".join(kept)
+
+
+@given(
+    toks=st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+    perm_seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**SETTINGS)
+def test_hash_embed_permutation_invariant_unit_norm(spark, toks, perm_seed):
+    """hash_embed is a bag-of-words map: any permutation of the same
+    multiset embeds identically, and every nonempty vector has unit
+    L2 norm (empty docs are zero vectors)."""
+    import math
+    import random
+
+    from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+    shuffled = list(toks)
+    random.Random(perm_seed).shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(shuffled))], "doc_id long, text string"
+    )
+    got = {r.vec_id: list(r.embedding) for r in hash_embed(df).collect()}
+    assert got[1] == got[2]
+    norm2 = sum(x * x for x in got[1])
+    if toks:
+        assert math.isclose(norm2, 1.0, rel_tol=1e-9)
+    else:
+        assert norm2 == 0.0
