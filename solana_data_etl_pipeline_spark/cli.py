@@ -322,6 +322,19 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             n = 0
         print(f"corpus_stream: drained ({n} documents total)")
+        from solana_data_etl_pipeline_spark.streaming.corpus import index_health
+
+        if args.semantic_dedup:
+            h = index_health(
+                spark, f"{out}/semantic_index", ("table", "bucket"),
+                max_bucket=64, sub="buckets",
+            )
+            print(
+                "semantic_index: "
+                f"{h['rows']} rows in {h['buckets']} buckets, "
+                f"max width {h['max_width']}, p99 {h['p99_width']}, "
+                f"{h['at_cap']} at cap"
+            )
         if args.near_dup:
             from solana_data_etl_pipeline_spark.streaming.clusters import (
                 compact_clusters,
@@ -336,6 +349,13 @@ def main(argv: list[str] | None = None) -> int:
                 "near_dup_clusters: "
                 f"{labels.count()} docs in "
                 f"{labels.select('cluster_id').distinct().count()} clusters"
+            )
+            h = index_health(spark, idx, ("band", "band_sig"), max_bucket=64)
+            print(
+                "near_dup_index: "
+                f"{h['rows']} rows in {h['buckets']} buckets, "
+                f"max width {h['max_width']}, p99 {h['p99_width']}, "
+                f"{h['at_cap']} at cap"
             )
         return 0
 

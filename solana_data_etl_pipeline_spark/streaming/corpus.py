@@ -114,6 +114,47 @@ def cap_new_bands(
     return new_bands.filter(F.col("_new") + F.col("_have") <= max_bucket).select(cols)
 
 
+def index_health(
+    spark: SparkSession,
+    index_path: str,
+    keys: tuple[str, str],
+    max_bucket: int | None = None,
+    sub: str = "bands",
+) -> dict:
+    """Bucket-width health of a continuously-grown LSH index (the
+    streaming counterpart of the batch *_cap_stats diagnostics --
+    the 'no silent caps' rule applied to the indexes the stream
+    maintains): row count, distinct buckets, the width distribution's
+    max and p99, and -- when the accumulated-width cap is in force --
+    how many buckets sit AT the cap (those buckets silently reject
+    all future appends; a growing at-cap count is the signal to
+    re-key or widen before probe recall decays). One bounded
+    aggregation over the index's own join keys; returns a plain dict
+    for CLI/ops surfacing."""
+    idx = spark.read.parquet(f"{index_path}/{sub}")
+    widths = idx.groupBy(*keys).agg(F.count(F.lit(1)).alias("w"))
+    agg = widths.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).alias("rows"),
+        F.count(F.lit(1)).alias("buckets"),
+        F.coalesce(F.max("w"), F.lit(0)).alias("max_width"),
+        F.coalesce(F.expr("percentile_approx(w, 0.99)"), F.lit(0)).alias("p99_width"),
+        (
+            F.coalesce(
+                F.sum((F.col("w") >= max_bucket).cast("long")), F.lit(0)
+            ).alias("at_cap")
+            if max_bucket is not None
+            else F.lit(None).cast("long").alias("at_cap")
+        ),
+    ).collect()[0]
+    return {
+        "rows": int(agg["rows"]),
+        "buckets": int(agg["buckets"]),
+        "max_width": int(agg["max_width"]),
+        "p99_width": int(agg["p99_width"]),
+        "at_cap": None if agg["at_cap"] is None else int(agg["at_cap"]),
+    }
+
+
 def temperature_rates(counts: DataFrame, tau: float, target_frac: float) -> DataFrame:
     """Per-source keep rates (basis points) under the mT5 p^tau recipe
     from a (source, n) count frame -- the same formula as

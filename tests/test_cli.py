@@ -372,3 +372,12 @@ def test_cli_stream_corpus_semantic_dedup(spark, tmp_path, capsys):
     assert {r.doc_id for r in docs.collect()} == {1}
     idx = spark.read.parquet(f"{wh}/corpus_stream/semantic_index/buckets")
     assert {r.vec_id for r in idx.collect()} == {1}
+    # width-health report surfaced for the maintained index
+    from solana_data_etl_pipeline_spark.streaming.corpus import index_health
+
+    h = index_health(
+        spark, f"{wh}/corpus_stream/semantic_index", ("table", "bucket"),
+        max_bucket=64, sub="buckets",
+    )
+    assert h["rows"] == 2 and h["buckets"] == 2  # 1 vec x 2 tables
+    assert h["max_width"] == 1 and h["at_cap"] == 0
