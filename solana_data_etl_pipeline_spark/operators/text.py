@@ -1624,6 +1624,53 @@ def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def sequence_boundaries(
+    df: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-SEQUENCE inverse of pack_sequences: for every training
+    sequence, the document segments inside it -- (shard, seq, doc_id,
+    begin, end) with [begin, end) token positions within the
+    sequence. This is the attention-reset artifact a training job
+    consumes alongside the packed tokens (segment ids / document
+    masks: cross-document attention is cut at these boundaries);
+    pack_sequences tells each DOC where it landed, this tells each
+    SEQUENCE what it contains.
+
+    Scale shape: pack_sequences' single shard-partitioned cumulative
+    window, then a pure per-row expansion -- each document explodes
+    into the (last_seq - first_seq + 1) sequences it straddles via a
+    transform over a bounded index sequence; no join, no second
+    shuffle. Every sequence's segments sum to exactly `budget` tokens
+    (except each shard's tail), which the packing_efficiency oracle
+    checks from the same CTEs."""
+    packed = pack_sequences(df, budget=budget, shard_col=shard_col, id_col=id_col)
+    b = F.lit(int(budget))
+    segs = F.transform(
+        F.sequence(F.col("first_seq"), F.col("last_seq")),
+        lambda s: F.struct(
+            s.alias("seq"),
+            F.greatest(F.col("start_offset") - s * b, F.lit(0)).alias("begin"),
+            F.least(
+                F.col("start_offset") + F.col("n_tokens") - s * b, b
+            ).alias("end"),
+        ),
+    )
+    return (
+        packed.filter(F.col("n_tokens") > 0)
+        .select(shard_col, id_col, F.explode(segs).alias("_s"))
+        .select(
+            F.col(shard_col).alias("shard"),
+            F.col("_s.seq").alias("seq"),
+            F.col(id_col),
+            F.col("_s.begin").cast("long").alias("begin"),
+            F.col("_s.end").cast("long").alias("end"),
+        )
+    )
+
+
 def tokenize_pack(
     df: DataFrame,
     vocab_size: int = 1000,

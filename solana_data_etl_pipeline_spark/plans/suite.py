@@ -758,6 +758,11 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     "repetition_stats": _docs(X.repetition_stats),
     "pack_sequences": _docs(lambda df: X.pack_sequences(df, budget=_PACK_BUDGET)),
+    # the per-sequence inverse: document segments within each packed
+    # sequence (the attention-reset mask artifact)
+    "pack_boundaries": _docs(
+        lambda df: X.sequence_boundaries(df, budget=_PACK_BUDGET)
+    ),
     # numericalize -> pack composed (vocab 200, the tokenize_corpus
     # registry setting; source-sharded so the oracle is pure SQL --
     # the seeded-permutation form is sinks/shards.py
@@ -1672,6 +1677,30 @@ SELECT doc_id, source, n_tokens,
        CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS first_seq,
        CAST((cum - n_tokens + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS BIGINT) AS last_seq
 FROM c
+"""
+
+TEXT_SQL["pack_boundaries"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT doc_id, source, n_tokens,
+         cum - n_tokens AS start_offset,
+         (cum - n_tokens) // {_PACK_BUDGET} AS first_seq,
+         (cum - n_tokens + greatest(n_tokens, 1) - 1) // {_PACK_BUDGET} AS last_seq
+  FROM c WHERE n_tokens > 0
+)
+SELECT source AS shard, CAST(s AS BIGINT) AS seq, doc_id,
+       CAST(greatest(start_offset - s * {_PACK_BUDGET}, 0) AS BIGINT) AS begin,
+       CAST(least(start_offset + n_tokens - s * {_PACK_BUDGET}, {_PACK_BUDGET}) AS BIGINT) AS "end"
+FROM p, UNNEST(generate_series(CAST(first_seq AS BIGINT), CAST(last_seq AS BIGINT))) AS u(s)
 """
 
 

@@ -480,3 +480,12 @@ def test_dsir_ratio_table_broadcast_corpus_unshuffled(plans):
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2  # ratio build + scoring join
     assert p.count("Exchange hashpartitioning(doc_id") == 1, p
+
+
+def test_pack_boundaries_single_shard_exchange_no_join(plans):
+    # the per-sequence expansion is a pure per-row transform+explode
+    # over pack_sequences' output: exactly the pack window's one
+    # shard exchange, no joins anywhere
+    p = plans("pack_boundaries")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p

@@ -1101,3 +1101,41 @@ def test_dsir_scores_hand_model(spark):
         assert got[i].avg_logratio == round(sum(lr) / len(lr), 4)
         assert got[i].n_tokens == len(toks)
     assert got[1].avg_logratio > got[2].avg_logratio
+
+
+def test_sequence_boundaries_tile_sequences_exactly(spark):
+    """Per-sequence segments are a perfect tiling: within every
+    (shard, seq) the segments are disjoint, ordered, start at 0,
+    chain begin==previous end, and sum to the budget (except each
+    shard's final sequence); straddling docs appear in every sequence
+    they cross; per-doc segment totals equal n_tokens."""
+    from collections import defaultdict
+
+    from solana_data_etl_pipeline_spark.operators.text import sequence_boundaries
+
+    rows = [
+        (1, "a " * 5, "s1"),     # 5 tokens
+        (2, "b " * 9, "s1"),     # straddles the 8-token boundary
+        (3, "c " * 3, "s1"),
+        (4, "d " * 2, "s2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    segs = sequence_boundaries(df, budget=8).collect()
+    per_seq = defaultdict(list)
+    per_doc = defaultdict(int)
+    for r in segs:
+        per_seq[(r.shard, r.seq)].append((r.begin, r.end, r.doc_id))
+        per_doc[r.doc_id] += r.end - r.begin
+    assert per_doc == {1: 5, 2: 9, 3: 3, 4: 2}
+    # doc 2 (tokens 5..14 of shard s1) straddles seqs 0 and 1
+    assert {r.seq for r in segs if r.doc_id == 2} == {0, 1}
+    for (shard, seq), lst in per_seq.items():
+        lst.sort()
+        assert lst[0][0] == 0
+        for (b1, e1, _), (b2, e2, _) in zip(lst, lst[1:]):
+            assert b2 == e1
+        total = lst[-1][1]
+        full = {"s1": {0}, "s2": set()}[shard]
+        assert total == 8 if seq in full else total <= 8
