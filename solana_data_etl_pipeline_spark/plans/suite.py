@@ -818,6 +818,20 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             ),
         )
     ),
+    # text similarity search end-to-end: hashed-BoW vectors through
+    # the multi-table LSH kNN (no learned model anywhere); queries =
+    # the first five docs, self-matches excluded by knn_lsh
+    "text_knn": (
+        lambda spark, sf_dir: (
+            lambda e: V.knn_lsh(
+                e,
+                e.filter(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                k=10,
+            )
+        )(X.hash_embed(load_table(spark, sf_dir, "documents")))
+    ),
     # feature-hashing encoder bridge: scalar projections of the
     # hashed document vectors (nnz + two components + L1 pin the
     # whole vector; arrays themselves stay out of the compare frame)
@@ -1200,6 +1214,47 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+# text ANN: hash_embed's dense vectors rebuilt in SQL (dims grid x
+# signed counts, same mask/shift hash, same 1e-12 norm guard), then
+# the knn_lsh oracle body verbatim over them
+TEXT_SQL["text_knn"] = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+t AS (SELECT doc_id, unnest(tk) AS token FROM tok),
+h AS (SELECT doc_id, {H64_SQL.format(x="token")} AS hv FROM t WHERE token <> ''),
+fv AS (
+  SELECT doc_id, CAST(hv % 64 AS INT) AS d,
+         CASE WHEN (hv >> 6) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM h
+),
+sv AS (SELECT doc_id, d, sum(sgn) AS val FROM fv GROUP BY doc_id, d),
+grid AS (
+  SELECT tok.doc_id, CAST(u.i AS INT) AS d FROM tok, UNNEST(range(0, 64)) AS u(i)
+),
+dense AS (
+  SELECT grid.doc_id, list(coalesce(sv.val, 0.0) ORDER BY grid.d) AS raw
+  FROM grid LEFT JOIN sv ON grid.doc_id = sv.doc_id AND grid.d = sv.d
+  GROUP BY grid.doc_id
+),
+e AS (
+  SELECT doc_id AS vec_id,
+         list_transform(raw, x -> x / greatest(sqrt(list_dot_product(raw, raw)), 1e-12)) AS v
+  FROM dense
+),
+{_table_buckets_sql(V.LSH_TABLES)},
+q AS (SELECT vec_id AS query_id, v AS qv, tbl, bkt FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, {COSINE_SQL.format(a="q.qv", b="c.v")} AS cosine
+  FROM b c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
 """
 
 TEXT_SQL["dsir_scores"] = f"""

@@ -489,3 +489,13 @@ def test_pack_boundaries_single_shard_exchange_no_join(plans):
     p = plans("pack_boundaries")
     assert p.count("Exchange") == 1
     assert "Join" not in p
+
+
+def test_text_knn_corpus_streams_into_broadcast_join(plans):
+    # same contract as the embedding knn_lsh: the hashed corpus
+    # streams into a broadcast join against the bounded query side;
+    # no cartesian, no corpus sort-merge
+    p = plans("text_knn")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

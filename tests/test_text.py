@@ -1139,3 +1139,26 @@ def test_sequence_boundaries_tile_sequences_exactly(spark):
         total = lst[-1][1]
         full = {"s1": {0}, "s2": set()}[shard]
         assert total == 8 if seq in full else total <= 8
+
+
+def test_text_knn_surfaces_permuted_twin_first(spark):
+    """Text ANN end-to-end: a bag-of-words twin (permuted tokens) is
+    the top-1 neighbor at cosine 1.0 through the hashed encoder +
+    multi-table LSH path."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_lsh
+    from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(reversed(words))),
+        (3, "a fully unrelated document about catalyst optimizer rules"),
+        (4, "another unrelated page concerning parquet row groups"),
+    ]
+    e = hash_embed(spark.createDataFrame(rows, "doc_id long, text string"))
+    q = e.filter(F.col("vec_id") == 1).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(knn_lsh(e, q, k=3).collect(), key=lambda r: r.rank)
+    assert got[0].neighbor_id == 2
+    assert got[0].cosine == 1.0
