@@ -820,7 +820,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     # text similarity search end-to-end: hashed-BoW vectors through
     # the multi-table LSH kNN (no learned model anywhere); queries =
-    # the first five docs, self-matches excluded by knn_lsh
+    # the first five docs, self-matches excluded by knn_lsh. The
+    # encoded frame feeds both join sides -- lazily checkpointed so
+    # the md5-per-token encoder runs once, not once per side
     "text_knn": (
         lambda spark, sf_dir: (
             lambda e: V.knn_lsh(
@@ -830,7 +832,11 @@ TEXT_QUERIES: dict[str, QueryFn] = {
                 ),
                 k=10,
             )
-        )(X.hash_embed(load_table(spark, sf_dir, "documents")))
+        )(
+            X.hash_embed(load_table(spark, sf_dir, "documents")).localCheckpoint(
+                eager=False
+            )
+        )
     ),
     # feature-hashing encoder bridge: scalar projections of the
     # hashed document vectors (nnz + two components + L1 pin the

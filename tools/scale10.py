@@ -82,6 +82,8 @@ HEAVY = [
     "hash_embed_stats",
     "curation_funnel",
     "dsir_scores",
+    "text_knn",
+    "pack_boundaries",
 ]
 
 
