@@ -1071,6 +1071,46 @@ def interp_logprob(
     )
 
 
+def inject_canaries(
+    df: DataFrame, rate_bp: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Memorization-audit canary injection (the Secret Sharer
+    protocol, Carlini et al. 2019, arXiv:1802.08232, as deployed in
+    training-data pipelines): a deterministic hash-mod selection of
+    `rate_bp` basis points of documents each get a unique synthetic
+    canary token appended -- after training, prompting for the
+    canaries measures verbatim memorization, and the registry of
+    injected canaries is the ground truth the eval joins against.
+    Returns the corpus with (text possibly extended, is_canary,
+    canary), canary NULL on unselected docs. Deterministic: replays
+    and both engines select identical docs and mint identical
+    canaries (md5 of the doc_id).
+
+    Scale shape: a pure per-row projection -- the selection is the
+    consistent_sample hash-mod rule, the canary is one md5; ZERO
+    shuffles. Detection's inverse is a regexp extract joined against
+    the registry (see the canary_registry test round-trip)."""
+    sel = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("canary"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10_000),
+    ) < rate_bp
+    canary = F.concat(F.lit("canary-"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12))
+    return df.withColumn("is_canary", sel).withColumn(
+        "canary", F.when(sel, canary)
+    ).withColumn(
+        text_col,
+        F.when(sel, F.concat(F.col(text_col), F.lit(" "), canary)).otherwise(
+            F.col(text_col)
+        ),
+    )
+
+
 #: DSIR's hashed-feature bucket count -- a power of two so the
 #: bucket comes off the 60-bit hash with integer mask ops (the same
 #: double-rounding hazard as hash_embed's sign bit).

@@ -806,6 +806,14 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # memorization-audit canary registry: the injected (doc, canary)
+    # ground truth a post-training memorization eval joins against;
+    # rate 500bp so the synthetic corpus yields a real sample
+    "canary_registry": _docs(
+        lambda df: X.inject_canaries(df, rate_bp=500)
+        .filter(F.col("is_canary"))
+        .select("doc_id", "canary")
+    ),
     # DSIR importance scoring: target domain = the benchmark slice
     # (the same target stance as novelty_scores), raw = the rest
     "dsir_scores": (
@@ -1220,6 +1228,13 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["canary_registry"] = """
+SELECT doc_id,
+       'canary-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS canary
+FROM documents
+WHERE ('0x' || substr(md5('canary' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 500
 """
 
 # text ANN: hash_embed's dense vectors rebuilt in SQL (dims grid x

@@ -1162,3 +1162,35 @@ def test_text_knn_surfaces_permuted_twin_first(spark):
     got = sorted(knn_lsh(e, q, k=3).collect(), key=lambda r: r.rank)
     assert got[0].neighbor_id == 2
     assert got[0].cosine == 1.0
+
+
+def test_inject_canaries_roundtrip_detection(spark):
+    """Canary injection is deterministic and detection inverts it
+    exactly: regexp-extracting the canary token from the modified
+    corpus reproduces the registry; unselected docs are byte-
+    unchanged; replays mint identical canaries."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.text import inject_canaries
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = inject_canaries(docs, rate_bp=500)
+    reg = {r.doc_id: r.canary for r in out.filter("is_canary").select("doc_id", "canary").collect()}
+    assert 0 < len(reg) < docs.count()
+
+    # detection: extract from the text itself
+    found = {
+        r.doc_id: r.hit
+        for r in out.select(
+            "doc_id", F.regexp_extract("text", r"canary-[0-9a-f]{12}", 0).alias("hit")
+        ).collect()
+    }
+    assert {k: v for k, v in found.items() if v} == reg
+    # unselected docs unchanged
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    for r in out.collect():
+        if not r.is_canary:
+            assert r.text == orig[r.doc_id]
+    # replay-stable
+    reg2 = {r.doc_id: r.canary for r in inject_canaries(docs, rate_bp=500).filter("is_canary").select("doc_id", "canary").collect()}
+    assert reg2 == reg
