@@ -3152,10 +3152,11 @@ def all_oracle_sql() -> dict[str, str]:
 DRIVER_ORDER = [
     # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
-    # pack_boundaries -- rotate IN next round (all oracle-swept at
-    # sf0.001 on every test run meanwhile), displacing this round's
-    # returning greens; the A-query round-robin's next passengers are
-    # whichever analytics rows have then been out longest.
+    # pack_boundaries, canary_registry -- rotate IN next round (all
+    # oracle-swept at sf0.001 on every test run meanwhile), displacing
+    # this round's returning greens; the A-query round-robin's next
+    # passengers are whichever analytics rows have then been out
+    # longest.
     #
     # --- round-8 rotation: the eleven r7-registered operators that
     #     never had a driver verdict (oracle-swept at sf0.001 every
