@@ -5,6 +5,8 @@ documented values."""
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from solana_data_etl_pipeline_spark.config import Config
 from solana_data_etl_pipeline_spark.operators.parse import parse_blocks
 from solana_data_etl_pipeline_spark.sources.blocks import read_block_json
@@ -120,3 +122,51 @@ def test_recommended_simhash_bits_rule(spark):
     assert recommended_simhash_bits(280_000) > 32       # the measured 100x regime
     assert recommended_simhash_bits(280_000) <= 60
     assert recommended_simhash_bits(10**12) == 60       # ceiling, never 64
+
+
+def test_late_round8_operators_on_empty_and_degenerate_input(spark):
+    """The late-r8 operators hold their contracts on empty and
+    degenerate corpora: empty in, empty (or zero-stat) out -- no
+    NULL-poisoned aggregates, no divide-by-zero, no crash."""
+    from solana_data_etl_pipeline_spark.operators.dedup import semdedup_keepers
+    from solana_data_etl_pipeline_spark.operators.text import (
+        dsir_scores,
+        grouped_quantile_buckets,
+        hash_embed,
+        inject_canaries,
+        interp_logprob,
+        line_dedup,
+        novelty_scores,
+        sequence_boundaries,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string, lang string")
+    one = spark.createDataFrame(
+        [(1, "solo document with a handful of tokens", "s1", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    assert interp_logprob(empty).count() == 0
+    assert line_dedup(empty).count() == 0
+    assert hash_embed(empty).count() == 0
+    assert inject_canaries(empty).count() == 0
+    assert sequence_boundaries(empty).count() == 0
+    assert novelty_scores(empty, one, n=3).count() == 0
+    # empty REFERENCE: every corpus gram is novel
+    nv = novelty_scores(one, empty, n=3).collect()
+    assert len(nv) == 1 and nv[0].novelty == 1.0
+    # empty TARGET: DSIR degrades to the smoothed floor, not a crash
+    assert dsir_scores(one, empty).count() == 1
+    assert dsir_scores(empty, one).count() == 0
+    # bucketing an empty scored frame and a single-row group
+    assert grouped_quantile_buckets(
+        empty.select("doc_id", F.col("lang"), F.lit(None).cast("double").alias("s")),
+        "lang",
+        "s",
+    ).count() == 0
+    single = grouped_quantile_buckets(
+        one.select("doc_id", "lang", F.lit(1.5).alias("s")), "lang", "s"
+    ).collect()
+    assert single[0].bucket == "tail"  # the lone value is its own 1/3 threshold
+    # semdedup on an empty embedding table
+    eemb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert semdedup_keepers(eemb).count() == 0
