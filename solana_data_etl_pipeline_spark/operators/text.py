@@ -1071,6 +1071,40 @@ def interp_logprob(
     )
 
 
+def corpus_card(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The dataset-card summary table ("Datasheets for Datasets",
+    Gebru et al. 2021; every published corpus ships one): per
+    (source, lang) -- document and token mass, mean quality signals,
+    and the published-gate pass rates (C4 page gate, Gopher rule
+    conjunction). The one-table overview a data lead reads before
+    anything else; the curation funnel is its pipeline-stage
+    counterpart.
+
+    Scale shape: the fused curation_gates projection (one scan, zero
+    shuffles) followed by ONE narrow (source, lang) aggregation with
+    map-side combine -- group cardinality is sources x languages,
+    bounded by the catalog, so the result is always a small frame.
+    Every statistic is an INTEGER sum followed by one division --
+    never avg() over doubles, whose partial-aggregation summation
+    order differs between engines and flips the last rounded digit
+    on half-way values (observed: quantized per-doc ratios make
+    exact .xxxx5 means common)."""
+    joined = curation_gates(df, carry_cols=("source", "lang"))
+    docs = F.count(F.lit(1))
+    alpha_bp = F.sum(F.round(F.col("alpha_ratio") * 10_000).cast("long"))
+    return joined.groupBy("source", "lang").agg(
+        docs.cast("long").alias("docs"),
+        F.sum("n_words").cast("long").alias("tokens"),
+        F.round(alpha_bp / (docs * 10_000.0), 4).alias("mean_alpha_ratio"),
+        F.round(
+            F.sum(F.col("gopher_pass").cast("long")) / docs.cast("double"), 4
+        ).alias("gopher_pass_rate"),
+        F.round(
+            F.sum((~F.col("page_filtered")).cast("long")) / docs.cast("double"), 4
+        ).alias("c4_page_pass_rate"),
+    )
+
+
 def inject_canaries(
     df: DataFrame, rate_bp: int = 100, text_col: str = "text"
 ) -> DataFrame:
@@ -1582,7 +1616,9 @@ def pack_sequences(
     )
 
 
-def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
+def curation_gates(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """ONE-SCAN fusion of the corpus_curation_v2 gate signals:
     c4_clean's page verdict + kept-line count, gopher_quality's
     signals + rule conjunction, and quality_scores' char-level
@@ -1601,9 +1637,12 @@ def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
     claim is the ASYMPTOTE: it has zero corpus-keyed exchanges where
     the composition grows three once the gate frames outgrow the
     broadcast threshold. Returns (doc_id, n_words, alpha_ratio,
-    kept_lines, page_filtered, gopher_pass)."""
+    kept_lines, page_filtered, gopher_pass). `carry_cols` rides extra
+    per-document columns through the projection (zero extra cost --
+    consumers like corpus_card avoid a corpus-keyed join-back)."""
     bound = df.select(
         "doc_id",
+        *carry_cols,
         F.col(text_col),
         F.filter(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
@@ -1651,6 +1690,7 @@ def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]", ""))
     return bound.select(
         "doc_id",
+        *carry_cols,
         n_words.cast("long").alias("n_words"),
         F.round(
             alpha_chars / F.greatest(F.length(F.col(text_col)), F.lit(1)), 4

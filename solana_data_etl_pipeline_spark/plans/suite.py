@@ -806,6 +806,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # the dataset-card summary (Gebru et al. 2021): per (source, lang)
+    # mass + quality-signal means + published-gate pass rates
+    "corpus_card": _docs(X.corpus_card),
     # memorization-audit canary registry: the injected (doc, canary)
     # ground truth a post-training memorization eval joins against;
     # rate 500bp so the synthetic corpus yields a real sample
@@ -2645,6 +2648,29 @@ FROM mixed, thr2
 WHERE round(CAST(alpha_ratio AS DOUBLE), 4) >= thr
 """
 
+# dataset card: the v2 oracle's GATE CTEs (c4t..q) lifted verbatim,
+# aggregated per (source, lang) -- the oracle joins documents back
+# for the group keys (the Spark plan carries them through the fused
+# projection instead)
+_GATE_CTES = (
+    TEXT_SQL["corpus_curation_v2"].split("c4t AS (", 1)[1].rsplit(",\nkeep AS", 1)[0]
+)
+TEXT_SQL["corpus_card"] = (
+    "WITH c4t AS ("
+    + _GATE_CTES
+    + """
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(gq.n_words) AS BIGINT) AS tokens,
+       round(sum(CAST(round(q.alpha_ratio * 10000) AS BIGINT)) / (count(*) * 10000.0), 4) AS mean_alpha_ratio,
+       round(sum(CASE WHEN gq.gopher_pass THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS gopher_pass_rate,
+       round(sum(CASE WHEN c4.page_filtered THEN 0 ELSE 1 END) / CAST(count(*) AS DOUBLE), 4) AS c4_page_pass_rate
+FROM documents d
+JOIN gq USING (doc_id) JOIN c4 USING (doc_id) JOIN q USING (doc_id)
+GROUP BY 1, 2
+"""
+)
+
 # funnel: the v2 oracle's CTE chain verbatim, output swapped for
 # per-stage (docs, tokens) counts -- raw / gates / dedup /
 # decontaminated / mixed / budget
@@ -3152,7 +3178,8 @@ def all_oracle_sql() -> dict[str, str]:
 DRIVER_ORDER = [
     # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
-    # pack_boundaries, canary_registry -- rotate IN next round (all
+    # pack_boundaries, canary_registry, corpus_card -- rotate IN next
+    # round (all
     # oracle-swept at sf0.001 on every test run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next
     # passengers are whichever analytics rows have then been out

@@ -1194,3 +1194,40 @@ def test_inject_canaries_roundtrip_detection(spark):
     # replay-stable
     reg2 = {r.doc_id: r.canary for r in inject_canaries(docs, rate_bp=500).filter("is_canary").select("doc_id", "canary").collect()}
     assert reg2 == reg
+
+
+def test_corpus_card_reconciles_with_gate_operators(spark):
+    """The card's per-(source, lang) masses and rates reconcile
+    exactly with the standalone gate operators recomputed over the
+    same slice, and totals cover the corpus."""
+    from solana_data_etl_pipeline_spark.operators.text import (
+        corpus_card,
+        curation_gates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    card = {(r.source, r.lang): r for r in corpus_card(docs).collect()}
+    assert sum(r.docs for r in card.values()) == docs.count()
+
+    g = curation_gates(docs, carry_cols=("source", "lang")).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # docs, words, alpha_bp, gpass, c4pass
+    for r in g:
+        a = agg[(r.source, r.lang)]
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += round(r.alpha_ratio * 10_000)
+        a[3] += int(r.gopher_pass)
+        a[4] += int(not r.page_filtered)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x):  # Spark/DuckDB round half AWAY from zero; Python's is banker's
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    for k, (d, w, abp, gp, cp) in agg.items():
+        r = card[k]
+        assert (r.docs, r.tokens) == (d, w)
+        assert r.mean_alpha_ratio == r4(abp / (d * 10_000.0))
+        assert r.gopher_pass_rate == r4(gp / d)
+        assert r.c4_page_pass_rate == r4(cp / d)
