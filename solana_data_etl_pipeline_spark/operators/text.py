@@ -1071,6 +1071,73 @@ def interp_logprob(
     )
 
 
+def denoising_spans(
+    df: DataFrame,
+    corruption_rate: float = 0.15,
+    span_len: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4: mask
+    ~15% of tokens in ~3-token spans) in its deterministic fixed-span
+    form: token positions tile into `span_len` blocks, and a block is
+    selected for masking iff a hash of (doc_id, block) clears the
+    corruption rate -- so the expected corrupted-token fraction is
+    `corruption_rate`, replays and both engines select identical
+    spans, and the artifact (doc_id, span_id, start, length) is what
+    a denoising data loader consumes to build inputs/targets.
+    (Production T5 samples span lengths; the fixed-length variant
+    keeps the plan a pure projection and the oracle exact --
+    documented, not hidden.) Final partial blocks are eligible and
+    truncated. span_id numbers a doc's selected spans in order.
+
+    Scale shape: one bound token array, one transform over the block
+    index range, one explode -- per-row work only, ZERO shuffles."""
+    rate_bp = int(round(corruption_rate * 10_000))
+    tk = tokens_col(text_col)
+    base = df.select("doc_id", tk.alias("_tk")).select(
+        "doc_id", F.size("_tk").alias("_n")
+    )
+    n_blocks = F.ceil(F.col("_n") / span_len).cast("int")
+    sel = F.filter(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit("span"),
+                            F.col("doc_id").cast("string"),
+                            b.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10_000),
+        )
+        < rate_bp,
+    )
+    spans = F.transform(
+        sel,
+        lambda b, i: F.struct(
+            i.alias("span_id"),
+            (b * span_len).cast("long").alias("start"),
+            F.least(F.lit(span_len), F.col("_n") - b * span_len)
+            .cast("long")
+            .alias("length"),
+        ),
+    )
+    return (
+        base.filter(F.col("_n") > 0)
+        .select("doc_id", F.col("_n").cast("long").alias("n_tokens"), F.explode(spans).alias("_s"))
+        .select("doc_id", "n_tokens", "_s.span_id", "_s.start", "_s.length")
+    )
+
+
 def corpus_card(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The dataset-card summary table ("Datasheets for Datasets",
     Gebru et al. 2021; every published corpus ships one): per

@@ -806,6 +806,8 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # T5-style deterministic span-corruption plan (15% / 3-token spans)
+    "denoising_spans": _docs(X.denoising_spans),
     # the dataset-card summary (Gebru et al. 2021): per (source, lang)
     # mass + quality-signal means + published-gate pass rates
     "corpus_card": _docs(X.corpus_card),
@@ -1231,6 +1233,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["denoising_spans"] = """
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS n FROM documents
+),
+bl AS (
+  SELECT doc_id, n, CAST(u.b AS BIGINT) AS b
+  FROM t, UNNEST(range(0, CAST(ceil(n / 3.0) AS BIGINT))) AS u(b)
+  WHERE n > 0
+),
+selb AS (
+  SELECT doc_id, n, b,
+         row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS span_id
+  FROM bl
+  WHERE ('0x' || substr(md5('span|' || CAST(doc_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 10000 < 1500
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(span_id AS INT) AS span_id,
+       CAST(b * 3 AS BIGINT) AS start, CAST(least(3, n - b * 3) AS BIGINT) AS length
+FROM selb
 """
 
 TEXT_SQL["canary_registry"] = """
@@ -3178,9 +3200,9 @@ def all_oracle_sql() -> dict[str, str]:
 DRIVER_ORDER = [
     # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
-    # pack_boundaries, canary_registry, corpus_card -- rotate IN next
-    # round (all
-    # oracle-swept at sf0.001 on every test run meanwhile), displacing
+    # pack_boundaries, canary_registry, corpus_card, denoising_spans --
+    # rotate IN next round (all oracle-swept at sf0.001 on every test
+    # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next
     # passengers are whichever analytics rows have then been out
     # longest.

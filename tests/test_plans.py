@@ -499,3 +499,21 @@ def test_text_knn_corpus_streams_into_broadcast_join(plans):
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_corpus_card_zero_join_bounded_agg(plans):
+    # the card rides the fused gates projection (group keys carried,
+    # never joined back): no joins at all, one scan, and only the
+    # bounded (source, lang) aggregation exchange
+    p = plans("corpus_card")
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") <= 2
+
+
+def test_denoising_spans_zero_shuffle(plans):
+    # block selection + span expansion are per-row HOF expressions:
+    # no exchange, no join anywhere
+    p = plans("denoising_spans")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
