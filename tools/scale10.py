@@ -84,6 +84,9 @@ HEAVY = [
     "dsir_scores",
     "text_knn",
     "pack_boundaries",
+    "corpus_card",
+    "canary_registry",
+    "denoising_spans",
 ]
 
 
