@@ -1071,6 +1071,89 @@ def interp_logprob(
     )
 
 
+def mixture_waterfill(
+    counts: DataFrame,
+    budget: int,
+    cap_col: str = "capacity",
+    weight_col: str = "weight",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget allocation across sources under AVAILABILITY
+    constraints -- the waterfilling step of corpus mixing: target
+    weights say how a budget SHOULD split, capacities say how much
+    each source HAS; a source that cannot fill its share saturates
+    and its unmet share redistributes over the rest in weight
+    proportion (allocation a_s = min(cap_s, lambda * w_s) with one
+    global lambda such that the budget is spent). temperature_mix
+    computes target rates and clips at 100% -- this operator is the
+    missing redistribution: what mixture is actually ACHIEVABLE
+    (epochs-per-source planning, the Llama-style data-recipe table).
+    Returns (source, capacity, weight, alloc, saturated); if total
+    capacity <= budget, every source saturates and alloc = capacity.
+
+    Closed form, no iteration: sort sources by cap/w ascending --
+    saturation is prefix-closed in that order -- flag each prefix row
+    whose ratio undercuts the lambda implied by saturating everything
+    before it (a running-AND window enforces prefix closure), then
+    one conditional aggregate yields the final lambda and unflagged
+    sources allocate round(lambda * w). Integer inputs + single
+    divisions keep both engines bit-identical.
+
+    Scale shape: the frame is SOURCES-sized (bounded by the catalog),
+    so the sort window and the broadcast scalar are trivially cheap
+    at any corpus scale; capacities come from one map-side-combined
+    corpus aggregation upstream."""
+    w = Window.orderBy((F.col(cap_col) / F.col(weight_col)).asc(), F.col(source_col))
+    cum = counts.select(
+        source_col,
+        cap_col,
+        weight_col,
+        F.sum(cap_col).over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("_pc"),
+        F.sum(weight_col).over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("_pw"),
+    )
+    tot = counts.agg(
+        F.sum(cap_col).cast("double").alias("_tc"),
+        F.sum(weight_col).cast("double").alias("_tw"),
+    )
+    lam_before = (F.lit(float(budget)) - F.coalesce(F.col("_pc"), F.lit(0))) / (
+        F.col("_tw") - F.coalesce(F.col("_pw"), F.lit(0))
+    )
+    flagged = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("_flag", (F.col(cap_col) / F.col(weight_col)) < lam_before)
+        .withColumn(
+            "saturated",
+            F.min(F.col("_flag").cast("int"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("boolean"),
+        )
+    )
+    sat = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("saturated"), F.col(cap_col))), F.lit(0))
+        .cast("double")
+        .alias("_sc"),
+        F.coalesce(F.sum(F.when(F.col("saturated"), F.col(weight_col))), F.lit(0))
+        .cast("double")
+        .alias("_sw"),
+    )
+    lam = (F.lit(float(budget)) - F.col("_sc")) / F.greatest(
+        F.col("_tw") - F.col("_sw"), F.lit(1e-12)
+    )
+    return (
+        flagged.crossJoin(F.broadcast(sat))
+        .select(
+            source_col,
+            F.col(cap_col).cast("long").alias("capacity"),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.when(F.col("saturated"), F.col(cap_col))
+            .otherwise(F.least(F.col(cap_col), F.round(lam * F.col(weight_col))))
+            .cast("long")
+            .alias("alloc"),
+            "saturated",
+        )
+    )
+
+
 def denoising_spans(
     df: DataFrame,
     corruption_rate: float = 0.15,

@@ -806,6 +806,26 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # achievable-mixture waterfilling: uniform target weights over a
+    # budget of 90% of corpus tokens -- short sources saturate and
+    # their unmet share redistributes (budget = one bounded
+    # build-time scalar collect; floor() mirrors Python int())
+    "mixture_waterfill": (
+        lambda spark, sf_dir: (
+            lambda c: X.mixture_waterfill(
+                c, budget=int(0.9 * c.agg(F.sum("capacity")).first()[0])
+            )
+        )(
+            load_table(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(
+                F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+                .cast("long")
+                .alias("capacity")
+            )
+            .withColumn("weight", F.lit(1).cast("long"))
+        )
+    ),
     # T5-style deterministic span-corruption plan (15% / 3-token spans)
     "denoising_spans": _docs(X.denoising_spans),
     # the dataset-card summary (Gebru et al. 2021): per (source, lang)
@@ -1233,6 +1253,46 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["mixture_waterfill"] = """
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS capacity,
+         CAST(1 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+bdg AS (SELECT CAST(floor(0.9 * sum(capacity)) AS DOUBLE) AS b FROM c),
+tot AS (SELECT CAST(sum(capacity) AS DOUBLE) AS tc, CAST(sum(weight) AS DOUBLE) AS tw FROM c),
+cum AS (
+  SELECT *,
+         sum(capacity) OVER (ORDER BY capacity * 1.0 / weight, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+         sum(weight) OVER (ORDER BY capacity * 1.0 / weight, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pw
+  FROM c
+),
+fl AS (
+  SELECT cum.*, tot.tw, bdg.b,
+         (capacity * 1.0 / weight) < ((bdg.b - coalesce(pc, 0)) / (tot.tw - coalesce(pw, 0))) AS flag
+  FROM cum, tot, bdg
+),
+run AS (
+  SELECT *, CAST(min(CASE WHEN flag THEN 1 ELSE 0 END)
+                 OVER (ORDER BY capacity * 1.0 / weight, source
+                       ROWS UNBOUNDED PRECEDING) AS BOOLEAN) AS saturated
+  FROM fl
+),
+sat AS (
+  SELECT CAST(coalesce(sum(CASE WHEN saturated THEN capacity END), 0) AS DOUBLE) AS sc,
+         CAST(coalesce(sum(CASE WHEN saturated THEN weight END), 0) AS DOUBLE) AS sw
+  FROM run
+)
+SELECT source, capacity, weight,
+       CAST(CASE WHEN saturated THEN capacity
+            ELSE least(capacity * 1.0, round((b - sc) / greatest(tw - sw, 1e-12) * weight)) END AS BIGINT) AS alloc,
+       saturated
+FROM run, sat
 """
 
 TEXT_SQL["denoising_spans"] = """
@@ -3200,7 +3260,8 @@ def all_oracle_sql() -> dict[str, str]:
 DRIVER_ORDER = [
     # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
-    # pack_boundaries, canary_registry, corpus_card, denoising_spans --
+    # pack_boundaries, canary_registry, corpus_card, denoising_spans,
+    # mixture_waterfill --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

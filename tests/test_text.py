@@ -1265,3 +1265,26 @@ def test_denoising_spans_rate_and_structure(spark):
     assert 0.10 < corrupted / full < 0.20
     again = denoising_spans(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_waterfill_hand_model(spark):
+    """Waterfilling hand model: the short source saturates, its unmet
+    share redistributes by weight, allocations spend the budget
+    exactly; an over-generous budget saturates everything at
+    capacity."""
+    from solana_data_etl_pipeline_spark.operators.text import mixture_waterfill
+
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("b", 50, 1), ("c", 1000, 2)],
+        "source string, capacity long, weight long",
+    )
+    got = {r.source: r for r in mixture_waterfill(df, budget=100).collect()}
+    # lambda_0 = 100/4 = 25 > a's ratio 10 -> a saturates; final
+    # lambda = (100-10)/3 = 30
+    assert (got["a"].alloc, got["a"].saturated) == (10, True)
+    assert (got["b"].alloc, got["b"].saturated) == (30, False)
+    assert (got["c"].alloc, got["c"].saturated) == (60, False)
+    assert sum(r.alloc for r in got.values()) == 100
+
+    rich = {r.source: r for r in mixture_waterfill(df, budget=5000).collect()}
+    assert all(r.saturated and r.alloc == r.capacity for r in rich.values())
