@@ -961,3 +961,61 @@ def test_document_stream_semantic_dedup(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 5}
     idx_ids = {r.vec_id for r in spark.read.parquet(f"{sem}/buckets").collect()}
     assert idx_ids == {1, 3, 5}
+
+
+def test_semantic_index_self_heals_after_loss(spark, tmp_path):
+    """The semantic index's catch-up is SELF-HEALING: losing the
+    entire index after a drain (the worst crash: corpus committed,
+    index append lost) is repaired by the next batch's catch-up,
+    which rebuilds rows for every corpus doc the index does not know
+    -- and the probe still drops a semantic dup of PRE-LOSS content
+    afterwards."""
+    import shutil
+
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    sem = str(tmp_path / "sem_index")
+    os.makedirs(land, exist_ok=True)
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, " ".join(words)) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, semantic_index=sem)
+
+    # simulate the crash: corpus committed, index lost entirely
+    shutil.rmtree(sem)
+
+    rotated = " ".join(words[3:] + words[:3])   # semantic dup of doc 1
+    fresh = "an unrelated piece describing whole stage code generation boundaries"
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(2, rotated) + "\n")
+        f.write(_doc(3, fresh) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, semantic_index=sem)
+
+    # doc 2 must STILL be dropped: with the index gone, the probe
+    # falls back to batch-internal pairs (which cannot see doc 1), so
+    # the corpus-level guarantee comes from the catch-up rebuilding
+    # doc 1's rows -- by the NEXT drain doc 2's twin is indexed. The
+    # honest contract: one batch of exposure after total index loss.
+    docs_now = {r.doc_id for r in spark.read.parquet(out).collect()}
+    idx_ids = {r.vec_id for r in spark.read.parquet(f"{sem}/buckets").collect()}
+    # the catch-up rebuilt the lost index to cover the full corpus
+    assert idx_ids == docs_now
+    # third drain: another twin is now caught against the healed index
+    with open(os.path.join(land, "c.jsonl"), "w") as f:
+        f.write(_doc(4, " ".join(reversed(words))) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, semantic_index=sem)
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 4 not in final
+    assert {r.vec_id for r in spark.read.parquet(f"{sem}/buckets").collect()} == final

@@ -87,6 +87,7 @@ HEAVY = [
     "corpus_card",
     "canary_registry",
     "denoising_spans",
+    "mixture_waterfill",
 ]
 
 
