@@ -1071,6 +1071,87 @@ def interp_logprob(
     )
 
 
+def corpus_diversity(df: DataFrame, top_v: int = 1000, text_col: str = "text") -> DataFrame:
+    """One-row corpus-diversity diagnostic: distinct-n ratios
+    (|distinct n-grams| / |n-grams|, n = 1,2,3 -- the distinct-n
+    metric of Li et al. 2016, low values flag template/boilerplate
+    corpora) and the Zipf rank-frequency slope fit over the top-V
+    vocabulary (natural text sits near -1; a flat or cliff-shaped
+    slope flags synthetic or truncated token distributions). The
+    statistical sibling of corpus_card: card reports mass and gate
+    rates, this reports distributional health.
+
+    Scale shape: per-n gram counts are two-level aggregations over
+    per-row gram streams (map-side combined; nothing corpus-keyed
+    beyond the gram groupBys); the Zipf fit is a top-V
+    orderBy+limit (TakeOrderedAndProject, never a global sort of the
+    vocab) followed by a window + regression aggregate over the
+    BOUNDED top-V frame. Distinct ratios are integer-sum divisions
+    (engine-exact); the slope is a closed-form least squares over
+    <= top_v log pairs."""
+    tk = tokens_col(text_col)
+    base = df.select(tk.alias("_tk"))
+    stats = []
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = F.explode(F.filter(F.col("_tk"), lambda t: t != "")).alias("g")
+        else:
+            grams = F.explode(
+                F.when(
+                    F.size("_tk") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+                        lambda i: F.array_join(F.slice(F.col("_tk"), i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g")
+        per = (
+            base.select(grams)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum("_c").cast("long").alias(f"total_{n}"),
+                F.count(F.lit(1)).cast("long").alias(f"distinct_{n}"),
+            )
+        )
+        stats.append(per)
+    uni = (
+        base.select(F.explode(F.filter(F.col("_tk"), lambda t: t != "")).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("g"))
+        .limit(top_v)
+    )
+    ranked = uni.withColumn(
+        "_r",
+        F.row_number().over(Window.orderBy(F.col("_c").desc(), F.col("g"))),
+    ).select(F.log("_r").alias("_x"), F.log("_c").alias("_y"))
+    # a single-rank vocabulary has zero variance in log-rank: the
+    # slope is undefined (NULL), not an error
+    slope = ranked.agg(
+        F.try_divide(
+            F.avg(F.col("_x") * F.col("_y")) - F.avg("_x") * F.avg("_y"),
+            F.nullif(
+                F.avg(F.col("_x") * F.col("_x")) - F.avg("_x") * F.avg("_x"),
+                F.lit(0.0),
+            ),
+        ).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("fit_vocab"),
+    )
+    out = stats[0].crossJoin(F.broadcast(stats[1])).crossJoin(F.broadcast(stats[2])).crossJoin(
+        F.broadcast(slope)
+    )
+    return out.select(
+        F.col("total_1").alias("total_tokens"),
+        F.col("distinct_1").alias("vocab_size"),
+        F.round(F.col("distinct_1") / F.col("total_1"), 4).alias("distinct_1"),
+        F.round(F.col("distinct_2") / F.col("total_2"), 4).alias("distinct_2"),
+        F.round(F.col("distinct_3") / F.col("total_3"), 4).alias("distinct_3"),
+        F.round("_s", 4).alias("zipf_slope"),
+        "fit_vocab",
+    )
+
+
 def mixture_waterfill(
     counts: DataFrame,
     budget: int,

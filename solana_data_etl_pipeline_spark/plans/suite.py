@@ -806,6 +806,8 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "bigram_logprob": _docs(X.bigram_logprob),
     # Jelinek-Mercer interpolated form (continuation-unigram backoff)
     "interp_logprob": _docs(X.interp_logprob),
+    # distributional-health diagnostic: distinct-n ratios + Zipf fit
+    "corpus_diversity": _docs(X.corpus_diversity),
     # achievable-mixture waterfilling: uniform target weights over a
     # budget of 90% of corpus tokens -- short sources saturate and
     # their unmet share redistributes (budget = one bounded
@@ -1253,6 +1255,42 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["corpus_diversity"] = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+u AS (SELECT unnest(tk) AS g FROM tok),
+u1 AS (SELECT g, count(*) AS c FROM u WHERE g <> '' GROUP BY g),
+s1 AS (SELECT CAST(sum(c) AS BIGINT) AS t1, CAST(count(*) AS BIGINT) AS d1 FROM u1),
+g2 AS (
+  SELECT array_to_string(tk[i:i+1], ' ') AS g
+  FROM tok, UNNEST(generate_series(1, len(tk) - 1)) AS x(i)
+),
+u2 AS (SELECT g, count(*) AS c FROM g2 GROUP BY g),
+s2 AS (SELECT CAST(sum(c) AS BIGINT) AS t2, CAST(count(*) AS BIGINT) AS d2 FROM u2),
+g3 AS (
+  SELECT array_to_string(tk[i:i+2], ' ') AS g
+  FROM tok, UNNEST(generate_series(1, len(tk) - 2)) AS x(i)
+),
+u3 AS (SELECT g, count(*) AS c FROM g3 GROUP BY g),
+s3 AS (SELECT CAST(sum(c) AS BIGINT) AS t3, CAST(count(*) AS BIGINT) AS d3 FROM u3),
+topv AS (SELECT g, c FROM u1 ORDER BY c DESC, g LIMIT 1000),
+xy AS (
+  SELECT ln(row_number() OVER (ORDER BY c DESC, g)) AS x, ln(c) AS y FROM topv
+),
+fit AS (
+  SELECT (avg(x * y) - avg(x) * avg(y)) / nullif(avg(x * x) - avg(x) * avg(x), 0) AS s,
+         CAST(count(*) AS BIGINT) AS fit_vocab
+  FROM xy
+)
+SELECT t1 AS total_tokens, d1 AS vocab_size,
+       round(d1 * 1.0 / t1, 4) AS distinct_1,
+       round(d2 * 1.0 / t2, 4) AS distinct_2,
+       round(d3 * 1.0 / t3, 4) AS distinct_3,
+       round(s, 4) AS zipf_slope, fit_vocab
+FROM s1, s2, s3, fit
 """
 
 TEXT_SQL["mixture_waterfill"] = """
@@ -3261,7 +3299,7 @@ DRIVER_ORDER = [
     # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
     # pack_boundaries, canary_registry, corpus_card, denoising_spans,
-    # mixture_waterfill --
+    # mixture_waterfill, corpus_diversity --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

@@ -1288,3 +1288,40 @@ def test_mixture_waterfill_hand_model(spark):
 
     rich = {r.source: r for r in mixture_waterfill(df, budget=5000).collect()}
     assert all(r.saturated and r.alloc == r.capacity for r in rich.values())
+
+
+def test_corpus_diversity_hand_model(spark):
+    """Distinct-n ratios match hand counts; a pure-repetition corpus
+    shows collapsed diversity; the Zipf fit over a two-token corpus
+    reproduces the closed-form slope."""
+    import math
+
+    from solana_data_etl_pipeline_spark.operators.text import corpus_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    r = corpus_diversity(df).collect()[0]
+    # unigrams: 7 total, {a,b,c} distinct; bigrams: 5 total,
+    # {'a b','b a','b c'} distinct; trigrams: 3 total, distinct
+    # {'a b a','b a b','a b c'}
+    assert (r.total_tokens, r.vocab_size) == (7, 3)
+    assert r.distinct_1 == round(3 / 7, 4)
+    assert r.distinct_2 == round(3 / 5, 4)
+    assert r.distinct_3 == 1.0
+    # zipf over ranked freqs a:3 b:3 c:1 -> ties broken by token;
+    # slope = least squares over (ln r, ln c)
+    xs = [math.log(i) for i in (1, 2, 3)]
+    ys = [math.log(c) for c in (3, 3, 1)]
+    n = 3
+    mx, my = sum(xs) / n, sum(ys) / n
+    slope = (sum(x * y for x, y in zip(xs, ys)) / n - mx * my) / (
+        sum(x * x for x in xs) / n - mx * mx
+    )
+    assert r.zipf_slope == round(slope, 4)
+    assert r.fit_vocab == 3
+
+    boiler = spark.createDataFrame([(i, "spam spam spam spam") for i in range(5)], "doc_id long, text string")
+    rb = corpus_diversity(boiler).collect()[0]
+    assert rb.distinct_1 == round(1 / 20, 4)
+    assert rb.distinct_2 == round(1 / 15, 4)
