@@ -88,6 +88,7 @@ HEAVY = [
     "canary_registry",
     "denoising_spans",
     "mixture_waterfill",
+    "corpus_diversity",
 ]
 
 
