@@ -1071,6 +1071,45 @@ def interp_logprob(
     )
 
 
+def length_buckets(
+    df: DataFrame, bucket_width: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Length-bucketed batching plan -- the PADDED-batching
+    alternative to sequence packing (dynamic batching by length
+    bucket, the standard fine-tuning/inference layout): documents
+    group into fixed-width token-length buckets, and each bucket
+    reports its document count, token mass, and the padding waste a
+    batch padded to the bucket ceiling would pay. Next to
+    packing_efficiency this quantifies the packed-vs-padded tradeoff
+    per corpus -- the number a training job compares before choosing
+    a layout. Returns (bucket, ceiling, docs, tokens, pad_tokens,
+    pad_frac), empty docs landing in bucket 0.
+
+    Scale shape: a per-row bucket projection + ONE bounded
+    aggregation (buckets = max_len / width); pad_frac is an
+    integer-sum division (engine-exact)."""
+    n = F.size(tokens_col(text_col))
+    b = F.floor((n - 1) / bucket_width).cast("long")
+    bucket = F.greatest(b, F.lit(0))
+    per = (
+        df.select(n.alias("_n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("_n").cast("long").alias("tokens"),
+        )
+        .withColumn("ceiling", (F.col("bucket") + 1) * bucket_width)
+        .withColumn(
+            "pad_tokens", (F.col("docs") * F.col("ceiling") - F.col("tokens")).cast("long")
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(F.col("pad_tokens") / (F.col("docs") * F.col("ceiling") * 1.0), 4),
+        )
+    )
+    return per.select("bucket", "ceiling", "docs", "tokens", "pad_tokens", "pad_frac")
+
+
 def corpus_diversity(df: DataFrame, top_v: int = 1000, text_col: str = "text") -> DataFrame:
     """One-row corpus-diversity diagnostic: distinct-n ratios
     (|distinct n-grams| / |n-grams|, n = 1,2,3 -- the distinct-n

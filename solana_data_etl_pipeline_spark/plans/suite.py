@@ -808,6 +808,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "interp_logprob": _docs(X.interp_logprob),
     # distributional-health diagnostic: distinct-n ratios + Zipf fit
     "corpus_diversity": _docs(X.corpus_diversity),
+    # padded-batching waste planner (16-token buckets: the synthetic
+    # docs average ~50 tokens; production fine-tuning uses 64-128)
+    "length_buckets": _docs(lambda df: X.length_buckets(df, bucket_width=16)),
     # achievable-mixture waterfilling: uniform target weights over a
     # budget of 90% of corpus tokens -- short sources saturate and
     # their unmet share redistributes (budget = one bounded
@@ -1255,6 +1258,23 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored_bigrams,
        round(avg(ln({X.INTERP_LAMBDA} * (cb / cc) + {1 - X.INTERP_LAMBDA} * (cw / n))), 4) AS avg_interp_logprob
 FROM b JOIN cbg USING (w1, w2) JOIN cctx USING (w1) JOIN ccon USING (w2), tot
 GROUP BY doc_id
+"""
+
+TEXT_SQL["length_buckets"] = """
+WITH t AS (
+  SELECT len(string_split_regex(trim(lower(text)), '\\s+')) AS n FROM documents
+),
+b AS (
+  SELECT greatest(CAST(floor((n - 1) / 16.0) AS BIGINT), 0) AS bucket, n FROM t
+),
+g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS docs, CAST(sum(n) AS BIGINT) AS tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket, CAST((bucket + 1) * 16 AS BIGINT) AS ceiling, docs, tokens,
+       CAST(docs * (bucket + 1) * 16 - tokens AS BIGINT) AS pad_tokens,
+       round((docs * (bucket + 1) * 16 - tokens) * 1.0 / (docs * (bucket + 1) * 16), 4) AS pad_frac
+FROM g
 """
 
 TEXT_SQL["corpus_diversity"] = """
@@ -3299,7 +3319,7 @@ DRIVER_ORDER = [
     # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
     # pack_boundaries, canary_registry, corpus_card, denoising_spans,
-    # mixture_waterfill, corpus_diversity --
+    # mixture_waterfill, corpus_diversity, length_buckets --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

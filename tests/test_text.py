@@ -1325,3 +1325,23 @@ def test_corpus_diversity_hand_model(spark):
     rb = corpus_diversity(boiler).collect()[0]
     assert rb.distinct_1 == round(1 / 20, 4)
     assert rb.distinct_2 == round(1 / 15, 4)
+
+
+def test_length_buckets_hand_model(spark):
+    """Bucket membership, ceilings, and padding waste match hand
+    counts; bucket boundaries are inclusive of exact multiples."""
+    from solana_data_etl_pipeline_spark.operators.text import length_buckets
+
+    rows = [
+        (1, "a " * 3),    # 3 tokens  -> bucket 0 (ceil 4)
+        (2, "b " * 4),    # 4 tokens  -> bucket 0 (boundary inclusive)
+        (3, "c " * 5),    # 5 tokens  -> bucket 1 (ceil 8)
+        (4, "d " * 9),    # 9 tokens  -> bucket 2 (ceil 12)
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    got = {r.bucket: r for r in length_buckets(df, bucket_width=4).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].docs, got[0].tokens, got[0].ceiling) == (2, 7, 4)
+    assert got[0].pad_tokens == 2 * 4 - 7
+    assert got[1].pad_tokens == 8 - 5 and got[1].pad_frac == round(3 / 8, 4)
+    assert got[2].pad_tokens == 12 - 9
