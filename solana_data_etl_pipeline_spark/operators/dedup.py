@@ -377,6 +377,101 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Estimator-calibration diagnostic for the MinHash signature:
+    over the SAME candidate pairs the registered LSH plan emits, how
+    far is the signature's Jaccard estimate (matching components /
+    num_hashes) from the exact shingle-set Jaccard? Completes the
+    observability family: `minhash_cap_stats` measures what the cap
+    DROPS, the recall twins measure what banding MISSES -- this
+    measures how well the sketch itself resolves similarity, i.e.
+    whether `num_hashes` is sized right for the thresholds in play
+    (expected |err| ~ sqrt(J(1-J)/num_hashes): ~125k ppm at J=0.5
+    with 16 hashes; quadrupling hashes halves it).
+
+    Per pair both values quantize to INTEGER parts-per-million
+    (est_ppm is exact -- k/num_hashes scaled; exact_ppm floors the
+    identical IEEE division both engines compute), so the per-decile
+    means are integer sums + one division -- the engine-portable
+    aggregation rule. Returns one row per exact-Jaccard decile:
+    (decile, n_pairs, mean_est_ppm, mean_exact_ppm, mean_abs_err_ppm).
+
+    Scale shape: identical to minhash_lsh_pairs (band-bucket
+    candidate join + sort-merge-pinned verify; the shingle/signature
+    frame is computed ONCE and serves both pair sides), with the
+    output collapsing to <= 10 rows in one bounded final agg."""
+    rows = num_hashes // bands
+    sets = _shingle_sets(df, text_col)
+    feat = sets.select(
+        "doc_id",
+        "sh",
+        minhash_sig_col(_base_hashes(F.col("sh")), num_hashes).alias("mh"),
+    )
+    b = _band_rows(feat.select("doc_id", F.col("mh").alias("minhash")), bands, rows)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("band", "band_sig")
+        b = (
+            b.withColumn("_w", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("_w") <= max_bucket)
+            .drop("_w")
+        )
+    left = b.alias("l")
+    right = b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = feat.hint("merge").alias("fa")
+    fb = feat.hint("merge").alias("fb")
+    inter = F.size(F.array_intersect(F.col("fa.sh"), F.col("fb.sh")))
+    union = F.size(F.col("fa.sh")) + F.size(F.col("fb.sh")) - inter
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("fa.mh"), F.col("fb.mh"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    pairs = (
+        cand.join(fa, cand.doc_a == F.col("fa.doc_id"))
+        .join(fb, cand.doc_b == F.col("fb.doc_id"))
+        .select(
+            matches.alias("_k"),
+            (inter.cast("double") / union.cast("double")).alias("_jac"),
+        )
+        .select(
+            F.expr(f"(_k * 1000000) div {num_hashes}").alias("est_ppm"),
+            F.floor(F.col("_jac") * 1000000).cast("long").alias("exact_ppm"),
+        )
+        .select(
+            "est_ppm",
+            "exact_ppm",
+            F.abs(F.col("est_ppm") - F.col("exact_ppm")).alias("err_ppm"),
+            F.least(F.lit(9), F.expr("exact_ppm div 100000")).alias("decile"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return pairs.groupBy("decile").agg(
+        n.alias("n_pairs"),
+        F.round(F.sum("est_ppm") / n, 1).alias("mean_est_ppm"),
+        F.round(F.sum("exact_ppm") / n, 1).alias("mean_exact_ppm"),
+        F.round(F.sum("err_ppm") / n, 1).alias("mean_abs_err_ppm"),
+    )
+
+
 def materialize_minhash(
     df: DataFrame,
     path: str,

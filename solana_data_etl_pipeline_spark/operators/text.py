@@ -872,6 +872,73 @@ def source_quota_sample_hot(
     )
 
 
+# -- stratified evaluation holdout -----------------------------------
+
+
+def stratified_holdout(
+    df: DataFrame,
+    eval_frac: float,
+    strata_cols: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT stratified eval/train split: every (source, lang) stratum
+    contributes floor(eval_frac * n_stratum) documents to the eval
+    set, chosen deterministically by the seeded md5-of-id order. The
+    held-out set a training run evaluates on must mirror the corpus
+    mixture -- a global hash-gate only hits the target fraction in
+    expectation and drifts per stratum on small strata; this form is
+    exact per stratum by construction, and replays / engines agree
+    bit-for-bit. Complements `leakage_free_split` (which
+    DECONTAMINATES a given split against near-dup leakage); compose
+    as stratified_holdout -> leakage_free_split for a production
+    eval set.
+
+    `eval_frac` is quantized to basis points (1/10000): the per-
+    stratum eval count is floor(n * bp / 10000) computed in pure
+    INTEGER arithmetic, so engines and replays agree exactly (a
+    double `frac * n` rounds differently between binary doubles and
+    decimal engines near integer boundaries -- the repo-wide
+    integer-sums rule).
+
+    Scale shape: ONE hash exchange on the strata key serves both
+    window functions (the md5-order rank and the stratum size --
+    same partitioning, so the second window adds no exchange). A
+    pathologically hot stratum concentrates its rank partition; the
+    histogram-threshold machinery (`source_quota_sample_hot`'s
+    shape, thresholding at floor(frac*n) instead of a constant) is
+    the drop-in for that regime -- for ordinary corpus mixtures the
+    single window is the cheaper plan.
+
+    Returns the input columns plus `split` ('eval' | 'train')."""
+    bp = int(round(float(eval_frac) * 10000))
+    if not (0 <= bp <= 10000):
+        raise ValueError(f"eval_frac must be in [0, 1], got {eval_frac}")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    part = [F.col(c) for c in strata_cols]
+    w_rank = Window.partitionBy(*part).orderBy(key.asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy(*part)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "split",
+            F.when(
+                F.col("_rn") <= F.expr(f"(_n * {bp}) div 10000"), F.lit("eval")
+            ).otherwise(F.lit("train")),
+        )
+        .drop("_rn", "_n")
+    )
+
+
 # -- tokenizer-training support: BPE merge statistics ----------------
 
 

@@ -963,6 +963,14 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             "doc_id", "source", "lang"
         )
     ),
+    # exact stratified eval holdout: floor(n*bp/10000) per (source,
+    # lang) stratum in the seeded md5 order -- integer-exact per
+    # stratum, unlike a global hash gate
+    "stratified_holdout": _docs(
+        lambda df: X.stratified_holdout(df, eval_frac=0.1).select(
+            "doc_id", "source", "lang", "split"
+        )
+    ),
 }
 
 _STOPLIST = ", ".join(f"'{w}'" for w in X.STOPWORDS)
@@ -1806,6 +1814,20 @@ SELECT doc_id, source, lang FROM (
 # one oracle grades both
 TEXT_SQL["source_quota_hot"] = TEXT_SQL["source_quota_sample"]
 
+TEXT_SQL["stratified_holdout"] = """
+SELECT doc_id, source, lang,
+       CASE WHEN rn <= (n * 1000) // 10000 THEN 'eval' ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY ('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents
+)
+"""
+
 TEXT_SQL["token_budget_select"] = """
 WITH q AS (
   SELECT doc_id,
@@ -2252,6 +2274,12 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     "winnow_cap_stats": _docs(
         lambda df: X.winnow_cap_stats(df, max_bucket=DEDUP_MAX_BUCKET)
     ),
+    # estimator calibration: per-decile signature-estimate error vs
+    # exact Jaccard over the registered plan's own candidate pairs --
+    # is num_hashes sized right for the thresholds in play?
+    "minhash_calibration": _docs(
+        lambda df: D.minhash_calibration(df, max_bucket=DEDUP_MAX_BUCKET)
+    ),
     # near-dup decontamination JOIN: corpus docs that fuzzy-match the
     # benchmark slice (_BENCH_SOURCE) at Jaccard >= 0.2 -- the
     # paraphrase-robust upgrade of benchmark_contamination
@@ -2607,6 +2635,31 @@ DEDUP_SQL["simhash_cap_stats"] = (
     DEDUP_SQL["simhash_near_dup"].rsplit(",\nkept AS", 1)[0]
     + ",\nsrc AS (SELECT seg AS k1, seg_val AS k2 FROM segs)"
     + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
+)
+
+_CAL_IDX = ", ".join(str(i) for i in range(1, D.MINHASH_HASHES + 1))
+DEDUP_SQL["minhash_calibration"] = (
+    DEDUP_SQL["dedup_minhash_lsh"].rsplit("\nSELECT doc_a", 1)[0]
+    + f""",
+pairq AS (
+  SELECT (k * 1000000) // {D.MINHASH_HASHES} AS est_ppm,
+         CAST(floor(jac * 1000000) AS BIGINT) AS exact_ppm
+  FROM (
+    SELECT len(list_filter([{_CAL_IDX}], i -> sa.mh[i] = sb.mh[i])) AS k,
+           len(list_intersect(sa.sh, sb.sh)) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+    FROM cand
+    JOIN (SELECT s1.doc_id, s1.sh, s2.mh FROM sh s1 JOIN sigs s2 ON s1.doc_id = s2.doc_id) sa ON cand.doc_a = sa.doc_id
+    JOIN (SELECT s1.doc_id, s1.sh, s2.mh FROM sh s1 JOIN sigs s2 ON s1.doc_id = s2.doc_id) sb ON cand.doc_b = sb.doc_id
+  )
+)
+SELECT least(9, exact_ppm // 100000) AS decile,
+       count(*) AS n_pairs,
+       round(CAST(sum(est_ppm) AS DOUBLE) / count(*), 1) AS mean_est_ppm,
+       round(CAST(sum(exact_ppm) AS DOUBLE) / count(*), 1) AS mean_exact_ppm,
+       round(CAST(sum(abs(est_ppm - exact_ppm)) AS DOUBLE) / count(*), 1) AS mean_abs_err_ppm
+FROM pairq
+GROUP BY 1
+"""
 )
 
 DEDUP_SQL["embedding_cap_stats"] = (
@@ -3319,7 +3372,8 @@ DRIVER_ORDER = [
     # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
     # pack_boundaries, canary_registry, corpus_card, denoising_spans,
-    # mixture_waterfill, corpus_diversity, length_buckets --
+    # mixture_waterfill, corpus_diversity, length_buckets,
+    # stratified_holdout, minhash_calibration --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

@@ -200,6 +200,42 @@ def test_embedding_near_dup_lsh_max_bucket_drops_hot_bucket(spark):
     assert uncapped >= 435  # the clone class alone is 30*29/2
 
 
+def test_minhash_calibration_quantization_and_hand_model(spark):
+    """Exact twin pair (J=1) + two identical near pairs: the decile
+    row's integer-ppm means reconcile exactly against the Python
+    recomputation, est values are multiples of 1e6/num_hashes, and
+    the J=1 pair estimates perfectly (identical signatures)."""
+    import math
+
+    t1 = " ".join(f"tok{i}" for i in range(60))
+    t3 = " ".join("zzz" if i == 5 else f"tok{i}" for i in range(60))
+    df = spark.createDataFrame([(1, t1), (2, t1), (3, t3)], "doc_id long, text string")
+    rows = D.minhash_calibration(df).collect()
+    assert len(rows) == 1 and rows[0].decile == 9 and rows[0].n_pairs == 3
+    n = D.SHINGLE_N
+
+    def sh(t):
+        tk = t.split()
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    exact_near = math.floor(
+        len(sh(t1) & sh(t3)) / len(sh(t1) | sh(t3)) * 1_000_000
+    )
+    r = rows[0]
+    # exact side: (J=1 pair) + 2 * near pair, floored to ppm
+    assert r.mean_exact_ppm == round((1_000_000 + 2 * exact_near) / 3, 1)
+    # estimate side: the twin pair's signatures are identical (est =
+    # 1e6) and each near-pair estimate is k/num_hashes scaled -- a
+    # multiple of 1e6/num_hashes
+    # (mean_est_ppm is rounded to 1 dp, so undo the /3 within +-0.5)
+    est_raw = (3 * r.mean_est_ppm - 1_000_000) / 2
+    est_near = round(est_raw)
+    step = 1_000_000 // D.MINHASH_HASHES
+    assert abs(est_raw - est_near) < 0.5 and est_near % step == 0
+    # error reconciles: twin contributes 0, near pairs |est - exact|
+    assert r.mean_abs_err_ppm == round(2 * abs(est_near - exact_near) / 3, 1)
+
+
 def test_minhash_lsh_max_bucket_caps_degenerate_class(spark):
     """One degenerate duplicate class (30 clones) would emit 435
     quadratic pairs; with the cap its band buckets are dropped while a

@@ -666,6 +666,45 @@ def test_source_quota_sample_caps_and_is_stable(spark):
     assert sorted(by_src["big"]) == sorted(want_big)
 
 
+def test_stratified_holdout_exact_per_stratum_counts(spark):
+    import hashlib
+
+    # strata: (srcA,en)=40 docs, (srcA,es)=7, (srcB,en)=3
+    rows = (
+        [(i, f"t {i}", "en", "srcA", 0) for i in range(40)]
+        + [(100 + i, f"t {i}", "es", "srcA", 0) for i in range(7)]
+        + [(200 + i, f"t {i}", "en", "srcB", 0) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = X.stratified_holdout(df, eval_frac=0.25).collect()
+    assert len(out) == 50  # every doc labeled, none dropped
+    ev = {}
+    for r in out:
+        if r.split == "eval":
+            ev.setdefault((r.source, r.lang), []).append(r.doc_id)
+    # floor(n * 2500 / 10000) exactly per stratum
+    assert len(ev[("srcA", "en")]) == 10
+    assert len(ev[("srcA", "es")]) == 1
+    assert ("srcB", "en") not in ev  # floor(3*0.25) = 0
+    # the eval picks are the smallest seeded-md5 keys of the stratum
+    def key(i):
+        return (int(hashlib.md5(f"0|{i}".encode()).hexdigest()[:15], 16), i)
+
+    want = sorted(range(40), key=key)[:10]
+    assert sorted(ev[("srcA", "en")]) == sorted(want)
+    # deterministic across reruns; a different seed moves the picks
+    again = X.stratified_holdout(df, eval_frac=0.25).collect()
+    assert {(r.doc_id, r.split) for r in again} == {(r.doc_id, r.split) for r in out}
+    other = {
+        r.doc_id
+        for r in X.stratified_holdout(df, eval_frac=0.25, seed=7).collect()
+        if r.split == "eval" and r.source == "srcA" and r.lang == "en"
+    }
+    assert len(other) == 10 and other != set(want)
+
+
 def test_c4_clean_line_rules_and_page_blocklist(spark):
     page = "\n".join([
         "This is a perfectly good sentence with enough words.",   # kept
