@@ -89,6 +89,8 @@ HEAVY = [
     "denoising_spans",
     "mixture_waterfill",
     "corpus_diversity",
+    "stratified_holdout",
+    "minhash_calibration",
 ]
 
 
