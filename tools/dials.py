@@ -102,5 +102,28 @@ def main() -> None:
         print(f"| {num_hashes} | {bands} | {r_} | {thr:.2f} | {rec:.3f} | {sec:.2f} |")
 
 
+    print()
+    print("## Signature-resolution dial (estimator error vs num_hashes)")
+    # the knob minhash_calibration exists to size: |err| should track
+    # sqrt(J(1-J)/num_hashes) -- quadrupling hashes halves the error.
+    # bands scale with hashes (rows/band fixed at 4) so the candidate
+    # set stays comparable across rows.
+    print("| num_hashes | decile | n_pairs | mean_abs_err_ppm | analytic_ppm | sec |")
+    print("|---|---|---|---|---|---|")
+    for num_hashes in (16, 32, 64):
+        t0 = time.perf_counter()
+        rows_ = D.minhash_calibration(
+            docs, num_hashes=num_hashes, bands=num_hashes // 4, max_bucket=50
+        ).collect()
+        sec = time.perf_counter() - t0
+        for x in sorted(rows_, key=lambda r: r["decile"]):
+            j = (x["mean_exact_ppm"] / 1e6)
+            analytic = int((j * (1 - j) / num_hashes) ** 0.5 * 1e6)
+            print(
+                f"| {num_hashes} | {x['decile']} | {x['n_pairs']} |"
+                f" {x['mean_abs_err_ppm']:.0f} | {analytic} | {sec:.2f} |"
+            )
+
+
 if __name__ == "__main__":
     main()
