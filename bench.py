@@ -439,6 +439,21 @@ def main() -> None:
     kept2 = _ded(spark, _eidx, pb2, threshold=0.95).count()
     recall["delta_embedding_dedup_planted@.97"] = round(1 - kept2 / len(rows2), 3)
 
+    # signature-resolution calibration: per-decile estimator error of
+    # the registered MinHash plan (see minhash_calibration + the
+    # SCALE.md sqrt-law dial); recorded per round so a registry or
+    # num_hashes change shows up as an error shift, same contract as
+    # cap_coverage for caps.
+    from solana_data_etl_pipeline_spark.operators.dedup import minhash_calibration
+
+    calibration = {
+        f"minhash_decile{int(r['decile'])}": {
+            "n_pairs": int(r["n_pairs"]),
+            "mean_abs_err_ppm": float(r["mean_abs_err_ppm"]),
+        }
+        for r in minhash_calibration(_docs_tbl, max_bucket=DEDUP_MAX_BUCKET).collect()
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -450,6 +465,7 @@ def main() -> None:
                 "baseline_twins": twins,
                 "recall": recall,
                 "cap_coverage": cap_coverage,
+                "calibration": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
             }
