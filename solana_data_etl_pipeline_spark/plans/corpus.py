@@ -233,3 +233,46 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(stage(df, i, name))
     return out
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method decontamination summary over the benchmark slice --
+    the one-table answer to "how contaminated is this corpus, and by
+    which detector?" a curation run publishes next to its funnel:
+    exact n-gram overlap (`benchmark_contamination`) and
+    Jaccard-verified MinHash near-dup (`cross_corpus_near_dup`, the
+    paraphrase-robust 16x2 decontamination scheme) over the SAME
+    corpus/benchmark split, one row per method with the flagged-doc
+    count, raw hit mass (overlapping grams / verified pairs), and the
+    corpus size the fractions divide by. (The winnowing/containment
+    route is the INGEST-time variant -- `delta_containment` probes a
+    materialized index per batch and is reported by the streaming
+    CLI, not this batch report.)
+
+    Scale shape: both detector plans are the registered ones
+    (benchmark side broadcasts, corpus never shuffles); each report
+    row is a scalar aggregation, and the corpus count joins on as a
+    broadcast literal-sized frame. All statistics are integer counts
+    -- fractions are left to the reader so the compare frame stays
+    engine-exact."""
+    from solana_data_etl_pipeline_spark.plans.suite import _BENCH_SOURCE
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != _BENCH_SOURCE)
+    bench = docs.filter(F.col("source") == _BENCH_SOURCE)
+    total = corpus.agg(F.count(F.lit(1)).cast("long").alias("corpus_docs"))
+    exact = X.benchmark_contamination(corpus, bench, n=3)
+    near = D.cross_corpus_near_dup(corpus, bench, threshold=0.2)
+    e = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("flagged_docs"),
+        F.coalesce(F.sum("n_overlap_grams"), F.lit(0)).cast("long").alias("hits"),
+    ).select(F.lit("exact_ngram").alias("method"), "flagged_docs", "hits")
+    n = near.agg(
+        F.countDistinct("doc_id").cast("long").alias("flagged_docs"),
+        F.count(F.lit(1)).cast("long").alias("hits"),
+    ).select(F.lit("near_dup").alias("method"), "flagged_docs", "hits")
+    return (
+        e.unionByName(n)
+        .crossJoin(F.broadcast(total))
+        .select("method", "flagged_docs", "hits", "corpus_docs")
+    )

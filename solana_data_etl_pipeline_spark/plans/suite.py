@@ -716,6 +716,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # per-stage attrition through the v2 pipeline (the funnel report
     # a curation run publishes; budget row pinned == v2's count)
     "curation_funnel": C.curation_funnel,
+    # per-method decontamination summary over the benchmark slice
+    # (exact n-gram + near-dup detectors, plans/corpus.py)
+    "contamination_report": C.contamination_report,
     "stratified_sample": _docs(X.stratified_sample_stats),
     "pii_stats": _docs(X.pii_stats),
     # the acting sibling of pii_scan: typed-placeholder rewrite
@@ -2957,6 +2960,23 @@ SELECT doc_id, bench_id, round(jac, 4) AS jaccard FROM (
 """
 )
 
+# per-method decontamination summary: the two registered detector
+# oracles wrapped verbatim as subqueries and aggregated -- the report
+# is exactly the detectors it summarizes
+DEDUP_SQL["contamination_report"] = f"""
+SELECT 'exact_ngram' AS method,
+       CAST(count(*) AS BIGINT) AS flagged_docs,
+       CAST(coalesce(sum(n_overlap_grams), 0) AS BIGINT) AS hits,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE source <> '{_BENCH_SOURCE}') AS corpus_docs
+FROM ({TEXT_SQL["benchmark_contamination"]})
+UNION ALL
+SELECT 'near_dup' AS method,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS flagged_docs,
+       CAST(count(*) AS BIGINT) AS hits,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE source <> '{_BENCH_SOURCE}') AS corpus_docs
+FROM ({DEDUP_SQL["benchmark_near_dup"]})
+"""
+
 DEDUP_SQL["winnow_cap_stats"] = (
     _WINNOW_PREFIX
     + ",\nfp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m)"
@@ -3373,7 +3393,7 @@ DRIVER_ORDER = [
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
     # pack_boundaries, canary_registry, corpus_card, denoising_spans,
     # mixture_waterfill, corpus_diversity, length_buckets,
-    # stratified_holdout, minhash_calibration --
+    # stratified_holdout, minhash_calibration, contamination_report --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

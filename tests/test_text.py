@@ -1102,6 +1102,36 @@ def test_curation_funnel_monotone_and_pinned_to_v2(spark):
     assert rows[-1].docs == corpus_curation_v2(spark, sf).count()
 
 
+def test_contamination_report_pins_to_standalone_detectors(spark):
+    """The report's rows equal the standalone registered detectors
+    recomputed directly: exact_ngram row == benchmark_contamination's
+    (row count, gram-overlap sum), near_dup row ==
+    cross_corpus_near_dup's (distinct flagged docs, pair count), and
+    both carry the same corpus size."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.plans.corpus import contamination_report
+    from solana_data_etl_pipeline_spark.plans.suite import _BENCH_SOURCE
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.filter(F.col("source") != _BENCH_SOURCE)
+    bench = docs.filter(F.col("source") == _BENCH_SOURCE)
+    rows = {r.method: r for r in contamination_report(spark, sf).collect()}
+    assert set(rows) == {"exact_ngram", "near_dup"}
+    exact = X.benchmark_contamination(corpus, bench, n=3).collect()
+    assert rows["exact_ngram"].flagged_docs == len(exact)
+    assert rows["exact_ngram"].hits == sum(r.n_overlap_grams for r in exact)
+    near = D.cross_corpus_near_dup(corpus, bench, threshold=0.2).collect()
+    assert rows["near_dup"].flagged_docs == len({r.doc_id for r in near})
+    assert rows["near_dup"].hits == len(near)
+    n_corpus = corpus.count()
+    assert all(r.corpus_docs == n_corpus for r in rows.values())
+    # non-vacuous on the test corpus
+    assert rows["exact_ngram"].flagged_docs > 0
+
+
 def test_dsir_scores_hand_model(spark):
     """DSIR exact hand model: scores equal the add-one-smoothed
     hashed-unigram log-likelihood ratio recomputed in pure Python,
