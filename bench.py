@@ -137,6 +137,27 @@ def main() -> None:
         ]
         recall[f"{name}@10"] = round(sum(per_q) / len(per_q), 3)
 
+    # text_knn's own recall row: the registered plan is knn_lsh over
+    # hash_embed vectors, so its exact twin is knn_bruteforce over the
+    # SAME hashed frame with the same first-five-doc queries -- this
+    # measures the LSH loss on the text vectors it actually serves
+    # (sparser and higher-dimensional than the synthetic embeddings
+    # the knn_lsh@10 row uses), not just the synthetic-table loss.
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_bruteforce
+    from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+    _hv = hash_embed(load_table(spark, sf_dir, "documents")).localCheckpoint(eager=False)
+    _hq = _hv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_txt = _topk(knn_bruteforce(_hv, _hq, k=10))
+    approx_txt = _topk(full["text_knn"](spark, sf_dir))
+    per_q = [
+        len(exact_txt[q] & approx_txt.get(q, set())) / len(exact_txt[q])
+        for q in exact_txt
+    ]
+    recall["text_knn@10"] = round(sum(per_q) / len(per_q), 3)
+
     exact_jac = _pairs(full["dedup_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b")
     lsh_jac = _pairs(full["dedup_minhash_lsh"](spark, sf_dir), "doc_a", "doc_b")
     recall["dedup_minhash_lsh_pairs"] = round(len(exact_jac & lsh_jac) / max(len(exact_jac), 1), 3)
