@@ -2320,6 +2320,15 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             load_table(spark, sf_dir, "embeddings"), threshold=0.30
         )
     ),
+    # the k-grows-with-N form (refine_bits=4): fixed k removes 69% of
+    # sf0.1 embeddings (0.218 at sf0.01 -- the removal RATE itself is
+    # scale-dependent, SCALE.md); the refined assignment holds
+    # per-cluster mass (and the removal rate: 0.099) steady
+    "semdedup_keepers_scaled": (
+        lambda spark, sf_dir: D.semdedup_keepers(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.30, refine_bits=4
+        )
+    ),
 }
 
 def _minhash_sigs_sql(num_hashes: int = D.MINHASH_HASHES) -> str:
@@ -3019,10 +3028,11 @@ SELECT DISTINCT cluster_id AS vec_id FROM cl
 # convention), within-cluster pairs at rounded cosine >= 0.30,
 # recursive-CTE components, keeper = lowest (rounded centroid-cos,
 # vec_id) per component; untouched vectors survive as singletons.
-DEDUP_SQL["semdedup_keepers"] = f"""
-WITH RECURSIVE e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS cl FROM embeddings
-),
+# The oracle body is shared between the base entry and the scaled
+# (refine_bits) entry -- only the e(vec_id, v, cl) CTE differs.
+def _semdedup_sql(e_cte: str) -> str:
+    return f"""
+WITH RECURSIVE {e_cte},
 cd AS (
   SELECT cl, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
   FROM e, UNNEST(range(1, 65)) AS u(i)
@@ -3059,6 +3069,34 @@ UNION ALL
 SELECT vec_id, cl AS cluster, CAST(gs AS BIGINT) AS group_size, ccos AS centroid_cos
 FROM reps
 """
+
+
+DEDUP_SQL["semdedup_keepers"] = _semdedup_sql(
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    "CAST(label AS BIGINT) AS cl FROM embeddings)"
+)
+
+# Scaled SemDeDup: the k-grows-with-N contract as a registered entry
+# (refine_bits=4 -- the dial value whose removal rate and runtime are
+# on record in SCALE.md): every label cluster splits by 4 leading
+# sign-LSH bits, cl = label*16 + bits. The plane matrix is the same
+# LCG-derived literal the knn/bucket oracles inline (lsh_planes
+# n_planes=4 == the first 4 rows of every 8-plane table-0 matrix),
+# and both engines fold the dot product left-to-right over the same
+# doubles, so the sign decision is engine-portable bit-for-bit.
+_P4 = "[" + ", ".join(
+    "[" + ", ".join(repr(x) for x in row) + "]"
+    for row in V.lsh_planes(n_planes=4)
+) + "]"
+DEDUP_SQL["semdedup_keepers_scaled"] = _semdedup_sql(f"""e AS (
+  SELECT vec_id, v,
+         cl0 * 16 + CAST(list_sum([CASE WHEN list_dot_product(m4[p+1], v) >= 0
+           THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END
+           for p in range(0, 4)]) AS BIGINT) AS cl
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS cl0
+        FROM embeddings),
+       (SELECT {_P4} AS m4)
+)""")
 
 # Incremental embedding dedup: bucket CTEs shared with the embedding
 # pair/keeper oracles; corpus-side rows capped (mirroring the capped
@@ -3393,7 +3431,8 @@ DRIVER_ORDER = [
     # verdict yet -- curation_funnel, dsir_scores, text_knn,
     # pack_boundaries, canary_registry, corpus_card, denoising_spans,
     # mixture_waterfill, corpus_diversity, length_buckets,
-    # stratified_holdout, minhash_calibration, contamination_report --
+    # stratified_holdout, minhash_calibration, contamination_report,
+    # semdedup_keepers_scaled --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next
