@@ -188,6 +188,16 @@ def main() -> None:
             len(exact_sh & got_sh) / max(len(exact_sh), 1), 3
         )
 
+    # the registered 60-bit (wide) variant against ITS OWN exact twin
+    # (hamming<=3 at 60 bits is a different, stricter pair set): shows
+    # what the same cap costs once the segment domain grows with
+    # content instead of saturating.
+    exact_sh60 = _pairs(simhash_bruteforce_pairs(_docs_tbl, bits=60), "doc_a", "doc_b")
+    got_sh60 = _pairs(full["simhash_near_dup_wide"](spark, sf_dir), "doc_a", "doc_b")
+    recall["simhash_near_dup_wide_pairs"] = round(
+        len(exact_sh60 & got_sh60) / max(len(exact_sh60), 1), 3
+    )
+
     exact_cos = _pairs(
         embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35),
         "vec_a",

@@ -2178,6 +2178,17 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     "simhash_near_dup": _docs(
         lambda df: D.simhash_near_dup_pairs(df, max_hamming=3, max_bucket=DEDUP_MAX_BUCKET)
     ),
+    # the key-width dial registered: 60-bit fingerprints (15-bit
+    # segments) keep the pigeonhole bucket DOMAIN growing with
+    # content, so cap coverage stays scale-invariant where the 32-bit
+    # domain saturates to zero by 100x (measured, SCALE.md "Cap
+    # coverage UNDER SCALE"); hamming<=3 at 60 bits is also the
+    # stricter (production) similarity bar
+    "simhash_near_dup_wide": _docs(
+        lambda df: D.simhash_near_dup_pairs(
+            df, max_hamming=3, bits=60, max_bucket=DEDUP_MAX_BUCKET
+        )
+    ),
     # LSH-bucketed candidates + exact-cosine verify: the scale path.
     # The brute-force cross join (embedding_near_dup_pairs) is the
     # recall-1 oracle twin exercised in tests/test_dedup.py only.
@@ -2411,35 +2422,6 @@ SELECT doc_id,
                       for j in range(0, {D.SIMHASH_BITS})]) AS BIGINT) AS simhash
 FROM t
 """,
-    "simhash_near_dup": f"""
-WITH t AS (
-  SELECT doc_id,
-         [{H64_SQL.format(x="w")} for w in list_distinct(string_split({_NORM_TEXT}, ' '))] AS th
-  FROM documents
-),
-fp AS (
-  SELECT doc_id,
-         CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in th]) > 0
-                        THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END
-                        for j in range(0, {D.SIMHASH_BITS})]) AS BIGINT) AS simhash
-  FROM t
-),
-segs AS (
-  SELECT doc_id, simhash, i AS seg,
-         CAST((simhash >> (i * {D.SIMHASH_BITS // 4})) & {(1 << (D.SIMHASH_BITS // 4)) - 1} AS BIGINT) AS seg_val
-  FROM fp, UNNEST(range(0, 4)) AS u(i)
-),
-kept AS (
-  SELECT doc_id, simhash, seg, seg_val FROM (
-    SELECT *, count(*) OVER (PARTITION BY seg, seg_val) AS w FROM segs
-  ) WHERE w <= {DEDUP_MAX_BUCKET}
-)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-FROM kept l JOIN kept r
-  ON l.seg = r.seg AND l.seg_val = r.seg_val AND l.doc_id < r.doc_id
-WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
-""",
     "dedup_clusters": f"""
 WITH RECURSIVE {SHINGLES_SQL},
 {_minhash_sigs_sql()},
@@ -2491,6 +2473,49 @@ FROM kept a JOIN kept c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_
 WHERE list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.35
 """,
 }
+
+
+def _simhash_near_dup_sql(bits: int) -> str:
+    """Pigeonhole simhash pair oracle, parameterized by fingerprint
+    width -- the key-width dial (SCALE.md: fixed 32-bit segment
+    domains saturate under corpus growth; 60 bits restores a
+    content-growing domain). Text identical to the former inline
+    32-bit entry so the rsplit-derived oracles (cap_stats,
+    simhash_dedup_keepers) keep working unchanged."""
+    seg_bits = bits // 4
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         [{H64_SQL.format(x="w")} for w in list_distinct(string_split({_NORM_TEXT}, ' '))] AS th
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in th]) > 0
+                        THEN CAST(1 << j AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                        for j in range(0, {bits})]) AS BIGINT) AS simhash
+  FROM t
+),
+segs AS (
+  SELECT doc_id, simhash, i AS seg,
+         CAST((simhash >> (i * {seg_bits})) & {(1 << seg_bits) - 1} AS BIGINT) AS seg_val
+  FROM fp, UNNEST(range(0, 4)) AS u(i)
+),
+kept AS (
+  SELECT doc_id, simhash, seg, seg_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY seg, seg_val) AS w FROM segs
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM kept l JOIN kept r
+  ON l.seg = r.seg AND l.seg_val = r.seg_val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+
+DEDUP_SQL["simhash_near_dup"] = _simhash_near_dup_sql(D.SIMHASH_BITS)
+DEDUP_SQL["simhash_near_dup_wide"] = _simhash_near_dup_sql(60)
 
 # keepers = unclustered docs + one representative (min id) per
 # component: reuse the clusters pipeline verbatim up to its final
@@ -3432,7 +3457,7 @@ DRIVER_ORDER = [
     # pack_boundaries, canary_registry, corpus_card, denoising_spans,
     # mixture_waterfill, corpus_diversity, length_buckets,
     # stratified_holdout, minhash_calibration, contamination_report,
-    # semdedup_keepers_scaled --
+    # semdedup_keepers_scaled, simhash_near_dup_wide --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next
