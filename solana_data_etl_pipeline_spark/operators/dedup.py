@@ -1233,17 +1233,35 @@ def materialize_winnow(
     `max_bucket` caps degenerate fingerprint buckets (boilerplate
     substrings) AT BUILD TIME with one count window, amortized over
     every probe -- same trade and same observability (winnow_cap_stats)
-    as the batch plan's cap."""
+    as the batch plan's cap. The over-cap fingerprints are NOT lost:
+    they are written to `{path}/excluded` as (fingerprint,
+    bucket_width) -- the IR stop-word move for substring evidence --
+    so probes can report per-batch-doc how much of their fingerprint
+    mass the index is blind to (delta_containment_exposure), turning
+    build-time cap loss into per-document routing signal instead of a
+    corpus-level aggregate. (The build evaluates the windowed count
+    twice -- once per output -- which is fine at index-build cadence;
+    the alternative, checkpointing the corpus-fingerprint frame, costs
+    more than it saves.)"""
     from solana_data_etl_pipeline_spark.operators.text import winnow_fingerprints
 
     fp = winnow_fingerprints(df, k=k, window=window, text_col=text_col)
     if max_bucket is not None:
         wspec = Window.partitionBy("fingerprint")
-        fp = (
-            fp.withColumn("_w", F.count(F.lit(1)).over(wspec))
-            .filter(F.col("_w") <= max_bucket)
-            .drop("_w")
+        counted = fp.withColumn("_w", F.count(F.lit(1)).over(wspec))
+        excluded = (
+            counted.filter(F.col("_w") > max_bucket)
+            .groupBy("fingerprint")
+            .agg(F.max("_w").cast("long").alias("bucket_width"))
         )
+        fp = counted.filter(F.col("_w") <= max_bucket).drop("_w")
+    else:
+        excluded = (
+            fp.select("fingerprint")
+            .limit(0)
+            .withColumn("bucket_width", F.lit(0).cast("long"))
+        )
+    excluded.write.mode("overwrite").parquet(f"{path}/excluded")
     fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
     _shingle_sets(df, text_col).write.mode("overwrite").parquet(f"{path}/shingles")
 
@@ -1311,6 +1329,60 @@ def delta_containment(
         .join(F.broadcast(d_sh.alias("ds")), cand.delta_id == F.col("ds.doc_id"))
         .select("delta_id", "corpus_id", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def delta_containment_exposure(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document observability of the winnow index's capped blind
+    spot: for each ingest-batch doc, how many of its winnowing
+    fingerprints fall on the index's EXCLUDED (over-cap, boilerplate)
+    list -- `{index_path}/excluded`, written by materialize_winnow --
+    and that count as a fraction of the doc's fingerprint mass.
+    Returns (delta_id, n_fps, n_excluded, exposure_bp) with the
+    fraction in integer BASIS POINTS (floor(10000*n_excluded/n_fps)):
+    a quantized per-doc ratio lands on exact .xxxx5 doubles often
+    enough that HALF_UP-vs-half-even rounding flips the last digit
+    between engines (the corpus_card lesson). A doc with
+    exposure near 10000 consists almost entirely of substrings the index
+    refused to enumerate pairs for, so its delta_containment verdict
+    is blind there: route such docs to the uncapped batch check (or
+    admit them knowingly). This is the per-DOC form of
+    winnow_cap_stats' corpus-level coverage estimate -- cap loss as a
+    routing signal at ingest time, not just a diagnostic aggregate.
+
+    Scale shape: both aggregations are batch-sized; the excluded list
+    is scanned once with the BATCH side broadcast (the excluded
+    list's cardinality grows with corpus boilerplate, so it is never
+    the broadcast side). Zero corpus shuffles; sub-shingle docs
+    report no rows (no fingerprints to be blind about)."""
+    from solana_data_etl_pipeline_spark.operators.text import winnow_fingerprints
+
+    excluded = spark.read.parquet(f"{index_path}/excluded")
+    d_fp = winnow_fingerprints(delta, k=k, window=window, text_col=text_col)
+    totals = d_fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps")
+    )
+    hits = (
+        excluded.join(F.broadcast(d_fp), "fingerprint")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excluded"))
+    )
+    n_exc = F.coalesce("n_excluded", F.lit(0).cast("long"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("delta_id"),
+            "n_fps",
+            n_exc.alias("n_excluded"),
+            F.floor(n_exc * 10000 / F.col("n_fps")).cast("long").alias("exposure_bp"),
+        )
     )
 
 

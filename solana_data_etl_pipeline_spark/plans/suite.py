@@ -2117,6 +2117,19 @@ def _delta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("delta_id", "corpus_id")
 
 
+def _delta_containment_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch-doc cap-blindness report against the SAME cached
+    winnow index delta_containment probes: how much of each ingest
+    doc's fingerprint mass falls on the index's excluded (over-cap
+    boilerplate) list -- the cap loss as a per-document routing
+    signal instead of a corpus-level aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _delta_winnow_index(spark, sf_dir)
+    return D.delta_containment_exposure(
+        spark, path, docs.filter(F.col("doc_id") % 10 == 7)
+    ).orderBy("delta_id")
+
+
 #: materialized embedding-LSH index dirs keyed by sf_dir -- same
 #: rationale and lifecycle as _DELTA_DEDUP_INDEX above.
 _DELTA_EMB_INDEX: dict[str, str] = {}
@@ -2208,6 +2221,9 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # materialized-index probe (corpus %10!=7 indexed once, batch
     # %10==7 checked against it at delta cost)
     "delta_containment": _delta_containment,
+    # per-doc observability of that probe's capped blind spot: which
+    # batch docs the index is (partially) blind to, in basis points
+    "delta_containment_exposure": _delta_containment_exposure,
     # incremental embedding dedup: the vector family's materialized
     # index probe -- completes the delta story across all three
     # dedup families
@@ -2642,6 +2658,29 @@ SELECT delta_id, corpus_id, containment FROM (
   JOIN sh sc ON cand.corpus_id = sc.doc_id
 )
 WHERE containment >= 0.5
+"""
+
+# per-doc exposure of the capped index's blind spot: corpus-side
+# bucket widths over the SAME winnow rows, excluded = over-cap
+# fingerprints, counted per batch doc; the fraction quantized to
+# basis points (floor) so both engines agree exactly
+DEDUP_SQL["delta_containment_exposure"] = _WINNOW_PREFIX + f""",
+fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM m),
+widths AS (
+  SELECT fingerprint, count(*) AS w FROM fp WHERE doc_id % 10 <> 7 GROUP BY 1
+),
+excl AS (SELECT fingerprint FROM widths WHERE w > {DEDUP_MAX_BUCKET}),
+dfp AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 10 = 7),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM dfp GROUP BY 1),
+hit AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_excluded
+  FROM dfp JOIN excl USING (fingerprint) GROUP BY 1
+)
+SELECT t.doc_id AS delta_id, t.n_fps,
+       CAST(coalesce(h.n_excluded, 0) AS BIGINT) AS n_excluded,
+       CAST(floor(coalesce(h.n_excluded, 0) * 10000 / t.n_fps) AS BIGINT) AS exposure_bp
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+ORDER BY delta_id
 """
 
 
@@ -3457,7 +3496,8 @@ DRIVER_ORDER = [
     # pack_boundaries, canary_registry, corpus_card, denoising_spans,
     # mixture_waterfill, corpus_diversity, length_buckets,
     # stratified_holdout, minhash_calibration, contamination_report,
-    # semdedup_keepers_scaled, simhash_near_dup_wide --
+    # semdedup_keepers_scaled, simhash_near_dup_wide,
+    # delta_containment_exposure --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

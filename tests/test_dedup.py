@@ -642,6 +642,49 @@ def test_materialize_winnow_build_time_cap(spark, tmp_path):
     assert delta_containment(spark, path, delta, threshold=0.5).count() == 0
 
 
+def test_delta_containment_exposure_flags_blind_docs(spark, tmp_path):
+    """The build-time cap's blind spot is observable PER BATCH DOC:
+    a doc made of over-cap boilerplate reads exposure_bp 10000 (the
+    probe above returned 0 hits for it -- silently clean without this
+    signal), a doc of fresh content reads 0, and the excluded table
+    itself records the boilerplate fingerprints with their widths."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_containment_exposure,
+        materialize_winnow,
+    )
+
+    boiler = "standard license header text repeated on every file in the tree"
+    fresh = "completely novel discussion of adaptive query execution internals"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "widx")
+    materialize_winnow(corpus, path, max_bucket=5)
+
+    excluded = spark.read.parquet(f"{path}/excluded")
+    assert excluded.count() > 0
+    assert all(r.bucket_width == 10 for r in excluded.collect())
+
+    delta = spark.createDataFrame(
+        [(100, boiler), (101, fresh)], "doc_id long, text string"
+    )
+    out = {
+        r.delta_id: r
+        for r in delta_containment_exposure(spark, path, delta).collect()
+    }
+    assert out[100].exposure_bp == 10000
+    assert out[100].n_excluded == out[100].n_fps > 0
+    assert out[101].exposure_bp == 0 and out[101].n_excluded == 0
+
+    # an uncapped build writes an EMPTY excluded table (probes read it
+    # unconditionally), so every doc reads exposure 0
+    path2 = str(tmp_path / "widx_uncapped")
+    materialize_winnow(corpus, path2)
+    assert spark.read.parquet(f"{path2}/excluded").count() == 0
+    out2 = delta_containment_exposure(spark, path2, delta).collect()
+    assert all(r.exposure_bp == 0 for r in out2)
+
+
 def test_delta_embedding_dedup_materialized_index(spark, tmp_path):
     """Incremental embedding dedup: a batch vector nearly parallel to
     an indexed corpus vector is dropped, an orthogonal one survives,
