@@ -199,6 +199,7 @@ def run_document_stream(
     gates: str = "simple",
     decontaminate_bench: str | None = None,
     decon_threshold: float = 0.5,
+    decon_blind_bp: int = 5000,
     semantic_index: str | None = None,
     semantic_threshold: float = 0.95,
     semantic_max_bucket: int | None = 64,
@@ -226,7 +227,13 @@ def run_document_stream(
     once before the stream starts, and each batch is probed against
     it with exact-containment verification at `decon_threshold`
     (delta cost per batch; the static index is the decontamination
-    twin of the continuously-grown near-dup index).
+    twin of the continuously-grown near-dup index). Docs the index is
+    (partially) BLIND to -- >= `decon_blind_bp` basis points of their
+    winnow fingerprints on the index's over-cap excluded list
+    (delta_containment_exposure) -- are still admitted but logged to
+    `{output_dir}_decon_blind` before the corpus commit (the pair-log
+    replay stance), so an operator can route them to the uncapped
+    batch check instead of trusting a verdict the cap hollowed out.
 
     Exactly-once effect: the stream checkpoint prevents re-reading
     drained files, and the cross-batch fingerprint anti-join makes
@@ -590,6 +597,29 @@ def run_document_stream(
                 )
             if temperature_tau is not None or token_budget is not None:
                 kept = _apply_policies(kept, seen, batch_id)
+            if decon_index is not None:
+                # blind-spot log BEFORE the corpus write (the pair-log
+                # stance: once the corpus commits, a replayed batch is
+                # emptied by the fingerprint anti-join and the rows
+                # would be unrecoverable); doc_id anti-join guards the
+                # retry-after-log-commit case
+                import solana_data_etl_pipeline_spark.operators.dedup as DD
+
+                blind_dir = f"{output_dir}_decon_blind"
+                blind = DD.delta_containment_exposure(
+                    spark, decon_index, kept
+                ).filter(F.col("exposure_bp") >= decon_blind_bp)
+                try:
+                    seen_blind = spark.read.parquet(blind_dir)
+                except AnalysisException:
+                    seen_blind = None  # first batch: log does not exist yet
+                if seen_blind is not None:
+                    blind = blind.join(
+                        seen_blind.select(F.col("delta_id")).distinct(),
+                        "delta_id",
+                        "left_anti",
+                    )
+                blind.write.mode("append").parquet(blind_dir)
             kept.select(
                 "doc_id",
                 "text",

@@ -910,6 +910,57 @@ def test_document_stream_ingest_decontamination(spark, tmp_path):
     )
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 4}
 
+    # neither ingest doc touched an excluded fingerprint (the bench
+    # index never over-capped), so the blind log has no rows for them
+    blind = spark.read.parquet(f"{out}_decon_blind")
+    assert blind.count() == 0
+
+
+def test_document_stream_decon_blind_log(spark, tmp_path):
+    """A bench set dominated by boilerplate over-caps its own index
+    buckets, so a batch doc made of that boilerplate is admitted with
+    a hollow verdict -- the probe literally cannot see it. The blind
+    log records exactly that doc (exposure 10000 bp) BEFORE the
+    corpus commit; clean docs stay out of the log."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    boiler = (
+        "standard benchmark license header text repeated verbatim across "
+        "every single benchmark file in the distribution"
+    )
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(900 + i, boiler) for i in range(10)], "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, boiler) + "\n")
+        f.write(_doc(2, "a clean document about adaptive query execution internals and shuffles") + "\n")
+
+    run_document_stream(
+        spark, land, out, quar, ckpt,
+        decontaminate_bench=bench_path, decon_threshold=0.5,
+        near_dup_max_bucket=5,
+    )
+    # the boilerplate doc is ADMITTED (the capped index is blind to it)...
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    # ...but the blind log names it, and only it
+    blind = {r.delta_id: r for r in spark.read.parquet(f"{out}_decon_blind").collect()}
+    assert set(blind) == {1}
+    assert blind[1].exposure_bp == 10000
+
 
 def test_document_stream_semantic_dedup(spark, tmp_path):
     """Embed-at-ingest semantic dedup: a PERMUTED twin (same bag of
