@@ -124,6 +124,15 @@ def main(argv: list[str] | None = None) -> int:
         help="containment verify threshold for --decontaminate",
     )
     p_scorp.add_argument(
+        "--decon-blind-bp",
+        type=int,
+        default=5000,
+        help="log admitted docs whose winnow-fingerprint mass is at "
+        "least this many basis points on the bench index's over-cap "
+        "excluded list (the probe is blind to them) to "
+        "<out>/documents_decon_blind",
+    )
+    p_scorp.add_argument(
         "--gates",
         choices=["simple", "published"],
         default="simple",
@@ -316,6 +325,7 @@ def main(argv: list[str] | None = None) -> int:
             gates=args.gates,
             decontaminate_bench=args.decontaminate,
             decon_threshold=args.decon_threshold,
+            decon_blind_bp=args.decon_blind_bp,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()
