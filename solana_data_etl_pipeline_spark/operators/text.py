@@ -1341,6 +1341,86 @@ def mixture_waterfill(
     )
 
 
+def epoch_plan(
+    counts: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    decay_bp: int = 5000,
+    cap_col: str = "capacity",
+    weight_col: str = "weight",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-constrained epoch planning ("Scaling Data-Constrained
+    Language Models", Muennighoff et al. 2023, arXiv:2305.16264):
+    when the token budget exceeds what one pass over the corpus
+    supplies, sources are REPEATED -- but repeated epochs are worth
+    less than fresh ones (the paper measures returns decaying toward
+    zero around 4 epochs, hence the max_epochs default). The plan:
+    treat each (source, epoch<=max_epochs) as a unit of cap_s tokens
+    with marginal utility w_s * (decay_bp/10000)^(epoch-1) and fill
+    the budget greedily by utility -- first epochs of everything
+    before second epochs of anything, weighted. Returns per source
+    (capacity, weight, tokens_served, epochs_bp) with epochs in basis
+    points of a full pass (25000 = 2.5 epochs). mixture_waterfill is
+    the single-pass (epoch<=1) allocator; this is its repetition
+    extension.
+
+    Engine-exact by integer ordering keys: utility fractions
+    w*decay^(e-1)/10000^(e-1) are compared at the common denominator
+    10000^(max_epochs-1), i.e. key = w * decay_bp^(e-1) *
+    10000^(max_epochs-e) -- products of exact small-integer powers,
+    identical BIGINTs in both engines (no float comparisons); ties
+    break on (source, epoch). Allocation is pure integer arithmetic
+    (min/max against the cumulative fill); epochs_bp floors one exact
+    division.
+
+    Scale shape: the frame is sources x max_epochs rows (bounded by
+    the catalog), so the single-partition utility sort is trivially
+    cheap at any corpus scale; capacities come from one
+    map-side-combined corpus aggregation upstream."""
+    units = counts.select(
+        source_col,
+        F.col(cap_col).cast("long").alias(cap_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_epochs)))).alias("epoch"),
+    )
+    key = (
+        F.col(weight_col)
+        * F.pow(F.lit(float(decay_bp)), F.col("epoch") - 1)
+        * F.pow(F.lit(10000.0), F.lit(int(max_epochs)) - F.col("epoch"))
+    ).cast("long")
+    w = Window.orderBy(F.col("_key").desc(), F.col(source_col), F.col("epoch"))
+    filled = units.withColumn("_key", key).withColumn(
+        "_pc",
+        F.coalesce(
+            F.sum(cap_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    alloc = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col(cap_col), F.lit(int(budget)) - F.col("_pc")),
+    )
+    return (
+        filled.select(source_col, cap_col, weight_col, alloc.alias("_alloc"))
+        .groupBy(source_col, cap_col, weight_col)
+        .agg(F.sum("_alloc").cast("long").alias("tokens_served"))
+        .select(
+            source_col,
+            cap_col,
+            weight_col,
+            "tokens_served",
+            F.when(
+                F.col(cap_col) > 0,
+                F.floor(F.col("tokens_served") * 10000 / F.col(cap_col)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("epochs_bp"),
+        )
+    )
+
+
 def denoising_spans(
     df: DataFrame,
     corruption_rate: float = 0.15,

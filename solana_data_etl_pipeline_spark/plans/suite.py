@@ -834,6 +834,25 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             .withColumn("weight", F.lit(1).cast("long"))
         )
     ),
+    # data-constrained epoch planning (Muennighoff et al. 2023):
+    # budget of 2.5x corpus tokens -- every source serves its first
+    # two epochs in full, the third fills partially in utility order
+    "epoch_plan": (
+        lambda spark, sf_dir: (
+            lambda c: X.epoch_plan(
+                c, budget=int(2.5 * c.agg(F.sum("capacity")).first()[0])
+            )
+        )(
+            load_table(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(
+                F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+                .cast("long")
+                .alias("capacity")
+            )
+            .withColumn("weight", F.lit(1).cast("long"))
+        )
+    ),
     # T5-style deterministic span-corruption plan (15% / 3-token spans)
     "denoising_spans": _docs(X.denoising_spans),
     # the dataset-card summary (Gebru et al. 2021): per (source, lang)
@@ -1362,6 +1381,41 @@ SELECT source, capacity, weight,
             ELSE least(capacity * 1.0, round((b - sc) / greatest(tw - sw, 1e-12) * weight)) END AS BIGINT) AS alloc,
        saturated
 FROM run, sat
+"""
+
+# data-constrained epoch planning: (source, epoch) units filled
+# greedily by the integer utility key w * decay^(e-1) * 10000^(E-e)
+# (exact small-integer powers -- identical BIGINTs on both engines);
+# allocation is pure integer min/max against the cumulative fill
+TEXT_SQL["epoch_plan"] = """
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS capacity,
+         CAST(1 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+bdg AS (SELECT CAST(floor(2.5 * sum(capacity)) AS BIGINT) AS b FROM c),
+units AS (
+  SELECT source, capacity, weight, CAST(u.e AS BIGINT) AS epoch,
+         CAST(weight * power(5000, u.e - 1) * power(10000, 4 - u.e) AS BIGINT) AS key
+  FROM c, UNNEST(range(1, 5)) AS u(e)
+),
+cum AS (
+  SELECT *,
+         coalesce(sum(capacity) OVER (ORDER BY key DESC, source, epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pc
+  FROM units
+),
+a AS (
+  SELECT source, capacity, weight,
+         greatest(0, least(capacity, b - pc)) AS alloc
+  FROM cum, bdg
+)
+SELECT source, capacity, weight,
+       CAST(sum(alloc) AS BIGINT) AS tokens_served,
+       CAST(CASE WHEN capacity > 0
+            THEN floor(sum(alloc) * 10000.0 / capacity) ELSE 0 END AS BIGINT) AS epochs_bp
+FROM a GROUP BY source, capacity, weight
 """
 
 TEXT_SQL["denoising_spans"] = """
@@ -3497,7 +3551,7 @@ DRIVER_ORDER = [
     # mixture_waterfill, corpus_diversity, length_buckets,
     # stratified_holdout, minhash_calibration, contamination_report,
     # semdedup_keepers_scaled, simhash_near_dup_wide,
-    # delta_containment_exposure --
+    # delta_containment_exposure, epoch_plan --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

@@ -1359,6 +1359,45 @@ def test_mixture_waterfill_hand_model(spark):
     assert all(r.saturated and r.alloc == r.capacity for r in rich.values())
 
 
+def test_epoch_plan_hand_model(spark):
+    """Greedy epoch filling matches the hand computation: equal
+    weights fill first epochs of everything before second epochs of
+    anything; the boundary epoch fills partially in (utility, source)
+    order; a budget beyond max_epochs passes leaves the tail unserved
+    (the paper's point -- repetition stops buying anything)."""
+    from solana_data_etl_pipeline_spark.operators.text import epoch_plan
+
+    df = spark.createDataFrame(
+        [("a", 100, 1), ("b", 300, 1)],
+        "source string, capacity long, weight long",
+    )
+    # budget 550: epoch-1 units (a:100, b:300) fill; epoch-2 tier has
+    # 150 left, a (alphabetically first at equal utility) takes 100,
+    # b takes the remaining 50
+    got = {r.source: r for r in epoch_plan(df, budget=550).collect()}
+    assert (got["a"].tokens_served, got["a"].epochs_bp) == (200, 20000)
+    assert (got["b"].tokens_served, got["b"].epochs_bp) == (350, 11666)
+    assert sum(r.tokens_served for r in got.values()) == 550
+
+    # weights change the within-tier order: with w_b >> w_a, b's
+    # SECOND epoch (utility 5*0.5=2.5) outranks a's FIRST (1), so at
+    # budget 550 b serves two full epochs before a's first fills
+    wdf = spark.createDataFrame(
+        [("a", 100, 1), ("b", 300, 5)],
+        "source string, capacity long, weight long",
+    )
+    got_w = {r.source: r for r in epoch_plan(wdf, budget=550).collect()}
+    # b epoch1 (key 5*10000^3) fills 300; b epoch2 (5*5000*10000^2 =
+    # 2.5e12) outranks a epoch1 (1e12) and takes the remaining 250
+    assert (got_w["b"].tokens_served, got_w["a"].tokens_served) == (550, 0)
+
+    # budget beyond max_epochs * capacity: every unit fills, epochs
+    # cap at max_epochs
+    rich = {r.source: r for r in epoch_plan(df, budget=10_000).collect()}
+    assert all(r.epochs_bp == 40000 for r in rich.values())
+    assert sum(r.tokens_served for r in rich.values()) == 4 * 400
+
+
 def test_corpus_diversity_hand_model(spark):
     """Distinct-n ratios match hand counts; a pure-repetition corpus
     shows collapsed diversity; the Zipf fit over a two-token corpus
