@@ -28,6 +28,7 @@ from solana_data_etl_pipeline_spark.plans import behavioral as B
 from solana_data_etl_pipeline_spark.plans import corpus as C
 from solana_data_etl_pipeline_spark.plans import dimensions as DIM
 from solana_data_etl_pipeline_spark.plans import relational as R
+from solana_data_etl_pipeline_spark.sinks import shards as SH
 from solana_data_etl_pipeline_spark.plans import temporal as T
 from solana_data_etl_pipeline_spark.plans.testdata_model import NORM_SQL, as_of, load_table, normalized_events
 
@@ -702,6 +703,16 @@ TEXT_QUERIES: dict[str, QueryFn] = {
         lambda df: X.consistent_sample(df, pct=20).select("doc_id", "lang", "n_chars")
     ),
     "training_shuffle": _docs(lambda df: X.training_shuffle(df, n_shards=16, seed=7)),
+    # reproducibility manifest over an ACTUAL shard export of the
+    # same permutation (n_shards=16, seed=7): per shard, doc count +
+    # order-insensitive (id, pos) multiset digest -- the artifact a
+    # re-export or training job checks instead of re-reading bytes.
+    # The export runs once per sf_dir (temp dir, atexit-cleaned) and
+    # the query reads it back, so the driver row also exercises the
+    # writer's partitionBy/pos-sort contract end to end
+    "shard_manifest": (
+        lambda spark, sf_dir: SH.shard_manifest(spark, _shard_export_dir(spark, sf_dir))
+    ),
     "vocab_top_words": _docs(X.vocab_top_words),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
     "corpus_selection": C.corpus_selection,
@@ -1054,6 +1065,22 @@ SELECT doc_id,
        CAST(key % 16 AS BIGINT) AS shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS BIGINT) AS pos
 FROM k
+""",
+    "shard_manifest": """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CAST(key % 16 AS BIGINT) AS shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS BIGINT) AS pos
+  FROM k
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS id_digest
+FROM sp GROUP BY shard
 """,
     "stratified_sample": """
 WITH r AS (
@@ -2130,6 +2157,28 @@ def _delta_dedup_index(spark: SparkSession, sf_dir: str) -> str:
         path = tempfile.mkdtemp(prefix="minhash_index_")
         D.materialize_minhash(docs.filter(~(F.col("doc_id") % 10 == 7)), path)
         _DELTA_DEDUP_INDEX[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+#: exported training-shard dirs keyed by sf_dir -- same rationale and
+#: lifecycle as _DELTA_DEDUP_INDEX above; the export mirrors the
+#: registered training_shuffle's (n_shards=16, seed=7) permutation so
+#: the manifest oracle can re-derive the assignment in SQL.
+_SHARD_EXPORT: dict[str, str] = {}
+
+
+def _shard_export_dir(spark: SparkSession, sf_dir: str) -> str:
+    path = _SHARD_EXPORT.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="shard_export_")
+        SH.export_shards(docs.select("doc_id", "text"), path, n_shards=16, seed=7)
+        _SHARD_EXPORT[sf_dir] = path
         atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
@@ -3551,7 +3600,7 @@ DRIVER_ORDER = [
     # mixture_waterfill, corpus_diversity, length_buckets,
     # stratified_holdout, minhash_calibration, contamination_report,
     # semdedup_keepers_scaled, simhash_near_dup_wide,
-    # delta_containment_exposure, epoch_plan --
+    # delta_containment_exposure, epoch_plan, shard_manifest --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

@@ -104,3 +104,43 @@ def export_token_shards(
         .sortWithinPartitions("shard", "pos")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def shard_manifest(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Reproducibility manifest over an exported shard directory --
+    the artifact a training job (or a re-export) checks instead of
+    re-reading every byte: per shard, document count and an
+    order-insensitive multiset digest of the (id, pos) assignment
+    (sum of 32-bit md5(id|pos) values). Byte-identity of shard FILES
+    follows from the digest plus the writer's pos-sort contract: the
+    digest pins WHICH docs sit at WHICH positions, the writer pins
+    the on-disk order. Same seed re-export => identical manifest;
+    any drift names the exact shard.
+
+    32-bit per-row terms keep the BIGINT sum exact and engine-exact
+    (Spark sums longs modulo 2^64 silently, DuckDB promotes to
+    HUGEINT -- both see the true sum only while it fits a long, which
+    32-bit terms guarantee up to ~2^31 docs per shard; shards are
+    task-sized by design, orders of magnitude below that).
+
+    Scale shape: one scan of the shard tree, one map-side-combined
+    groupBy on the partition column -- the scan prunes to nothing if
+    a caller filters on shard."""
+    rows = spark.read.parquet(path)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.col("pos").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return rows.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(h).cast("long").alias("id_digest"),
+    )

@@ -92,3 +92,27 @@ def test_export_token_shards_replay_identical(spark, tmp_path):
     assert t.count() == 60
     for r in t.select("token_ids").collect():
         assert all(0 <= x <= 5 for x in r.token_ids)
+
+
+def test_shard_manifest_detects_drift(spark, tmp_path):
+    """The manifest is identical across same-seed re-exports (the
+    checkable form of the byte-identity contract) and names the
+    drifted shards when the seed -- i.e. the permutation -- changes."""
+    from solana_data_etl_pipeline_spark.sinks.shards import export_shards, shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(60)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    export_shards(df, out, n_shards=4, seed=9)
+    m1 = {r.shard: (r.n_docs, r.id_digest) for r in shard_manifest(spark, out).collect()}
+    assert set(m1) == {0, 1, 2, 3}
+    assert sum(n for n, _ in m1.values()) == 60
+
+    export_shards(df, out, n_shards=4, seed=9)
+    m2 = {r.shard: (r.n_docs, r.id_digest) for r in shard_manifest(spark, out).collect()}
+    assert m2 == m1
+
+    export_shards(df, out, n_shards=4, seed=10)
+    m3 = {r.shard: (r.n_docs, r.id_digest) for r in shard_manifest(spark, out).collect()}
+    assert m3 != m1
