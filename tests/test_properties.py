@@ -708,3 +708,45 @@ def test_hash_embed_permutation_invariant_unit_norm(spark, toks, perm_seed):
         assert math.isclose(norm2, 1.0, rel_tol=1e-9)
     else:
         assert norm2 == 0.0
+
+
+@given(
+    caps=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=6),
+    weights=st.lists(st.integers(min_value=1, max_value=9), min_size=6, max_size=6),
+    budget=st.integers(min_value=0, max_value=5000),
+)
+@settings(**SETTINGS)
+def test_epoch_plan_conservation_laws(spark, caps, weights, budget):
+    """For ANY capacity/weight profile and budget: total tokens served
+    equals min(budget, max_epochs * total capacity) -- the greedy fill
+    neither loses nor invents tokens; per-source service never exceeds
+    max_epochs passes; and a Python replay of the same greedy order
+    reproduces every allocation exactly."""
+    from solana_data_etl_pipeline_spark.operators.text import epoch_plan
+
+    rows = [(f"s{i}", c, weights[i]) for i, c in enumerate(caps)]
+    df = spark.createDataFrame(rows, "source string, capacity long, weight long")
+    got = {r.source: r for r in epoch_plan(df, budget=budget).collect()}
+
+    total_cap = sum(caps)
+    assert sum(r.tokens_served for r in got.values()) == min(budget, 4 * total_cap)
+    for r in got.values():
+        assert 0 <= r.tokens_served <= 4 * r.capacity
+        if r.capacity:
+            assert r.epochs_bp == r.tokens_served * 10000 // r.capacity
+
+    # Python replay of the greedy order (same integer utility key)
+    units = sorted(
+        (
+            (-(w * 5000 ** (e - 1) * 10000 ** (4 - e)), s, e, c)
+            for (s, c, w) in rows
+            for e in range(1, 5)
+        ),
+    )
+    served = {s: 0 for s, _, _ in rows}
+    left = budget
+    for _, s, _, c in units:
+        take = max(0, min(c, left))
+        served[s] += take
+        left -= take
+    assert {s: r.tokens_served for s, r in got.items()} == served
