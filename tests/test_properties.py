@@ -750,3 +750,29 @@ def test_epoch_plan_conservation_laws(spark, caps, weights, budget):
         served[s] += take
         left -= take
     assert {s: r.tokens_served for s, r in got.items()} == served
+
+
+@given(
+    caps=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=6),
+    weights=st.lists(st.integers(min_value=1, max_value=9), min_size=6, max_size=6),
+    budget=st.integers(min_value=0, max_value=2000),
+)
+@settings(**SETTINGS)
+def test_mixture_waterfill_conservation_laws(spark, caps, weights, budget):
+    """For ANY capacity/weight profile: no source exceeds its
+    capacity; saturated sources allocate exactly their capacity; and
+    total allocation spends min(budget, total capacity) to within one
+    rounding unit per unsaturated source (alloc = round(lambda * w))."""
+    from solana_data_etl_pipeline_spark.operators.text import mixture_waterfill
+
+    rows = [(f"s{i}", c, weights[i]) for i, c in enumerate(caps)]
+    df = spark.createDataFrame(rows, "source string, capacity long, weight long")
+    got = mixture_waterfill(df, budget=budget).collect()
+
+    for r in got:
+        assert 0 <= r.alloc <= r.capacity
+        if r.saturated:
+            assert r.alloc == r.capacity
+    target = min(budget, sum(caps))
+    slack = sum(1 for r in got if not r.saturated)
+    assert abs(sum(r.alloc for r in got) - target) <= slack
