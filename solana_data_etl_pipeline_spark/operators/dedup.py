@@ -1624,12 +1624,78 @@ def materialize_embedding_lsh(
     )
     if max_bucket is not None:
         wspec = Window.partitionBy("table", "bucket")
-        v = (
-            v.withColumn("_w", F.count(F.lit(1)).over(wspec))
-            .filter(F.col("_w") <= max_bucket)
-            .drop("_w")
+        counted = v.withColumn("_w", F.count(F.lit(1)).over(wspec))
+        excluded = (
+            counted.filter(F.col("_w") > max_bucket)
+            .groupBy("table", "bucket")
+            .agg(F.max("_w").cast("long").alias("bucket_width"))
         )
+        v = counted.filter(F.col("_w") <= max_bucket).drop("_w")
+    else:
+        excluded = (
+            v.select("table", "bucket")
+            .limit(0)
+            .withColumn("bucket_width", F.lit(0).cast("long"))
+        )
+    # over-cap buckets are not silently lost: like materialize_winnow's
+    # excluded-fingerprint table, probes read this to report per-vector
+    # blindness (delta_embedding_exposure)
+    excluded.write.mode("overwrite").parquet(f"{path}/excluded")
     v.write.mode("overwrite").parquet(f"{path}/buckets")
+
+
+def delta_embedding_exposure(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Per-vector observability of the embedding index's capped blind
+    spot (the vector twin of delta_containment_exposure): for each
+    batch vector, how many of its `n_tables` LSH buckets land on the
+    index's EXCLUDED (over-cap) list -- `{index_path}/excluded`,
+    written by materialize_embedding_lsh. Returns (delta_id,
+    n_buckets, n_excluded, exposure_bp). With the bucket DOMAIN fixed
+    (2^planes per table), saturation is the measured failure mode at
+    scale (coverage 0.52 -> 0 by 100x, SCALE.md) -- a vector at
+    exposure 10000 has every probe route capped, so its dedup/ANN
+    verdict is blind and it should route to a wider-key or
+    brute-force check.
+
+    Scale shape: both aggregations are batch-sized; the excluded list
+    is bounded by the bucket DOMAIN (n_tables x 2^planes rows, unlike
+    winnow's content-grown list) so the join is trivially cheap; the
+    batch side is broadcast for symmetry with the winnow probe. Zero
+    corpus shuffles."""
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        LSH_PLANES,
+        table_bucket_col,
+    )
+
+    excluded = spark.read.parquet(f"{index_path}/excluded")
+    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
+    d = delta.select(
+        F.col("vec_id").alias("delta_id"),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    totals = d.groupBy("delta_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    hits = (
+        excluded.join(F.broadcast(d), ["table", "bucket"])
+        .groupBy("delta_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excluded"))
+    )
+    n_exc = F.coalesce("n_excluded", F.lit(0).cast("long"))
+    return (
+        totals.join(hits, "delta_id", "left")
+        .select(
+            "delta_id",
+            "n_buckets",
+            n_exc.alias("n_excluded"),
+            F.floor(n_exc * 10000 / F.col("n_buckets")).cast("long").alias("exposure_bp"),
+        )
+    )
 
 
 def delta_embedding_dedup(

@@ -2331,6 +2331,18 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # index probe -- completes the delta story across all three
     # dedup families
     "delta_embedding_dedup": _delta_embedding_dedup,
+    # per-vector observability of that probe's capped blind spot (the
+    # vector twin of delta_containment_exposure; the embedding bucket
+    # domain is FIXED, so saturation is the measured scale failure)
+    "delta_embedding_exposure": (
+        lambda spark, sf_dir: D.delta_embedding_exposure(
+            spark,
+            _delta_embedding_index(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") % 10 == 7
+            ),
+        ).orderBy("delta_id")
+    ),
     "dedup_clusters": _docs(
         lambda df: D.connected_components(
             D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
@@ -2761,6 +2773,29 @@ SELECT delta_id, corpus_id, containment FROM (
   JOIN sh sc ON cand.corpus_id = sc.doc_id
 )
 WHERE containment >= 0.5
+"""
+
+# per-vector exposure of the embedding index's capped blind spot:
+# corpus-side (table, bucket) widths over the shared bucket CTEs,
+# excluded = over-cap, counted per batch vector, floored basis points
+DEDUP_SQL["delta_embedding_exposure"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_table_buckets_sql(2)},
+widths AS (
+  SELECT tbl, bkt, count(*) AS w FROM b WHERE vec_id % 10 <> 7 GROUP BY 1, 2
+),
+excl AS (SELECT tbl, bkt FROM widths WHERE w > {DEDUP_MAX_BUCKET}),
+db AS (SELECT vec_id, tbl, bkt FROM b WHERE vec_id % 10 = 7),
+tot AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_buckets FROM db GROUP BY 1),
+hit AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_excluded
+  FROM db JOIN excl USING (tbl, bkt) GROUP BY 1
+)
+SELECT t.vec_id AS delta_id, t.n_buckets,
+       CAST(coalesce(h.n_excluded, 0) AS BIGINT) AS n_excluded,
+       CAST(floor(coalesce(h.n_excluded, 0) * 10000 / t.n_buckets) AS BIGINT) AS exposure_bp
+FROM tot t LEFT JOIN hit h ON t.vec_id = h.vec_id
+ORDER BY delta_id
 """
 
 # per-doc exposure of the capped index's blind spot: corpus-side
@@ -3600,7 +3635,8 @@ DRIVER_ORDER = [
     # mixture_waterfill, corpus_diversity, length_buckets,
     # stratified_holdout, minhash_calibration, contamination_report,
     # semdedup_keepers_scaled, simhash_near_dup_wide,
-    # delta_containment_exposure, epoch_plan, shard_manifest --
+    # delta_containment_exposure, delta_embedding_exposure,
+    # epoch_plan, shard_manifest --
     # rotate IN next round (all oracle-swept at sf0.001 on every test
     # run meanwhile), displacing
     # this round's returning greens; the A-query round-robin's next

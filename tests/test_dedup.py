@@ -778,3 +778,47 @@ def test_semdedup_refine_bits_only_splits_groups(spark):
     n0 = semdedup_keepers(emb, threshold=0.30).count()
     n4 = semdedup_keepers(emb, threshold=0.30, refine_bits=4).count()
     assert emb.count() >= n4 >= n0
+
+
+def test_delta_embedding_exposure_flags_blind_vectors(spark, tmp_path):
+    """The embedding index's build-time cap is observable PER BATCH
+    VECTOR: when a bucket over-caps (here: many copies of one
+    direction), a batch vector landing in those buckets reads
+    exposure_bp 10000 -- its dedup probe returned no drop even though
+    the corpus is full of its twins -- while a vector in un-capped
+    buckets reads 0."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        delta_embedding_dedup,
+        delta_embedding_exposure,
+        materialize_embedding_lsh,
+    )
+
+    dim = 64  # EMB_DIM: the hyperplanes are 64-dim, shorter vectors degenerate to bucket 0
+    base = [1.0] * dim
+    neg = [-1.0] * dim  # sign-LSH bucket is the exact complement of base's
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "eidx")
+    materialize_embedding_lsh(corpus, path, max_bucket=5)
+
+    excluded = spark.read.parquet(f"{path}/excluded")
+    assert excluded.count() > 0
+    assert all(r.bucket_width == 10 for r in excluded.collect())
+
+    delta = spark.createDataFrame(
+        [(100, base), (101, neg)], "vec_id long, embedding array<double>"
+    )
+    # the capped index is blind to the base direction: nothing drops...
+    assert {
+        r.vec_id for r in delta_embedding_dedup(spark, path, delta).collect()
+    } == {100, 101}
+    # ...and the exposure probe says exactly which vector that blinds
+    out = {
+        r.delta_id: r
+        for r in delta_embedding_exposure(spark, path, delta).collect()
+    }
+    assert out[100].exposure_bp == 10000
+    assert out[100].n_excluded == out[100].n_buckets > 0
+    assert out[101].exposure_bp == 0 and out[101].n_excluded == 0
