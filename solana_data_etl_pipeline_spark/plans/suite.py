@@ -3629,80 +3629,56 @@ def all_oracle_sql() -> dict[str, str]:
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
 DRIVER_ORDER = [
-    # ROUND-9 ROTATION PLAN: the late-r8 registrants without a driver
-    # verdict yet -- curation_funnel, dsir_scores, text_knn,
-    # pack_boundaries, canary_registry, corpus_card, denoising_spans,
-    # mixture_waterfill, corpus_diversity, length_buckets,
-    # stratified_holdout, minhash_calibration, contamination_report,
-    # semdedup_keepers_scaled, simhash_near_dup_wide,
-    # delta_containment_exposure, delta_embedding_exposure,
-    # epoch_plan, shard_manifest --
-    # rotate IN next round (all oracle-swept at sf0.001 on every test
-    # run meanwhile), displacing
-    # this round's returning greens; the A-query round-robin's next
-    # passengers are whichever analytics rows have then been out
-    # longest.
-    #
-    # --- round-8 rotation: the eleven r7-registered operators that
-    #     never had a driver verdict (oracle-swept at sf0.001 every
-    #     test run; this is their sf0.01 CORRECTNESS gate), heaviest
-    #     plans first. ---
-    "simhash_dedup_keepers",
-    "benchmark_near_dup",
-    "gopher_quality",
-    "c4_clean",
-    "tokenize_corpus",
-    "source_quota_sample",
-    "bpe_merge_stats",
-    "minhash_cap_stats",
-    "simhash_cap_stats",
-    "embedding_cap_stats",
-    "winnow_cap_stats",
-    # --- round-8 new builds ---
-    "corpus_curation_v2",
-    "tokenize_pack",
-    "delta_containment",
-    "source_quota_hot",
-    "pii_redact",
-    "packing_efficiency",
-    "delta_embedding_dedup",
-    "interp_logprob",
-    "novelty_scores",
-    "perplexity_buckets",
+    # --- ROUND-9 ROTATION (executed per the r8 plan + VERDICT r8 #1):
+    #     the 19 late-r8 registrants that never had a driver verdict
+    #     (all oracle-swept at sf0.001 on every test run by
+    #     tests/test_oracle_parity.py; this is their sf0.01
+    #     CORRECTNESS gate), heaviest plans first. ---
+    "curation_funnel",
+    "text_knn",
+    "semdedup_keepers_scaled",
+    "simhash_near_dup_wide",
+    "contamination_report",
+    "delta_containment_exposure",
+    "delta_embedding_exposure",
+    "dsir_scores",
+    "corpus_diversity",
+    "minhash_calibration",
+    "stratified_holdout",
+    "corpus_card",
+    "denoising_spans",
+    "pack_boundaries",
+    "length_buckets",
+    "canary_registry",
+    "mixture_waterfill",
+    "epoch_plan",
+    "shard_manifest",
+    # --- round-9 new builds (slots swapped in as they land; until
+    #     then held by returning r8 greens) ---
+    "leakage_free_split",
+    "delta_dedup",
     "line_dedup",
     "semdedup_keepers",
-    "hash_embed_stats",
-    # --- reference A-query round-robin: A8 top_tokens + A9
-    #     failed_transactions back in (last driver rows r5;
-    #     /root/reference/src/analytics.rs:459-473,495-533) ---
-    "top_tokens",
-    "failed_transactions",
-    # --- round-7 entries kept for a second verdict (containment's
-    #     capped default is semantics-flagged; leakage_free_split
-    #     went cluster-level only last round). corpus_curation v1
-    #     (green r7) rotates out -- corpus_curation_v2 strictly
-    #     contains its composition; winnow_overlap_pairs (green r7)
-    #     rotates out -- containment_pairs exercises the same capped
-    #     winnowing join in-driver. Both stay oracle-swept. ---
+    # --- delta_embedding_dedup stays for a re-verdict: round 9
+    #     defaults it to the measured 4-table configuration
+    #     (VERDICT r8 #2) ---
+    "delta_embedding_dedup",
+    # --- reference A-query round-robin: A7 token_transfer_stats +
+    #     A10 top_errors + A12 top_wallets back in (last driver rows
+    #     r7; out since r8) ---
+    "token_transfer_stats",
+    "top_errors",
+    "top_wallets",
+    # --- round-7/8 entries kept: containment's capped default is
+    #     semantics-flagged (observability pair with the exposure
+    #     probes above); simhash_near_dup pairs with the new wide
+    #     variant for the capped-vs-wide comparison ---
     "containment_pairs",
-    "leakage_free_split",
-    # --- round-5/6 entries kept (dedup_keepers, repetition_stats and
-    #     knn_ivf_materialized -- all green r5-r7 -- rotate out: the
-    #     pairs->CC spine stays via dedup_clusters +
-    #     simhash_dedup_keepers, the IVF family via knn_ivf, and the
-    #     materialized layout's DPP plan is pinned in
-    #     tests/test_plans.py) ---
-    "delta_dedup",
     "simhash_near_dup",
+    "delta_containment",
     # --- core dedup/similarity/media suite ---
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    # (embedding_quantize, media_features and dim_tokens -- all green
-    #  through r7 -- rotate out for the three late-r8 registrants
-    #  above; their families stay in-driver via delta_embedding_dedup/
-    #  semdedup_keepers, media_stats + media_frame_sample, and
-    #  dim_wallets + program_dim_rollup, and all three stay
-    #  DuckDB-swept by tests/test_oracle_parity on every run)
     "dedup_clusters",
     "knn_lsh",
     "knn_ivf",
@@ -3710,32 +3686,29 @@ DRIVER_ORDER = [
     "media_frame_sample",
     "dim_wallets",
     "program_dim_rollup",
-    # (doc_features -- green r1-r7 -- rotates out for hash_embed_stats;
-    #  the fused zero-shuffle gate projection family stays in-driver
-    #  via gopher_quality + c4_clean)
-    # --- analytics (reference A1-A13 parity) ---
+    # --- analytics (reference A1-A13 parity; top_tokens /
+    #     failed_transactions green r8, rotate out for the A-robin
+    #     trio above) ---
     "transaction_volume",
     "hourly_volume",
     "active_programs",
     "wallet_activity",
     "program_trends",
-    # --- behavioral + temporal (weekly_cohort_retention, event_funnel,
-    #     hourly_gapfill, asof_attribution, session_window_stats and
-    #     daily_volume_trend rotated out after six consecutive green
-    #     verdicts r1-r6 to free slots for the 15 rotated in above;
-    #     like every rotated entry they stay DuckDB-swept by
-    #     tests/test_oracle_parity on each run) ---
+    # --- behavioral + temporal ---
     "cumulative_new_users",
     "sketch_rollup",
     "rollup_exact_users",
-    # --- text corpus suite (language_stats / vocab_top_words /
-    #     tfidf_top_terms rotated out after green r1-r6) ---
+    # --- text corpus suite (r8 greens gopher_quality, c4_clean,
+    #     tokenize_corpus, tokenize_pack, source_quota_sample/_hot,
+    #     bpe_merge_stats, pii_redact, packing_efficiency,
+    #     interp_logprob, novelty_scores, perplexity_buckets,
+    #     hash_embed_stats, corpus_curation_v2, benchmark_near_dup,
+    #     simhash_dedup_keepers and the four *_cap_stats rotate out
+    #     after their first green verdict; all stay DuckDB-swept by
+    #     tests/test_oracle_parity on every run) ---
     "consistent_sample",
     "corpus_selection",
     "benchmark_contamination",
-    # --- relational: all six rotated out after green r1-r6 verdicts
-    #     (pricing_summary, nation_trade_balance, order_cube,
-    #     priority_pivot, order_value_histogram, inactive_customers) ---
 ]
 
 
