@@ -470,11 +470,16 @@ def main(argv: list[str] | None = None) -> int:
                 .agg(_F.sum("n_seq").alias("n_seq"), _F.sum("tok").alias("tok"))
                 .first()
             )
-            fill = per_shard["tok"] / (per_shard["n_seq"] * args.seq_budget)
-            print(
-                f"packing: {per_shard['n_seq']} sequences of {args.seq_budget} "
-                f"tokens, fill_ratio={fill:.4f}"
-            )
+            if per_shard["n_seq"]:
+                fill = per_shard["tok"] / (per_shard["n_seq"] * args.seq_budget)
+                print(
+                    f"packing: {per_shard['n_seq']} sequences of {args.seq_budget} "
+                    f"tokens, fill_ratio={fill:.4f}"
+                )
+            else:
+                # aggregates over zero rows are NULL -- an empty deduped
+                # corpus must not crash after the shards were written
+                print("packing: 0 sequences (empty deduped corpus)")
         if args.compact:
             from solana_data_etl_pipeline_spark.sinks.compaction import compact_parquet
 

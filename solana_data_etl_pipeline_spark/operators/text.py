@@ -405,18 +405,19 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: a chain of regexp_replace projections fused into the
     scan -- ZERO shuffles, like every per-doc rewrite here;
-    redacted_count is pii_scan's total recomputed on the original
-    text in the same projection."""
-    clean = F.col(text_col)
+    redacted_count counts each pattern against the PREVIOUS rewrite
+    (mirroring the replacement chain), so it equals the number of
+    placeholders actually inserted into clean_text -- a later pattern
+    matching only inside an earlier pattern's already-replaced span is
+    neither replaced nor counted (pii_scan keeps the original-text
+    scan counts)."""
+    prev = F.col(text_col)
+    counts = []
     for kind, pat in PII_PATTERNS.items():
-        clean = F.regexp_replace(clean, pat, f"<{kind.upper()}>")
-    total = sum(
-        (
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
-            for pat in PII_PATTERNS.values()
-        ),
-        F.lit(0).cast("long"),
-    )
+        counts.append(F.regexp_count(prev, F.lit(pat)).cast("long"))
+        prev = F.regexp_replace(prev, pat, f"<{kind.upper()}>")
+    clean = prev
+    total = sum(counts, F.lit(0).cast("long"))
     return df.select(
         "doc_id",
         total.alias("redacted_count"),
@@ -841,8 +842,12 @@ def source_quota_sample_hot(
     key = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
+    # Integer `div`, NOT float division: a double rounds 60-bit keys
+    # (>2^53), so keys within ~128 of a bucket boundary could land in
+    # the wrong bucket and break the documented result-identity with
+    # source_quota_sample (same >2^53 hazard hash_embed documents).
     with_key = df.withColumn("_key", key).withColumn(
-        "_bkt", (F.col("_key") / F.lit(step)).cast("long")
+        "_bkt", F.expr(f"_key div {step}")
     )
     stats = (
         with_key.groupBy(source_col, "_bkt")
@@ -1378,17 +1383,40 @@ def epoch_plan(
     the catalog), so the single-partition utility sort is trivially
     cheap at any corpus scale; capacities come from one
     map-side-combined corpus aggregation upstream."""
+    # Per-epoch utility factors decay_bp^(e-1) * 10000^(max_epochs-e)
+    # as exact Python integers baked into the plan as BIGINT literals
+    # -- NOT F.pow, whose double intermediate rounds above 2^53
+    # (weight >~ 9000 at the defaults) and whose truncating long cast
+    # diverges from DuckDB's rounding cast once inexact, silently
+    # reordering the greedy fill.
+    factors = {
+        e: int(decay_bp) ** (e - 1) * 10000 ** (int(max_epochs) - e)
+        for e in range(1, int(max_epochs) + 1)
+    }
+    if max(factors.values()) >= 1 << 62:
+        raise ValueError(
+            "epoch_plan: decay_bp/max_epochs produce a >62-bit utility "
+            "factor; the BIGINT ordering key would overflow"
+        )
+    # Keys are weight * factor: exact while weight < 2^63 / max factor
+    # (~9.2e6 at the defaults' 1e12 factor) -- documented weight range.
     units = counts.select(
         source_col,
         F.col(cap_col).cast("long").alias(cap_col),
         F.col(weight_col).cast("long").alias(weight_col),
-        F.explode(F.sequence(F.lit(1), F.lit(int(max_epochs)))).alias("epoch"),
-    )
-    key = (
-        F.col(weight_col)
-        * F.pow(F.lit(float(decay_bp)), F.col("epoch") - 1)
-        * F.pow(F.lit(10000.0), F.lit(int(max_epochs)) - F.col("epoch"))
-    ).cast("long")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e).cast("long").alias("epoch"),
+                        F.lit(factors[e]).cast("long").alias("_factor"),
+                    )
+                    for e in sorted(factors)
+                ]
+            )
+        ).alias("_u"),
+    ).select(source_col, cap_col, weight_col, "_u.epoch", "_u._factor")
+    key = F.col(weight_col) * F.col("_factor")
     w = Window.orderBy(F.col("_key").desc(), F.col(source_col), F.col("epoch"))
     filled = units.withColumn("_key", key).withColumn(
         "_pc",
@@ -1739,7 +1767,9 @@ def grouped_quantile_buckets(
     is the LOW-perplexity head). Ties share a rounded score and
     therefore a bucket -- deterministic, no row_number lottery.
     Returns the scored frame plus a `bucket` column; null scores get
-    a null bucket (no measurable score, no quantile position).
+    a null bucket (no measurable score, no quantile position), and a
+    NULL group key is bucketed within its own group's distribution
+    (null-safe join -- never the top bucket by join-miss).
 
     Scale shape: quantile_gate's histogram scheme made per-group --
     NOT a per-group percent_rank over raw rows (the whole group
@@ -1778,8 +1808,18 @@ def grouped_quantile_buckets(
     bucket = F.lit(labels[-1])
     for i in range(len(bounds) - 1, -1, -1):
         bucket = F.when(v <= F.col(f"_t{i}"), F.lit(labels[i])).otherwise(bucket)
+    # eqNullSafe: a NULL group key is a group like any other (groupBy
+    # keeps it as one), so its rows must reach their own thresholds
+    # row -- a null-rejecting equi-join would miss, every `v <= _t`
+    # would evaluate NULL->false, and non-null-score rows of the NULL
+    # group would silently land in the top bucket. Every non-null
+    # score's group has a thresholds row by construction (the score
+    # itself entered the histogram), so the left join only misses on
+    # rows whose bucket is already NULL via the score guard.
     return (
-        scored.join(F.broadcast(thresholds), scored[group_col] == F.col("_g"), "left")
+        scored.join(
+            F.broadcast(thresholds), scored[group_col].eqNullSafe(F.col("_g")), "left"
+        )
         .withColumn("bucket", F.when(v.isNotNull(), bucket))
         .drop("_g", *[f"_t{i}" for i in range(len(bounds))])
     )

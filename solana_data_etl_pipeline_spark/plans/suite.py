@@ -1183,13 +1183,15 @@ FROM t
 """
 
 # redaction chain generated from the same pattern table, applied in
-# the same order over the previous rewrite's output on both engines
+# the same order over the previous rewrite's output on both engines;
+# each pattern's count runs against the PREVIOUS rewrite (mirroring
+# the operator), so redacted_count = placeholders actually inserted
 _PII_REDACT = "text"
+_PII_COUNTS: list[str] = []
 for _kind, _pat in X.PII_PATTERNS.items():
+    _PII_COUNTS.append(f"len(regexp_extract_all({_PII_REDACT}, '{_pat}'))")
     _PII_REDACT = f"regexp_replace({_PII_REDACT}, '{_pat}', '<{_kind.upper()}>', 'g')"
-_PII_COUNT_TOTAL = " + ".join(
-    f"len(regexp_extract_all(text, '{pat}'))" for pat in X.PII_PATTERNS.values()
-)
+_PII_COUNT_TOTAL = " + ".join(_PII_COUNTS)
 
 TEXT_SQL["pii_redact"] = f"""
 SELECT doc_id,
@@ -1423,8 +1425,13 @@ WITH c AS (
 ),
 bdg AS (SELECT CAST(floor(2.5 * sum(capacity)) AS BIGINT) AS b FROM c),
 units AS (
+  -- utility factors 5000^(e-1) * 10000^(4-e) as exact BIGINT
+  -- literals (mirrors the operator: no double power())
   SELECT source, capacity, weight, CAST(u.e AS BIGINT) AS epoch,
-         CAST(weight * power(5000, u.e - 1) * power(10000, 4 - u.e) AS BIGINT) AS key
+         weight * (CASE u.e WHEN 1 THEN 1000000000000
+                            WHEN 2 THEN 500000000000
+                            WHEN 3 THEN 250000000000
+                            ELSE 125000000000 END) AS key
   FROM c, UNNEST(range(1, 5)) AS u(e)
 ),
 cum AS (

@@ -752,6 +752,40 @@ def test_epoch_plan_conservation_laws(spark, caps, weights, budget):
     assert {s: r.tokens_served for s, r in got.items()} == served
 
 
+def test_epoch_plan_big_weight_integer_keys(spark):
+    """Weights above ~9000 push the utility key past 2^53, where the
+    old F.pow double key became inexact (rounded intermediate +
+    engine-divergent double->long casts): near the top of the
+    documented weight range (~9.2e6 at the default 1e12 factor) the
+    pure-integer key must reproduce the Python integer replay
+    exactly."""
+    from solana_data_etl_pipeline_spark.operators.text import epoch_plan
+
+    rows = [("a", 100, 8_876_543), ("b", 100, 8_876_544), ("c", 100, 8_876_542)]
+    df = spark.createDataFrame(rows, "source string, capacity long, weight long")
+    got = {r.source: r.tokens_served for r in epoch_plan(df, budget=1050).collect()}
+
+    units = sorted(
+        (-(w * 5000 ** (e - 1) * 10000 ** (4 - e)), s, e, c)
+        for (s, c, w) in rows
+        for e in range(1, 5)
+    )
+    served = {s: 0 for s, _, _ in rows}
+    left = 1050
+    for _, s, _, c in units:
+        take = max(0, min(c, left))
+        served[s] += take
+        left -= take
+    assert got == served
+
+    # the overflow guard: a >62-bit factor is rejected, not silently
+    # wrapped into a misordered BIGINT key
+    import pytest
+
+    with pytest.raises(ValueError, match="62-bit"):
+        epoch_plan(df, budget=1, max_epochs=5, decay_bp=100_000)
+
+
 @given(
     caps=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=6),
     weights=st.lists(st.integers(min_value=1, max_value=9), min_size=6, max_size=6),

@@ -170,3 +170,21 @@ def test_late_round8_operators_on_empty_and_degenerate_input(spark):
     # semdedup on an empty embedding table
     eemb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
     assert semdedup_keepers(eemb).count() == 0
+
+
+def test_grouped_quantile_buckets_null_group_is_its_own_group(spark):
+    """Rows whose group key is NULL form a group like any other: they
+    bucket within the NULL group's own distribution (null-safe join),
+    never landing wholesale in the top bucket through a join-miss."""
+    from solana_data_etl_pipeline_spark.operators.text import grouped_quantile_buckets
+
+    rows = [(i, None, float(i)) for i in range(1, 10)] + [
+        (100 + i, "en", float(i)) for i in range(1, 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    got = {r.doc_id: r.bucket for r in grouped_quantile_buckets(df, "lang", "s").collect()}
+    # identical score distributions => identical bucket assignment
+    for i in range(1, 10):
+        assert got[i] == got[100 + i], (i, got[i], got[100 + i])
+    assert got[1] == "tail" and got[9] == "head"
+    assert {got[i] for i in range(1, 10)} == {"tail", "middle", "head"}

@@ -840,6 +840,32 @@ def test_pii_redact_planted_patterns(spark):
         assert got[i].redacted_count == scan[i]
 
 
+def test_pii_redact_count_is_placeholders_inserted(spark):
+    """When a later pattern only matches INSIDE an earlier pattern's
+    already-replaced span, it is neither replaced nor counted:
+    redacted_count equals the placeholders actually inserted, while
+    pii_scan keeps the (larger) original-text scan count."""
+    from solana_data_etl_pipeline_spark.operators.text import (
+        PII_PATTERNS,
+        pii_redact,
+        pii_scan,
+    )
+
+    # the phone substring lives inside the email match; the email
+    # rewrite swallows it before the phone pattern runs
+    df = spark.createDataFrame(
+        [(1, "reach john555-123-4567@mail.com for details")],
+        "doc_id long, text string",
+    )
+    row = pii_redact(df).collect()[0]
+    placeholders = sum(
+        row.clean_text.count(f"<{kind.upper()}>") for kind in PII_PATTERNS
+    )
+    assert row.clean_text == "reach <EMAIL> for details"
+    assert row.redacted_count == placeholders == 1
+    assert pii_scan(df).collect()[0].pii_hits == 2  # email + phone, original text
+
+
 def test_packing_efficiency_hand_model(spark):
     """Two shards with known token streams: sequence counts and waste
     follow the budget arithmetic exactly."""
