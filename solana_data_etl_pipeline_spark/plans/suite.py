@@ -2787,7 +2787,7 @@ WHERE containment >= 0.5
 # excluded = over-cap, counted per batch vector, floored basis points
 DEDUP_SQL["delta_embedding_exposure"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_table_buckets_sql(2)},
+{_table_buckets_sql(6)},
 widths AS (
   SELECT tbl, bkt, count(*) AS w FROM b WHERE vec_id % 10 <> 7 GROUP BY 1, 2
 ),
@@ -3313,7 +3313,7 @@ DEDUP_SQL["semdedup_keepers_scaled"] = _semdedup_sql(f"""e AS (
 # cosine verify, min-id-wins within the batch.
 DEDUP_SQL["delta_embedding_dedup"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_table_buckets_sql(2)},
+{_table_buckets_sql(6)},
 ck AS (
   SELECT vec_id, v, tbl, bkt FROM (
     SELECT *, count(*) OVER (PARTITION BY tbl, bkt) AS w

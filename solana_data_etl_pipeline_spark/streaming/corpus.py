@@ -362,7 +362,9 @@ def run_document_stream(
             table_bucket_col,
         )
 
-        buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, 2)
+        # table count MUST match delta_embedding_dedup's probe: probe
+        # tables beyond the index's silently never match
+        buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, D.EMBED_INDEX_TABLES)
         return vecs.select(
             F.col("vec_id"),
             _dvec(F.col("embedding")).alias("v"),
