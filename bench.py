@@ -358,6 +358,26 @@ def main() -> None:
     recall["semdedup_pair_coverage_kmeans"] = round(
         len(within_k) / max(len(exact_sem), 1), 3
     )
+    # multi-probe pairing (the registered nprobe=2 routing variant):
+    # a pair is visible iff the 2-nearest-label-centroid probe sets
+    # intersect -- the SHIPPED assignment (semdedup_probe_assignments),
+    # measured against the same exact pair list
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_keepers_multiprobe as _smp,
+        semdedup_probe_assignments as _spa,
+    )
+
+    _pset: dict[int, set] = {}
+    for r in _spa(emb_tbl, nprobe=2).select("vec_id", "_pcl").collect():
+        _pset.setdefault(r["vec_id"], set()).add(r["_pcl"])
+    within_mp = {p for p in exact_sem if _pset.get(p[0], set()) & _pset.get(p[1], set())}
+    recall["semdedup_pair_coverage_multiprobe2"] = round(
+        len(within_mp) / max(len(exact_sem), 1), 3
+    )
+    recall["semdedup_removed_frac_multiprobe2"] = round(
+        1 - _smp(emb_tbl, threshold=0.30, nprobe=2).count() / max(emb_tbl.count(), 1), 3
+    )
+
     kept_refined = semdedup_keepers(emb_tbl, threshold=0.30, refine_bits=4).count()
     kept_reg = semdedup_keepers(emb_tbl, threshold=0.30).count()
     n_emb = emb_tbl.count()

@@ -768,6 +768,41 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     assert len(out) == 4
 
 
+def test_semdedup_multiprobe_catches_cross_cluster_twin(spark):
+    """The planted cross-cluster duplicate the paper's design loses
+    (vec 5 = a copy of vec 1 filed under another label) IS caught by
+    the multi-probe pairing -- both twins probe the same nearest
+    centroids -- while keeper semantics elsewhere are unchanged."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_keepers,
+        semdedup_keepers_multiprobe,
+    )
+
+    rows = [
+        (1, _vec64(1.0, 0.00), 1),
+        (2, _vec64(1.0, 0.02), 1),
+        (3, _vec64(1.0, 0.04), 1),
+        (4, _vec64(0.0, 0.0, 1.0), 1),
+        (5, _vec64(1.0, 0.00), 2),  # cross-cluster twin of vec 1
+        (6, _vec64(0.0, 1.0), 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # own-label pairing: 5 survives as a singleton (the accepted loss)
+    base = {r.vec_id: r for r in semdedup_keepers(df, threshold=0.95).collect()}
+    assert base[5].group_size == 1
+    # multi-probe (k=2 cells, nprobe=2 -> full visibility): the twin
+    # joins the {1,2,3} chain, one keeper for the 4-group
+    out = {r.vec_id: r for r in
+           semdedup_keepers_multiprobe(df, threshold=0.95, nprobe=2).collect()}
+    kept_group = [i for i in (1, 2, 3, 5) if i in out]
+    assert len(kept_group) == 1
+    assert out[kept_group[0]].group_size == 4
+    # the orthogonal vectors still survive as singletons
+    for vid in (4, 6):
+        assert out[vid].group_size == 1
+    assert len(out) == 3
+
+
 def test_semdedup_refine_bits_only_splits_groups(spark):
     """Finer clusters (refine_bits) can only SHRINK the pair graph:
     the keeper count is monotonically non-decreasing in refine_bits,
