@@ -4,8 +4,11 @@ Design: media (image/audio/video) travels as an opaque ``binary``
 column plus a typed metadata struct (modality, byte length, checksum).
 Decode / feature-extraction runs as Arrow-batched ``mapInPandas``
 pipelines -- the Spark-side plumbing (schemas, batching, partitioning)
-is real and tested; the actual codec call is stubbed behind
-``DECODERS`` because no image/audio libraries ship in this
+is real and tested. The AUDIO modality decodes REAL bytes: payloads
+are genuine RIFF/WAV containers and ``DECODERS['audio']`` parses them
+with the stdlib ``wave`` codec (header + PCM frames), including a real
+decimating resample (``wav_resample``). Image/video stay stubbed
+behind ``DECODERS`` because no codec libraries ship in this
 environment (a deterministic fake stands in, clearly marked).
 
 At 100 TB: binary payloads are the dominant bytes -- the plans below
@@ -16,6 +19,8 @@ wide operation) and decode runs map-side only.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,15 +60,58 @@ def _fake_decode(payload: bytes, modality: str) -> list[float]:
 
 def _unavailable_decode(payload: bytes, modality: str) -> list[float]:
     raise NotImplementedError(
-        "real media decoding requires image/audio codecs not present in this environment; "
-        "register a decoder in DECODERS['image'|'audio'|'video']"
+        "real media decoding requires image/video codecs not present in this environment; "
+        "register a decoder in DECODERS['image'|'video']"
     )
 
-# Swap entries for real decoders when the codec libraries exist.
+
+def _wav_parse(payload: bytes) -> dict:
+    """REAL audio decode: parse a RIFF/WAV container with the stdlib
+    ``wave`` codec -- header fields from the fmt chunk, PCM samples
+    from the data chunk (8-bit PCM = unsigned bytes). Raises
+    ``wave.Error`` on malformed bytes like any real decoder."""
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        n = w.getnframes()
+        out = {
+            "n_frames": n,
+            "framerate": w.getframerate(),
+            "n_channels": w.getnchannels(),
+            "sampwidth": w.getsampwidth(),
+        }
+        out["samples"] = list(w.readframes(n)) if out["sampwidth"] == 1 else []
+    return out
+
+
+def _wav_decode(payload: bytes, modality: str) -> list[float]:
+    """DECODERS adapter over _wav_parse: folds the real decode into
+    FEATURE_DIM floats [n_frames, framerate, n_channels, sampwidth,
+    mean, rms (centered at the 8-bit PCM midpoint 128), peak, min]."""
+    m = _wav_parse(payload)
+    s = m["samples"]
+    if s:
+        mean = sum(s) / len(s)
+        rms = (sum((x - 128) ** 2 for x in s) / len(s)) ** 0.5
+        peak, lo = float(max(s)), float(min(s))
+    else:
+        mean = rms = peak = lo = 0.0
+    return [
+        float(m["n_frames"]),
+        float(m["framerate"]),
+        float(m["n_channels"]),
+        float(m["sampwidth"]),
+        mean,
+        rms,
+        peak,
+        lo,
+    ]
+
+
+# Audio is a REAL decoder (stdlib wave); image/video stay stubbed on
+# the deterministic fake until codec libraries exist.
 DECODERS = {
     "text": _fake_decode,
     "image": _fake_decode,  # STUB: deterministic fake, not a real image decode
-    "audio": _fake_decode,  # STUB
+    "audio": _wav_decode,   # REAL: RIFF/WAV via the stdlib wave codec
     "video": _fake_decode,  # STUB
 }
 
@@ -123,16 +171,29 @@ def _unavailable_resize(payload: bytes, modality: str, target: int) -> bytes:
     )
 
 
-# Swap entries for real resizers when the codec libraries exist.
-# Unlike _fake_decode (which hashes arbitrary bytes), _fake_resize
-# utf-8-DECODES the payload -- honest only for the text modality the
-# synthetic tables use. Real binary payloads would hit an opaque
-# UnicodeDecodeError (or silent corruption), so image/audio/video map
-# to the explicit NotImplementedError hook until real codecs exist.
+def _wav_thumbnail(payload: bytes, modality: str, target: int) -> bytes:
+    """REAL audio resize: decimate a WAV to at most `target` frames
+    (keep every ceil(n/target)-th frame, the audio analog of an image
+    thumbnail) and re-encode a valid container at the reduced
+    framerate -- decode and encode both through the stdlib wave
+    codec."""
+    m = _wav_parse(payload)
+    n = m["n_frames"]
+    stride = max(1, -(-n // max(target, 1)))  # ceil(n / target)
+    return _wav_encode(
+        bytes(m["samples"][::stride]), max(m["framerate"] // stride, 1)
+    )
+
+
+# text's resizer is the deterministic stand-in (utf-8 truncation);
+# audio is a REAL decimation through the wave codec; image/video map
+# to the explicit NotImplementedError hook until real codecs exist
+# (a binary payload through _fake_resize would hit an opaque
+# UnicodeDecodeError or silent corruption).
 RESIZERS = {
     "text": _fake_resize,
     "image": _unavailable_resize,
-    "audio": _unavailable_resize,
+    "audio": _wav_thumbnail,
     "video": _unavailable_resize,
 }
 
@@ -173,6 +234,136 @@ def media_stats(media_df: DataFrame) -> DataFrame:
         F.round(F.avg("byte_len"), 4).alias("avg_bytes"),
         F.count_distinct("checksum").alias("distinct_payloads"),
     )
+
+
+def _wav_encode(samples: bytes, framerate: int) -> bytes:
+    """Encode raw 8-bit PCM mono samples as a canonical RIFF/WAV
+    container via the stdlib wave codec."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def synth_wav(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    framerate: int = 8000,
+) -> DataFrame:
+    """Build a REAL audio media table from a text corpus: each document
+    becomes a genuine 8-bit PCM mono RIFF/WAV container whose samples
+    are the text's ASCII byte values -- the audio twin of
+    attach_binary, standing in for reading real recordings while
+    keeping every downstream byte a real container the wave codec
+    must parse (reference analog: the schema-on-read payload
+    drill-down raw_payload exists for,
+    /root/reference/docs/SCHEMA.md:373-380). Deterministic, so the
+    decoded stats are oracle-checkable from the text itself.
+
+    Arrow-batched mapInPandas; payload bytes are born map-side and
+    never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _wav_encode(t.encode("ascii"), framerate) for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "audio",
+                    "payload": payloads,
+                    "byte_len": [len(b) for b in payloads],
+                    "checksum": [hashlib.sha256(b).hexdigest() for b in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("framerate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def wav_stats(media_df: DataFrame) -> DataFrame:
+    """Typed per-item stats from a REAL decode of WAV payloads: header
+    fields (frames, rate, channels) plus sample statistics (mean
+    amplitude, RMS centered at the 8-bit midpoint 128, peak).
+    mean/rms leave the UDF as RAW doubles and are rounded by F.round
+    in the caller's plan -- Python round() is banker's while both
+    engines' SQL round is half-away-from-zero, and exact-tie values
+    (e.g. sample sums over 1/20000-granular frame counts) would
+    otherwise hash-diverge.
+
+    Scale shape: one Arrow-batched map-side pass over the payload
+    column, no shuffle; downstream aggregations see only the narrow
+    typed columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = _wav_parse(bytes(p))
+                s = m["samples"]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": m["n_frames"],
+                        "framerate": m["framerate"],
+                        "n_channels": m["n_channels"],
+                        "mean_amp": (sum(s) / len(s)) if s else None,
+                        "rms": ((sum((x - 128) ** 2 for x in s) / len(s)) ** 0.5)
+                        if s
+                        else None,
+                        "peak": max(s) if s else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields])
+
+    return media_df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+def wav_resample(media_df: DataFrame, stride: int = 4) -> DataFrame:
+    """REAL decimating resample of WAV payloads: keep every
+    `stride`-th frame and re-encode a valid container at
+    framerate/stride -- decode and re-encode both through the wave
+    codec, map-side, emitting a valid media table (MEDIA_SCHEMA)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                m = _wav_parse(bytes(p))
+                out.append(
+                    _wav_encode(
+                        bytes(m["samples"][::stride]),
+                        max(m["framerate"] // stride, 1),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "byte_len": [len(b) for b in out],
+                    "checksum": [hashlib.sha256(b).hexdigest() for b in out],
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -3581,6 +3581,29 @@ def _media(plan) -> QueryFn:
     return run
 
 
+def _media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decode audio stats: synth_wav writes genuine WAV bytes,
+    wav_stats/wav_resample parse them back through the stdlib wave
+    codec (original + stride-4 decimation). mean/rms round via
+    F.round in-plan (half-away, engine-portable)."""
+    media = M.synth_wav(load_table(spark, sf_dir, "documents"))
+    orig = M.wav_stats(media).select(
+        "media_id",
+        "n_frames",
+        "framerate",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )
+    rs = M.wav_stats(M.wav_resample(media, stride=4)).select(
+        "media_id",
+        F.col("n_frames").alias("rs_n_frames"),
+        F.col("framerate").alias("rs_framerate"),
+        F.round("mean_amp", 4).alias("rs_mean_amp"),
+    )
+    return orig.join(rs, "media_id").orderBy("media_id")
+
+
 MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     "media_stats": _media(M.media_stats),
     "media_frame_sample": _media(M.frame_sample),
@@ -3599,6 +3622,12 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
             "media_id", "byte_len", "checksum"
         )
     ),
+    # REAL codec end-to-end: documents -> genuine RIFF/WAV containers
+    # (samples = ASCII byte values) -> stdlib-wave decode -> typed
+    # stats, plus a real decimating resample (stride 4) re-decoded.
+    # Deterministic by construction, so the per-byte oracle recomputes
+    # every decoded number from the text itself.
+    "media_wav_stats": _media_wav_stats,
 }
 
 MULTIMODAL_SQL: dict[str, str] = {
@@ -3626,6 +3655,33 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(t)) AS BIGINT) AS byte_len,
        sha256(t) AS checksum
 FROM r
+""",
+    # the WAV samples are the text's ASCII codes, so every decoded
+    # number recomputes per byte: unicode(char) = sample value;
+    # stride-4 decimation keeps positions with (i-1) % 4 = 0
+    "media_wav_stats": """
+WITH pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         unicode(substr(text, CAST(u.i AS INT), 1)) AS s
+  FROM documents, UNNEST(range(1, len(text) + 1)) AS u(i)
+),
+orig AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         round(avg(s), 4) AS mean_amp,
+         round(sqrt(avg(CAST((s - 128) * (s - 128) AS DOUBLE))), 4) AS rms,
+         CAST(max(s) AS BIGINT) AS peak
+  FROM pos GROUP BY doc_id
+),
+rs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS rs_n_frames,
+         round(avg(s), 4) AS rs_mean_amp
+  FROM pos WHERE (i - 1) % 4 = 0 GROUP BY doc_id
+)
+SELECT o.doc_id AS media_id, o.n_frames, CAST(8000 AS BIGINT) AS framerate,
+       o.mean_amp, o.rms, o.peak,
+       r.rs_n_frames, CAST(2000 AS BIGINT) AS rs_framerate, r.rs_mean_amp
+FROM orig o JOIN rs r ON o.doc_id = r.doc_id
+ORDER BY media_id
 """,
 }
 
@@ -3708,9 +3764,9 @@ DRIVER_ORDER = [
     # --- round-9 new builds (slots swapped in as they land; until
     #     then held by returning r8 greens) ---
     "semdedup_multiprobe",
+    "media_wav_stats",
     "leakage_free_split",
     "delta_dedup",
-    "line_dedup",
     # --- delta_embedding_dedup stays for a re-verdict: round 9
     #     defaults it to the measured 4-table configuration
     #     (VERDICT r8 #2) ---

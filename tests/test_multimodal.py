@@ -77,3 +77,71 @@ def test_frame_sample_offsets(media):
         for r in M.frame_sample(media, every_n_bytes=32).where("media_id = 3").collect()
     ]
     assert rows == [(0, 0), (1, 32), (2, 64), (3, 96)]
+
+
+def test_wav_roundtrip_real_codec(spark):
+    """synth_wav emits genuine RIFF/WAV containers: magic bytes,
+    canonical 44-byte header, and the stdlib wave codec parses back
+    exactly the header and samples that went in."""
+    import wave as _wave
+
+    df = spark.createDataFrame([(1, "ab"), (2, "hello")], "doc_id long, text string")
+    out = {r.media_id: r for r in M.synth_wav(df).collect()}
+    payload = bytes(out[1].payload)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert out[1].byte_len == 44 + 2  # canonical PCM header + 2 samples
+    m = M._wav_parse(payload)
+    assert m["n_frames"] == 2 and m["framerate"] == 8000
+    assert m["n_channels"] == 1 and m["sampwidth"] == 1
+    assert m["samples"] == [ord("a"), ord("b")]
+
+
+def test_wav_stats_hand_model(spark):
+    """Decoded stats match hand arithmetic: 'ab' -> samples (97, 98),
+    mean 97.5, rms sqrt(((97-128)^2 + (98-128)^2)/2), peak 98."""
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    r = M.wav_stats(M.synth_wav(df)).collect()[0]
+    assert r.n_frames == 2 and r.framerate == 8000 and r.n_channels == 1
+    assert r.mean_amp == 97.5
+    assert abs(r.rms - ((31**2 + 30**2) / 2) ** 0.5) < 1e-12
+    assert r.peak == 98
+
+
+def test_wav_resample_decimates_and_reencodes(spark):
+    """Stride-4 decimation through the real codec: every 4th sample
+    survives, the framerate drops 4x, and the output is itself a
+    parseable WAV container."""
+    df = spark.createDataFrame([(1, "abcdefghi")], "doc_id long, text string")
+    rs = M.wav_resample(M.synth_wav(df), stride=4).collect()[0]
+    m = M._wav_parse(bytes(rs.payload))
+    assert m["framerate"] == 2000
+    assert m["samples"] == [ord(c) for c in "aei"]
+    assert rs.byte_len == 44 + 3
+
+
+def test_wav_decoder_wired_into_feature_and_resize_pipelines(spark):
+    """DECODERS['audio'] / RESIZERS['audio'] are the REAL wave codec:
+    extract_features returns header-derived features and resize_media
+    produces a valid <=target-frame thumbnail container."""
+    df = spark.createDataFrame([(7, "abcdefgh" * 10)], "doc_id long, text string")
+    media = M.synth_wav(df)
+    feats = M.extract_features(media).collect()[0]
+    assert feats.modality == "audio"
+    assert feats.feature[0] == 80.0   # n_frames
+    assert feats.feature[1] == 8000.0
+    assert feats.feature[2] == 1.0 and feats.feature[3] == 1.0
+    thumb = M.resize_media(media, target=10).collect()[0]
+    m = M._wav_parse(bytes(thumb.payload))
+    assert 0 < m["n_frames"] <= 10
+    assert m["framerate"] == 1000  # stride 8 -> 8000/8
+
+
+def test_wav_decode_rejects_malformed_bytes(spark):
+    """A real decoder fails on malformed bytes -- the audio path no
+    longer hashes garbage into fake features."""
+    bad = spark.createDataFrame(
+        [(5, "audio", bytearray(b"not a wav container"), 19, "c")],
+        M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="(?i)wave|riff|Error"):
+        M.extract_features(bad).collect()
