@@ -133,6 +133,15 @@ def main(argv: list[str] | None = None) -> int:
         "<out>/documents_decon_blind",
     )
     p_scorp.add_argument(
+        "--decon-route-blind",
+        action="store_true",
+        help="act on the blind-spot signal: docs at or over "
+        "--decon-blind-bp exposure take a second containment probe "
+        "against an UNCAPPED twin of the bench index, and fallback "
+        "hits are dropped before the corpus commit (the blind log "
+        "then holds only fallback-verified docs)",
+    )
+    p_scorp.add_argument(
         "--gates",
         choices=["simple", "published"],
         default="simple",
@@ -326,6 +335,7 @@ def main(argv: list[str] | None = None) -> int:
             decontaminate_bench=args.decontaminate,
             decon_threshold=args.decon_threshold,
             decon_blind_bp=args.decon_blind_bp,
+            decon_route_blind=args.decon_route_blind,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()

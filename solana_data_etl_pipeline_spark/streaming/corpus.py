@@ -200,6 +200,7 @@ def run_document_stream(
     decontaminate_bench: str | None = None,
     decon_threshold: float = 0.5,
     decon_blind_bp: int = 5000,
+    decon_route_blind: bool = False,
     semantic_index: str | None = None,
     semantic_threshold: float = 0.95,
     semantic_max_bucket: int | None = 64,
@@ -234,6 +235,16 @@ def run_document_stream(
     `{output_dir}_decon_blind` before the corpus commit (the pair-log
     replay stance), so an operator can route them to the uncapped
     batch check instead of trusting a verdict the cap hollowed out.
+    With `decon_route_blind=True` that routing ACTS in-stream: blind
+    docs take a second containment probe against an UNCAPPED twin of
+    the bench index (built once beside the capped one), and fallback
+    hits are dropped before the corpus commit -- the cap keeps batch
+    probes cheap, the fallback pays full-bucket cost only for the
+    measured-blind fraction, and the blind log then records only
+    docs the fallback VERIFIED clean. The uncapped probe's candidate
+    width is bounded by the bench-set contract (a fixed benchmark
+    suite), not by the growing corpus, so the routed path stays
+    delta-cost.
 
     Exactly-once effect: the stream checkpoint prevents re-reading
     drained files, and the cross-batch fingerprint anti-join makes
@@ -532,6 +543,7 @@ def run_document_stream(
     # containment evidence catches a bench doc quoted whole inside a
     # crawled page, which Jaccard-based near-dup under-scores.
     decon_index = None
+    decon_uncapped = None
     if decontaminate_bench is not None:
         import solana_data_etl_pipeline_spark.operators.dedup as DD
 
@@ -544,6 +556,19 @@ def run_document_stream(
                 decon_index,
                 max_bucket=near_dup_max_bucket,
             )
+        if decon_route_blind:
+            # the uncapped TWIN: probed only by measured-blind docs,
+            # so its hot buckets cost full width exactly where the
+            # capped verdict is hollow and nowhere else
+            decon_uncapped = f"{decon_index}_full"
+            try:
+                spark.read.parquet(f"{decon_uncapped}/fingerprints")
+            except AnalysisException:
+                DD.materialize_winnow(
+                    spark.read.parquet(decontaminate_bench).select("doc_id", "text"),
+                    decon_uncapped,
+                    max_bucket=None,
+                )
 
     def _sink(batch_df, batch_id):
         batch_df.persist()
@@ -561,6 +586,29 @@ def run_document_stream(
                     .distinct()
                 )
                 kept = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
+                if decon_uncapped is not None:
+                    # exposure-routed fallback: docs the capped index
+                    # is measurably blind to take the UNCAPPED check;
+                    # fallback hits drop here, before dedup/policies
+                    exposed = (
+                        DD.delta_containment_exposure(spark, decon_index, kept)
+                        .filter(F.col("exposure_bp") >= decon_blind_bp)
+                        .select(F.col("delta_id").alias("doc_id"))
+                    )
+                    blind_docs = kept.join(
+                        F.broadcast(exposed), "doc_id", "left_semi"
+                    )
+                    caught = (
+                        DD.delta_containment(
+                            spark,
+                            decon_uncapped,
+                            blind_docs,
+                            threshold=decon_threshold,
+                        )
+                        .select(F.col("delta_id").alias("doc_id"))
+                        .distinct()
+                    )
+                    kept = kept.join(F.broadcast(caught), "doc_id", "left_anti")
             # cross-batch dedup: drop content already in the corpus
             # (narrow try: only the path-probing read may mean "first
             # batch" -- a failure in the join itself must propagate)

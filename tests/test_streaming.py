@@ -962,6 +962,55 @@ def test_document_stream_decon_blind_log(spark, tmp_path):
     assert blind[1].exposure_bp == 10000
 
 
+def test_document_stream_decon_blind_routing_catches_hollow_verdict(spark, tmp_path):
+    """The acting form of the blind-spot signal: with
+    decon_route_blind=True, the boilerplate doc the capped index
+    cannot see takes the UNCAPPED fallback probe and is DROPPED
+    before the corpus commit (the log-only run above admits it);
+    clean docs are untouched and never pay fallback cost, and the
+    blind log holds no admitted-blind rows because the only blind doc
+    was caught."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    boiler = (
+        "standard benchmark license header text repeated verbatim across "
+        "every single benchmark file in the distribution"
+    )
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(900 + i, boiler) for i in range(10)], "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, boiler) + "\n")
+        f.write(_doc(2, "a clean document about adaptive query execution internals and shuffles") + "\n")
+
+    run_document_stream(
+        spark, land, out, quar, ckpt,
+        decontaminate_bench=bench_path, decon_threshold=0.5,
+        near_dup_max_bucket=5, decon_route_blind=True,
+    )
+    # the blind contaminated doc is caught by the uncapped fallback
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2}
+    # the uncapped twin index was materialized beside the capped one
+    assert spark.read.parquet(f"{out}_decon_index_full/fingerprints").count() > 0
+    # nothing blind was admitted, so the log is empty
+    blind = spark.read.parquet(f"{out}_decon_blind")
+    assert blind.count() == 0
+
+
 def test_document_stream_semantic_dedup(spark, tmp_path):
     """Embed-at-ingest semantic dedup: a PERMUTED twin (same bag of
     words, different order) passes the exact-fingerprint gate but is
