@@ -379,5 +379,8 @@ def test_cli_stream_corpus_semantic_dedup(spark, tmp_path, capsys):
         spark, f"{wh}/corpus_stream/semantic_index", ("table", "bucket"),
         max_bucket=64, sub="buckets",
     )
-    assert h["rows"] == 2 and h["buckets"] == 2  # 1 vec x 2 tables
+    from solana_data_etl_pipeline_spark.operators.dedup import EMBED_INDEX_TABLES
+
+    # 1 vec x EMBED_INDEX_TABLES hash tables
+    assert h["rows"] == EMBED_INDEX_TABLES and h["buckets"] == EMBED_INDEX_TABLES
     assert h["max_width"] == 1 and h["at_cap"] == 0
