@@ -12,7 +12,7 @@ constants so the oracle mirrors them verbatim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from solana_data_etl_pipeline_spark.operators import dedup as D
@@ -163,6 +163,117 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_budget_select(
         mixed, budget=V2_TOKEN_BUDGET, score_col="alpha_ratio", weight_col="n_words"
     ).select("doc_id", "source", "n_words", "alpha_ratio", "kept_lines", "rate_bp")
+
+
+# corpus_curation_v3 swaps the rate-only temperature mix + global
+# budget threshold for the ALLOCATION-CONSTRAINED planners: the
+# waterfilled per-source budget (and, when the budget exceeds the
+# corpus, data-constrained epoch repetition) decides how many tokens
+# each source contributes, and the per-doc selection spends exactly
+# that allocation. Budget sized so the sf corpora exercise both
+# saturation and lambda-allocation.
+V3_TOKEN_BUDGET = 7_000
+
+
+def corpus_curation_v3(
+    spark: SparkSession, sf_dir: str, budget: int = V3_TOKEN_BUDGET
+) -> DataFrame:
+    """corpus_curation_v2's gate/dedup/decontamination prefix with the
+    mix stage replaced by the ACHIEVABLE-allocation planners -- the
+    pipeline a data-constrained run (Muennighoff et al. 2023) would
+    execute. Per-source token capacities come from the surviving
+    train set; target weights are tau=0.5 temperature weights
+    (w_s = floor(sqrt(capacity)), engine-exact: sqrt is correctly
+    rounded IEEE and floor is exact); then:
+
+    - budget <= total capacity: `mixture_waterfill` allocates
+      a_s = min(cap_s, lambda * w_s) -- saturated sources give
+      everything, the rest split the remainder by weight;
+    - budget  > total capacity: `epoch_plan` repeats sources at
+      decaying value, so tokens_served can exceed capacity and
+      epochs_bp records the repetition plan.
+
+    The branch is a scalar comparison folded into the plan (both
+    allocators run on the bounded source frame; the unused one costs
+    a sources-sized aggregation). Per-doc selection spends each
+    source's single-pass allocation min(tokens_served, capacity)
+    greedily by (alpha_ratio desc, doc_id) under a per-source
+    cumulative window. Returns (doc_id, source, n_words, alpha_ratio,
+    kept_lines, src_alloc, epochs_bp).
+
+    Scale shape: identical corpus-keyed work to v2 (the dedup window
+    + the LSH band join); both planners and the branch scalar are
+    SOURCES-sized frames broadcast back; the selection window
+    partitions by source (the hot-source caveat and its histogram
+    fallback are source_quota_sample's, documented there)."""
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    gates = X.curation_gates(docs)
+    keepers = D.exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    split = D.leakage_free_split(
+        docs,
+        val_pct=VAL_PCT,
+        threshold=NEAR_DUP_THRESHOLD,
+        max_bucket=DEDUP_MAX_BUCKET,
+    )
+    train = (
+        docs.select("doc_id", "source")
+        .join(gates, "doc_id")
+        .join(keepers, "doc_id")
+        .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .filter(~F.col("page_filtered") & F.col("gopher_pass"))
+        .select("doc_id", "source", "n_words", "alpha_ratio", "kept_lines")
+        .localCheckpoint(eager=False)  # feeds capacities AND selection
+    )
+    caps = (
+        train.groupBy("source")
+        .agg(F.sum("n_words").cast("long").alias("capacity"))
+        .withColumn(
+            "weight",
+            F.greatest(
+                F.floor(F.sqrt(F.col("capacity").cast("double"))), F.lit(1)
+            ).cast("long"),
+        )
+    )
+    wf = X.mixture_waterfill(caps, budget=budget).select("source", "alloc")
+    ep = X.epoch_plan(caps, budget=budget).select("source", "tokens_served")
+    totc = caps.agg(F.sum("capacity").cast("double").alias("_tc"))
+    served = (
+        caps.select("source", "capacity")
+        .join(wf, "source")
+        .join(ep.withColumnRenamed("tokens_served", "_ep"), "source")
+        .crossJoin(F.broadcast(totc))
+        .select(
+            "source",
+            "capacity",
+            F.when(F.lit(float(budget)) > F.col("_tc"), F.col("_ep"))
+            .otherwise(F.col("alloc"))
+            .cast("long")
+            .alias("src_alloc"),
+        )
+    )
+    wsel = (
+        Window.partitionBy("source")
+        .orderBy(F.col("alpha_ratio").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        train.join(F.broadcast(served), "source")
+        .withColumn("_cum", F.sum("n_words").over(wsel))
+        .filter(F.col("_cum") <= F.least(F.col("src_alloc"), F.col("capacity")))
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            "alpha_ratio",
+            "kept_lines",
+            "src_alloc",
+            F.floor(F.col("src_alloc") * 10000 / F.col("capacity"))
+            .cast("long")
+            .alias("epochs_bp"),
+        )
+    )
 
 
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -724,6 +724,11 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # in as the pipeline's gate stages (plans/corpus.py
     # corpus_curation_v2)
     "corpus_curation_v2": C.corpus_curation_v2,
+    # v3: the mix/budget stages replaced by the ACHIEVABLE-allocation
+    # planners (mixture_waterfill below budget, epoch_plan above it)
+    # -- the pipeline a data-constrained run executes (plans/corpus.py
+    # corpus_curation_v3)
+    "corpus_curation_v3": C.corpus_curation_v3,
     # per-stage attrition through the v2 pipeline (the funnel report
     # a curation run publishes; budget row pinned == v2's count)
     "curation_funnel": C.curation_funnel,
@@ -3119,6 +3124,96 @@ UNION ALL SELECT CAST(5 AS INT), 'budget', CAST(count(*) AS BIGINT), CAST(coales
 """
 )
 
+# corpus_curation_v3: the v2 prefix through `train` verbatim, the
+# mix/budget stages swapped for the allocation-constrained planners
+# (mixture_waterfill / epoch_plan CTEs inlined at tau=0.5 weights
+# w = greatest(floor(sqrt(capacity)), 1)), and per-doc selection
+# spending each source's single-pass allocation greedily.
+def _v3_oracle(budget: int) -> str:
+    """The v3 oracle, budget-parameterized so tests can drive BOTH
+    planner branches (waterfill below total capacity, epoch_plan above
+    it) through the same engine-vs-engine comparison the registered
+    entry gets at the default budget."""
+    return (
+        TEXT_SQL["corpus_curation_v2"].rsplit(",\nsrcn AS", 1)[0]
+        + f""",
+srcw AS (
+  SELECT source, CAST(sum(n_words) AS BIGINT) AS capacity,
+         greatest(CAST(floor(sqrt(CAST(sum(n_words) AS DOUBLE))) AS BIGINT), 1) AS weight
+  FROM train GROUP BY source
+),
+bdg AS (SELECT CAST({budget} AS DOUBLE) AS b),
+tot AS (SELECT CAST(sum(capacity) AS DOUBLE) AS tc, CAST(sum(weight) AS DOUBLE) AS tw FROM srcw),
+cumw AS (
+  SELECT *,
+         sum(capacity) OVER (ORDER BY capacity * 1.0 / weight, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+         sum(weight) OVER (ORDER BY capacity * 1.0 / weight, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pw
+  FROM srcw
+),
+fl AS (
+  SELECT cumw.*, tot.tw, tot.tc, bdg.b,
+         (capacity * 1.0 / weight) < ((bdg.b - coalesce(pc, 0)) / (tot.tw - coalesce(pw, 0))) AS flag
+  FROM cumw, tot, bdg
+),
+runw AS (
+  SELECT *, CAST(min(CASE WHEN flag THEN 1 ELSE 0 END)
+                 OVER (ORDER BY capacity * 1.0 / weight, source
+                       ROWS UNBOUNDED PRECEDING) AS BOOLEAN) AS saturated
+  FROM fl
+),
+satw AS (
+  SELECT CAST(coalesce(sum(CASE WHEN saturated THEN capacity END), 0) AS DOUBLE) AS sc,
+         CAST(coalesce(sum(CASE WHEN saturated THEN weight END), 0) AS DOUBLE) AS sw
+  FROM runw
+),
+walloc AS (
+  SELECT source, capacity, weight,
+         CAST(CASE WHEN saturated THEN capacity
+              ELSE least(capacity * 1.0, round((b - sc) / greatest(tw - sw, 1e-12) * weight)) END AS BIGINT) AS alloc
+  FROM runw, satw
+),
+units AS (
+  SELECT source, capacity, weight, CAST(u.e AS BIGINT) AS epoch,
+         weight * (CASE u.e WHEN 1 THEN 1000000000000
+                            WHEN 2 THEN 500000000000
+                            WHEN 3 THEN 250000000000
+                            ELSE 125000000000 END) AS key
+  FROM srcw, UNNEST(range(1, 5)) AS u(e)
+),
+cume AS (
+  SELECT *, coalesce(sum(capacity) OVER (ORDER BY key DESC, source, epoch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pce
+  FROM units
+),
+ealloc AS (
+  SELECT source, CAST(sum(greatest(0, least(capacity, {budget} - pce))) AS BIGINT) AS etokens
+  FROM cume GROUP BY source
+),
+served AS (
+  SELECT w.source, w.capacity,
+         CAST(CASE WHEN bdg.b > tot.tc THEN e.etokens ELSE w.alloc END AS BIGINT) AS src_alloc
+  FROM walloc w JOIN ealloc e ON w.source = e.source, tot, bdg
+),
+sel3 AS (
+  SELECT t.doc_id, t.source, t.n_words, t.alpha_ratio, t.kept_lines,
+         s.src_alloc, s.capacity,
+         sum(t.n_words) OVER (PARTITION BY t.source
+             ORDER BY t.alpha_ratio DESC, t.doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM train t JOIN served s ON t.source = s.source
+)
+SELECT doc_id, source, n_words, alpha_ratio, kept_lines, src_alloc,
+       CAST(floor(src_alloc * 10000.0 / capacity) AS BIGINT) AS epochs_bp
+FROM sel3
+WHERE cum <= least(src_alloc, capacity)
+"""
+    )
+
+
+TEXT_SQL["corpus_curation_v3"] = _v3_oracle(C.V3_TOKEN_BUDGET)
+
 # dense-family routing demo: UNCAPPED pigeonhole pairs -> recursive-CTE
 # components -> keepers (the simhash twin of dedup_keepers)
 DEDUP_SQL["simhash_dedup_keepers"] = (
@@ -3765,7 +3860,7 @@ DRIVER_ORDER = [
     #     then held by returning r8 greens) ---
     "semdedup_multiprobe",
     "media_wav_stats",
-    "leakage_free_split",
+    "corpus_curation_v3",
     "delta_dedup",
     # --- delta_embedding_dedup stays for a re-verdict: round 9
     #     defaults it to the measured 4-table configuration

@@ -46,3 +46,34 @@ def test_full_registry_matches_oracle(spark):
         spark, con, all_queries(), all_oracle_sql(), SF, log=lines.append
     )
     assert failures == [], "\n".join(lines)
+
+
+def test_curation_v3_epoch_branch_matches_oracle(spark):
+    """The registered corpus_curation_v3 budget (7k) keeps both sf0.001
+    and sf0.01 in the WATERFILL branch (budget < total capacity), so
+    the epoch_plan branch of the scalar CASE would go unverified at
+    the driver's scales. Drive it explicitly: at budget 25k (between
+    1x and 4x the sf0.001 train capacity of ~12.3k) sources repeat at
+    decaying value, src_alloc exceeds capacity (epochs_bp > 10000),
+    and the engine-vs-engine comparison is the same one the driver
+    applies at the default budget."""
+    from __spark_entry__ import _configure
+    from solana_data_etl_pipeline_spark.plans import corpus as C
+    from solana_data_etl_pipeline_spark.plans.suite import _v3_oracle
+
+    _configure(spark)
+    budget = 25_000
+    con = selfcheck.oracle_connection(SF)
+    lines = []
+    failures = selfcheck.check_queries(
+        spark,
+        con,
+        {"v3_epoch": lambda sp, sf: C.corpus_curation_v3(sp, sf, budget=budget)},
+        {"v3_epoch": _v3_oracle(budget)},
+        SF,
+        log=lines.append,
+    )
+    assert failures == [], "\n".join(lines)
+    out = C.corpus_curation_v3(spark, SF, budget=budget).collect()
+    assert out and max(r.epochs_bp for r in out) > 10_000  # repetition happened
+    assert any(r.epochs_bp < 40_000 for r in out)  # and was budget-cut, not vacuous

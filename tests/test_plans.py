@@ -306,6 +306,23 @@ def test_curation_v2_gate_stage_zero_extra_exchanges(plans):
     assert "EvalPython" not in v2 and "CartesianProduct" not in v2
 
 
+def test_curation_v3_planners_stay_source_sized(plans):
+    # v3 swaps mix/budget for the allocation planners: BOTH planners
+    # run on the SOURCES-sized capacity frame and rejoin the corpus as
+    # broadcasts, so the corpus-keyed exchange budget must not grow
+    # beyond v2's by more than the capacity aggregation itself; the
+    # plan stays JVM-side and cartesian-free like the rest of the
+    # family (the broadcast-scalar crossJoins plan as
+    # BroadcastNestedLoopJoin, never CartesianProduct).
+    v2 = plans("corpus_curation_v2").count("Exchange")
+    v3 = plans("corpus_curation_v3")
+    assert v3.count("Exchange") <= v2 + 3, (v3.count("Exchange"), v2)
+    assert "EvalPython" not in v3 and "CartesianProduct" not in v3
+    # the per-source allocation reaches the per-doc selection as a
+    # broadcast, never a corpus shuffle join on source
+    assert v3.count("BroadcastHashJoin") >= 1, v3
+
+
 def test_curation_gates_is_zero_shuffle_projection(spark):
     from solana_data_etl_pipeline_spark.operators.text import curation_gates
 
