@@ -256,6 +256,101 @@ def vocab_top_words(df: DataFrame, top_n: int = 100) -> DataFrame:
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a term query under BM25 (Robertson &
+    Zaragoza 2009, the Okapi weighting every lexical retrieval stack
+    ships) -- the ranked-retrieval sibling of tfidf_top_terms, and the
+    corpus-side tool a curation run uses to pull the documents most
+    similar to a reference query (lexical quality-matching next to
+    DSIR's hashed-unigram importance and text_knn's embedding route).
+    score(q,d) = sum over query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), with the
+    Robertson/Sparck-Jones idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    Returns (doc_id, dl, score_ppm, rank) for the top_k matching docs.
+
+    Engine-exactness: per-term scores quantize to INTEGER ppm
+    (round(1e6 * score_t) as BIGINT) before the across-terms sum --
+    BIGINT sums are order-independent, where a double sum's rounding
+    depends on engine partial-aggregation order (the corpus_card
+    lesson); both engines evaluate the identical left-associated
+    expression tree, so the doubles agree to the ulp before the one
+    quantizing round.
+
+    Scale shape: the query terms are LITERALS, so per-doc tf_i are
+    zero-shuffle projections over the bound token array (no explode,
+    no (doc, term) shuffle -- the tfidf plan's two exchanges exist to
+    weigh EVERY term; a fixed query needs none of that); corpus stats
+    (N, sum dl, per-term docfreqs) are ONE map-side-combined scalar
+    aggregate broadcast back; the global top-k is orderBy+limit
+    (TakeOrderedAndProject), never a single-partition rank window.
+    The token array binds to a column once so the interpreted HOF
+    filters share the split (see shingles_from_tokens)."""
+    if not query_terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))
+
+    def _eq(term: str):
+        # factory, not a comprehension lambda: comprehension closures
+        # all capture the LAST loop value, and default-arg closures
+        # change the arity PySpark infers for HOF lambdas
+        def _inner(t):
+            return t == F.lit(term)
+
+        return _inner
+
+    def _ne_empty(t):
+        return t != F.lit("")
+
+    proj = df.select("doc_id", tokens_col().alias("_tk")).select(
+        "doc_id",
+        F.size(F.filter(F.col("_tk"), _ne_empty)).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_tk"), _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = proj.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("dl").cast("double").alias("_sl"),
+        *[
+            F.coalesce(F.sum((F.col(f"_tf{i}") > 0).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("_sl") / F.col("_n")
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        tfpart = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+        parts.append(F.round(F.lit(1e6) * idf * tfpart).cast("long"))
+    score = sum(parts[1:], parts[0])
+    top = (
+        proj.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", score.alias("score_ppm"))
+        .filter(F.col("score_ppm") > 0)
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    # rank window runs AFTER the limit: a <=top_k-row frame, not a
+    # single-partition sort of the corpus
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1))).

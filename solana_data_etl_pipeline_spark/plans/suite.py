@@ -691,6 +691,11 @@ _BENCH_SOURCE = "src6"
 # straddle boundaries (the interesting case)
 _PACK_BUDGET = 512
 
+# bm25_rank: a representative multi-term lexical query over the
+# synthetic corpus vocabulary (mixed document frequencies, so idf
+# actually discriminates); BM25 defaults k1=1.2 b=0.75
+_BM25_TERMS = ["spark", "window", "merge", "query"]
+
 
 TEXT_QUERIES: dict[str, QueryFn] = {
     # doc_features fuses the five per-doc projections (token counts,
@@ -715,6 +720,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     "vocab_top_words": _docs(X.vocab_top_words),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
+    # lexical ranked retrieval: top-10 docs for the fixed term query
+    # under BM25 (integer-ppm scores keep the across-terms sum
+    # engine-exact)
+    "bm25_rank": _docs(lambda df: X.bm25_rank(df, _BM25_TERMS)),
     "corpus_selection": C.corpus_selection,
     # the full curation pipeline composed end-to-end: gates + exact
     # keepers + cluster-decontaminated split + temperature mix +
@@ -1160,6 +1169,54 @@ SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rn AS INT) AS rank FROM (
 ) WHERE rn <= 5
 """,
 }
+
+# bm25_rank oracle: generated from the SAME term list and k1/b
+# constants the Spark plan uses; every arithmetic expression is the
+# identical left-associated tree, and per-term scores quantize to
+# BIGINT ppm before the across-terms sum (order-independent in both
+# engines).
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TF = ",\n         ".join(
+    f"CAST(len(list_filter(w, t -> t = '{t}')) AS BIGINT) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF = ",\n         ".join(
+    f"CAST(coalesce(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_SCORE = "\n       + ".join(
+    f"CAST(round(1000000.0 * ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * ((tf{i} * {_BM25_K1 + 1.0}) / (tf{i} + {_BM25_K1} *"
+    f" ({1.0 - _BM25_B} + {_BM25_B} * dl / (sl / n))))) AS BIGINT)"
+    for i in range(len(_BM25_TERMS))
+)
+
+TEXT_SQL["bm25_rank"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+proj AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         {_BM25_TF}
+  FROM tk
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS DOUBLE) AS sl,
+         {_BM25_DF}
+  FROM proj
+),
+sc AS (
+  SELECT doc_id, dl,
+         {_BM25_SCORE} AS score_ppm
+  FROM proj, st
+)
+SELECT doc_id, dl, score_ppm,
+       CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS INT) AS rank
+FROM sc WHERE score_ppm > 0
+ORDER BY score_ppm DESC, doc_id LIMIT 10
+"""
 
 # pii_stats / weighted_mix oracles are generated from the same pattern
 # and weight tables the Spark operators use, so the two can't drift.
@@ -3856,12 +3913,13 @@ DRIVER_ORDER = [
     "mixture_waterfill",
     "epoch_plan",
     "shard_manifest",
-    # --- round-9 new builds (slots swapped in as they land; until
-    #     then held by returning r8 greens) ---
+    # --- round-9 new builds (multi-probe SemDeDup pairing, the real
+    #     RIFF/WAV codec path, the allocation-constrained curation
+    #     pipeline, BM25 ranked retrieval) ---
     "semdedup_multiprobe",
     "media_wav_stats",
     "corpus_curation_v3",
-    "delta_dedup",
+    "bm25_rank",
     # --- delta_embedding_dedup stays for a re-verdict: round 9
     #     defaults it to the measured 4-table configuration
     #     (VERDICT r8 #2) ---

@@ -306,6 +306,18 @@ def test_curation_v2_gate_stage_zero_extra_exchanges(plans):
     assert "EvalPython" not in v2 and "CartesianProduct" not in v2
 
 
+def test_bm25_corpus_never_shuffles(plans):
+    # the query terms are literals, so per-doc tfs are scan-fused
+    # projections: the ONLY exchanges are the scalar stats aggregate
+    # (SinglePartition) + its broadcast; global top-k must be
+    # TakeOrderedAndProject, never a single-partition sort/window of
+    # the corpus; no Python anywhere
+    p = plans("bm25_rank")
+    assert p.count("Exchange") <= 2, p.count("Exchange")
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
 def test_curation_v3_planners_stay_source_sized(plans):
     # v3 swaps mix/budget for the allocation planners: BOTH planners
     # run on the SOURCES-sized capacity frame and rejoin the corpus as

@@ -56,6 +56,37 @@ def test_tfidf_ranks_distinctive_terms_first(docs):
         assert [r for r, _, _ in sorted(rs)] == list(range(1, len(rs) + 1))
 
 
+def test_bm25_rank_matches_hand_model(docs):
+    """Exact integer-ppm BM25 against an independent Python replay of
+    the same left-associated expression tree; docs with no query term
+    are absent; ranks are dense in score order."""
+    rows = X.bm25_rank(docs, ["beta", "delta"], top_k=10).collect()
+    got = {r.doc_id: (r.dl, r.score_ppm, r.rank) for r in rows}
+    # corpus: dl = 4,3,4,1 (empty text splits to ['']  -> dl 0? no:
+    # tokens of '' -> [''] filtered -> dl 0); N=4, sl=11
+    n, sl = 4, 11.0
+    k1, b = 1.2, 0.75
+
+    def score(tfs_dl):
+        tfs, dl = tfs_dl
+        total = 0
+        for tf, df in tfs:
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tfpart = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / (sl / n)))
+            total += int(round(1e6 * idf * tfpart))
+        return total
+
+    # beta: docs 0 (tf 1) and 1 (tf 2) -> df 2; delta: doc 1 -> df 1
+    exp0 = score(([(1, 2)], 4))
+    exp1 = score(([(2, 2), (1, 1)], 3))
+    assert got[0][1] == exp0 and got[0][0] == 4
+    assert got[1][1] == exp1 and got[1][0] == 3
+    assert set(got) == {0, 1}  # docs 2, 3 match no query term
+    assert got[1][2] == 1 and got[0][2] == 2  # doc 1 outscores doc 0
+    with pytest.raises(ValueError):
+        X.bm25_rank(docs, [])
+
+
 def test_doc_features_matches_standalone_operators(spark):
     """The fused one-scan doc_features must stay column-identical to
     the five standalone per-doc operators it replaces in the driver
