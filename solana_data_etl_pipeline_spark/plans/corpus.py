@@ -276,6 +276,45 @@ def corpus_curation_v3(
     )
 
 
+def allocation_report(
+    spark: SparkSession, sf_dir: str, budget: int = V3_TOKEN_BUDGET
+) -> DataFrame:
+    """Per-source planned-vs-realized mixture manifest over the v3
+    pipeline -- the table a data-constrained run publishes next to its
+    corpus (the funnel answers "where did documents die?"; this
+    answers "did each source deliver its planned token share?"):
+    for every source surviving the v3 selection, its train capacity,
+    the planner's allocation (waterfill or epoch-extended), the
+    realized token mass actually selected, the realized document
+    count, and utilization_bp = floor(realized * 10000 / alloc). The
+    greedy whole-document selection can only UNDERSHOOT its
+    allocation (a doc that would cross the cumulative cap is dropped
+    whole), so utilization_bp <= 10000 and the gap is the
+    quantization loss the seq-packing stage later reclaims.
+
+    Scale shape: one bounded (sources-sized) aggregation over the v3
+    output plan -- every scale property is corpus_curation_v3's; the
+    report adds a single map-side-combined groupBy."""
+    sel = corpus_curation_v3(spark, sf_dir, budget=budget)
+    return (
+        sel.groupBy("source", "src_alloc", "epochs_bp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("realized_tokens"),
+        )
+        .select(
+            "source",
+            "src_alloc",
+            "epochs_bp",
+            "n_docs",
+            "realized_tokens",
+            F.floor(F.col("realized_tokens") * 10000 / F.col("src_alloc"))
+            .cast("long")
+            .alias("utilization_bp"),
+        )
+    )
+
+
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage attrition report over the v2 curation pipeline -- the
     funnel every production curation run publishes next to its output

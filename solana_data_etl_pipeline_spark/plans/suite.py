@@ -738,6 +738,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # -- the pipeline a data-constrained run executes (plans/corpus.py
     # corpus_curation_v3)
     "corpus_curation_v3": C.corpus_curation_v3,
+    # planned-vs-realized mixture manifest over v3 (r10 rotation
+    # candidate: registered after the r9 driver surface was frozen)
+    "allocation_report": C.allocation_report,
     # per-stage attrition through the v2 pipeline (the funnel report
     # a curation run publishes; budget row pinned == v2's count)
     "curation_funnel": C.curation_funnel,
@@ -3270,6 +3273,18 @@ WHERE cum <= least(src_alloc, capacity)
 
 
 TEXT_SQL["corpus_curation_v3"] = _v3_oracle(C.V3_TOKEN_BUDGET)
+
+# allocation_report: the planned-vs-realized mixture manifest = one
+# bounded aggregation over the v3 oracle, wrapped verbatim as a
+# subquery so the two cannot drift.
+TEXT_SQL["allocation_report"] = f"""
+SELECT source, src_alloc, epochs_bp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS realized_tokens,
+       CAST(floor(sum(n_words) * 10000.0 / src_alloc) AS BIGINT) AS utilization_bp
+FROM ({TEXT_SQL["corpus_curation_v3"]})
+GROUP BY source, src_alloc, epochs_bp
+"""
 
 # dense-family routing demo: UNCAPPED pigeonhole pairs -> recursive-CTE
 # components -> keepers (the simhash twin of dedup_keepers)

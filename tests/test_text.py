@@ -953,6 +953,29 @@ def test_corpus_curation_v2_composes_published_gates(spark):
     assert all(r.doc_id in keepers for r in out)
 
 
+def test_allocation_report_reconciles_with_v3(spark):
+    """The manifest is an exact aggregation of the v3 selection:
+    realized token mass and doc counts reconcile per source, and the
+    greedy whole-document selection can only UNDERSHOOT its
+    allocation (utilization_bp <= 10000, realized <= min(alloc,
+    capacity-by-construction))."""
+    from solana_data_etl_pipeline_spark.plans import corpus as C
+
+    sf = "/root/testdata/sf0.001"
+    sel = C.corpus_curation_v3(spark, sf).collect()
+    rep = {r.source: r for r in C.allocation_report(spark, sf).collect()}
+    by_src: dict = {}
+    for r in sel:
+        t, n = by_src.get(r.source, (0, 0))
+        by_src[r.source] = (t + r.n_words, n + 1)
+    assert set(rep) == set(by_src)
+    for src, (tok, n) in by_src.items():
+        assert rep[src].realized_tokens == tok and rep[src].n_docs == n
+        assert rep[src].realized_tokens <= rep[src].src_alloc
+        assert 0 < rep[src].utilization_bp <= 10_000
+        assert rep[src].utilization_bp == tok * 10_000 // rep[src].src_alloc
+
+
 def test_interp_logprob_backs_off_singleton_transitions(spark):
     """Interpolation separates what pure-bigram scoring cannot: two
     docs whose every transition is a SINGLETON (ln(1)=0 under the
