@@ -1,0 +1,58 @@
+"""Record the round's SOLO bench artifact.
+
+Driver BENCH totals are only comparable against the driver's own
+history: ambient load from sibling processes inflates full-suite wall
+time 30-60% (measured r7/r8), while per-query solo medians reproduce
+exactly. This wrapper runs bench.py only when the machine is quiet,
+stamps the result with the observed load, and writes it to
+``BENCH_SOLO_r{N}.json`` next to the driver's file -- the committed
+artifact cross-round comparisons can use without archaeology
+(VERDICT r8 next-round item 8).
+
+Usage: python tools/solobench.py 9          # writes BENCH_SOLO_r09.json
+       python tools/solobench.py 9 --force  # skip the load gate
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+LOAD_GATE = 4.0  # 1-min loadavg above this on a 32-cpu box => not solo
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    force = "--force" in sys.argv
+    if not args:
+        print("usage: python tools/solobench.py ROUND [--force]", file=sys.stderr)
+        return 2
+    rnd = int(args[0])
+
+    load1, load5, _ = os.getloadavg()
+    if load1 > LOAD_GATE and not force:
+        print(
+            f"loadavg {load1:.2f} > {LOAD_GATE}: not a solo machine; "
+            "wait for background work to drain or pass --force",
+            file=sys.stderr,
+        )
+        return 1
+
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True, check=True
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    payload = json.loads(line)
+    payload["solo"] = {"loadavg_1m_at_start": round(load1, 2), "loadavg_5m_at_start": round(load5, 2)}
+    path = f"BENCH_SOLO_r{rnd:02d}.json"
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {path}: total {payload['value']} s, {len(payload['queries'])} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
