@@ -7,9 +7,13 @@ pipelines -- the Spark-side plumbing (schemas, batching, partitioning)
 is real and tested. The AUDIO modality decodes REAL bytes: payloads
 are genuine RIFF/WAV containers and ``DECODERS['audio']`` parses them
 with the stdlib ``wave`` codec (header + PCM frames), including a real
-decimating resample (``wav_resample``). Image/video stay stubbed
-behind ``DECODERS`` because no codec libraries ship in this
-environment (a deterministic fake stands in, clearly marked).
+decimating resample (``wav_resample``). The IMAGE modality decodes
+REAL bytes too: payloads are genuine uncompressed 24-bit BMP
+containers and ``DECODERS['image']`` struct-parses them (validated
+headers + padded bottom-up pixel rows), including a real
+nearest-neighbor downsample (``bmp_resize``). Video stays stubbed
+behind ``DECODERS`` because no video codec ships in this environment
+(a deterministic fake stands in, clearly marked).
 
 At 100 TB: binary payloads are the dominant bytes -- the plans below
 never shuffle the binary column (metadata-only projections before any
@@ -20,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
 from collections.abc import Iterator
 
@@ -106,11 +111,100 @@ def _wav_decode(payload: bytes, modality: str) -> list[float]:
     ]
 
 
-# Audio is a REAL decoder (stdlib wave); image/video stay stubbed on
-# the deterministic fake until codec libraries exist.
+def _bmp_encode(pixels: bytes, width: int) -> bytes:
+    """Encode grayscale pixel bytes as a canonical uncompressed
+    24-bit BI_RGB Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding) using only stdlib ``struct``
+    -- no codec library needed; each gray value v becomes the BGR
+    triple (v, v, v). ``len(pixels)`` must be a multiple of
+    ``width``."""
+    if width <= 0 or len(pixels) % width:
+        raise ValueError("_bmp_encode: pixels must tile into `width` columns")
+    height = len(pixels) // width
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up per the BMP spec
+        for v in pixels[r * width : (r + 1) * width]:
+            body += bytes((v, v, v))
+        body += b"\x00" * pad
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + bytes(body)
+
+
+def _bmp_parse(payload: bytes) -> dict:
+    """REAL image decode: struct-parse an uncompressed 24-bit BI_RGB
+    BMP -- validate the magic, header sizes, bpp and compression
+    fields, then read the padded bottom-up pixel rows back into
+    logical top-down order. Raises ``ValueError`` on malformed bytes
+    like any real decoder."""
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic/size")
+    magic, fsize, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+    hsize, width, height, planes, bpp, comp = struct.unpack("<IiiHHI", b[14:34])
+    if hsize != 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant (need uncompressed 24bpp BI_RGB)")
+    if width <= 0 or height <= 0 or fsize != len(b):
+        raise ValueError("corrupt BMP geometry")
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if offset + stride * height > len(b):
+        raise ValueError("truncated BMP pixel array")
+    rows = []
+    for r in range(height):
+        start = offset + (height - 1 - r) * stride  # bottom-up -> logical
+        row = b[start : start + row_bytes]
+        rows.append([(row[i], row[i + 1], row[i + 2]) for i in range(0, row_bytes, 3)])
+    return {"width": width, "height": height, "rows": rows}
+
+
+def _bmp_decode(payload: bytes, modality: str) -> list[float]:
+    """DECODERS adapter over _bmp_parse: folds the real decode into
+    FEATURE_DIM floats [width, height, n_pixels, mean B, mean G,
+    mean R, min, max] (BGR channel means; min/max over all
+    channels)."""
+    m = _bmp_parse(payload)
+    px = [t for row in m["rows"] for t in row]
+    n = len(px)
+    chan = [sum(t[i] for t in px) / n for i in range(3)] if n else [0.0, 0.0, 0.0]
+    flat = [v for t in px for v in t] or [0]
+    return [
+        float(m["width"]),
+        float(m["height"]),
+        float(n),
+        chan[0],
+        chan[1],
+        chan[2],
+        float(min(flat)),
+        float(max(flat)),
+    ]
+
+
+def _bmp_thumbnail(payload: bytes, modality: str, target: int) -> bytes:
+    """REAL image resize: nearest-neighbor decimation of a parsed BMP
+    to at most ``target`` columns (stride = ceil(width/target), the
+    same stride applied to rows), re-encoded as a valid container --
+    decode and encode both through the struct codec."""
+    m = _bmp_parse(payload)
+    stride = max(1, -(-m["width"] // max(target, 1)))
+    gray = bytearray()
+    kept_w = len(range(0, m["width"], stride))
+    for r in range(0, m["height"], stride):
+        for c in range(0, m["width"], stride):
+            gray.append(m["rows"][r][c][0])  # grayscale payloads: B==G==R
+    return _bmp_encode(bytes(gray), kept_w)
+
+
+# Audio and image are REAL decoders (stdlib wave / struct-parsed
+# uncompressed BMP); video stays stubbed on the deterministic fake
+# until a codec exists in the environment.
 DECODERS = {
     "text": _fake_decode,
-    "image": _fake_decode,  # STUB: deterministic fake, not a real image decode
+    "image": _bmp_decode,   # REAL: uncompressed 24bpp BMP via stdlib struct
     "audio": _wav_decode,   # REAL: RIFF/WAV via the stdlib wave codec
     "video": _fake_decode,  # STUB
 }
@@ -186,13 +280,14 @@ def _wav_thumbnail(payload: bytes, modality: str, target: int) -> bytes:
 
 
 # text's resizer is the deterministic stand-in (utf-8 truncation);
-# audio is a REAL decimation through the wave codec; image/video map
-# to the explicit NotImplementedError hook until real codecs exist
+# audio is a REAL decimation through the wave codec and image a REAL
+# nearest-neighbor BMP downsample through the struct codec; video maps
+# to the explicit NotImplementedError hook until a real codec exists
 # (a binary payload through _fake_resize would hit an opaque
 # UnicodeDecodeError or silent corruption).
 RESIZERS = {
     "text": _fake_resize,
-    "image": _unavailable_resize,
+    "image": _bmp_thumbnail,
     "audio": _wav_thumbnail,
     "video": _unavailable_resize,
 }
@@ -353,6 +448,123 @@ def wav_resample(media_df: DataFrame, stride: int = 4) -> DataFrame:
                         max(m["framerate"] // stride, 1),
                     )
                 )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "byte_len": [len(b) for b in out],
+                    "checksum": [hashlib.sha256(b).hexdigest() for b in out],
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+BMP_WIDTH = 16
+
+
+def synth_bmp(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = BMP_WIDTH,
+) -> DataFrame:
+    """Build a REAL image media table from a text corpus: each document
+    becomes a genuine uncompressed 24-bit BMP whose grayscale pixels
+    are the text's ASCII byte values, zero-padded to fill the last
+    `width`-pixel row (empty text yields one all-zero row) -- the
+    image twin of synth_wav: every downstream byte is a real container
+    the struct codec must parse, and the decode is deterministic, so
+    the oracle recomputes every pixel statistic from the text itself.
+
+    Arrow-batched mapInPandas; payload bytes are born map-side and
+    never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("ascii")
+                h = max(1, -(-len(raw) // width))
+                payloads.append(_bmp_encode(raw.ljust(h * width, b"\x00"), width))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "image",
+                    "payload": payloads,
+                    "byte_len": [len(b) for b in payloads],
+                    "checksum": [hashlib.sha256(b).hexdigest() for b in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_lum", T.DoubleType()),
+        T.StructField("max_lum", T.LongType()),
+    ]
+)
+
+
+def bmp_stats(media_df: DataFrame) -> DataFrame:
+    """Typed per-item stats from a REAL decode of BMP payloads: header
+    geometry plus luminance statistics over the pixel array
+    (luminance of a BGR triple = the exact integer-sum mean
+    (b+g+r)/3; on grayscale-encoded payloads this is the gray value).
+    mean_lum leaves the UDF raw and is rounded by F.round in the
+    caller's plan (Python round() is banker's -- the wav_stats
+    lesson).
+
+    Scale shape: one Arrow-batched map-side pass over the payload
+    column, no shuffle; downstream sees only narrow typed columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = _bmp_parse(bytes(p))
+                px = [t for row in m["rows"] for t in row]
+                s = sum(sum(t) for t in px)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": m["width"],
+                        "height": m["height"],
+                        "n_pixels": len(px),
+                        "mean_lum": (s / (3 * len(px))) if px else None,
+                        "max_lum": max(max(t) for t in px) if px else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
+
+    return media_df.mapInPandas(run, schema=BMP_STATS_SCHEMA)
+
+
+def bmp_resize(media_df: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL nearest-neighbor image downsample of BMP payloads: keep
+    every `stride`-th row and column and re-encode a valid container
+    -- decode and encode both through the struct codec, map-side,
+    emitting a valid media table (MEDIA_SCHEMA)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                m = _bmp_parse(bytes(p))
+                kept_w = len(range(0, m["width"], stride))
+                gray = bytes(
+                    m["rows"][r][c][0]
+                    for r in range(0, m["height"], stride)
+                    for c in range(0, m["width"], stride)
+                )
+                out.append(_bmp_encode(gray, kept_w))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -3771,6 +3771,32 @@ def _media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.join(rs, "media_id").orderBy("media_id")
 
 
+def _media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decode image stats: synth_bmp writes genuine uncompressed
+    24-bit BMP bytes (grayscale pixels = the text's ASCII codes,
+    zero-padded to 16-pixel rows), bmp_stats/bmp_resize struct-parse
+    them back (original + stride-2 nearest-neighbor downsample,
+    re-decoded). mean_lum rounds via F.round in-plan (half-away,
+    engine-portable)."""
+    media = M.synth_bmp(load_table(spark, sf_dir, "documents"))
+    orig = M.bmp_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("mean_lum", 4).alias("mean_lum"),
+        "max_lum",
+    )
+    rs = M.bmp_stats(M.bmp_resize(media, stride=2)).select(
+        "media_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        F.col("n_pixels").alias("rs_n_pixels"),
+        F.round("mean_lum", 4).alias("rs_mean_lum"),
+    )
+    return orig.join(rs, "media_id").orderBy("media_id")
+
+
 MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     "media_stats": _media(M.media_stats),
     "media_frame_sample": _media(M.frame_sample),
@@ -3795,6 +3821,13 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     # Deterministic by construction, so the per-byte oracle recomputes
     # every decoded number from the text itself.
     "media_wav_stats": _media_wav_stats,
+    # SECOND real codec end-to-end (r10 rotation candidate):
+    # documents -> genuine uncompressed 24bpp BMP containers
+    # (grayscale pixels = ASCII codes, zero-padded rows) -> struct
+    # decode -> typed stats, plus a real stride-2 nearest-neighbor
+    # downsample re-decoded. Deterministic, so the per-pixel oracle
+    # recomputes every decoded number from the text itself.
+    "media_bmp_stats": _media_bmp_stats,
 }
 
 MULTIMODAL_SQL: dict[str, str] = {
@@ -3847,6 +3880,45 @@ rs AS (
 SELECT o.doc_id AS media_id, o.n_frames, CAST(8000 AS BIGINT) AS framerate,
        o.mean_amp, o.rms, o.peak,
        r.rs_n_frames, CAST(2000 AS BIGINT) AS rs_framerate, r.rs_mean_amp
+FROM orig o JOIN rs r ON o.doc_id = r.doc_id
+ORDER BY media_id
+""",
+    # media_bmp_stats: pixel i of doc = ascii code for i < len(text),
+    # 0 for the row padding; height = ceil(len/16) with a 1-row floor
+    # (empty text -> one all-zero row). The resize keeps even rows and
+    # even columns of the logical grid. Luminance of a gray triple ==
+    # the gray value, and IEEE division is correctly rounded, so
+    # Python's 3S/(3n) equals avg(s) exactly.
+    "media_bmp_stats": """
+WITH geo AS (
+  SELECT doc_id, text, len(text) AS n,
+         greatest(CAST(ceil(len(text) / 16.0) AS BIGINT), 1) AS h
+  FROM documents
+),
+pos AS (
+  SELECT g.doc_id, g.h, CAST(u.i AS BIGINT) AS i,
+         CASE WHEN u.i < g.n
+              THEN unicode(substr(g.text, CAST(u.i + 1 AS INT), 1))
+              ELSE 0 END AS s
+  FROM geo g, UNNEST(range(0, g.h * 16)) AS u(i)
+),
+orig AS (
+  SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+         CAST(count(*) AS BIGINT) AS n_pixels,
+         round(avg(s), 4) AS mean_lum,
+         CAST(max(s) AS BIGINT) AS max_lum
+  FROM pos GROUP BY doc_id
+),
+rs AS (
+  SELECT doc_id, CAST(8 AS BIGINT) AS rs_width,
+         CAST((max(h) + 1) // 2 AS BIGINT) AS rs_height,
+         CAST(count(*) AS BIGINT) AS rs_n_pixels,
+         round(avg(s), 4) AS rs_mean_lum
+  FROM pos WHERE (i // 16) % 2 = 0 AND (i % 16) % 2 = 0
+  GROUP BY doc_id
+)
+SELECT o.doc_id AS media_id, o.width, o.height, o.n_pixels, o.mean_lum, o.max_lum,
+       r.rs_width, r.rs_height, r.rs_n_pixels, r.rs_mean_lum
 FROM orig o JOIN rs r ON o.doc_id = r.doc_id
 ORDER BY media_id
 """,

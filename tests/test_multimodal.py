@@ -48,16 +48,24 @@ def test_resize_media_truncates_and_recomputes_metadata(media):
 
 
 def test_binary_modality_resize_raises_not_silent_corruption(spark):
-    # real binary payloads (non-utf8) must hit the explicit
-    # NotImplementedError codec hook, never the utf-8-truncating text
+    # real binary payloads in an unsupported format must hit a REAL
+    # decode error (the image resizer is the struct BMP codec: a PNG
+    # payload fails its magic check), never the utf-8-truncating text
     # stand-in (which would raise an opaque UnicodeDecodeError or --
-    # worse -- silently corrupt bytes that happen to decode)
+    # worse -- silently corrupt bytes that happen to decode); video
+    # still routes to the explicit NotImplementedError hook
     img = spark.createDataFrame(
         [(4, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\xff"), 10, "c")],
         M.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="NotImplementedError|register a resizer"):
+    with pytest.raises(Exception, match="not a BMP"):
         M.resize_media(img).collect()
+    vid = spark.createDataFrame(
+        [(6, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"), 12, "c")],
+        M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|register a resizer"):
+        M.resize_media(vid).collect()
 
 
 def test_unknown_modality_raises_in_both_pipelines(spark):
@@ -144,4 +152,77 @@ def test_wav_decode_rejects_malformed_bytes(spark):
         M.MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="(?i)wave|riff|Error"):
+        M.extract_features(bad).collect()
+
+
+def test_bmp_roundtrip_real_codec(spark):
+    """synth_bmp emits genuine uncompressed 24bpp BMP containers:
+    magic bytes, 54-byte header, 4-byte row padding, and the struct
+    parser restores exactly the (zero-padded) grayscale pixels that
+    went in, in logical top-down order."""
+    df = spark.createDataFrame([(1, "ab"), (2, "x" * 17)], "doc_id long, text string")
+    out = {r.media_id: r for r in M.synth_bmp(df).collect()}
+    payload = bytes(out[1].payload)
+    assert payload[:2] == b"BM"
+    # 16 gray pixels -> one row of 48 bytes (already 4-aligned)
+    assert out[1].byte_len == 54 + 48
+    m = M._bmp_parse(payload)
+    assert m["width"] == 16 and m["height"] == 1
+    gray = [t[0] for row in m["rows"] for t in row]
+    assert gray == [ord("a"), ord("b")] + [0] * 14
+    assert all(t[0] == t[1] == t[2] for row in m["rows"] for t in row)
+    # 17 chars -> 2 rows, second row zero-padded
+    m2 = M._bmp_parse(bytes(out[2].payload))
+    assert m2["height"] == 2
+    assert [t[0] for t in m2["rows"][1]] == [ord("x")] + [0] * 15
+
+
+def test_bmp_stats_hand_model(spark):
+    """Decoded stats match hand arithmetic: 'ab' -> 16 pixels
+    (97, 98, 14 zeros), mean (97+98)/16, max 98."""
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    r = M.bmp_stats(M.synth_bmp(df)).collect()[0]
+    assert r.width == 16 and r.height == 1 and r.n_pixels == 16
+    assert r.mean_lum == (97 + 98) / 16
+    assert r.max_lum == 98
+
+
+def test_bmp_resize_decimates_rows_and_columns(spark):
+    """Stride-2 nearest-neighbor downsample through the real codec:
+    even rows x even columns survive, and the output is itself a
+    parseable 8-wide BMP container."""
+    text = "".join(chr(65 + i % 26) for i in range(48))  # 3 full rows
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rs = M.bmp_resize(M.synth_bmp(df), stride=2).collect()[0]
+    m = M._bmp_parse(bytes(rs.payload))
+    assert m["width"] == 8 and m["height"] == 2  # ceil(3/2)
+    got = [t[0] for row in m["rows"] for t in row]
+    exp = [ord(text[r * 16 + c]) for r in (0, 2) for c in range(0, 16, 2)]
+    assert got == exp
+
+
+def test_bmp_decoder_wired_into_feature_and_resize_pipelines(spark):
+    """DECODERS['image'] / RESIZERS['image'] are the REAL struct
+    codec: extract_features returns geometry-derived features and
+    resize_media produces a valid <=target-column thumbnail."""
+    df = spark.createDataFrame([(7, "abcdefgh" * 10)], "doc_id long, text string")
+    media = M.synth_bmp(df)
+    feats = M.extract_features(media).collect()[0]
+    assert feats.modality == "image"
+    assert feats.feature[0] == 16.0  # width
+    assert feats.feature[1] == 5.0   # height = 80/16
+    assert feats.feature[2] == 80.0  # n_pixels
+    thumb = M.resize_media(media, target=4).collect()[0]
+    m = M._bmp_parse(bytes(thumb.payload))
+    assert m["width"] == 4 and m["height"] == 2  # stride 4 on 16x5
+
+
+def test_bmp_decode_rejects_malformed_bytes(spark):
+    """A real decoder fails on malformed bytes -- the image path no
+    longer hashes garbage into fake features."""
+    bad = spark.createDataFrame(
+        [(5, "image", bytearray(b"not a bmp container at all"), 26, "c")],
+        M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="(?i)bmp|magic|Error"):
         M.extract_features(bad).collect()

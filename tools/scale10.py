@@ -91,6 +91,12 @@ HEAVY = [
     "corpus_diversity",
     "stratified_holdout",
     "minhash_calibration",
+    # round-9 registrants
+    "semdedup_multiprobe",
+    "corpus_curation_v3",
+    "allocation_report",
+    "bm25_rank",
+    "media_wav_stats",
 ]
 
 
