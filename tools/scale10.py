@@ -97,6 +97,7 @@ HEAVY = [
     "allocation_report",
     "bm25_rank",
     "media_wav_stats",
+    "media_bmp_stats",
 ]
 
 
