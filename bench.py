@@ -377,6 +377,34 @@ def main() -> None:
     recall["semdedup_removed_frac_multiprobe2"] = round(
         1 - _smp(emb_tbl, threshold=0.30, nprobe=2).count() / max(emb_tbl.count(), 1), 3
     )
+    # the refined (refine_bits=4) pairing cells: coverage of the
+    # k-grows-with-N configuration -- a visible pair must share a
+    # probe cell AND its sign-LSH sub-key (exact dup pairs always do;
+    # the measured gap below is near-dup pairs whose sub-bits differ)
+    from solana_data_etl_pipeline_spark.operators.dedup import sign_sub_bits as _ssb
+    from solana_data_etl_pipeline_spark.operators.similarity import _dvec as _dv
+
+    _sub = {
+        r["vec_id"]: r["sb"]
+        for r in emb_tbl.select(
+            "vec_id", _ssb(_dv(F.col("embedding")), 4).alias("sb")
+        ).collect()
+    }
+    within_mp4 = {
+        p
+        for p in exact_sem
+        if _sub.get(p[0]) == _sub.get(p[1])
+        and _pset.get(p[0], set()) & _pset.get(p[1], set())
+    }
+    recall["semdedup_pair_coverage_multiprobe2_bits4"] = round(
+        len(within_mp4) / max(len(exact_sem), 1), 3
+    )
+    recall["semdedup_removed_frac_multiprobe2_bits4"] = round(
+        1
+        - _smp(emb_tbl, threshold=0.30, nprobe=2, refine_bits=4).count()
+        / max(emb_tbl.count(), 1),
+        3,
+    )
 
     kept_refined = semdedup_keepers(emb_tbl, threshold=0.30, refine_bits=4).count()
     kept_reg = semdedup_keepers(emb_tbl, threshold=0.30).count()

@@ -1828,7 +1828,6 @@ def semdedup_keepers(
     from solana_data_etl_pipeline_spark.operators.similarity import (
         _dvec,
         dot_raw,
-        lsh_planes,
         norm_expr,
     )
 
@@ -1839,27 +1838,10 @@ def semdedup_keepers(
         F.col(cluster_col).cast("long").alias("_cl"),
     )
     if refine_bits:
-        planes = lsh_planes(n_planes=refine_bits)
-        planes_col = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
-        powers = F.array(
-            *[F.lit(2**p).cast("long") for p in range(refine_bits)]
-        )
-        dots = F.transform(
-            planes_col,
-            lambda row: F.aggregate(
-                F.zip_with(row, F.col("_v"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        bits = F.zip_with(
-            dots,
-            powers,
-            lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0).cast("long")),
-        )
-        sub = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
         base = base.withColumn(
-            "_cl", F.col("_cl") * (2**refine_bits) + sub
+            "_cl",
+            F.col("_cl") * (2**refine_bits)
+            + sign_sub_bits(F.col("_v"), refine_bits),
         )
     cells = (
         base.select("_cl", F.posexplode("_v").alias("dim", "val"))
@@ -1941,6 +1923,37 @@ def _semdedup_select_keepers(scored: DataFrame, pairs: DataFrame) -> DataFrame:
     return singles.unionByName(reps)
 
 
+def sign_sub_bits(vec_col, n_bits: int):
+    """Leading sign-LSH sub-cell bits of a double-vector column --
+    the k-grows-with-N refinement key shared by semdedup_keepers
+    (refine_bits) and semdedup_keepers_multiprobe: near-identical
+    vectors land on identical bits, so splitting cells by them cuts
+    quadratic pair mass ~2^n_bits-fold while true dup pairs stay
+    co-located. The plane matrix is the LCG-derived literal every
+    bucket oracle inlines, and both engines fold the dot product
+    left-to-right over the same doubles, so the sign decision is
+    engine-portable bit-for-bit."""
+    from solana_data_etl_pipeline_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(n_planes=n_bits)
+    planes_col = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    powers = F.array(*[F.lit(2**p).cast("long") for p in range(n_bits)])
+    dots = F.transform(
+        planes_col,
+        lambda row: F.aggregate(
+            F.zip_with(row, vec_col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.zip_with(
+        dots,
+        powers,
+        lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def semdedup_probe_assignments(
     emb_df: DataFrame,
     cluster_col: str = "label",
@@ -2003,6 +2016,7 @@ def semdedup_keepers_multiprobe(
     threshold: float = 0.30,
     cluster_col: str = "label",
     nprobe: int = 2,
+    refine_bits: int = 0,
 ) -> DataFrame:
     """SemDeDup with MULTI-PROBE pair assignment -- the routing answer
     to the paper's accepted cross-cluster blindness (Abbas et al.
@@ -2025,8 +2039,12 @@ def semdedup_keepers_multiprobe(
     immediately, no vector payload survives it) with a per-vector
     rank window; pairing is the same cluster-keyed equi-join, now on
     probe cells (each vector in nprobe cells -> per-cell mass grows
-    nprobe-fold; the quadratic-within-cell budget is the knob the
-    refine_bits dial already prices). Probe rows are narrow and
+    nprobe-fold). `refine_bits` is the k-grows-with-N dial applied to
+    the PAIRING cells only: each probe cell splits by the vector's
+    own sign-LSH sub-bits (sign_sub_bits -- near-identical vectors
+    share them, so true dup pairs stay co-located while quadratic
+    cell mass drops ~2^bits-fold); probe ranking and keeper scoring
+    keep the unrefined label centroids. Probe rows are narrow and
     lazily checkpointed, so the ranking computes once for both the
     primary-score and pairing branches."""
     from solana_data_etl_pipeline_spark.operators.similarity import (
@@ -2051,6 +2069,12 @@ def semdedup_keepers_multiprobe(
     pv = ranked.select("vec_id", "_pcl").join(
         base.select("vec_id", "_v", "_n"), "vec_id"
     )
+    if refine_bits:
+        pv = pv.withColumn(
+            "_pcl",
+            F.col("_pcl") * (2**refine_bits)
+            + sign_sub_bits(F.col("_v"), refine_bits),
+        )
     a = pv.select(
         F.col("_pcl"),
         F.col("vec_id").alias("vec_a"),

@@ -2551,6 +2551,18 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             load_table(spark, sf_dir, "embeddings"), threshold=0.30, nprobe=2
         )
     ),
+    # multiprobe + the k-grows-with-N dial on the pairing cells
+    # (refine_bits=4): the configuration a growing corpus runs --
+    # probe coverage with the quadratic cell mass held down (r10
+    # rotation candidate)
+    "semdedup_multiprobe_scaled": (
+        lambda spark, sf_dir: D.semdedup_keepers_multiprobe(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.30,
+            nprobe=2,
+            refine_bits=4,
+        )
+    ),
 }
 
 def _minhash_sigs_sql(num_hashes: int = D.MINHASH_HASHES) -> str:
@@ -3489,8 +3501,26 @@ DEDUP_SQL["semdedup_keepers_scaled"] = _semdedup_sql(f"""e AS (
 
 # Multi-probe SemDeDup: pairing probes = the 2 nearest label-centroids
 # per vector (knn_ivf's probe rule applied to the corpus); primary
-# (rank-1) cell scores the keeper. Same centroid/tail CTEs.
-DEDUP_SQL["semdedup_multiprobe"] = f"""
+# (rank-1) cell scores the keeper. Same centroid/tail CTEs. The
+# `refined` form is the k-grows-with-N dial on the PAIRING cells
+# only: each probe cell splits by the vector's 4 leading sign-LSH
+# sub-bits (the same _P4 literal matrix as semdedup_keepers_scaled;
+# probe ranking and keeper scoring keep the unrefined centroids).
+def _semdedup_mp_sql(refined: bool = False) -> str:
+    if refined:
+        probes = f"""sb AS (
+  SELECT vec_id, CAST(list_sum([CASE WHEN list_dot_product(m4[p+1], v) >= 0
+    THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    for p in range(0, 4)]) AS BIGINT) AS sub
+  FROM e, (SELECT {_P4} AS m4)
+),
+probes AS (
+  SELECT pr.vec_id, pr.pcl * 16 + sb.sub AS pcl
+  FROM pr JOIN sb ON pr.vec_id = sb.vec_id WHERE pr.rn <= 2
+)"""
+    else:
+        probes = "probes AS (SELECT vec_id, pcl FROM pr WHERE rn <= 2)"
+    return f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                             CAST(label AS BIGINT) AS cl FROM embeddings),
 cd AS (
@@ -3510,7 +3540,7 @@ s AS (
   SELECT e.vec_id, pr.pcl AS cl, e.v, pr.pcos AS ccos
   FROM e JOIN pr ON e.vec_id = pr.vec_id AND pr.rn = 1
 ),
-probes AS (SELECT vec_id, pcl FROM pr WHERE rn <= 2),
+{probes},
 pairs AS (
   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
   FROM probes pa JOIN probes pb ON pa.pcl = pb.pcl AND pa.vec_id < pb.vec_id
@@ -3518,6 +3548,10 @@ pairs AS (
   JOIN e b ON b.vec_id = pb.vec_id
   WHERE {COSINE_SQL.format(a="a.v", b="b.v")} >= 0.30
 ),{_SEMDEDUP_TAIL_SQL}"""
+
+
+DEDUP_SQL["semdedup_multiprobe"] = _semdedup_mp_sql()
+DEDUP_SQL["semdedup_multiprobe_scaled"] = _semdedup_mp_sql(refined=True)
 
 # Incremental embedding dedup: bucket CTEs shared with the embedding
 # pair/keeper oracles; corpus-side rows capped (mirroring the capped

@@ -384,3 +384,48 @@ def test_cli_stream_corpus_semantic_dedup(spark, tmp_path, capsys):
     # 1 vec x EMBED_INDEX_TABLES hash tables
     assert h["rows"] == EMBED_INDEX_TABLES and h["buckets"] == EMBED_INDEX_TABLES
     assert h["max_width"] == 1 and h["at_cap"] == 0
+
+
+def test_cli_stream_corpus_decon_route_blind(spark, tmp_path, capsys):
+    """--decon-route-blind end to end: a benchmark whose boilerplate
+    repeats past the capped index's bucket width (70 copies > the
+    64-wide default cap) leaves the capped probe blind to the
+    contaminated ingest doc; the routing flag sends it through the
+    uncapped fallback twin and it is dropped before the corpus
+    commit, while the clean doc lands."""
+    import json
+    import os
+
+    wh = str(tmp_path / "wh")
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+
+    boiler = (
+        "standard benchmark license header text repeated verbatim across "
+        "every single benchmark file in the distribution"
+    )
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(900 + i, boiler) for i in range(70)], "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, boiler) + "\n")
+        f.write(_doc(2, "a clean document about adaptive query execution internals and shuffles") + "\n")
+
+    rc = main(["--warehouse-path", wh, "stream-corpus", "--input", land,
+               "--decontaminate", bench_path, "--decon-threshold", "0.5",
+               "--decon-route-blind"])
+    assert rc == 0
+    out = f"{wh}/corpus_stream"
+    assert {r.doc_id for r in spark.read.parquet(f"{out}/documents").collect()} == {2}
+    # the uncapped fallback twin was materialized beside the capped index
+    assert (
+        spark.read.parquet(f"{out}/documents_decon_index_full/fingerprints").count() > 0
+    )

@@ -803,6 +803,38 @@ def test_semdedup_multiprobe_catches_cross_cluster_twin(spark):
     assert len(out) == 3
 
 
+def test_semdedup_multiprobe_refine_keeps_identical_twins_colocated(spark):
+    """The pairing-cell dial: at refine_bits=4 the planted IDENTICAL
+    cross-cluster twin is still caught (identical vectors share their
+    sign-LSH sub-bits, so refinement never separates them), and on
+    the real corpus refinement can only shrink the pair graph (keeper
+    count non-decreasing vs the unrefined multiprobe run)."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_keepers_multiprobe,
+    )
+
+    rows = [
+        (1, _vec64(1.0, 0.00), 1),
+        (2, _vec64(1.0, 0.00), 1),
+        (5, _vec64(1.0, 0.00), 2),  # cross-cluster identical twin
+        (6, _vec64(0.0, 1.0), 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in
+           semdedup_keepers_multiprobe(df, threshold=0.95, nprobe=2,
+                                       refine_bits=4).collect()}
+    kept = [i for i in (1, 2, 5) if i in out]
+    assert len(kept) == 1 and out[kept[0]].group_size == 3
+    assert out[6].group_size == 1
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n0 = semdedup_keepers_multiprobe(emb, threshold=0.30, nprobe=2).count()
+    n4 = semdedup_keepers_multiprobe(
+        emb, threshold=0.30, nprobe=2, refine_bits=4
+    ).count()
+    assert n4 >= n0
+
+
 def test_semdedup_refine_bits_only_splits_groups(spark):
     """Finer clusters (refine_bits) can only SHRINK the pair graph:
     the keeper count is monotonically non-decreasing in refine_bits,

@@ -93,6 +93,7 @@ HEAVY = [
     "minhash_calibration",
     # round-9 registrants
     "semdedup_multiprobe",
+    "semdedup_multiprobe_scaled",
     "corpus_curation_v3",
     "allocation_report",
     "bm25_rank",
