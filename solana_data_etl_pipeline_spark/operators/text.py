@@ -53,6 +53,49 @@ def bpe_ish_token_counts(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.size(pieces).cast("long").alias("n_bpe_tokens"))
 
 
+def tokenizer_fertility(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer-fertility report: how many characters
+    each tokenization spends per token -- the table a training team
+    reads before choosing a tokenizer (fertility varies by language,
+    and a high chars/token ratio inflates sequence lengths and
+    compute; cf. the per-language fertility tables in the mT5/BLOOM
+    tokenizer analyses). For both shipped tokenizations (whitespace
+    `tokens_col` and the BPE-ish regex) per language: document count,
+    character mass, token mass, and chars-per-token in basis points
+    (integer floor of one exact division -- ratios stay in the
+    engine-exact integer domain; readers divide by 10000).
+
+    Scale shape: two zero-shuffle per-doc counting projections fused
+    into the scan, then ONE bounded (languages-sized) aggregation --
+    map-side combined, no joins."""
+    pieces = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length("text").cast("long").alias("_chars"),
+        F.size(tokens_col()).cast("long").alias("_wtok"),
+        F.size(pieces).cast("long").alias("_btok"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_wtok").cast("long").alias("n_ws_tokens"),
+        F.sum("_btok").cast("long").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.floor(F.col("n_chars") * 10000 / F.greatest(F.col("n_ws_tokens"), F.lit(1)))
+        .cast("long")
+        .alias("ws_fertility_bp"),
+        F.floor(F.col("n_chars") * 10000 / F.greatest(F.col("n_bpe_tokens"), F.lit(1)))
+        .cast("long")
+        .alias("bpe_fertility_bp"),
+    )
+
+
 def quality_scores(df: DataFrame) -> DataFrame:
     """Heuristic document quality signals: length, mean token length,
     stopword ratio, alpha ratio. All codegen'd expressions."""

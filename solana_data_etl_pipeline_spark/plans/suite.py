@@ -703,6 +703,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # ONE corpus scan -- the five standalone operators remain in
     # operators/text.py and stay column-identical (tests pin this).
     "doc_features": _docs(X.doc_features),
+    # per-language tokenizer-fertility report (chars per token for
+    # both shipped tokenizations, integer basis points)
+    "tokenizer_fertility": _docs(X.tokenizer_fertility),
     "language_stats": _docs(X.language_stats),
     "consistent_sample": _docs(
         lambda df: X.consistent_sample(df, pct=20).select("doc_id", "lang", "n_chars")
@@ -1156,6 +1159,21 @@ JOIN pred p USING (doc_id)
 JOIN keep k ON d.doc_id = k.doc_id
 WHERE q.n_tokens >= {C.MIN_TOKENS} AND q.alpha_ratio >= {C.MIN_ALPHA_RATIO}
   AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < {C.SAMPLE_PCT}
+""",
+    "tokenizer_fertility": """
+WITH t AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS c,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS b
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(sum(w) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(sum(c) * 10000.0 / greatest(sum(w), 1)) AS BIGINT) AS ws_fertility_bp,
+       CAST(floor(sum(c) * 10000.0 / greatest(sum(b), 1)) AS BIGINT) AS bpe_fertility_bp
+FROM t GROUP BY lang
 """,
     "tfidf_top_terms": """
 WITH tok AS (

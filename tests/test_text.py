@@ -56,6 +56,22 @@ def test_tfidf_ranks_distinctive_terms_first(docs):
         assert [r for r, _, _ in sorted(rs)] == list(range(1, len(rs) + 1))
 
 
+def test_tokenizer_fertility_hand_model(docs):
+    """Exact integer reconciliation on the module corpus: per lang,
+    char/token masses and the floored basis-point fertility ratios."""
+    rows = {r.lang: r for r in X.tokenizer_fertility(docs).collect()}
+    # en docs: 0 "alpha beta gamma alpha" (22c/4w), 1 "beta beta
+    # delta" (15c/3w), 3 "" (0c, split('')->[''] = 1 token)
+    en = rows["en"]
+    assert en.n_docs == 3 and en.n_chars == 37
+    assert en.n_ws_tokens == 8 and en.n_bpe_tokens == 7
+    assert en.ws_fertility_bp == 37 * 10_000 // 8
+    assert en.bpe_fertility_bp == 37 * 10_000 // 7
+    de = rows["de"]
+    assert de.n_docs == 1 and de.n_chars == 25 and de.n_ws_tokens == 4
+    assert de.ws_fertility_bp == 25 * 10_000 // 4
+
+
 def test_bm25_rank_matches_hand_model(docs):
     """Exact integer-ppm BM25 against an independent Python replay of
     the same left-associated expression tree; docs with no query term
