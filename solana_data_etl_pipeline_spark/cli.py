@@ -110,6 +110,15 @@ def main(argv: list[str] | None = None) -> int:
         "best-scored docs within the remaining budget",
     )
     p_scorp.add_argument(
+        "--waterfill-budget",
+        type=int,
+        default=None,
+        help="allocation-constrained token budget: waterfilled across "
+        "sources at tau=0.5 weights over corpus-so-far capacities; "
+        "each source spends only its remaining allocation (the "
+        "corpus_curation_v3 mix stage, incremental)",
+    )
+    p_scorp.add_argument(
         "--decontaminate",
         default=None,
         metavar="BENCH_PARQUET",
@@ -330,6 +339,7 @@ def main(argv: list[str] | None = None) -> int:
             temperature_tau=args.temperature_tau,
             target_frac=args.target_frac,
             token_budget=args.token_budget,
+            waterfill_budget=args.waterfill_budget,
             policy_log_dir=f"{out}/policy_rates" if args.temperature_tau is not None else None,
             gates=args.gates,
             decontaminate_bench=args.decontaminate,

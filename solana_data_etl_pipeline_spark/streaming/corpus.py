@@ -195,6 +195,7 @@ def run_document_stream(
     temperature_tau: float | None = None,
     target_frac: float = 0.5,
     token_budget: int | None = None,
+    waterfill_budget: int | None = None,
     policy_log_dir: str | None = None,
     gates: str = "simple",
     decontaminate_bench: str | None = None,
@@ -293,6 +294,16 @@ def run_document_stream(
       deterministic hash-mod gate, and -- when `policy_log_dir` is set
       -- logged per epoch as (epoch, source, rate_bp) so every
       admission decision is auditable after the fact.
+    - `waterfill_budget`: the ALLOCATION-CONSTRAINED form of the token
+      budget (corpus_curation_v3's mix stage made incremental): each
+      batch recomputes per-source capacities over corpus-so-far +
+      batch, waterfills the budget across sources at tau=0.5 weights
+      (w = floor(sqrt(capacity))), and each source spends only its
+      remaining allocation (allocation minus tokens it already
+      committed), selecting its best batch docs greedily by
+      alpha_ratio. Short sources saturate and their unmet share
+      redistributes -- the source balance the plain budget gate
+      cannot express. Deterministic given the ingest history.
     - `token_budget`: a hard cap on total corpus tokens. Each batch
       computes the remaining budget (budget - corpus tokens so far)
       and admits its best-scored docs within it via the batch
@@ -523,6 +534,58 @@ def run_document_stream(
                 .filter(bucket < F.col("rate_bp"))
                 .drop("rate_bp")
             )
+        if waterfill_budget is not None:
+            # per-source capacities over corpus-so-far + batch; all
+            # frames here are SOURCES-sized (the planner's contract)
+            batch_tok = kept.groupBy("source").agg(
+                F.sum("n_tokens").alias("capacity")
+            ).localCheckpoint(eager=True)
+            caps = batch_tok
+            committed = None
+            if seen is not None:
+                committed = (
+                    seen.groupBy("source")
+                    .agg(F.sum("n_tokens").alias("done"))
+                    .localCheckpoint(eager=True)
+                )
+                caps = (
+                    batch_tok.unionByName(
+                        committed.select("source", F.col("done").alias("capacity"))
+                    )
+                    .groupBy("source")
+                    .agg(F.sum("capacity").alias("capacity"))
+                )
+            caps = caps.withColumn(
+                "weight",
+                F.greatest(
+                    F.floor(F.sqrt(F.col("capacity").cast("double"))), F.lit(1)
+                ).cast("long"),
+            )
+            alloc = X.mixture_waterfill(caps, budget=int(waterfill_budget)).select(
+                "source", "alloc"
+            )
+            if committed is not None:
+                alloc = (
+                    alloc.join(committed, "source", "left")
+                    .select(
+                        "source",
+                        F.greatest(
+                            F.col("alloc") - F.coalesce(F.col("done"), F.lit(0)),
+                            F.lit(0),
+                        ).alias("alloc"),
+                    )
+                )
+            wsel = (
+                Window.partitionBy("source")
+                .orderBy(F.col("alpha_ratio").desc(), F.col("doc_id").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            kept = (
+                kept.join(F.broadcast(alloc), "source")
+                .withColumn("_cum", F.sum("n_tokens").over(wsel))
+                .filter(F.col("_cum") <= F.col("alloc"))
+                .drop("_cum", "alloc")
+            )
         if token_budget is not None:
             used = 0
             if seen is not None:
@@ -645,7 +708,11 @@ def run_document_stream(
                 kept = kept.join(
                     F.broadcast(_semantic_keep_ids(kept)), "doc_id", "left_semi"
                 )
-            if temperature_tau is not None or token_budget is not None:
+            if (
+                temperature_tau is not None
+                or token_budget is not None
+                or waterfill_budget is not None
+            ):
                 kept = _apply_policies(kept, seen, batch_id)
             if decon_index is not None:
                 # blind-spot log BEFORE the corpus write (the pair-log

@@ -386,6 +386,34 @@ def test_cli_stream_corpus_semantic_dedup(spark, tmp_path, capsys):
     assert h["max_width"] == 1 and h["at_cap"] == 0
 
 
+def test_cli_stream_corpus_waterfill_budget(spark, tmp_path, capsys):
+    """--waterfill-budget end to end: the small source saturates, the
+    big one is cut to its weighted allocation."""
+    import json
+    import os
+
+    wh = str(tmp_path / "wh")
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, src):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        return json.dumps({"doc_id": i, "text": words, "lang": "en", "source": src,
+                           "ingest_time": "2024-01-01T00:00:00"})
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(0, "a") + "\n")
+        for i in range(10, 20):
+            f.write(_doc(i, "b") + "\n")
+    rc = main(["--warehouse-path", wh, "stream-corpus", "--input", land,
+               "--waterfill-budget", "60"])
+    assert rc == 0
+    rows = spark.read.parquet(f"{wh}/corpus_stream/documents").collect()
+    srcs = sorted(r.source for r in rows)
+    assert srcs.count("a") == 1 and srcs.count("b") == 4
+    assert sum(r.n_tokens for r in rows) == 60
+
+
 def test_cli_stream_corpus_decon_route_blind(spark, tmp_path, capsys):
     """--decon-route-blind end to end: a benchmark whose boilerplate
     repeats past the capped index's bucket width (70 copies > the

@@ -826,6 +826,54 @@ def test_document_stream_token_budget(spark, tmp_path):
     assert sum(r.n_tokens for r in rows3) <= budget
 
 
+def test_document_stream_waterfill_budget(spark, tmp_path):
+    """Allocation-constrained streaming budget: the waterfill planner
+    guarantees the small source its full capacity (saturation) while
+    the big source is cut to its weighted allocation -- the source
+    balance the plain greedy budget gate cannot express -- and later
+    batches spend only each source's REMAINING allocation."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "in"); out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "quar"); ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, src):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        return json.dumps({"doc_id": i, "text": words, "lang": "en", "source": src,
+                           "ingest_time": "2024-01-01T00:00:00"})
+
+    # batch 1: source a = 1 doc (12 tok, w=3), source b = 10 docs
+    # (120 tok, w=10); budget 60 -> a saturates (cap/w = 4 < 60/13),
+    # lambda = (60-12)/10 = 4.8 -> b alloc = 48 = 4 docs
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(0, "a") + "\n")
+        for i in range(10, 20):
+            f.write(_doc(i, "b") + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, waterfill_budget=60)
+    rows = spark.read.parquet(out).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["a"]) == 1          # the small source saturates
+    assert len(by_src["b"]) == 4          # the big source is cut to 48 tokens
+    assert sum(r.n_tokens for r in rows) == 60
+
+    # batch 2: capacities grow (a: 36 tok w=6, b: 180 tok w=13 -> no
+    # saturation, lambda = 60/19 -> a alloc 19 < committed+12, b
+    # alloc 41 < committed 48): both sources' remaining allocations
+    # are exhausted, so nothing new lands
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        for i in (1, 2):
+            f.write(_doc(100 + i, "a") + "\n")
+        for i in range(20, 25):
+            f.write(_doc(i, "b") + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, waterfill_budget=60)
+    rows2 = spark.read.parquet(out).collect()
+    assert sum(r.n_tokens for r in rows2) == 60
+    assert {r.doc_id for r in rows2} == {r.doc_id for r in rows}
+
+
 def test_document_stream_published_gates(spark, tmp_path):
     """gates='published' swaps the MIN_TOKENS/alpha constants for the
     C4 page gate + Gopher rule conjunction (the corpus_curation_v2
