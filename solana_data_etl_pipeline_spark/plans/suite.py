@@ -4027,6 +4027,15 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
+# ROUND-10 ROTATION PLAN (execute at the START of round 10, before any
+# other work): rotate IN the round-9 registrants that never had a
+# driver verdict -- `allocation_report`, `media_bmp_stats`,
+# `semdedup_multiprobe_scaled`, `tokenizer_fertility` -- rotating OUT
+# returning r9 greens (start with the A-query round-robin trio
+# token_transfer_stats / top_errors / top_wallets and the longest-green
+# core entries; every rotated-out entry stays DuckDB-swept on every
+# test run by tests/test_oracle_parity.py). Keep DRIVER_ORDER at
+# exactly 50.
 DRIVER_ORDER = [
     # --- ROUND-9 ROTATION (executed per the r8 plan + VERDICT r8 #1):
     #     the 19 late-r8 registrants that never had a driver verdict
