@@ -3849,6 +3849,33 @@ def _media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.join(rs, "media_id").orderBy("media_id")
 
 
+def _media_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decode video stats: synth_avi writes genuine RIFF/AVI
+    bytes (uncompressed DIB frames whose grayscale pixels are the
+    text's ASCII codes, zero-padded to 64-pixel frames),
+    avi_stats/avi_frame_sample struct-parse them back (original +
+    every-2nd-frame temporal decimation re-encoded at fps/2).
+    mean_lum rounds via F.round in-plan (half-away,
+    engine-portable)."""
+    media = M.synth_avi(load_table(spark, sf_dir, "documents"))
+    orig = M.avi_stats(media).select(
+        "media_id",
+        "n_frames",
+        "width",
+        "height",
+        "fps",
+        F.round("mean_lum", 4).alias("mean_lum"),
+        "max_lum",
+    )
+    rs = M.avi_stats(M.avi_frame_sample(media, stride=2)).select(
+        "media_id",
+        F.col("n_frames").alias("rs_n_frames"),
+        F.col("fps").alias("rs_fps"),
+        F.round("mean_lum", 4).alias("rs_mean_lum"),
+    )
+    return orig.join(rs, "media_id").orderBy("media_id")
+
+
 MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     "media_stats": _media(M.media_stats),
     "media_frame_sample": _media(M.frame_sample),
@@ -3880,6 +3907,14 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     # downsample re-decoded. Deterministic, so the per-pixel oracle
     # recomputes every decoded number from the text itself.
     "media_bmp_stats": _media_bmp_stats,
+    # THIRD real codec end-to-end, completing the modality trio:
+    # documents -> genuine RIFF/AVI containers (uncompressed 24bpp
+    # DIB frames, grayscale pixels = ASCII codes zero-padded to
+    # 64-pixel frames, idx1 index) -> struct demux -> typed stats,
+    # plus a real every-2nd-frame temporal decimation re-encoded at
+    # fps/2 and re-decoded. Deterministic, so the per-pixel oracle
+    # recomputes every decoded number from the text itself.
+    "media_avi_stats": _media_avi_stats,
 }
 
 MULTIMODAL_SQL: dict[str, str] = {
@@ -3971,6 +4006,44 @@ rs AS (
 )
 SELECT o.doc_id AS media_id, o.width, o.height, o.n_pixels, o.mean_lum, o.max_lum,
        r.rs_width, r.rs_height, r.rs_n_pixels, r.rs_mean_lum
+FROM orig o JOIN rs r ON o.doc_id = r.doc_id
+ORDER BY media_id
+""",
+    # media_avi_stats: pixel i of doc = ascii code for i < len(text),
+    # 0 for the frame padding; frames = ceil(len/64) with a 1-frame
+    # floor (empty text -> one all-zero frame). The temporal
+    # decimation keeps even frame indices (i // 64 even) and halves
+    # the frame rate. Same exact-mean argument as media_bmp_stats:
+    # Python's 3S/(3n) equals avg(s) exactly under IEEE division.
+    "media_avi_stats": """
+WITH geo AS (
+  SELECT doc_id, text, len(text) AS n,
+         greatest(CAST(ceil(len(text) / 64.0) AS BIGINT), 1) AS nf
+  FROM documents
+),
+pos AS (
+  SELECT g.doc_id, g.nf, CAST(u.i AS BIGINT) AS i,
+         CASE WHEN u.i < g.n
+              THEN unicode(substr(g.text, CAST(u.i + 1 AS INT), 1))
+              ELSE 0 END AS s
+  FROM geo g, UNNEST(range(0, g.nf * 64)) AS u(i)
+),
+orig AS (
+  SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+         round(avg(s), 4) AS mean_lum,
+         CAST(max(s) AS BIGINT) AS max_lum
+  FROM pos GROUP BY doc_id
+),
+rs AS (
+  SELECT doc_id, CAST((max(nf) + 1) // 2 AS BIGINT) AS rs_n_frames,
+         round(avg(s), 4) AS rs_mean_lum
+  FROM pos WHERE (i // 64) % 2 = 0
+  GROUP BY doc_id
+)
+SELECT o.doc_id AS media_id, o.n_frames,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS fps, o.mean_lum, o.max_lum,
+       r.rs_n_frames, CAST(2 AS BIGINT) AS rs_fps, r.rs_mean_lum
 FROM orig o JOIN rs r ON o.doc_id = r.doc_id
 ORDER BY media_id
 """,
@@ -4092,7 +4165,11 @@ DRIVER_ORDER = [
     "knn_lsh",
     "knn_ivf",
     "media_stats",
-    "media_frame_sample",
+    # media_avi_stats (late r9, the real AVI demux path completing the
+    # codec trio) takes media_frame_sample's slot -- that byte-offset
+    # plumbing demo is green r8 and stays oracle-swept on every test
+    # run; the real-frame path is the one that needs a verdict.
+    "media_avi_stats",
     "dim_wallets",
     "program_dim_rollup",
     # --- analytics (reference A1-A13 parity; top_tokens /

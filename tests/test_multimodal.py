@@ -50,10 +50,11 @@ def test_resize_media_truncates_and_recomputes_metadata(media):
 def test_binary_modality_resize_raises_not_silent_corruption(spark):
     # real binary payloads in an unsupported format must hit a REAL
     # decode error (the image resizer is the struct BMP codec: a PNG
-    # payload fails its magic check), never the utf-8-truncating text
-    # stand-in (which would raise an opaque UnicodeDecodeError or --
-    # worse -- silently corrupt bytes that happen to decode); video
-    # still routes to the explicit NotImplementedError hook
+    # payload fails its magic check; the video resizer is the AVI
+    # demuxer: an mp4 payload fails ITS magic check), never the
+    # utf-8-truncating text stand-in (which would raise an opaque
+    # UnicodeDecodeError or -- worse -- silently corrupt bytes that
+    # happen to decode)
     img = spark.createDataFrame(
         [(4, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\xff"), 10, "c")],
         M.MEDIA_SCHEMA,
@@ -64,7 +65,7 @@ def test_binary_modality_resize_raises_not_silent_corruption(spark):
         [(6, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"), 12, "c")],
         M.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="NotImplementedError|register a resizer"):
+    with pytest.raises(Exception, match="not an AVI"):
         M.resize_media(vid).collect()
 
 
@@ -226,3 +227,104 @@ def test_bmp_decode_rejects_malformed_bytes(spark):
     )
     with pytest.raises(Exception, match="(?i)bmp|magic|Error"):
         M.extract_features(bad).collect()
+
+
+def test_avi_roundtrip_real_codec(spark):
+    """synth_avi emits genuine RIFF/AVI containers: RIFF magic with
+    the AVI form type, validated avih/strh/strf headers, one 00db DIB
+    chunk per 64-pixel frame plus a spec-complete idx1, and the
+    struct demuxer restores exactly the (zero-padded) grayscale
+    pixels that went in, frame by frame in logical row order."""
+    df = spark.createDataFrame([(1, "ab"), (2, "x" * 65)], "doc_id long, text string")
+    out = {r.media_id: r for r in M.synth_avi(df).collect()}
+    payload = bytes(out[1].payload)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    m = M._avi_parse(payload)
+    assert m["width"] == 8 and m["height"] == 8 and m["fps"] == 4
+    assert m["n_frames"] == 1
+    gray = [t[0] for fr in m["frames"] for row in fr for t in row]
+    assert gray == [ord("a"), ord("b")] + [0] * 62
+    assert all(t[0] == t[1] == t[2] for fr in m["frames"] for row in fr for t in row)
+    # 65 chars -> 2 frames, second frame zero-padded after one pixel
+    m2 = M._avi_parse(bytes(out[2].payload))
+    assert m2["n_frames"] == 2
+    f2 = [t[0] for row in m2["frames"][1] for t in row]
+    assert f2 == [ord("x")] + [0] * 63
+
+
+def test_avi_stats_hand_model(spark):
+    """Decoded stats match hand arithmetic: 'ab' -> one 64-pixel
+    frame (97, 98, 62 zeros), mean (97+98)/64, max 98, fps 4."""
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    r = M.avi_stats(M.synth_avi(df)).collect()[0]
+    assert r.n_frames == 1 and r.width == 8 and r.height == 8 and r.fps == 4
+    assert r.mean_lum == (97 + 98) / 64
+    assert r.max_lum == 98
+
+
+def test_avi_frame_sample_decimates_and_reencodes(spark):
+    """Every-2nd-frame temporal decimation through the real demuxer:
+    frames 0, 2, 4 of a 5-frame video survive, the frame rate halves,
+    and the output is itself a parseable AVI container."""
+    text = "".join(chr(65 + i % 26) for i in range(5 * 64))  # 5 full frames
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rs = M.avi_frame_sample(M.synth_avi(df), stride=2).collect()[0]
+    m = M._avi_parse(bytes(rs.payload))
+    assert m["n_frames"] == 3 and m["fps"] == 2
+    got = [t[0] for fr in m["frames"] for row in fr for t in row]
+    exp = [ord(text[f * 64 + i]) for f in (0, 2, 4) for i in range(64)]
+    assert got == exp
+
+
+def test_avi_decoder_wired_into_feature_and_resize_pipelines(spark):
+    """DECODERS['video'] / RESIZERS['video'] are the REAL struct
+    demuxer: extract_features returns header-derived features and
+    resize_media produces a valid <=target-frame decimation."""
+    df = spark.createDataFrame([(7, "abcdefgh" * 24)], "doc_id long, text string")
+    media = M.synth_avi(df)  # 192 chars -> 3 frames
+    feats = M.extract_features(media).collect()[0]
+    assert feats.modality == "video"
+    assert feats.feature[0] == 3.0  # n_frames
+    assert feats.feature[1] == 8.0 and feats.feature[2] == 8.0
+    assert feats.feature[3] == 4.0  # fps
+    assert feats.feature[7] == 192.0  # n_pixels
+    thumb = M.resize_media(media, target=1).collect()[0]
+    m = M._avi_parse(bytes(thumb.payload))
+    assert m["n_frames"] == 1 and m["fps"] == 1  # stride 3: 4 // 3 -> 1
+
+
+def test_avi_decode_rejects_malformed_bytes(spark):
+    """A real demuxer fails on malformed bytes -- the video path no
+    longer hashes garbage into fake features."""
+    bad = spark.createDataFrame(
+        [(5, "video", bytearray(b"not an avi container at all"), 27, "c")],
+        M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="(?i)avi|magic|Error"):
+        M.extract_features(bad).collect()
+
+
+def test_avi_parse_validates_headers_and_index(spark):
+    """Header cross-checks catch real corruption classes: a RIFF size
+    mismatch, a frame-count lie in avih, and a truncated idx1 all
+    raise instead of decoding garbage."""
+    gray = bytes(range(64)) * 2
+    good = M._avi_encode(gray, 8, 8, 4)
+    assert M._avi_parse(good)["n_frames"] == 2
+    # RIFF size lies
+    bad_size = good[:4] + (len(good)).to_bytes(4, "little") + good[8:]
+    with pytest.raises(ValueError, match="size"):
+        M._avi_parse(bad_size)
+    # avih claims 3 frames while movi carries 2
+    idx = good.index(b"avih") + 8 + 16
+    bad_count = good[:idx] + (3).to_bytes(4, "little") + good[idx + 4 :]
+    with pytest.raises(ValueError, match="frame count"):
+        M._avi_parse(bad_count)
+    # idx1 entry count disagrees with movi
+    iidx = good.index(b"idx1") + 4
+    (isize,) = __import__("struct").unpack("<I", good[iidx : iidx + 4])
+    bad_idx = good[: iidx + 8] + good[iidx + 8 + 16 :]  # drop one entry
+    bad_idx = bad_idx[:iidx] + (isize - 16).to_bytes(4, "little") + bad_idx[iidx + 4 :]
+    bad_idx = bad_idx[:4] + (len(bad_idx) - 8).to_bytes(4, "little") + bad_idx[8:]
+    with pytest.raises(ValueError, match="idx1"):
+        M._avi_parse(bad_idx)
