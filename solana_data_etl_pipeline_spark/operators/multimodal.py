@@ -591,7 +591,11 @@ def synth_wav(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 WAV_STATS_SCHEMA = T.StructType(
@@ -712,7 +716,11 @@ def synth_bmp(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 BMP_STATS_SCHEMA = T.StructType(
@@ -830,7 +838,11 @@ def synth_avi(
                 }
             )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 AVI_STATS_SCHEMA = T.StructType(

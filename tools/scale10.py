@@ -99,6 +99,9 @@ HEAVY = [
     "bm25_rank",
     "media_wav_stats",
     "media_bmp_stats",
+    "tokenizer_fertility",
+    # late-r9 registrants
+    "media_avi_stats",
 ]
 
 
