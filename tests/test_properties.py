@@ -810,3 +810,64 @@ def test_mixture_waterfill_conservation_laws(spark, caps, weights, budget):
     target = min(budget, sum(caps))
     slack = sum(1 for r in got if not r.saturated)
     assert abs(sum(r.alloc for r in got) - target) <= slack
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips: the three real container formats (WAV / BMP / AVI)
+# must restore EXACTLY the pixel/sample bytes that went in, for any
+# payload -- these are pure-Python properties (no Spark), so hypothesis
+# can sweep sizes including the padding edge cases (partial rows,
+# partial frames, empty input handled by the synth operators' 1-unit
+# floor upstream).
+
+
+@given(st.binary(min_size=1, max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_wav_codec_roundtrip_property(samples):
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+
+    payload = M._wav_encode(samples, 8000)
+    m = M._wav_parse(payload)
+    assert bytes(m["samples"]) == samples
+    assert m["framerate"] == 8000 and m["n_channels"] == 1
+
+
+@given(st.binary(min_size=1, max_size=400), st.integers(min_value=1, max_value=31))
+@settings(max_examples=50, deadline=None)
+def test_bmp_codec_roundtrip_property(gray, width):
+    """Any width (odd widths exercise the 4-byte row padding) and any
+    pixel content round-trip bit-exactly through encode + parse."""
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+
+    h = -(-len(gray) // width)
+    gray = gray.ljust(h * width, b"\x00")
+    m = M._bmp_parse(M._bmp_encode(gray, width))
+    assert m["width"] == width and m["height"] == h
+    got = bytes(t[0] for row in m["rows"] for t in row)
+    assert got == gray
+    assert all(t[0] == t[1] == t[2] for row in m["rows"] for t in row)
+
+
+@given(
+    st.binary(min_size=1, max_size=600),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=50, deadline=None)
+def test_avi_codec_roundtrip_property(gray, width, height, fps):
+    """Any frame geometry (odd widths exercise DIB row padding; the
+    frame count falls out of the payload size) and any pixel content
+    round-trip bit-exactly through the AVI mux + demux, with every
+    header cross-check (RIFF size, avih/strh/strf agreement, idx1
+    count) passing on the muxer's own output."""
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+
+    fpx = width * height
+    n = -(-len(gray) // fpx)
+    gray = gray.ljust(n * fpx, b"\x00")
+    m = M._avi_parse(M._avi_encode(gray, width, height, fps))
+    assert m["width"] == width and m["height"] == height
+    assert m["n_frames"] == n and m["fps"] == fps
+    got = bytes(t[0] for fr in m["frames"] for row in fr for t in row)
+    assert got == gray
