@@ -2124,3 +2124,51 @@ def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> Data
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+def dedup_family_agreement(
+    df: DataFrame,
+    text_col: str = "text",
+    minhash_threshold: float = 0.5,
+    containment_threshold: float = 0.5,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-family near-dup AGREEMENT report: which of the three
+    text dedup families (MinHash-LSH Jaccard, SimHash hamming,
+    winnowed shingle containment) flag which pairs, aggregated to one
+    row per family-combination with its pair count. The calibration
+    table a data team reads before choosing which gates to enable: a
+    large containment-only cell means subset duplication Jaccard
+    under-scores (the mode containment_pairs exists for), a large
+    minhash-only cell means token-level paraphrases SimHash's global
+    fingerprint smooths over, and the all-three cell is the
+    high-confidence core (cf. the multi-signal dedup analyses in Lee
+    et al. 2022 and the SCALE.md family-routing rules).
+
+    Scale shape: the three pair pipelines run as-registered (bucketed
+    LSH, capped like the production gates when ``max_bucket`` is
+    set -- never all-pairs); their outputs are pairs-sized frames, so
+    the agreement rollup shuffles only (doc_a, doc_b, 3 flags) and
+    the report itself is at most 7 rows."""
+    fams = ("minhash", "simhash", "containment")
+    tagged = None
+    for name, pairs in (
+        ("minhash", minhash_lsh_pairs(df, text_col, threshold=minhash_threshold, max_bucket=max_bucket)),
+        ("simhash", simhash_near_dup_pairs(df, text_col, max_hamming=max_hamming, max_bucket=max_bucket)),
+        ("containment", containment_pairs(df, threshold=containment_threshold, max_bucket=max_bucket, text_col=text_col)),
+    ):
+        t = pairs.select(
+            "doc_a",
+            "doc_b",
+            *[F.lit(1 if name == n else 0).cast("long").alias(n) for n in fams],
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    flags = tagged.groupBy("doc_a", "doc_b").agg(
+        *[F.max(n).alias(n) for n in fams]
+    )
+    return (
+        flags.groupBy(*fams)
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(*fams)
+    )

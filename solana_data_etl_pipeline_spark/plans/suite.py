@@ -2452,6 +2452,20 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             df, threshold=0.5, max_bucket=DEDUP_MAX_BUCKET
         )
     ),
+    # cross-family observability: the three registered text pair
+    # pipelines above (same thresholds, same caps) rolled up to one
+    # row per family-combination -- the calibration table for which
+    # dedup gates to enable; the oracle embeds the three family SQLs
+    # verbatim so the report is pinned to exactly their semantics
+    "dedup_family_agreement": _docs(
+        lambda df: D.dedup_family_agreement(
+            df,
+            minhash_threshold=0.2,
+            containment_threshold=0.5,
+            max_hamming=3,
+            max_bucket=DEDUP_MAX_BUCKET,
+        )
+    ),
     # eval-leakage guard: consistent hash split, then train docs that
     # near-dup a val doc are dropped
     "leakage_free_split": _docs(
@@ -2855,6 +2869,37 @@ SELECT doc_a, doc_b, containment FROM (
 )
 WHERE containment >= 0.5
 """
+
+
+# cross-family agreement: the three registered text pair pipelines
+# (their full oracle SQLs embedded verbatim as subqueries, so the
+# agreement report is pinned to EXACTLY the registered family
+# semantics -- same thresholds, same caps) rolled up to one row per
+# family-combination
+DEDUP_SQL["dedup_family_agreement"] = f"""
+WITH mm AS ({{minhash}}),
+ss AS ({{simhash}}),
+cc AS ({{containment}}),
+tagged AS (
+  SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS minhash, CAST(0 AS BIGINT) AS simhash, CAST(0 AS BIGINT) AS containment FROM mm
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 1, 0 FROM ss
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 0, 1 FROM cc
+),
+flags AS (
+  SELECT doc_a, doc_b, max(minhash) AS minhash, max(simhash) AS simhash,
+         max(containment) AS containment
+  FROM tagged GROUP BY doc_a, doc_b
+)
+SELECT minhash, simhash, containment, count(*) AS n_pairs
+FROM flags GROUP BY minhash, simhash, containment
+ORDER BY minhash, simhash, containment
+""".format(
+    minhash=DEDUP_SQL["dedup_minhash_lsh"],
+    simhash=DEDUP_SQL["simhash_near_dup"],
+    containment=DEDUP_SQL["containment_pairs"],
+)
 
 
 # incremental decontamination: winnowing CTEs shared verbatim with
@@ -4192,7 +4237,10 @@ DRIVER_ORDER = [
     #     simhash_dedup_keepers and the four *_cap_stats rotate out
     #     after their first green verdict; all stay DuckDB-swept by
     #     tests/test_oracle_parity on every run) ---
-    "consistent_sample",
+    # dedup_family_agreement (late r9, the cross-family calibration
+    # report) takes consistent_sample's slot -- that entry is green r8
+    # and stays oracle-swept on every test run
+    "dedup_family_agreement",
     "corpus_selection",
     "benchmark_contamination",
 ]

@@ -889,3 +889,37 @@ def test_delta_embedding_exposure_flags_blind_vectors(spark, tmp_path):
     assert out[100].exposure_bp == 10000
     assert out[100].n_excluded == out[100].n_buckets > 0
     assert out[101].exposure_bp == 0 and out[101].n_excluded == 0
+
+
+def test_dedup_family_agreement_planted(spark):
+    """Planted family-agreement cells: an exact duplicate pair lands
+    in the all-three cell (jaccard 1, hamming 0, containment 1); a
+    subset-quote pair (short doc embedded whole in a long one) lands
+    in a containment-flagged cell with minhash 0 -- the duplication
+    mode Jaccard under-scores, which is the report's reason to
+    exist."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"unique{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, quote + " " + filler),          # long doc quoting 2 whole
+            (2, quote),                          # the short quoted doc
+            (3, "the exact same document text repeated verbatim here"),
+            (4, "the exact same document text repeated verbatim here"),
+            (5, "completely unrelated content about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.minhash, r.simhash, r.containment): r.n_pairs
+        for r in D.dedup_family_agreement(
+            docs, minhash_threshold=0.5, containment_threshold=0.5
+        ).collect()
+    }
+    # exact dup pair (3,4): every family flags it
+    assert rows.get((1, 1, 1)) == 1
+    # subset pair (1,2): containment yes, minhash no (jaccard ~0.14)
+    quote_cells = {k: v for k, v in rows.items() if k[0] == 0 and k[2] == 1}
+    assert sum(quote_cells.values()) == 1
+    # nothing else pairs
+    assert sum(rows.values()) == 2
