@@ -370,7 +370,13 @@ def main() -> None:
     _pset: dict[int, set] = {}
     for r in _spa(emb_tbl, nprobe=2).select("vec_id", "_pcl").collect():
         _pset.setdefault(r["vec_id"], set()).add(r["_pcl"])
-    within_mp = {p for p in exact_sem if _pset.get(p[0], set()) & _pset.get(p[1], set())}
+    # _pairs yields frozensets (unordered pair keys) -- unpack before
+    # the per-endpoint lookups; every check below is symmetric
+    within_mp = set()
+    for p in exact_sem:
+        a, b = tuple(p)
+        if _pset.get(a, set()) & _pset.get(b, set()):
+            within_mp.add(p)
     recall["semdedup_pair_coverage_multiprobe2"] = round(
         len(within_mp) / max(len(exact_sem), 1), 3
     )
@@ -390,12 +396,11 @@ def main() -> None:
             "vec_id", _ssb(_dv(F.col("embedding")), 4).alias("sb")
         ).collect()
     }
-    within_mp4 = {
-        p
-        for p in exact_sem
-        if _sub.get(p[0]) == _sub.get(p[1])
-        and _pset.get(p[0], set()) & _pset.get(p[1], set())
-    }
+    within_mp4 = set()
+    for p in exact_sem:
+        a, b = tuple(p)
+        if _sub.get(a) == _sub.get(b) and _pset.get(a, set()) & _pset.get(b, set()):
+            within_mp4.add(p)
     recall["semdedup_pair_coverage_multiprobe2_bits4"] = round(
         len(within_mp4) / max(len(exact_sem), 1), 3
     )

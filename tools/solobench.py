@@ -41,8 +41,14 @@ def main() -> int:
         return 1
 
     out = subprocess.run(
-        [sys.executable, "bench.py"], capture_output=True, text=True, check=True
+        [sys.executable, "bench.py"], capture_output=True, text=True
     )
+    if out.returncode != 0:
+        # surface the child's actual failure instead of a bare
+        # CalledProcessError (the traceback lives on ITS stderr)
+        sys.stderr.write(out.stderr[-4000:])
+        print(f"bench.py failed with exit {out.returncode}", file=sys.stderr)
+        return out.returncode
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     payload = json.loads(line)
     payload["solo"] = {"loadavg_1m_at_start": round(load1, 2), "loadavg_5m_at_start": round(load5, 2)}
