@@ -102,6 +102,7 @@ HEAVY = [
     "tokenizer_fertility",
     # late-r9 registrants
     "media_avi_stats",
+    "dedup_family_agreement",
 ]
 
 
