@@ -1587,6 +1587,61 @@ def epoch_plan(
     )
 
 
+def epoch_expand(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Materialize an ``epoch_plan`` into the physical repeated doc
+    stream the pack/export stage consumes -- the ACTING sibling of the
+    planner (epoch_plan computes per-source epochs_bp; this emits one
+    row per (doc, copy) realizing them). Doc-level realization rule:
+    every doc of a source gets ``epochs_bp // 10000`` full copies, and
+    the fractional remainder selects ``epochs_bp % 10000`` basis
+    points of the source's docs for one extra copy by the repo's
+    consistent md5 hash (the consistent_sample idiom) -- deterministic
+    across reruns and engines, and a source allocated less than one
+    full pass degrades to exactly the consistent-hash budget gate.
+    Doc-quantized like the greedy selection in corpus_curation_v3
+    (token mass realizes the plan in expectation over docs;
+    allocation_report measures the same quantization for the
+    waterfill path).
+
+    Scale shape: the plan is sources-sized and broadcast; copies
+    derive map-side from the hash (no shuffle of the corpus); the
+    explode multiplies rows by at most max_epochs. Output is
+    (id, source, copy) -- downstream joins fetch payloads, so the
+    repeated stream never carries text through the explode."""
+    per_src = plan.select(
+        source_col,
+        F.floor(F.col("epochs_bp") / F.lit(10000)).cast("long").alias("_full"),
+        (F.col("epochs_bp") % 10000).cast("long").alias("_frac_bp"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 10000
+    )
+    copies = F.col("_full") + F.when(bucket < F.col("_frac_bp"), 1).otherwise(0)
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(per_src), source_col)
+        .withColumn("_copies", copies.cast("long"))
+        # guard BEFORE sequence(): Spark's sequence(1, 0) infers a
+        # NEGATIVE step and yields [1, 0] instead of an empty array
+        .filter(F.col("_copies") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))).alias(
+                "copy"
+            ),
+        )
+    )
+
+
 def denoising_spans(
     df: DataFrame,
     corruption_rate: float = 0.15,

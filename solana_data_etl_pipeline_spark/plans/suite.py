@@ -884,6 +884,30 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             .withColumn("weight", F.lit(1).cast("long"))
         )
     ),
+    # the ACTING sibling of epoch_plan: materialize the planned
+    # repetitions into the physical (doc, copy) stream at the same
+    # 2.5x budget -- full copies per epochs_bp // 10000, fractional
+    # remainder selected by the consistent md5 hash
+    "epoch_expand": (
+        lambda spark, sf_dir: (
+            lambda docs: X.epoch_expand(
+                docs,
+                (
+                    lambda c: X.epoch_plan(
+                        c, budget=int(2.5 * c.agg(F.sum("capacity")).first()[0])
+                    )
+                )(
+                    docs.groupBy("source")
+                    .agg(
+                        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+                        .cast("long")
+                        .alias("capacity")
+                    )
+                    .withColumn("weight", F.lit(1).cast("long"))
+                ),
+            ).orderBy("doc_id", "copy")
+        )(load_table(spark, sf_dir, "documents"))
+    ),
     # T5-style deterministic span-corruption plan (15% / 3-token spans)
     "denoising_spans": _docs(X.denoising_spans),
     # the dataset-card summary (Gebru et al. 2021): per (source, lang)
@@ -1534,6 +1558,34 @@ SELECT source, capacity, weight,
             THEN floor(sum(alloc) * 10000.0 / capacity) ELSE 0 END AS BIGINT) AS epochs_bp
 FROM a GROUP BY source, capacity, weight
 """
+
+# epoch_expand: the plan SQL embedded verbatim, realized doc-level --
+# floor(epochs_bp/10000) full copies for every doc, the fractional
+# remainder selected by the consistent md5-bucket hash (the
+# consistent_sample idiom), one output row per (doc, copy)
+TEXT_SQL["epoch_expand"] = """
+WITH plan AS ({plan}),
+per AS (
+  SELECT source, CAST(epochs_bp // 10000 AS BIGINT) AS fl,
+         CAST(epochs_bp % 10000 AS BIGINT) AS frac
+  FROM plan
+),
+d AS (
+  SELECT doc_id, documents.source, fl, frac,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bkt
+  FROM documents JOIN per ON documents.source = per.source
+),
+c AS (
+  SELECT doc_id, source,
+         fl + CASE WHEN bkt < frac THEN 1 ELSE 0 END AS copies
+  FROM d
+)
+SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy
+FROM c, UNNEST(range(1, copies + 1)) AS u(i)
+WHERE copies > 0
+ORDER BY doc_id, copy
+""".format(plan=TEXT_SQL["epoch_plan"])
+
 
 TEXT_SQL["denoising_spans"] = """
 WITH t AS (
@@ -4148,7 +4200,9 @@ def all_oracle_sql() -> dict[str, str]:
 # ROUND-10 ROTATION PLAN (execute at the START of round 10, before any
 # other work): rotate IN the round-9 registrants that never had a
 # driver verdict -- `allocation_report`, `media_bmp_stats`,
-# `semdedup_multiprobe_scaled`, `tokenizer_fertility` -- rotating OUT
+# `semdedup_multiprobe_scaled`, `tokenizer_fertility`,
+# `epoch_expand` (late r9, the acting sibling of epoch_plan) --
+# rotating OUT
 # returning r9 greens (start with the A-query round-robin trio
 # token_transfer_stats / top_errors / top_wallets and the longest-green
 # core entries; every rotated-out entry stays DuckDB-swept on every

@@ -1549,3 +1549,45 @@ def test_length_buckets_hand_model(spark):
     assert got[0].pad_tokens == 2 * 4 - 7
     assert got[1].pad_tokens == 8 - 5 and got[1].pad_frac == round(3 / 8, 4)
     assert got[2].pad_tokens == 12 - 9
+
+
+def test_epoch_expand_realizes_plan(spark):
+    """epoch_expand conservation: every doc of a source with
+    epochs_bp = 25000 appears 2 or 3 times, ~half the docs (by the
+    consistent hash) get the 3rd copy, and the realized copy mass
+    equals full*n_docs + |selected extras| exactly; a source planned
+    at 0 bp vanishes."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.text import epoch_expand
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b", "w " * 5) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    plan = spark.createDataFrame(
+        [("a", 200, 1, 500, 25000), ("b", 100, 1, 0, 0)],
+        "source string, capacity long, weight long, tokens_served long, epochs_bp long",
+    )
+    out = epoch_expand(docs, plan)
+    per_doc = {
+        r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # source b (0 bp) contributes nothing
+    assert all(d < 40 for d in per_doc)
+    # every a-doc gets 2 full copies, some a third
+    assert set(per_doc.values()) <= {2, 3}
+    extras = [d for d, n in per_doc.items() if n == 3]
+    # the extra set is the consistent md5 bucket < 5000 -- replay it
+    import hashlib
+
+    want = {
+        d
+        for d in range(40)
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 10000 < 5000
+    }
+    assert set(extras) == want
+    assert len(per_doc) == 40 and sum(per_doc.values()) == 80 + len(want)
+    # copy indices are 1..n per doc
+    rows = out.filter(F.col("doc_id") == extras[0]).orderBy("copy").collect()
+    assert [r.copy for r in rows] == [1, 2, 3]
