@@ -103,6 +103,7 @@ HEAVY = [
     # late-r9 registrants
     "media_avi_stats",
     "dedup_family_agreement",
+    "epoch_expand",
 ]
 
 
