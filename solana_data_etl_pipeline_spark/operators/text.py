@@ -1709,6 +1709,61 @@ def denoising_spans(
     )
 
 
+def fim_split(
+    df: DataFrame,
+    fim_rate: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle transformation PLAN ("Efficient Training of
+    Language Models to Fill in the Middle", Bavarian et al. 2022):
+    with probability ``fim_rate`` a document is rearranged
+    prefix/suffix/middle so the model learns infilling; the paper
+    samples the two cut points uniformly over token positions. The
+    deterministic form: a doc is selected iff its md5 bucket clears
+    ``fim_rate`` (the denoising_spans selection idiom), and the two
+    cut points are independent md5 draws over [0, n] with
+    lo/hi ordering -- replays and both engines produce identical
+    splits, zero-length prefix/middle/suffix segments are legitimate
+    outcomes exactly as in the paper's uniform sampling. Unselected
+    docs keep autoregressive order (prefix = the whole doc), so the
+    output is one row per doc: the artifact a FIM data loader joins
+    against the token stream to build PSM examples.
+
+    Scale shape: pure per-row projections over one bound token count
+    -- ZERO shuffles; the plan fuses into the corpus scan."""
+    rate_bp = int(round(fim_rate * 10_000))
+
+    def _h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(tag), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    tk = tokens_col(text_col)
+    base = (
+        df.select("doc_id", tk.alias("_tk"))
+        .select("doc_id", F.size("_tk").cast("long").alias("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    applied = F.pmod(_h("fim"), F.lit(10_000)) < rate_bp
+    c1 = F.pmod(_h("fimc1"), F.col("_n") + 1)
+    c2 = F.pmod(_h("fimc2"), F.col("_n") + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    return base.select(
+        "doc_id",
+        F.col("_n").alias("n_tokens"),
+        F.when(applied, 1).otherwise(0).cast("long").alias("fim_applied"),
+        F.when(applied, lo).otherwise(F.col("_n")).cast("long").alias("prefix_len"),
+        F.when(applied, hi - lo).otherwise(0).cast("long").alias("middle_len"),
+        F.when(applied, F.col("_n") - hi).otherwise(0).cast("long").alias("suffix_len"),
+    )
+
+
 def corpus_card(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The dataset-card summary table ("Datasheets for Datasets",
     Gebru et al. 2021; every published corpus ships one): per

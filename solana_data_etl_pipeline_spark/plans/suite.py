@@ -910,6 +910,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     # T5-style deterministic span-corruption plan (15% / 3-token spans)
     "denoising_spans": _docs(X.denoising_spans),
+    # FIM transformation plan (Bavarian et al. 2022): deterministic
+    # doc selection + two uniform md5 cut points, one row per doc
+    "fim_split": _docs(X.fim_split),
     # the dataset-card summary (Gebru et al. 2021): per (source, lang)
     # mass + quality-signal means + published-gate pass rates
     "corpus_card": _docs(X.corpus_card),
@@ -1606,6 +1609,30 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(span_id AS INT) AS span_id,
        CAST(b * 3 AS BIGINT) AS start, CAST(least(3, n - b * 3) AS BIGINT) AS length
 FROM selb
 """
+
+# fim_split: selection + cut points are independent md5 draws (the
+# denoising_spans idiom); cut points over [0, n] with lo/hi ordering;
+# unselected docs stay autoregressive (prefix = whole doc)
+TEXT_SQL["fim_split"] = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+h AS (
+  SELECT doc_id, n,
+         ('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 5000 AS applied,
+         ('0x' || substr(md5('fimc1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % (n + 1) AS c1,
+         ('0x' || substr(md5('fimc2|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % (n + 1) AS c2
+  FROM t WHERE n > 0
+)
+SELECT doc_id, n AS n_tokens,
+       CAST(CASE WHEN applied THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+       CAST(CASE WHEN applied THEN least(c1, c2) ELSE n END AS BIGINT) AS prefix_len,
+       CAST(CASE WHEN applied THEN greatest(c1, c2) - least(c1, c2) ELSE 0 END AS BIGINT) AS middle_len,
+       CAST(CASE WHEN applied THEN n - greatest(c1, c2) ELSE 0 END AS BIGINT) AS suffix_len
+FROM h
+"""
+
 
 TEXT_SQL["canary_registry"] = """
 SELECT doc_id,
@@ -4201,8 +4228,8 @@ def all_oracle_sql() -> dict[str, str]:
 # other work): rotate IN the round-9 registrants that never had a
 # driver verdict -- `allocation_report`, `media_bmp_stats`,
 # `semdedup_multiprobe_scaled`, `tokenizer_fertility`,
-# `epoch_expand` (late r9, the acting sibling of epoch_plan) --
-# rotating OUT
+# `epoch_expand` (late r9, the acting sibling of epoch_plan),
+# `fim_split` (late r9, the FIM transformation plan) -- rotating OUT
 # returning r9 greens (start with the A-query round-robin trio
 # token_transfer_stats / top_errors / top_wallets and the longest-green
 # core entries; every rotated-out entry stays DuckDB-swept on every

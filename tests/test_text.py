@@ -1591,3 +1591,38 @@ def test_epoch_expand_realizes_plan(spark):
     # copy indices are 1..n per doc
     rows = out.filter(F.col("doc_id") == extras[0]).orderBy("copy").collect()
     assert [r.copy for r in rows] == [1, 2, 3]
+
+
+def test_fim_split_invariants(spark):
+    """FIM plan invariants: segment lengths partition n_tokens on
+    every row; unselected docs stay autoregressive (prefix = whole
+    doc); the selected fraction tracks the rate; the cut points
+    replay from the md5 draws by hand."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.text import fim_split
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(1 + i % 17))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = fim_split(docs, fim_rate=0.5).collect()
+    assert len(out) == 200
+    for r in out:
+        assert r.prefix_len + r.middle_len + r.suffix_len == r.n_tokens
+        assert min(r.prefix_len, r.middle_len, r.suffix_len) >= 0
+        if not r.fim_applied:
+            assert (r.prefix_len, r.middle_len, r.suffix_len) == (r.n_tokens, 0, 0)
+    applied = [r for r in out if r.fim_applied]
+    assert 60 <= len(applied) <= 140  # ~50% of 200
+
+    def h(tag, d):
+        return int(hashlib.md5(f"{tag}|{d}".encode()).hexdigest()[:15], 16)
+
+    r = applied[0]
+    n = r.n_tokens
+    c1, c2 = h("fimc1", r.doc_id) % (n + 1), h("fimc2", r.doc_id) % (n + 1)
+    assert (r.prefix_len, r.middle_len) == (min(c1, c2), max(c1, c2) - min(c1, c2))
+    assert h("fim", r.doc_id) % 10000 < 5000
