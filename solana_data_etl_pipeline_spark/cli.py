@@ -239,6 +239,16 @@ def main(argv: list[str] | None = None) -> int:
         default=2048,
         help="packed sequence length (tokens) for --token-shards",
     )
+    p_corp.add_argument(
+        "--epoch-budget",
+        type=int,
+        default=None,
+        help="data-constrained token budget (Muennighoff et al. 2023): "
+        "epoch_plan allocates it over the deduped corpus's per-source "
+        "capacities, epoch_expand materializes the planned repetitions "
+        "as <out>/documents_epochs; --token-shards (if also set) packs "
+        "the EXPANDED stream instead of the single-pass corpus",
+    )
 
     args = parser.parse_args(argv)
     config = Config.load()
@@ -390,6 +400,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "corpus":
+        from pyspark.sql import functions as F
+
         from solana_data_etl_pipeline_spark.operators import dedup as D
         from solana_data_etl_pipeline_spark.operators import text as X
         from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
@@ -463,11 +475,52 @@ def main(argv: list[str] | None = None) -> int:
                 f"shards: written ({args.export_shards} shuffled shards, "
                 f"seed={args.shard_seed})"
             )
+        if args.epoch_budget:
+            dd = spark.read.parquet(f"{out}/documents_dedup")
+            counts = (
+                dd.groupBy("source")
+                .agg(
+                    F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+                    .cast("long")
+                    .alias("capacity")
+                )
+                .withColumn("weight", F.lit(1).cast("long"))
+            )
+            plan = X.epoch_plan(counts, budget=args.epoch_budget)
+            # rep ids: doc_id * 100 + copy keeps copies distinct docs
+            # for the shuffle/pack stages (repeated epochs interleave
+            # under the seeded permutation, the way a data-constrained
+            # run actually reads them); copy <= max_epochs + 1 << 100
+            expanded = (
+                X.epoch_expand(dd, plan)
+                .withColumnRenamed("doc_id", "orig_doc_id")
+                .join(
+                    dd.select(F.col("doc_id").alias("orig_doc_id"), "text"),
+                    "orig_doc_id",
+                )
+                .select(
+                    (F.col("orig_doc_id") * 100 + F.col("copy")).alias("doc_id"),
+                    "orig_doc_id",
+                    "source",
+                    "copy",
+                    "text",
+                )
+            )
+            expanded.write.mode("overwrite").parquet(f"{out}/documents_epochs")
+            served = plan.agg(F.sum("tokens_served")).first()[0] or 0
+            n_rep = spark.read.parquet(f"{out}/documents_epochs").count()
+            print(
+                f"documents_epochs: written ({n_rep} doc-copies realizing "
+                f"{served} of {args.epoch_budget} budgeted tokens)"
+            )
         if args.token_shards:
             from solana_data_etl_pipeline_spark.sinks.shards import export_token_shards
 
+            _shard_src = (
+                f"{out}/documents_epochs" if args.epoch_budget else f"{out}/documents_dedup"
+            )
             export_token_shards(
-                spark.read.parquet(f"{out}/documents_dedup"),
+                spark.read.parquet(_shard_src),
                 f"{out}/token_shards",
                 n_shards=args.token_shards,
                 vocab_size=args.vocab_size,

@@ -457,3 +457,43 @@ def test_cli_stream_corpus_decon_route_blind(spark, tmp_path, capsys):
     assert (
         spark.read.parquet(f"{out}/documents_decon_index_full/fingerprints").count() > 0
     )
+
+
+def test_cli_corpus_epoch_budget(spark, tmp_path, capsys):
+    """--epoch-budget end to end: the deduped corpus expands to the
+    planned repetitions (2.5x budget => every doc 2 or 3 copies) and
+    --token-shards packs the EXPANDED stream -- one exported doc
+    per copy."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = int(
+        2.5
+        * docs.agg(
+            F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+        ).first()[0]
+    )
+    rc = main(["--warehouse-path", wh, "corpus",
+               "--documents", "/root/testdata/sf0.001/documents.parquet",
+               "--epoch-budget", str(budget),
+               "--token-shards", "2", "--vocab-size", "50",
+               "--seq-budget", "64"])
+    assert rc == 0
+    cli_out = capsys.readouterr().out
+    assert "documents_epochs: written" in cli_out
+    expanded = spark.read.parquet(f"{wh}/corpus/documents_epochs")
+    deduped = spark.read.parquet(f"{wh}/corpus/documents_dedup")
+    per_doc = {
+        r.orig_doc_id: r.n
+        for r in expanded.groupBy("orig_doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # 2.5x budget over one source class: every doc repeats 2 or 3 times
+    assert set(per_doc.values()) <= {2, 3} and len(per_doc) == deduped.count()
+    # rep ids are unique and reversible
+    assert expanded.select("doc_id").distinct().count() == expanded.count()
+    r = expanded.filter(F.col("copy") == 2).first()
+    assert r.doc_id == r.orig_doc_id * 100 + 2
+    # token shards pack the EXPANDED stream: one exported row per copy
+    exported = spark.read.parquet(f"{wh}/corpus/token_shards")
+    assert exported.count() == expanded.count()
