@@ -426,3 +426,43 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("method", "flagged_docs", "hits", "corpus_docs")
     )
+
+
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab of the three registered quality signals -- the
+    text-quality sibling of dedup_family_agreement: per (gopher_pass,
+    c4_pass, perplexity bucket) document count and token mass, from
+    EXACTLY the registered operators (gopher_quality's full rule
+    conjunction, c4_clean's page gate, the CCNet head/middle/tail
+    bucketing of the interpolated LM score). The calibration table
+    for stacking gates: a fat (fail, pass, head) cell says the Gopher
+    rules reject fluent text the LM likes (over-filtering); a fat
+    (pass, pass, tail) cell says rule gates alone admit
+    high-perplexity text an LM filter would catch -- the reason CCNet
+    and Gopher pipelines layer both.
+
+    Scale shape: three per-doc projections over the same corpus scan
+    (the LM score adds its bounded vocab broadcast + per-language
+    histogram, see grouped_quantile_buckets), one doc_id equi-join
+    chain that AQE plans within the corpus partitioning, and a
+    bounded <=12-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = X.gopher_quality(docs).select("doc_id", "gopher_pass", "n_words")
+    c = X.c4_clean(docs).select(
+        "doc_id", (~F.col("page_filtered")).alias("c4_pass")
+    )
+    p = X.grouped_quantile_buckets(
+        X.interp_logprob(docs, carry_cols=("lang",)),
+        "lang",
+        "avg_interp_logprob",
+    ).select("doc_id", "bucket")
+    return (
+        g.join(c, "doc_id")
+        .join(p, "doc_id")
+        .groupBy("gopher_pass", "c4_pass", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .orderBy("gopher_pass", "c4_pass", "bucket")
+    )

@@ -747,6 +747,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # per-stage attrition through the v2 pipeline (the funnel report
     # a curation run publishes; budget row pinned == v2's count)
     "curation_funnel": C.curation_funnel,
+    # cross-tab of the three registered quality signals (the
+    # text-quality sibling of dedup_family_agreement): per
+    # (gopher_pass, c4_pass, ppl bucket) doc count + token mass
+    "quality_gate_agreement": C.quality_gate_agreement,
     # per-method decontamination summary over the benchmark slice
     # (exact n-gram + near-dup detectors, plans/corpus.py)
     "contamination_report": C.contamination_report,
@@ -3440,6 +3444,27 @@ FROM ({TEXT_SQL["corpus_curation_v3"]})
 GROUP BY source, src_alloc, epochs_bp
 """
 
+# quality_gate_agreement: the three registered quality SQLs embedded
+# verbatim as subqueries (the dedup_family_agreement pinning idiom),
+# joined per doc and rolled up to the <=12-row gate cross-tab
+TEXT_SQL["quality_gate_agreement"] = """
+WITH gq AS ({gopher}),
+cc AS ({c4}),
+pb AS ({ppl})
+SELECT gq.gopher_pass, NOT cc.page_filtered AS c4_pass, pb.bucket,
+       count(*) AS n_docs, CAST(sum(gq.n_words) AS BIGINT) AS total_words
+FROM gq
+JOIN cc ON gq.doc_id = cc.doc_id
+JOIN pb ON gq.doc_id = pb.doc_id
+GROUP BY gq.gopher_pass, c4_pass, pb.bucket
+ORDER BY gq.gopher_pass, c4_pass, pb.bucket
+""".format(
+    gopher=TEXT_SQL["gopher_quality"],
+    c4=TEXT_SQL["c4_clean"],
+    ppl=TEXT_SQL["perplexity_buckets"],
+)
+
+
 # dense-family routing demo: UNCAPPED pigeonhole pairs -> recursive-CTE
 # components -> keepers (the simhash twin of dedup_keepers)
 DEDUP_SQL["simhash_dedup_keepers"] = (
@@ -4229,7 +4254,8 @@ def all_oracle_sql() -> dict[str, str]:
 # driver verdict -- `allocation_report`, `media_bmp_stats`,
 # `semdedup_multiprobe_scaled`, `tokenizer_fertility`,
 # `epoch_expand` (late r9, the acting sibling of epoch_plan),
-# `fim_split` (late r9, the FIM transformation plan) -- rotating OUT
+# `fim_split` (late r9, the FIM transformation plan),
+# `quality_gate_agreement` (late r9, the gate cross-tab) -- rotating OUT
 # returning r9 greens (start with the A-query round-robin trio
 # token_transfer_stats / top_errors / top_wallets and the longest-green
 # core entries; every rotated-out entry stays DuckDB-swept on every

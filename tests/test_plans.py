@@ -546,3 +546,23 @@ def test_denoising_spans_zero_shuffle(plans):
     p = plans("denoising_spans")
     assert "Exchange hashpartitioning" not in p
     assert "Join" not in p
+
+
+def test_quality_gate_agreement_reconciles(spark):
+    """The cross-tab's cells partition the corpus: n_docs sums to the
+    document count, total_words to the gopher token mass, and each
+    marginal reproduces the registered operator's own pass count."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators import text as X
+    from solana_data_etl_pipeline_spark.plans.corpus import quality_gate_agreement
+    from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = quality_gate_agreement(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    g = X.gopher_quality(docs)
+    assert sum(r.total_words for r in rows) == g.agg(F.sum("n_words")).first()[0]
+    assert sum(r.n_docs for r in rows if r.gopher_pass) == g.filter("gopher_pass").count()
+    assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
