@@ -104,6 +104,8 @@ HEAVY = [
     "media_avi_stats",
     "dedup_family_agreement",
     "epoch_expand",
+    "fim_split",
+    "quality_gate_agreement",
 ]
 
 
