@@ -240,6 +240,16 @@ def main(argv: list[str] | None = None) -> int:
         help="packed sequence length (tokens) for --token-shards",
     )
     p_corp.add_argument(
+        "--fim-rate",
+        type=float,
+        default=None,
+        metavar="RATE",
+        help="also write the deterministic fill-in-the-middle plan "
+        "(Bavarian et al. 2022) for the deduped corpus to "
+        "<out>/fim_plan: per doc, md5-selected at RATE with two "
+        "uniform md5 cut points (prefix/middle/suffix lengths)",
+    )
+    p_corp.add_argument(
         "--epoch-budget",
         type=int,
         default=None,
@@ -475,6 +485,17 @@ def main(argv: list[str] | None = None) -> int:
                 f"shards: written ({args.export_shards} shuffled shards, "
                 f"seed={args.shard_seed})"
             )
+        if args.fim_rate is not None:
+            fim = X.fim_split(
+                spark.read.parquet(f"{out}/documents_dedup"), fim_rate=args.fim_rate
+            )
+            fim.write.mode("overwrite").parquet(f"{out}/fim_plan")
+            n_fim = (
+                spark.read.parquet(f"{out}/fim_plan")
+                .filter("fim_applied = 1")
+                .count()
+            )
+            print(f"fim_plan: written ({n_fim} docs selected at rate={args.fim_rate})")
         if args.epoch_budget:
             dd = spark.read.parquet(f"{out}/documents_dedup")
             counts = (

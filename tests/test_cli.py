@@ -497,3 +497,27 @@ def test_cli_corpus_epoch_budget(spark, tmp_path, capsys):
     # token shards pack the EXPANDED stream: one exported row per copy
     exported = spark.read.parquet(f"{wh}/corpus/token_shards")
     assert exported.count() == expanded.count()
+
+
+def test_cli_corpus_fim_plan(spark, tmp_path, capsys):
+    """--fim-rate writes the FIM plan for the deduped corpus: one row
+    per kept doc, segment lengths partition n_tokens, selected
+    fraction tracks the rate."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    rc = main(["--warehouse-path", wh, "corpus",
+               "--documents", "/root/testdata/sf0.001/documents.parquet",
+               "--fim-rate", "0.5"])
+    assert rc == 0
+    assert "fim_plan: written" in capsys.readouterr().out
+    plan = spark.read.parquet(f"{wh}/corpus/fim_plan")
+    deduped = spark.read.parquet(f"{wh}/corpus/documents_dedup")
+    assert plan.count() == deduped.count()
+    bad = plan.filter(
+        F.col("prefix_len") + F.col("middle_len") + F.col("suffix_len")
+        != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+    frac = plan.filter("fim_applied = 1").count() / plan.count()
+    assert 0.35 < frac < 0.65
