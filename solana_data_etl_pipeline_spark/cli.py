@@ -151,6 +151,16 @@ def main(argv: list[str] | None = None) -> int:
         "then holds only fallback-verified docs)",
     )
     p_scorp.add_argument(
+        "--media-health",
+        action="store_true",
+        help="binary sidecar ingestion: base64 media payloads "
+        "(media_b64/modality landing columns) are probed through the "
+        "real codec registry per batch; per-modality health appends "
+        "to <out>/documents_media_health and failing payloads to "
+        "<out>/documents_media_quarantine (the doc itself is still "
+        "admitted by the text pipeline)",
+    )
+    p_scorp.add_argument(
         "--gates",
         choices=["simple", "published"],
         default="simple",
@@ -366,12 +376,27 @@ def main(argv: list[str] | None = None) -> int:
             decon_threshold=args.decon_threshold,
             decon_blind_bp=args.decon_blind_bp,
             decon_route_blind=args.decon_route_blind,
+            media_health=args.media_health,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()
         except Exception:
             n = 0
         print(f"corpus_stream: drained ({n} documents total)")
+        if args.media_health:
+            try:
+                mh = spark.read.parquet(f"{out}/documents_media_health")
+                from pyspark.sql import functions as _F
+
+                agg = mh.agg(
+                    _F.sum("n_ok").alias("ok"), _F.sum("n_bad").alias("bad")
+                ).first()
+                print(
+                    f"media_health: {agg['ok'] or 0} payloads decoded, "
+                    f"{agg['bad'] or 0} quarantined"
+                )
+            except Exception:
+                print("media_health: no media payloads seen")
         from solana_data_etl_pipeline_spark.streaming.corpus import index_health
 
         if args.semantic_dedup:

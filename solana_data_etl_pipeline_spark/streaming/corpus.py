@@ -205,6 +205,7 @@ def run_document_stream(
     semantic_index: str | None = None,
     semantic_threshold: float = 0.95,
     semantic_max_bucket: int | None = 64,
+    media_health: bool = False,
 ):
     """Landing zone -> quarantine split -> gates + features ->
     (optional) benchmark DECONTAMINATION -> exact dedup -> (optional)
@@ -321,7 +322,24 @@ def run_document_stream(
     dropped docs keep attribution to their retained representative and
     components that later merge through a shared match get one id --
     the labels agree with batch connected_components over the same
-    pairs (read them back with streaming.clusters.streamed_clusters)."""
+    pairs (read them back with streaming.clusters.streamed_clusters).
+
+    `media_health=True` turns on BINARY SIDECAR ingestion: the landing
+    schema grows optional `media_b64`/`modality` columns, and each
+    batch's media payloads are base64-decoded and probed through the
+    REAL codec registry (operators/multimodal.py DECODERS -- wave for
+    audio, struct-parsed BMP/AVI for image/video) map-side. Per-batch
+    per-modality counts (n_ok, n_bad, total_bytes) append to
+    `{output_dir}_media_health` write-once per epoch, and docs whose
+    payload FAILS its codec land in `{output_dir}_media_quarantine`
+    (doc_id, modality, error, epoch) under a doc_id anti-join --
+    media corruption quarantines the MEDIA, not the document: the
+    text pipeline admits the doc regardless, and an operator reads
+    the quarantine to re-fetch or drop the payloads. The sidecar runs
+    on arriving docs BEFORE dedup/policies (corruption is a property
+    of the upload, not of curation), so its idempotency comes from
+    its own guards (epoch key + doc_id anti-join), not from the
+    fingerprint anti-join."""
     from solana_data_etl_pipeline_spark.sinks.quarantine import (
         CORRUPT_COL,
         split_corrupt,
@@ -329,7 +347,10 @@ def run_document_stream(
     )
     from pyspark.sql.types import StructType
 
-    schema = with_corrupt_column(StructType.fromDDL(DOC_LANDING_SCHEMA))
+    landing_ddl = DOC_LANDING_SCHEMA + (
+        ", media_b64 string, modality string" if media_health else ""
+    )
+    schema = with_corrupt_column(StructType.fromDDL(landing_ddl))
     raw = (
         spark.readStream.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -633,10 +654,99 @@ def run_document_stream(
                     max_bucket=None,
                 )
 
+    def _media_sidecar(good: DataFrame, batch_id: int) -> None:
+        """Probe the batch's binary payloads through the real codec
+        registry and persist the health/quarantine sidecars (see the
+        run_document_stream docstring). Decode is Arrow-batched
+        map-side (the payload never shuffles); both appends are
+        replay-idempotent on their own keys."""
+        import pandas as _pd
+        from pyspark.sql import types as T
+
+        probe_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("modality", T.StringType()),
+                T.StructField("byte_len", T.LongType()),
+                T.StructField("ok", T.IntegerType()),
+                T.StructField("error", T.StringType()),
+            ]
+        )
+
+        def probe(batches):
+            from solana_data_etl_pipeline_spark.operators.multimodal import (
+                DECODERS,
+                _unavailable_decode,
+            )
+
+            for pdf in batches:
+                rows = []
+                for mid, mod, p in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):
+                    b = bytes(p) if p is not None else b""
+                    try:
+                        DECODERS.get(mod, _unavailable_decode)(b, mod)
+                        ok, err = 1, None
+                    except Exception as e:  # a real codec rejecting real bytes
+                        ok, err = 0, f"{type(e).__name__}: {e}"[:200]
+                    rows.append(
+                        {
+                            "doc_id": mid,
+                            "modality": mod,
+                            "byte_len": len(b),
+                            "ok": ok,
+                            "error": err,
+                        }
+                    )
+                yield _pd.DataFrame(
+                    rows, columns=[f.name for f in probe_schema.fields]
+                )
+
+        mm = good.filter(F.col("media_b64").isNotNull()).select(
+            "doc_id",
+            F.coalesce(F.col("modality"), F.lit("unknown")).alias("modality"),
+            F.unbase64(F.col("media_b64")).alias("payload"),
+        )
+        probed = mm.mapInPandas(probe, schema=probe_schema).localCheckpoint(eager=True)
+        if not probed.limit(1).count():
+            return
+        health_dir = f"{output_dir}_media_health"
+        try:
+            logged = (
+                spark.read.parquet(health_dir)
+                .filter(F.col("epoch") == batch_id)
+                .limit(1)
+                .count()
+            )
+        except AnalysisException:
+            logged = 0
+        if not logged:
+            probed.groupBy("modality").agg(
+                F.sum("ok").cast("long").alias("n_ok"),
+                F.sum(1 - F.col("ok")).cast("long").alias("n_bad"),
+                F.sum("byte_len").cast("long").alias("total_bytes"),
+            ).withColumn("epoch", F.lit(int(batch_id))).write.mode("append").parquet(
+                health_dir
+            )
+        bad = probed.filter(F.col("ok") == 0).select(
+            "doc_id", "modality", "error", F.lit(int(batch_id)).alias("epoch")
+        )
+        mq_dir = f"{output_dir}_media_quarantine"
+        try:
+            seen_mq = spark.read.parquet(mq_dir)
+        except AnalysisException:
+            seen_mq = None
+        if seen_mq is not None:
+            bad = bad.join(seen_mq.select("doc_id").distinct(), "doc_id", "left_anti")
+        if bad.limit(1).count():
+            bad.write.mode("append").parquet(mq_dir)
+
     def _sink(batch_df, batch_id):
         batch_df.persist()
         try:
             good, quarantine = split_corrupt(batch_df, required_col="doc_id")
+            if media_health:
+                _media_sidecar(good, batch_id)
+                good = good.drop("media_b64")
             kept = document_features_batch(good, gates=gates)
             if decon_index is not None:
                 import solana_data_etl_pipeline_spark.operators.dedup as DD

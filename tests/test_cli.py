@@ -521,3 +521,39 @@ def test_cli_corpus_fim_plan(spark, tmp_path, capsys):
     assert bad == 0
     frac = plan.filter("fim_applied = 1").count() / plan.count()
     assert 0.35 < frac < 0.65
+
+
+def test_cli_stream_corpus_media_health(spark, tmp_path, capsys):
+    """--media-health end to end: the sidecar tables land under the
+    output dir and the summary line reports decode/quarantine
+    counts."""
+    import base64
+    import json
+    import os
+
+    from solana_data_etl_pipeline_spark.operators.multimodal import _wav_encode
+
+    wh = str(tmp_path / "wh")
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, media=None, modality=None):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        d = {"doc_id": i, "text": words, "lang": "en", "source": "s",
+             "ingest_time": "2024-01-01T00:00:00"}
+        if media is not None:
+            d["media_b64"] = base64.b64encode(media).decode()
+            d["modality"] = modality
+        return json.dumps(d)
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, _wav_encode(b"xyz", 8000), "audio") + "\n")
+        f.write(_doc(2, b"garbage", "image") + "\n")
+
+    rc = main(["--warehouse-path", wh, "stream-corpus",
+               "--input", land, "--output", f"{wh}/cs", "--media-health"])
+    assert rc == 0
+    cli_out = capsys.readouterr().out
+    assert "media_health: 1 payloads decoded, 1 quarantined" in cli_out
+    mq = spark.read.parquet(f"{wh}/cs/documents_media_quarantine").collect()
+    assert [(r.doc_id, r.modality) for r in mq] == [(2, "image")]

@@ -1167,3 +1167,62 @@ def test_semantic_index_self_heals_after_loss(spark, tmp_path):
     final = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 4 not in final
     assert {r.vec_id for r in spark.read.parquet(f"{sem}/buckets").collect()} == final
+
+
+def test_document_stream_media_sidecar(spark, tmp_path):
+    """media_health=True probes base64 payloads through the REAL codec
+    registry at ingest: valid WAV/BMP containers count ok, a corrupt
+    video payload lands in the media quarantine with its codec error,
+    the text pipeline admits every doc regardless, and a restarted
+    stream over the same landing zone appends nothing twice."""
+    import base64
+
+    from solana_data_etl_pipeline_spark.operators.multimodal import (
+        _bmp_encode,
+        _wav_encode,
+    )
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, media=None, modality=None):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        d = {"doc_id": i, "text": words, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        if media is not None:
+            d["media_b64"] = base64.b64encode(media).decode()
+            d["modality"] = modality
+        return json.dumps(d)
+
+    wav = _wav_encode(b"abcdef", 8000)
+    bmp = _bmp_encode(b"\x10" * 16, 16)
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, wav, "audio") + "\n")
+        f.write(_doc(2, bmp, "image") + "\n")
+        f.write(_doc(3, b"not a real avi container", "video") + "\n")
+        f.write(_doc(4) + "\n")  # no media: text-only doc
+
+    run_document_stream(spark, land, out, quar, ckpt, media_health=True)
+
+    # text pipeline untouched: all four docs admitted
+    assert spark.read.parquet(out).count() == 4
+    health = {
+        r.modality: r for r in spark.read.parquet(f"{out}_media_health").collect()
+    }
+    assert health["audio"].n_ok == 1 and health["audio"].n_bad == 0
+    assert health["image"].n_ok == 1 and health["image"].n_bad == 0
+    assert health["video"].n_ok == 0 and health["video"].n_bad == 1
+    assert health["audio"].total_bytes == len(wav)
+    mq = spark.read.parquet(f"{out}_media_quarantine").collect()
+    assert [(r.doc_id, r.modality) for r in mq] == [(3, "video")]
+    assert "AVI" in mq[0].error or "ValueError" in mq[0].error
+
+    # restart over the drained landing zone: checkpoint skips the
+    # files, sidecars append nothing
+    run_document_stream(spark, land, out, quar, ckpt, media_health=True)
+    assert spark.read.parquet(f"{out}_media_health").count() == 3
+    assert spark.read.parquet(f"{out}_media_quarantine").count() == 1
