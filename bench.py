@@ -383,6 +383,19 @@ def main() -> None:
     recall["semdedup_removed_frac_multiprobe2"] = round(
         1 - _smp(emb_tbl, threshold=0.30, nprobe=2).count() / max(emb_tbl.count(), 1), 3
     )
+    # the nprobe dial's next point, measured per round (not prose):
+    # coverage at 3 probes per the same exact pair list
+    _pset3: dict[int, set] = {}
+    for r in _spa(emb_tbl, nprobe=3).select("vec_id", "_pcl").collect():
+        _pset3.setdefault(r["vec_id"], set()).add(r["_pcl"])
+    within_mp3 = set()
+    for p in exact_sem:
+        a, b = tuple(p)
+        if _pset3.get(a, set()) & _pset3.get(b, set()):
+            within_mp3.add(p)
+    recall["semdedup_pair_coverage_multiprobe3"] = round(
+        len(within_mp3) / max(len(exact_sem), 1), 3
+    )
     # the refined (refine_bits=4) pairing cells: coverage of the
     # k-grows-with-N configuration -- a visible pair must share a
     # probe cell AND its sign-LSH sub-key (exact dup pairs always do;
