@@ -871,3 +871,48 @@ def test_avi_codec_roundtrip_property(gray, width, height, fps):
     assert m["n_frames"] == n and m["fps"] == fps
     got = bytes(t[0] for fr in m["frames"] for row in fr for t in row)
     assert got == gray
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=3)),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=15, deadline=None)
+def test_epoch_expand_matches_python_model(spark, src_spec, budget):
+    """epoch_expand realizes epoch_plan under the doc-quantized model:
+    for every source, copy counts replay exactly from (epochs_bp, the
+    consistent md5 bucket), whatever the plan allocated."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.text import epoch_expand, epoch_plan
+
+    rows, counts_rows, did = [], [], 0
+    for s_ix, (n_docs, w) in enumerate(src_spec):
+        src = f"s{s_ix}"
+        for _ in range(n_docs):
+            rows.append((did, src, "tok " * 4))
+            did += 1
+        counts_rows.append((src, n_docs * 4, w))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    counts = spark.createDataFrame(
+        counts_rows, "source string, capacity long, weight long"
+    )
+    plan = epoch_plan(counts, budget=budget)
+    got = {
+        (r.doc_id, r.copy)
+        for r in epoch_expand(docs, plan).collect()
+    }
+    bp = {r.source: r.epochs_bp for r in plan.collect()}
+    want = set()
+    for d, src, _ in rows:
+        full, frac = divmod(bp[src], 10000)
+        extra = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 10000 < frac
+        for c in range(1, int(full) + int(extra) + 1):
+            want.add((d, c))
+    assert got == want
