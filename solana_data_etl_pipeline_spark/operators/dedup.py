@@ -2133,6 +2133,8 @@ def dedup_family_agreement(
     containment_threshold: float = 0.5,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    include_embedding: bool = False,
+    embedding_threshold: float = 0.9,
 ) -> DataFrame:
     """Cross-family near-dup AGREEMENT report: which of the three
     text dedup families (MinHash-LSH Jaccard, SimHash hamming,
@@ -2146,18 +2148,42 @@ def dedup_family_agreement(
     high-confidence core (cf. the multi-signal dedup analyses in Lee
     et al. 2022 and the SCALE.md family-routing rules).
 
-    Scale shape: the three pair pipelines run as-registered (bucketed
+    ``include_embedding=True`` adds the VECTOR family as a fourth
+    member: the corpus is hash-embedded (operators/text.py hash_embed
+    -- the model-free encoder every embedding operator accepts) and
+    run through the registered multi-table sign-LSH near-dup plan
+    (embedding_near_dup_lsh) at ``embedding_threshold``; its
+    distinctive catch is bag-of-words twins (permuted/reordered
+    content) that shingle- and fingerprint-based families under-score.
+
+    Scale shape: the member pipelines run as-registered (bucketed
     LSH, capped like the production gates when ``max_bucket`` is
     set -- never all-pairs); their outputs are pairs-sized frames, so
-    the agreement rollup shuffles only (doc_a, doc_b, 3 flags) and
-    the report itself is at most 7 rows."""
-    fams = ("minhash", "simhash", "containment")
-    tagged = None
-    for name, pairs in (
+    the agreement rollup shuffles only (doc_a, doc_b, flags) and the
+    report itself is at most 2^families rows."""
+    members = [
         ("minhash", minhash_lsh_pairs(df, text_col, threshold=minhash_threshold, max_bucket=max_bucket)),
         ("simhash", simhash_near_dup_pairs(df, text_col, max_hamming=max_hamming, max_bucket=max_bucket)),
         ("containment", containment_pairs(df, threshold=containment_threshold, max_bucket=max_bucket, text_col=text_col)),
-    ):
+    ]
+    if include_embedding:
+        from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+        members.append(
+            (
+                "embedding",
+                embedding_near_dup_lsh(
+                    hash_embed(df, text_col=text_col),
+                    threshold=embedding_threshold,
+                    max_bucket=max_bucket,
+                ).select(
+                    F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+                ),
+            )
+        )
+    fams = tuple(name for name, _ in members)
+    tagged = None
+    for name, pairs in members:
         t = pairs.select(
             "doc_a",
             "doc_b",

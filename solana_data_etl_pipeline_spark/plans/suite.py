@@ -1645,11 +1645,11 @@ FROM documents
 WHERE ('0x' || substr(md5('canary' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 500
 """
 
-# text ANN: hash_embed's dense vectors rebuilt in SQL (dims grid x
-# signed counts, same mask/shift hash, same 1e-12 norm guard), then
-# the knn_lsh oracle body verbatim over them
-TEXT_SQL["text_knn"] = f"""
-WITH tok AS (
+# hash_embed's dense vectors rebuilt in SQL (dims grid x signed
+# counts, same mask/shift hash, same 1e-12 norm guard) -- the shared
+# CTE prefix (ends at `e`: vec_id, unit vector v) every hashed-vector
+# oracle composes with _table_buckets_sql
+_HASH_EMBED_E_SQL = f"""WITH tok AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
 ),
 t AS (SELECT doc_id, unnest(tk) AS token FROM tok),
@@ -1672,7 +1672,12 @@ e AS (
   SELECT doc_id AS vec_id,
          list_transform(raw, x -> x / greatest(sqrt(list_dot_product(raw, raw)), 1e-12)) AS v
   FROM dense
-),
+)"""
+
+# text ANN: the hashed-vector prefix, then the knn_lsh oracle body
+# verbatim over them
+TEXT_SQL["text_knn"] = f"""
+{_HASH_EMBED_E_SQL},
 {_table_buckets_sql(V.LSH_TABLES)},
 q AS (SELECT vec_id AS query_id, v AS qv, tbl, bkt FROM b WHERE vec_id < 5),
 scored AS (
@@ -2549,6 +2554,21 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             max_bucket=DEDUP_MAX_BUCKET,
         )
     ),
+    # the FULL four-family form: + the vector family (hash_embed ->
+    # the registered multi-table sign-LSH near-dup plan at cos>=0.9),
+    # whose distinctive catch is bag-of-words twins the shingle/
+    # fingerprint families under-score
+    "dedup_family_agreement_full": _docs(
+        lambda df: D.dedup_family_agreement(
+            df,
+            minhash_threshold=0.2,
+            containment_threshold=0.5,
+            max_hamming=3,
+            max_bucket=DEDUP_MAX_BUCKET,
+            include_embedding=True,
+            embedding_threshold=0.9,
+        )
+    ),
     # eval-leakage guard: consistent hash split, then train docs that
     # near-dup a val doc are dropped
     "leakage_free_split": _docs(
@@ -2954,6 +2974,22 @@ WHERE containment >= 0.5
 """
 
 
+# the hashed-vector near-dup pair list (vec ids ARE doc ids): the
+# shared hash_embed prefix + the dedup_embedding_cosine bucket/cap/
+# verify body at cos>=0.9 -- the fourth agreement family
+_EMBED_FAMILY_PAIRS_SQL = f"""{_HASH_EMBED_E_SQL},
+{_table_buckets_sql(2)},
+kept AS (
+  SELECT vec_id, v, tbl, bkt FROM (
+    SELECT *, count(*) OVER (PARTITION BY tbl, bkt) AS w FROM b
+  ) WHERE w <= {DEDUP_MAX_BUCKET}
+)
+SELECT DISTINCT a.vec_id AS doc_a, c.vec_id AS doc_b
+FROM kept a JOIN kept c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+WHERE list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.9
+"""
+
+
 # cross-family agreement: the three registered text pair pipelines
 # (their full oracle SQLs embedded verbatim as subqueries, so the
 # agreement report is pinned to EXACTLY the registered family
@@ -2982,6 +3018,40 @@ ORDER BY minhash, simhash, containment
     minhash=DEDUP_SQL["dedup_minhash_lsh"],
     simhash=DEDUP_SQL["simhash_near_dup"],
     containment=DEDUP_SQL["containment_pairs"],
+)
+
+
+# the four-family form: + the hashed-vector family, its oracle the
+# hash_embed prefix + the dedup_embedding_cosine bucket/cap/verify
+# body at cos>=0.9 (all embedded verbatim, same pinning stance)
+DEDUP_SQL["dedup_family_agreement_full"] = """
+WITH mm AS ({minhash}),
+ss AS ({simhash}),
+cc AS ({containment}),
+ee AS ({embedding}),
+tagged AS (
+  SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS minhash, CAST(0 AS BIGINT) AS simhash, CAST(0 AS BIGINT) AS containment, CAST(0 AS BIGINT) AS embedding FROM mm
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 1, 0, 0 FROM ss
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 0, 1, 0 FROM cc
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 0, 0, 1 FROM ee
+),
+flags AS (
+  SELECT doc_a, doc_b, max(minhash) AS minhash, max(simhash) AS simhash,
+         max(containment) AS containment, max(embedding) AS embedding
+  FROM tagged GROUP BY doc_a, doc_b
+)
+SELECT minhash, simhash, containment, embedding,
+       count(*) AS n_pairs
+FROM flags GROUP BY minhash, simhash, containment, embedding
+ORDER BY minhash, simhash, containment, embedding
+""".format(
+    minhash=DEDUP_SQL["dedup_minhash_lsh"],
+    simhash=DEDUP_SQL["simhash_near_dup"],
+    containment=DEDUP_SQL["containment_pairs"],
+    embedding=_EMBED_FAMILY_PAIRS_SQL,
 )
 
 
@@ -4255,7 +4325,9 @@ def all_oracle_sql() -> dict[str, str]:
 # `semdedup_multiprobe_scaled`, `tokenizer_fertility`,
 # `epoch_expand` (late r9, the acting sibling of epoch_plan),
 # `fim_split` (late r9, the FIM transformation plan),
-# `quality_gate_agreement` (late r9, the gate cross-tab) -- rotating OUT
+# `quality_gate_agreement` (late r9, the gate cross-tab),
+# `dedup_family_agreement_full` (late r9, + the vector family) --
+# rotating OUT
 # returning r9 greens (start with the A-query round-robin trio
 # token_transfer_stats / top_errors / top_wallets and the longest-green
 # core entries; every rotated-out entry stays DuckDB-swept on every

@@ -923,3 +923,40 @@ def test_dedup_family_agreement_planted(spark):
     assert sum(quote_cells.values()) == 1
     # nothing else pairs
     assert sum(rows.values()) == 2
+
+
+def test_dedup_family_agreement_embedding_family(spark):
+    """The fourth (vector) family catches the bag-of-words twin the
+    Jaccard family under-scores: a word-permuted doc pair has a near-1
+    hashed-vector cosine (embedding=1) but shares almost no ordered
+    4-gram shingles (minhash=0); exact dups are flagged by all
+    enabled families."""
+    words = [f"word{i}" for i in range(30)]
+    doc = " ".join(words)
+    permuted = " ".join(reversed(words))
+    docs = spark.createDataFrame(
+        [
+            (1, doc),
+            (2, permuted),                 # bag-of-words twin of 1
+            (3, "some other fixed text that stands completely apart here"),
+            (4, "some other fixed text that stands completely apart here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.minhash, r.simhash, r.containment, r.embedding): r.n_pairs
+        for r in D.dedup_family_agreement(
+            docs,
+            minhash_threshold=0.5,
+            containment_threshold=0.5,
+            include_embedding=True,
+            embedding_threshold=0.9,
+        ).collect()
+    }
+    # exact dup pair (3,4): all four families
+    assert rows.get((1, 1, 1, 1)) == 1
+    # permuted pair (1,2): embedding yes, minhash/containment no
+    twin_cells = {
+        k: v for k, v in rows.items() if k[3] == 1 and k[0] == 0 and k[2] == 0
+    }
+    assert sum(twin_cells.values()) == 1
