@@ -106,6 +106,7 @@ HEAVY = [
     "epoch_expand",
     "fim_split",
     "quality_gate_agreement",
+    "dedup_family_agreement_full",
 ]
 
 
