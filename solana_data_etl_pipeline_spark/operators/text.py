@@ -1764,6 +1764,64 @@ def fim_split(
     )
 
 
+def fim_render(
+    df: DataFrame,
+    fim_rate: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTING sibling of ``fim_split``: materialize the planned
+    PSM rearrangement (Bavarian et al. 2022 §2: prefix-suffix-middle
+    with sentinel tokens) into the training-ready text each selected
+    doc becomes -- ``<PRE> prefix <SUF> suffix <MID> middle`` over the
+    plan's cut points, unselected docs passing through in
+    autoregressive token order. Same md5 selection and cut draws as
+    fim_split (the two stay consistent by construction: both derive
+    from the identical hash expressions), assembled as one token-array
+    concatenation + join, so the render is a pure per-row projection
+    -- ZERO shuffles, fused into the corpus scan like the plan."""
+    rate_bp = int(round(fim_rate * 10_000))
+
+    def _h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(tag), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    base = df.select("doc_id", tokens_col(text_col).alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n = F.size("_tk").cast("long")
+    applied = F.pmod(_h("fim"), F.lit(10_000)) < rate_bp
+    c1 = F.pmod(_h("fimc1"), n + 1)
+    c2 = F.pmod(_h("fimc2"), n + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    # slice(arr, start, length) is 1-based; zero-length slices are
+    # legitimate (empty segments, exactly as the paper's uniform cuts)
+    prefix = F.slice(F.col("_tk"), F.lit(1), lo.cast("int"))
+    middle = F.slice(F.col("_tk"), (lo + 1).cast("int"), (hi - lo).cast("int"))
+    suffix = F.slice(F.col("_tk"), (hi + 1).cast("int"), (n - hi).cast("int"))
+    psm = F.concat(
+        F.array(F.lit("<PRE>")),
+        prefix,
+        F.array(F.lit("<SUF>")),
+        suffix,
+        F.array(F.lit("<MID>")),
+        middle,
+    )
+    return base.select(
+        "doc_id",
+        F.when(applied, 1).otherwise(0).cast("long").alias("fim_applied"),
+        F.array_join(F.when(applied, psm).otherwise(F.col("_tk")), " ").alias(
+            "rendered"
+        ),
+    )
+
+
 def corpus_card(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The dataset-card summary table ("Datasheets for Datasets",
     Gebru et al. 2021; every published corpus ships one): per

@@ -917,6 +917,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # FIM transformation plan (Bavarian et al. 2022): deterministic
     # doc selection + two uniform md5 cut points, one row per doc
     "fim_split": _docs(X.fim_split),
+    # the ACTING sibling: the planned PSM rearrangement materialized
+    # as training-ready text (sentinels + sliced token segments)
+    "fim_render": _docs(X.fim_render),
     # the dataset-card summary (Gebru et al. 2021): per (source, lang)
     # mass + quality-signal means + published-gate pass rates
     "corpus_card": _docs(X.corpus_card),
@@ -1636,6 +1639,36 @@ SELECT doc_id, n AS n_tokens,
        CAST(CASE WHEN applied THEN n - greatest(c1, c2) ELSE 0 END AS BIGINT) AS suffix_len
 FROM h
 """
+
+# fim_render: same hash draws, the rearrangement itself -- DuckDB
+# list slicing (1-based, zero-length slices legal) + sentinel concat
+TEXT_SQL["fim_render"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+h AS (
+  SELECT doc_id, tk, n,
+         ('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 5000 AS applied,
+         ('0x' || substr(md5('fimc1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % (n + 1) AS c1,
+         ('0x' || substr(md5('fimc2|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % (n + 1) AS c2
+  FROM t WHERE n > 0
+),
+cuts AS (
+  SELECT doc_id, tk, n, applied,
+         least(c1, c2) AS lo, greatest(c1, c2) AS hi
+  FROM h
+)
+SELECT doc_id,
+       CAST(CASE WHEN applied THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+       CASE WHEN applied THEN array_to_string(
+              ['<PRE>'] || tk[1:lo] || ['<SUF>'] || tk[hi+1:n] || ['<MID>'] || tk[lo+1:hi],
+              ' ')
+            ELSE array_to_string(tk, ' ') END AS rendered
+FROM cuts
+"""
+
 
 
 TEXT_SQL["canary_registry"] = """
@@ -4326,7 +4359,8 @@ def all_oracle_sql() -> dict[str, str]:
 # `epoch_expand` (late r9, the acting sibling of epoch_plan),
 # `fim_split` (late r9, the FIM transformation plan),
 # `quality_gate_agreement` (late r9, the gate cross-tab),
-# `dedup_family_agreement_full` (late r9, + the vector family) --
+# `dedup_family_agreement_full` (late r9, + the vector family),
+# `fim_render` (late r9, the acting PSM rearrangement) --
 # rotating OUT
 # returning r9 greens (start with the A-query round-robin trio
 # token_transfer_stats / top_errors / top_wallets and the longest-green

@@ -1626,3 +1626,33 @@ def test_fim_split_invariants(spark):
     c1, c2 = h("fimc1", r.doc_id) % (n + 1), h("fimc2", r.doc_id) % (n + 1)
     assert (r.prefix_len, r.middle_len) == (min(c1, c2), max(c1, c2) - min(c1, c2))
     assert h("fim", r.doc_id) % 10000 < 5000
+
+
+def test_fim_render_matches_split_plan(spark):
+    """fim_render's output replays from fim_split's own plan: selected
+    docs carry the sentinel-joined PSM rearrangement at the planned
+    cut points, unselected docs pass through token-joined."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.text import fim_render, fim_split
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(3 + i % 9))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    plan = {r.doc_id: r for r in fim_split(docs, fim_rate=0.5).collect()}
+    text = {r.doc_id: r.text for r in docs.collect()}
+    out = fim_render(docs, fim_rate=0.5).collect()
+    assert len(out) == 80
+    for r in out:
+        p = plan[r.doc_id]
+        toks = text[r.doc_id].split()
+        assert r.fim_applied == p.fim_applied
+        if not p.fim_applied:
+            assert r.rendered == " ".join(toks)
+        else:
+            pre = toks[: p.prefix_len]
+            mid = toks[p.prefix_len : p.prefix_len + p.middle_len]
+            suf = toks[p.prefix_len + p.middle_len :]
+            want = " ".join(["<PRE>"] + pre + ["<SUF>"] + suf + ["<MID>"] + mid)
+            assert r.rendered == want
