@@ -1764,6 +1764,89 @@ def fim_split(
     )
 
 
+def denoise_render(
+    df: DataFrame,
+    corruption_rate: float = 0.15,
+    span_len: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTING sibling of ``denoising_spans``: materialize the span
+    plan into the T5 input/target pair (Raffel et al. 2020 §3.1.4) --
+    the input keeps unselected tokens and replaces each selected span
+    with its ``<extra_id_K>`` sentinel; the target is the
+    concatenation of each sentinel followed by the tokens it masked.
+    Same md5 block selection as the plan (identical hash expressions,
+    so plan and render stay consistent by construction); K numbers a
+    doc's selected spans in block order, matching the plan's span_id.
+
+    Scale shape: pure higher-order-function projections over one
+    bound token array (the selected-block list is projected ONCE and
+    reused by both the input and target builds -- the HOF
+    re-evaluation lesson from the verify notes applies to the
+    expensive md5 filter, not the cheap slices) -- ZERO shuffles."""
+    rate_bp = int(round(corruption_rate * 10_000))
+    base = df.select("doc_id", tokens_col(text_col).alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n = F.size("_tk")
+    n_blocks = F.ceil(n / span_len).cast("int")
+    sel = F.filter(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit("span"),
+                            F.col("doc_id").cast("string"),
+                            b.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10_000),
+        )
+        < rate_bp,
+    )
+    # bind the (cheap) selected-block list to a column so the md5
+    # filter evaluates once per row, not once per downstream reference
+    withsel = base.withColumn("_sel", sel)
+    span_slice = lambda b: F.slice(  # noqa: E731 -- local plan builder
+        F.col("_tk"),
+        (b * span_len + 1).cast("int"),
+        F.least(F.lit(span_len), F.size("_tk") - b * span_len).cast("int"),
+    )
+    sentinel = lambda k: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+    input_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda b: F.when(
+                F.array_contains(F.col("_sel"), b),
+                F.array(sentinel(F.size(F.filter(F.col("_sel"), lambda x: x < b)))),
+            ).otherwise(span_slice(b)),
+        )
+    )
+    target_arr = F.flatten(
+        F.transform(
+            F.col("_sel"),
+            lambda b, k: F.concat(F.array(sentinel(k)), span_slice(b)),
+        )
+    )
+    return withsel.select(
+        "doc_id",
+        F.size("_sel").cast("long").alias("n_spans"),
+        F.array_join(input_arr, " ").alias("input_text"),
+        F.array_join(target_arr, " ").alias("target_text"),
+    )
+
+
 def fim_render(
     df: DataFrame,
     fim_rate: float = 0.5,

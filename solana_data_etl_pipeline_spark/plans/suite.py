@@ -914,6 +914,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     ),
     # T5-style deterministic span-corruption plan (15% / 3-token spans)
     "denoising_spans": _docs(X.denoising_spans),
+    # the ACTING sibling: the plan materialized into the T5
+    # input/target pair (sentinels + masked-span concatenation)
+    "denoise_render": _docs(X.denoise_render),
     # FIM transformation plan (Bavarian et al. 2022): deterministic
     # doc selection + two uniform md5 cut points, one row per doc
     "fim_split": _docs(X.fim_split),
@@ -1616,6 +1619,57 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(span_id AS INT) AS span_id,
        CAST(b * 3 AS BIGINT) AS start, CAST(least(3, n - b * 3) AS BIGINT) AS length
 FROM selb
 """
+
+# denoise_render: same block selection, materialized -- per-block
+# string pieces (sentinel for selected blocks, the tokens otherwise)
+# string_agg'd in block order; the target concatenates sentinel +
+# masked tokens per selected span. DuckDB list slices are 1-based
+# inclusive-end.
+TEXT_SQL["denoise_render"] = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+bl AS (
+  SELECT t.doc_id, t.tk, t.n, CAST(u.b AS BIGINT) AS b,
+         ('0x' || substr(md5('span|' || CAST(t.doc_id AS VARCHAR) || '|' || CAST(u.b AS VARCHAR)), 1, 15))::BIGINT % 10000 < 1500 AS selected
+  FROM t, UNNEST(range(0, CAST(ceil(n / 3.0) AS BIGINT))) AS u(b)
+  WHERE n > 0
+),
+sel AS (
+  SELECT doc_id, b,
+         row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS k
+  FROM bl WHERE selected
+),
+pieces AS (
+  SELECT bl.doc_id, bl.b,
+         CASE WHEN bl.selected THEN '<extra_id_' || sel.k || '>'
+              ELSE array_to_string(bl.tk[CAST(bl.b * 3 + 1 AS INT) : CAST(least(bl.n, bl.b * 3 + 3) AS INT)], ' ')
+         END AS piece
+  FROM bl LEFT JOIN sel ON bl.doc_id = sel.doc_id AND bl.b = sel.b
+),
+inp AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY b) AS input_text
+  FROM pieces GROUP BY doc_id
+),
+tgt AS (
+  SELECT sel.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         string_agg(
+           '<extra_id_' || sel.k || '> ' ||
+           array_to_string(bl.tk[CAST(sel.b * 3 + 1 AS INT) : CAST(least(bl.n, sel.b * 3 + 3) AS INT)], ' '),
+           ' ' ORDER BY sel.b) AS target_text
+  FROM sel JOIN bl ON sel.doc_id = bl.doc_id AND sel.b = bl.b
+  GROUP BY sel.doc_id
+)
+SELECT i.doc_id,
+       coalesce(g.n_spans, 0) AS n_spans,
+       i.input_text,
+       coalesce(g.target_text, '') AS target_text
+FROM inp i LEFT JOIN tgt g ON i.doc_id = g.doc_id
+"""
+
 
 # fim_split: selection + cut points are independent md5 draws (the
 # denoising_spans idiom); cut points over [0, n] with lo/hi ordering;
@@ -4360,7 +4414,8 @@ def all_oracle_sql() -> dict[str, str]:
 # `fim_split` (late r9, the FIM transformation plan),
 # `quality_gate_agreement` (late r9, the gate cross-tab),
 # `dedup_family_agreement_full` (late r9, + the vector family),
-# `fim_render` (late r9, the acting PSM rearrangement) --
+# `fim_render` (late r9, the acting PSM rearrangement),
+# `denoise_render` (late r9, the acting T5 corruption) --
 # rotating OUT
 # returning r9 greens (start with the A-query round-robin trio
 # token_transfer_stats / top_errors / top_wallets and the longest-green

@@ -1656,3 +1656,38 @@ def test_fim_render_matches_split_plan(spark):
             suf = toks[p.prefix_len + p.middle_len :]
             want = " ".join(["<PRE>"] + pre + ["<SUF>"] + suf + ["<MID>"] + mid)
             assert r.rendered == want
+
+
+def test_denoise_render_matches_span_plan(spark):
+    """denoise_render replays from denoising_spans' own plan: each
+    selected span's tokens appear in the target after its sentinel
+    and are replaced by that sentinel in the input; docs with no
+    selected spans pass through with an empty target."""
+    from solana_data_etl_pipeline_spark.operators.text import (
+        denoise_render,
+        denoising_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(5 + i % 13))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = {}
+    for r in denoising_spans(docs, corruption_rate=0.4).collect():
+        plan.setdefault(r.doc_id, []).append(r)
+    text = {r.doc_id: r.text.split() for r in docs.collect()}
+    out = {r.doc_id: r for r in denoise_render(docs, corruption_rate=0.4).collect()}
+    assert len(out) == 60
+    for d, toks in text.items():
+        spans = sorted(plan.get(d, []), key=lambda r: r.span_id)
+        r = out[d]
+        assert r.n_spans == len(spans)
+        want_inp, pos = [], 0
+        want_tgt = []
+        for sp in spans:
+            want_inp += toks[pos : sp.start] + [f"<extra_id_{sp.span_id}>"]
+            want_tgt += [f"<extra_id_{sp.span_id}>"] + toks[sp.start : sp.start + sp.length]
+            pos = sp.start + sp.length
+        want_inp += toks[pos:]
+        assert r.input_text == " ".join(want_inp)
+        assert r.target_text == " ".join(want_tgt)
