@@ -107,6 +107,8 @@ HEAVY = [
     "fim_split",
     "quality_gate_agreement",
     "dedup_family_agreement_full",
+    "fim_render",
+    "denoise_render",
 ]
 
 
