@@ -367,35 +367,30 @@ def main() -> None:
         semdedup_probe_assignments as _spa,
     )
 
-    _pset: dict[int, set] = {}
-    for r in _spa(emb_tbl, nprobe=2).select("vec_id", "_pcl").collect():
-        _pset.setdefault(r["vec_id"], set()).add(r["_pcl"])
-    # _pairs yields frozensets (unordered pair keys) -- unpack before
-    # the per-endpoint lookups; every check below is symmetric
-    within_mp = set()
-    for p in exact_sem:
-        a, b = tuple(p)
-        if _pset.get(a, set()) & _pset.get(b, set()):
-            within_mp.add(p)
-    recall["semdedup_pair_coverage_multiprobe2"] = round(
-        len(within_mp) / max(len(exact_sem), 1), 3
-    )
+    def _probe_sets(nprobe: int) -> dict:
+        out: dict = {}
+        for r in _spa(emb_tbl, nprobe=nprobe).select("vec_id", "_pcl").collect():
+            out.setdefault(r["vec_id"], set()).add(r["_pcl"])
+        return out
+
+    def _coverage(pset: dict, extra=lambda a, b: True) -> float:
+        # _pairs yields frozensets (unordered pair keys) -- unpack
+        # before the per-endpoint lookups; every check is symmetric
+        n = sum(
+            1
+            for p in exact_sem
+            for a, b in (tuple(p),)
+            if pset.get(a, set()) & pset.get(b, set()) and extra(a, b)
+        )
+        return round(n / max(len(exact_sem), 1), 3)
+
+    _pset = _probe_sets(2)
+    recall["semdedup_pair_coverage_multiprobe2"] = _coverage(_pset)
     recall["semdedup_removed_frac_multiprobe2"] = round(
         1 - _smp(emb_tbl, threshold=0.30, nprobe=2).count() / max(emb_tbl.count(), 1), 3
     )
-    # the nprobe dial's next point, measured per round (not prose):
-    # coverage at 3 probes per the same exact pair list
-    _pset3: dict[int, set] = {}
-    for r in _spa(emb_tbl, nprobe=3).select("vec_id", "_pcl").collect():
-        _pset3.setdefault(r["vec_id"], set()).add(r["_pcl"])
-    within_mp3 = set()
-    for p in exact_sem:
-        a, b = tuple(p)
-        if _pset3.get(a, set()) & _pset3.get(b, set()):
-            within_mp3.add(p)
-    recall["semdedup_pair_coverage_multiprobe3"] = round(
-        len(within_mp3) / max(len(exact_sem), 1), 3
-    )
+    # the nprobe dial's next point, measured per round (not prose)
+    recall["semdedup_pair_coverage_multiprobe3"] = _coverage(_probe_sets(3))
     # the refined (refine_bits=4) pairing cells: coverage of the
     # k-grows-with-N configuration -- a visible pair must share a
     # probe cell AND its sign-LSH sub-key (exact dup pairs always do;
@@ -409,13 +404,8 @@ def main() -> None:
             "vec_id", _ssb(_dv(F.col("embedding")), 4).alias("sb")
         ).collect()
     }
-    within_mp4 = set()
-    for p in exact_sem:
-        a, b = tuple(p)
-        if _sub.get(a) == _sub.get(b) and _pset.get(a, set()) & _pset.get(b, set()):
-            within_mp4.add(p)
-    recall["semdedup_pair_coverage_multiprobe2_bits4"] = round(
-        len(within_mp4) / max(len(exact_sem), 1), 3
+    recall["semdedup_pair_coverage_multiprobe2_bits4"] = _coverage(
+        _pset, extra=lambda a, b: _sub.get(a) == _sub.get(b)
     )
     recall["semdedup_removed_frac_multiprobe2_bits4"] = round(
         1

@@ -1602,6 +1602,38 @@ def embedding_near_dup_lsh(
 EMBED_INDEX_TABLES = 6
 
 
+def embedding_index_tables(spark, index_path: str, default: int = EMBED_INDEX_TABLES) -> int:
+    """Resolve the table count a materialized embedding index was
+    BUILT with -- the index defines the probe geometry, so every
+    probe (delta_embedding_dedup / delta_embedding_exposure / the
+    streaming semantic gate) derives n_tables from here instead of
+    trusting its caller to pass the matching value: probe tables
+    beyond the index's silently never match (measured: a 6-table
+    probe of a 2-table index keeps the 2-table 0.72 recall while the
+    docstrings promise 0.98). Reads `{path}/meta` (written at build);
+    for a pre-meta legacy index, infers max(table)+1 from the bucket
+    rows; falls back to `default` only when the index does not exist
+    yet."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return int(spark.read.parquet(f"{index_path}/meta").first()["n_tables"])
+    except AnalysisException:
+        pass
+    try:
+        m = spark.read.parquet(f"{index_path}/buckets").agg(F.max("table")).first()[0]
+    except AnalysisException:
+        return default
+    return default if m is None else int(m) + 1
+
+
+def write_embedding_index_meta(spark, index_path: str, n_tables: int) -> None:
+    """Persist the index's build geometry (see embedding_index_tables)."""
+    spark.createDataFrame([(int(n_tables),)], "n_tables long").write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/meta")
+
+
 def materialize_embedding_lsh(
     emb_df: DataFrame,
     path: str,
@@ -1652,6 +1684,8 @@ def materialize_embedding_lsh(
     # blindness (delta_embedding_exposure)
     excluded.write.mode("overwrite").parquet(f"{path}/excluded")
     v.write.mode("overwrite").parquet(f"{path}/buckets")
+    # the index self-describes its probe geometry (embedding_index_tables)
+    write_embedding_index_meta(emb_df.sparkSession, path, n_tables)
 
 
 def delta_embedding_exposure(
@@ -1683,6 +1717,9 @@ def delta_embedding_exposure(
     )
 
     excluded = spark.read.parquet(f"{index_path}/excluded")
+    # the INDEX defines the probe geometry; the parameter is only the
+    # fallback for an index that does not exist yet
+    n_tables = embedding_index_tables(spark, index_path, n_tables)
     buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
     d = delta.select(
         F.col("vec_id").alias("delta_id"),
@@ -1751,6 +1788,9 @@ def delta_embedding_dedup(
     )
 
     idx = spark.read.parquet(f"{index_path}/buckets")
+    # the INDEX defines the probe geometry; the parameter is only the
+    # fallback for an index that does not exist yet
+    n_tables = embedding_index_tables(spark, index_path, n_tables)
     buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
     d = delta.select(
         F.col("vec_id"),

@@ -82,7 +82,12 @@ def _wav_parse(payload: bytes) -> dict:
     """REAL audio decode: parse a RIFF/WAV container with the stdlib
     ``wave`` codec -- header fields from the fmt chunk, PCM samples
     from the data chunk (8-bit PCM = unsigned bytes). Raises
-    ``wave.Error`` on malformed bytes like any real decoder."""
+    ``wave.Error`` on malformed bytes like any real decoder, and
+    ``ValueError`` on a VALID container in an unsupported variant
+    (non-8-bit PCM) -- the BMP/AVI "unsupported variant" stance;
+    silently returning no samples would let the resamplers re-encode
+    a 16-bit recording into a valid-but-empty 8-bit container (total
+    audio loss with a fresh checksum and no error)."""
     with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
         n = w.getnframes()
         out = {
@@ -91,7 +96,12 @@ def _wav_parse(payload: bytes) -> dict:
             "n_channels": w.getnchannels(),
             "sampwidth": w.getsampwidth(),
         }
-        out["samples"] = list(w.readframes(n)) if out["sampwidth"] == 1 else []
+        if out["sampwidth"] != 1:
+            raise ValueError(
+                "unsupported WAV variant (need 8-bit PCM; got "
+                f"sampwidth={out['sampwidth']})"
+            )
+        out["samples"] = list(w.readframes(n))
     return out
 
 

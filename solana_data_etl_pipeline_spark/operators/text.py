@@ -1536,8 +1536,12 @@ def epoch_plan(
             "epoch_plan: decay_bp/max_epochs produce a >62-bit utility "
             "factor; the BIGINT ordering key would overflow"
         )
-    # Keys are weight * factor: exact while weight < 2^63 / max factor
-    # (~9.2e6 at the defaults' 1e12 factor) -- documented weight range.
+    # Keys are weight * factor: exact while weight <= 2^63 / max factor
+    # (~9.2e6 at the defaults' 1e12 factor). ENFORCED in-plan below,
+    # not just documented: a larger weight would silently wrap the
+    # BIGINT key and reorder the greedy fill -- the same bug class the
+    # exact-literal factors exist to prevent.
+    max_weight = ((1 << 63) - 1) // max(factors.values())
     units = counts.select(
         source_col,
         F.col(cap_col).cast("long").alias(cap_col),
@@ -1554,7 +1558,25 @@ def epoch_plan(
             )
         ).alias("_u"),
     ).select(source_col, cap_col, weight_col, "_u.epoch", "_u._factor")
-    key = F.col(weight_col) * F.col("_factor")
+    # The guard gates the multiplication itself (the when-condition
+    # evaluates first, so the product never executes on an over-bound
+    # weight): under Spark's ANSI default the raw overflow would raise
+    # an opaque arithmeticOverflowError; this surfaces the actual
+    # contract and the offending value instead
+    key = F.when(
+        F.col(weight_col) <= F.lit(max_weight),
+        F.col(weight_col) * F.col("_factor"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "epoch_plan: weight exceeds the exact-BIGINT ordering-key "
+                    f"bound {max_weight} for these decay_bp/max_epochs; got "
+                ),
+                F.col(weight_col).cast("string"),
+            )
+        ).cast("long")
+    )
     w = Window.orderBy(F.col("_key").desc(), F.col(source_col), F.col("epoch"))
     filled = units.withColumn("_key", key).withColumn(
         "_pc",
@@ -1669,29 +1691,7 @@ def denoising_spans(
         "doc_id", F.size("_tk").alias("_n")
     )
     n_blocks = F.ceil(F.col("_n") / span_len).cast("int")
-    sel = F.filter(
-        F.sequence(F.lit(0), n_blocks - 1),
-        lambda b: F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit("span"),
-                            F.col("doc_id").cast("string"),
-                            b.cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(10_000),
-        )
-        < rate_bp,
-    )
+    sel = _selected_span_blocks(n_blocks, rate_bp)
     spans = F.transform(
         sel,
         lambda b, i: F.struct(
@@ -1707,6 +1707,33 @@ def denoising_spans(
         .select("doc_id", F.col("_n").cast("long").alias("n_tokens"), F.explode(spans).alias("_s"))
         .select("doc_id", "n_tokens", "_s.span_id", "_s.start", "_s.length")
     )
+
+
+def _doc_hash(tag: str) -> Column:
+    """The repo's consistent md5 draw keyed by (tag, doc_id) -- one
+    expression shared by every selection/cut-point consumer so sibling
+    operators (fim_split / fim_render) stay consistent by construction,
+    not by copy-paste."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(tag), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _fim_cuts(n: Column, rate_bp: int) -> tuple[Column, Column, Column]:
+    """(applied, lo, hi) for the FIM transformation over an n-token
+    doc: md5 selection at rate_bp, two independent uniform md5 draws
+    over [0, n] ordered lo <= hi. The ONE definition both the plan
+    (fim_split) and the render (fim_render) build from."""
+    applied = F.pmod(_doc_hash("fim"), F.lit(10_000)) < rate_bp
+    c1 = F.pmod(_doc_hash("fimc1"), n + 1)
+    c2 = F.pmod(_doc_hash("fimc2"), n + 1)
+    return applied, F.least(c1, c2), F.greatest(c1, c2)
 
 
 def fim_split(
@@ -1732,28 +1759,13 @@ def fim_split(
     Scale shape: pure per-row projections over one bound token count
     -- ZERO shuffles; the plan fuses into the corpus scan."""
     rate_bp = int(round(fim_rate * 10_000))
-
-    def _h(tag: str):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(tag), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-
     tk = tokens_col(text_col)
     base = (
         df.select("doc_id", tk.alias("_tk"))
         .select("doc_id", F.size("_tk").cast("long").alias("_n"))
         .filter(F.col("_n") > 0)
     )
-    applied = F.pmod(_h("fim"), F.lit(10_000)) < rate_bp
-    c1 = F.pmod(_h("fimc1"), F.col("_n") + 1)
-    c2 = F.pmod(_h("fimc2"), F.col("_n") + 1)
-    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    applied, lo, hi = _fim_cuts(F.col("_n"), rate_bp)
     return base.select(
         "doc_id",
         F.col("_n").alias("n_tokens"),
@@ -1761,6 +1773,36 @@ def fim_split(
         F.when(applied, lo).otherwise(F.col("_n")).cast("long").alias("prefix_len"),
         F.when(applied, hi - lo).otherwise(0).cast("long").alias("middle_len"),
         F.when(applied, F.col("_n") - hi).otherwise(0).cast("long").alias("suffix_len"),
+    )
+
+
+def _selected_span_blocks(n_blocks: Column, rate_bp: int) -> Column:
+    """Ascending list of span-corruption block indices selected by the
+    (doc_id, block) md5 draw at rate_bp -- the ONE selection both the
+    plan (denoising_spans) and the render (denoise_render) build from,
+    consistent by construction."""
+    return F.filter(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit("span"),
+                            F.col("doc_id").cast("string"),
+                            b.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10_000),
+        )
+        < rate_bp,
     )
 
 
@@ -1790,29 +1832,7 @@ def denoise_render(
     )
     n = F.size("_tk")
     n_blocks = F.ceil(n / span_len).cast("int")
-    sel = F.filter(
-        F.sequence(F.lit(0), n_blocks - 1),
-        lambda b: F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit("span"),
-                            F.col("doc_id").cast("string"),
-                            b.cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(10_000),
-        )
-        < rate_bp,
-    )
+    sel = _selected_span_blocks(n_blocks, rate_bp)
     # bind the (cheap) selected-block list to a column so the md5
     # filter evaluates once per row, not once per downstream reference
     withsel = base.withColumn("_sel", sel)
@@ -1863,26 +1883,11 @@ def fim_render(
     concatenation + join, so the render is a pure per-row projection
     -- ZERO shuffles, fused into the corpus scan like the plan."""
     rate_bp = int(round(fim_rate * 10_000))
-
-    def _h(tag: str):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(tag), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-
     base = df.select("doc_id", tokens_col(text_col).alias("_tk")).filter(
         F.size("_tk") > 0
     )
     n = F.size("_tk").cast("long")
-    applied = F.pmod(_h("fim"), F.lit(10_000)) < rate_bp
-    c1 = F.pmod(_h("fimc1"), n + 1)
-    c2 = F.pmod(_h("fimc2"), n + 1)
-    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    applied, lo, hi = _fim_cuts(n, rate_bp)
     # slice(arr, start, length) is 1-based; zero-length slices are
     # legitimate (empty segments, exactly as the paper's uniform cuts)
     prefix = F.slice(F.col("_tk"), F.lit(1), lo.cast("int"))

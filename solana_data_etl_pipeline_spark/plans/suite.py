@@ -3175,7 +3175,7 @@ WHERE containment >= 0.5
 # excluded = over-cap, counted per batch vector, floored basis points
 DEDUP_SQL["delta_embedding_exposure"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_table_buckets_sql(6)},
+{_table_buckets_sql(D.EMBED_INDEX_TABLES)},
 widths AS (
   SELECT tbl, bkt, count(*) AS w FROM b WHERE vec_id % 10 <> 7 GROUP BY 1, 2
 ),
@@ -3883,7 +3883,7 @@ DEDUP_SQL["semdedup_multiprobe_scaled"] = _semdedup_mp_sql(refined=True)
 # cosine verify, min-id-wins within the batch.
 DEDUP_SQL["delta_embedding_dedup"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_table_buckets_sql(6)},
+{_table_buckets_sql(D.EMBED_INDEX_TABLES)},
 ck AS (
   SELECT vec_id, v, tbl, bkt FROM (
     SELECT *, count(*) OVER (PARTITION BY tbl, bkt) AS w

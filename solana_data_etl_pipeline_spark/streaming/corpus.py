@@ -395,9 +395,12 @@ def run_document_stream(
             F.broadcast(dropped.distinct()), "doc_id", "left_anti"
         )
 
-    def _embed_bucket_rows(vecs: DataFrame) -> DataFrame:
+    def _embed_bucket_rows(vecs: DataFrame, n_tables: int) -> DataFrame:
         """materialize_embedding_lsh's index-row projection over
-        hashed document vectors: (vec_id, v, n, table, bucket)."""
+        hashed document vectors: (vec_id, v, n, table, bucket).
+        `n_tables` is the INDEX's resolved geometry (see
+        embedding_index_tables): appends at any other count would
+        leave older vectors reachable through fewer tables."""
         from solana_data_etl_pipeline_spark.operators.similarity import (
             LSH_PLANES,
             _dvec,
@@ -405,9 +408,7 @@ def run_document_stream(
             table_bucket_col,
         )
 
-        # table count MUST match delta_embedding_dedup's probe: probe
-        # tables beyond the index's silently never match
-        buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, D.EMBED_INDEX_TABLES)
+        buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
         return vecs.select(
             F.col("vec_id"),
             _dvec(F.col("embedding")).alias("v"),
@@ -430,8 +431,14 @@ def run_document_stream(
         try:
             spark.read.parquet(f"{semantic_index}/buckets")
         except AnalysisException:
+            # first batch: batch-internal pairs at the SAME table count
+            # as the maintained index/gate (2-table recall 0.72 is not
+            # a shippable drop gate -- the EMBED_INDEX_TABLES rationale)
             pairs = D.embedding_near_dup_lsh(
-                vecs, threshold=semantic_threshold, max_bucket=semantic_max_bucket
+                vecs,
+                threshold=semantic_threshold,
+                max_bucket=semantic_max_bucket,
+                n_tables=D.EMBED_INDEX_TABLES,
             )
             dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
             return kept.select("doc_id").join(
@@ -460,13 +467,18 @@ def run_document_stream(
             todo = corpus_now.join(have, "doc_id", "left_anti")
         else:
             todo = corpus_now
+        n_tables = D.embedding_index_tables(spark, semantic_index)
         rows = cap_new_bands(
-            _embed_bucket_rows(hash_embed(todo)),
+            _embed_bucket_rows(hash_embed(todo), n_tables),
             existing,
             semantic_max_bucket,
             keys=("table", "bucket"),
         )
         rows.write.mode("append").parquet(f"{semantic_index}/buckets")
+        if existing is None:
+            # first creation defines the index geometry for every
+            # future probe and catch-up (embedding_index_tables)
+            D.write_embedding_index_meta(spark, semantic_index, n_tables)
 
     def _catch_up_index():
         """Append band rows + shingles for corpus docs the index does

@@ -960,3 +960,37 @@ def test_dedup_family_agreement_embedding_family(spark):
         k: v for k, v in rows.items() if k[3] == 1 and k[0] == 0 and k[2] == 0
     }
     assert sum(twin_cells.values()) == 1
+
+
+def test_embedding_index_geometry_is_self_describing(spark, tmp_path):
+    """The materialized embedding index defines its own probe
+    geometry: an index built at 2 tables probed with the 6-table
+    default still matches on tables 0-1 (before the meta, probe
+    tables 2-5 silently never matched and planted recall stayed at
+    the 2-table point while the docstrings promised the 6-table
+    one); a legacy index without meta infers its count from the
+    bucket rows."""
+    import shutil
+
+    path = str(tmp_path / "eidx")
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    D.materialize_embedding_lsh(emb, path, n_tables=2)
+    assert D.embedding_index_tables(spark, path) == 2
+    # probe an EXACT copy of an indexed vector with the 6-table
+    # default: resolution drops to the index's 2 tables and the dup
+    # is caught (an unresolved 6-table probe would also catch it on
+    # tables 0-1, but its tables 2-5 would join nothing -- pin the
+    # resolved geometry instead of the side effect)
+    batch = spark.createDataFrame(
+        [(100, [1.0] + [0.0] * 7)], "vec_id long, embedding array<double>"
+    )
+    kept = D.delta_embedding_dedup(spark, path, batch, threshold=0.99)
+    assert kept.count() == 0  # the exact twin is dropped
+    # legacy index: delete the meta, the count infers from bucket rows
+    shutil.rmtree(f"{path}/meta")
+    assert D.embedding_index_tables(spark, path) == 2
+    # nonexistent index: the default is the fallback
+    assert D.embedding_index_tables(spark, str(tmp_path / "nope")) == D.EMBED_INDEX_TABLES

@@ -328,3 +328,27 @@ def test_avi_parse_validates_headers_and_index(spark):
     bad_idx = bad_idx[:4] + (len(bad_idx) - 8).to_bytes(4, "little") + bad_idx[8:]
     with pytest.raises(ValueError, match="idx1"):
         M._avi_parse(bad_idx)
+
+
+def test_wav_rejects_unsupported_sample_width(spark):
+    """A VALID 16-bit PCM container is an unsupported variant, not a
+    silently-empty decode: before this guard the resampler would
+    re-encode it as a valid-but-empty 8-bit WAV (total audio loss
+    with a fresh checksum and no error)."""
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)  # 16-bit PCM
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 10)
+    payload = buf.getvalue()
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        M._wav_parse(payload)
+    bad = spark.createDataFrame(
+        [(5, "audio", bytearray(payload), len(payload), "c")], M.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="unsupported WAV variant"):
+        M.resize_media(bad, target=4).collect()

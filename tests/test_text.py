@@ -1691,3 +1691,26 @@ def test_denoise_render_matches_span_plan(spark):
         want_inp += toks[pos:]
         assert r.input_text == " ".join(want_inp)
         assert r.target_text == " ".join(want_tgt)
+
+
+def test_epoch_plan_rejects_key_overflow_weights(spark):
+    """The exact-BIGINT ordering key is ENFORCED, not just documented:
+    a weight above 2^63/max_factor raises in-plan instead of silently
+    wrapping and reordering the greedy fill (plausible at 100 TB where
+    weight = floor(sqrt(capacity)))."""
+    import pytest as _pytest
+
+    from solana_data_etl_pipeline_spark.operators.text import epoch_plan
+
+    counts = spark.createDataFrame(
+        [("big", 100, 10_000_000), ("ok", 100, 1)],
+        "source string, capacity long, weight long",
+    )
+    with _pytest.raises(Exception, match="ordering-key"):
+        epoch_plan(counts, budget=500).collect()
+    # in-bound weights unchanged by the folded guard
+    ok = spark.createDataFrame(
+        [("a", 100, 9_000_000)], "source string, capacity long, weight long"
+    )
+    rows = epoch_plan(ok, budget=250).collect()
+    assert rows[0].tokens_served == 250

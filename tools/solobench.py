@@ -49,7 +49,12 @@ def main() -> int:
         sys.stderr.write(out.stderr[-4000:])
         print(f"bench.py failed with exit {out.returncode}", file=sys.stderr)
         return out.returncode
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not json_lines:
+        sys.stderr.write(out.stdout[-2000:])
+        print("bench.py exited 0 but printed no JSON line", file=sys.stderr)
+        return 1
+    line = json_lines[-1]
     payload = json.loads(line)
     payload["solo"] = {"loadavg_1m_at_start": round(load1, 2), "loadavg_5m_at_start": round(load5, 2)}
     path = f"BENCH_SOLO_r{rnd:02d}.json"
