@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
         help="after the drain, fold the near-dup cluster remap log into the per-doc table",
     )
     p_scorp.add_argument(
+        "--compact-indexes",
+        action="store_true",
+        help="after the drain, compact the maintained LSH indexes' "
+        "per-batch append files into ~target-sized files clustered on "
+        "their probe-join keys (crash-safe swap; probe verdicts "
+        "unchanged)",
+    )
+    p_scorp.add_argument(
         "--temperature-tau",
         type=float,
         default=None,
@@ -383,6 +391,23 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             n = 0
         print(f"corpus_stream: drained ({n} documents total)")
+        if args.compact_indexes:
+            from solana_data_etl_pipeline_spark.sinks.compaction import (
+                compact_lsh_index,
+            )
+
+            for idx_name, enabled in (
+                ("near_dup_index", args.near_dup),
+                ("semantic_index", args.semantic_dedup),
+            ):
+                if not enabled:
+                    continue
+                summary = compact_lsh_index(spark, f"{out}/{idx_name}")
+                for sub, st in summary.items():
+                    print(
+                        f"compacted {idx_name}/{sub}: "
+                        f"{st['before_files']} -> {st['after_files']} files"
+                    )
         if args.media_health:
             try:
                 mh = spark.read.parquet(f"{out}/documents_media_health")

@@ -162,3 +162,50 @@ def compact_partitioned(
         if "=" in d and os.path.isdir(full):
             out[d] = compact_parquet(spark, full, target_file_bytes, sort_by=sort_by)
     return out
+
+
+#: preferred within-file clustering per index sub-table, matched
+#: against the columns actually present: probe joins are equi-joins on
+#: these keys, so co-locating a bucket's rows in one file region turns
+#: the post-compaction probe scan into mostly-contiguous reads
+_INDEX_CLUSTERING: tuple[list[str], ...] = (
+    ["band", "band_sig"],   # minhash bands
+    ["table", "bucket"],    # embedding buckets / excluded
+    ["fingerprint"],        # winnow fingerprints / excluded
+    ["doc_id"],             # shingle payloads, cluster tables
+)
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    index_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict]:
+    """Compact every sub-table of a continuously-grown LSH index
+    (minhash / winnow / embedding -- the indexes the streaming corpus
+    pipeline appends to once per micro-batch): each append is its own
+    small parquet file, so a long-lived stream accumulates thousands
+    of them and every probe pays the file-listing + open cost. Each
+    sub-table is rewritten into ~target-sized files through the same
+    crash-safe tmp-write + directory-swap as compact_parquet (a crash
+    mid-compaction leaves the recoverable marker recover_swap
+    repairs), clustered within files on its probe-join keys. The tiny
+    `meta` table (index geometry) is left alone. Returns per-sub
+    summaries; run it at the same cadence as cluster compaction --
+    after a drain, never concurrent with an appending batch."""
+    out: dict[str, dict] = {}
+    for sub in sorted(os.listdir(index_path)):
+        sub_path = os.path.join(index_path, sub)
+        if sub == "meta" or not os.path.isdir(sub_path) or "._compact_" in sub:
+            continue
+        try:
+            cols = set(spark.read.parquet(sub_path).columns)
+        except Exception:
+            continue  # non-parquet artifacts (markers, logs)
+        sort_by = next(
+            (k for k in _INDEX_CLUSTERING if set(k) <= cols), None
+        )
+        out[sub] = compact_parquet(
+            spark, sub_path, target_file_bytes=target_file_bytes, sort_by=sort_by
+        )
+    return out

@@ -557,3 +557,28 @@ def test_cli_stream_corpus_media_health(spark, tmp_path, capsys):
     assert "media_health: 1 payloads decoded, 1 quarantined" in cli_out
     mq = spark.read.parquet(f"{wh}/cs/documents_media_quarantine").collect()
     assert [(r.doc_id, r.modality) for r in mq] == [(2, "image")]
+
+
+def test_cli_stream_corpus_compact_indexes(spark, tmp_path, capsys):
+    """--compact-indexes compacts the maintained index sub-tables
+    after the drain and reports the file counts."""
+    import json
+    import os
+
+    wh = str(tmp_path / "wh")
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        for i in range(6):
+            words = " ".join(f"doc{i}word{j}" for j in range(12))
+            f.write(json.dumps({"doc_id": i, "text": words, "lang": "en",
+                                "source": "s", "ingest_time": "2024-01-01T00:00:00"}) + "\n")
+
+    rc = main(["--warehouse-path", wh, "stream-corpus",
+               "--input", land, "--output", f"{wh}/cs",
+               "--near-dup", "--compact-indexes"])
+    assert rc == 0
+    cli_out = capsys.readouterr().out
+    assert "compacted near_dup_index/bands:" in cli_out
+    # the index still probes after the swap
+    assert spark.read.parquet(f"{wh}/cs/near_dup_index/bands").count() > 0

@@ -155,3 +155,64 @@ def test_recover_swap_repairs_crashed_swap(spark, tmp_path):
     stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert stats["after_files"] == 1
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected
+
+
+def test_compact_lsh_index_preserves_probes(spark, tmp_path):
+    """compact_lsh_index rewrites every sub-table of a streamed index
+    (many per-batch append files -> few clustered files) without
+    changing a single probe verdict, and leaves the geometry meta
+    alone."""
+    import os
+
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.sinks.compaction import compact_lsh_index
+
+    path = str(tmp_path / "eidx")
+    emb = spark.createDataFrame(
+        [(i, [float((i + j) % 7) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    D.materialize_embedding_lsh(emb, path, n_tables=2, max_bucket=8)
+    # simulate per-batch appends: fragment the buckets table further
+    extra = spark.createDataFrame(
+        [(100 + i, [float((i * 3 + j) % 5) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        LSH_PLANES,
+        _dvec,
+        norm_expr,
+        table_bucket_col,
+    )
+    from pyspark.sql import functions as F
+
+    rows = extra.select(
+        F.col("vec_id"),
+        _dvec(F.col("embedding")).alias("v"),
+        norm_expr(F.col("embedding")).alias("n"),
+        F.posexplode(table_bucket_col(F.col("embedding"), LSH_PLANES, 2)).alias(
+            "table", "bucket"
+        ),
+    )
+    for _ in range(3):  # three more "batches" of small files
+        rows.write.mode("append").parquet(f"{path}/buckets")
+
+    batch = spark.createDataFrame(
+        [(900, [float(j % 7) for j in range(8)]),   # twin of vec 0
+         (901, [9.0] * 8)],                          # novel
+        "vec_id long, embedding array<double>",
+    )
+    before = {r.vec_id for r in D.delta_embedding_dedup(spark, path, batch, threshold=0.99).collect()}
+    n_rows_before = spark.read.parquet(f"{path}/buckets").count()
+    files_before = sum(
+        1 for _r, _d, fs in os.walk(f"{path}/buckets") for f in fs if f.endswith(".parquet")
+    )
+
+    summary = compact_lsh_index(spark, path)
+    assert "buckets" in summary and "excluded" in summary
+    assert summary["buckets"]["after_files"] < files_before
+    assert spark.read.parquet(f"{path}/buckets").count() == n_rows_before
+    # geometry meta untouched, probe verdicts identical
+    assert D.embedding_index_tables(spark, path) == 2
+    after = {r.vec_id for r in D.delta_embedding_dedup(spark, path, batch, threshold=0.99).collect()}
+    assert after == before
