@@ -507,6 +507,8 @@ def materialize_minhash(
         )
     b.write.mode("overwrite").parquet(f"{path}/bands")
     _shingle_sets(df, text_col).write.mode("overwrite").parquet(f"{path}/shingles")
+    # the index self-describes its banding scheme (minhash_index_scheme)
+    write_minhash_index_meta(df.sparkSession, path, num_hashes, bands)
 
 
 def delta_match_pairs(
@@ -535,6 +537,9 @@ def delta_match_pairs(
     touches only candidate pairs. The index verify join reads
     `{path}/shingles` instead of corpus text -- the index is
     self-contained."""
+    # the INDEX defines the banding scheme; the parameters are only
+    # the fallback for an index that does not exist yet
+    num_hashes, bands = minhash_index_scheme(spark, index_path, num_hashes, bands)
     rows = num_hashes // bands
     idx_bands = spark.read.parquet(f"{index_path}/bands")
     idx_sh = spark.read.parquet(f"{index_path}/shingles")
@@ -1264,6 +1269,8 @@ def materialize_winnow(
     excluded.write.mode("overwrite").parquet(f"{path}/excluded")
     fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
     _shingle_sets(df, text_col).write.mode("overwrite").parquet(f"{path}/shingles")
+    # the index self-describes its winnowing scheme (winnow_index_scheme)
+    write_winnow_index_meta(df.sparkSession, path, k, window)
 
 
 def delta_containment(
@@ -1303,6 +1310,9 @@ def delta_containment(
     query does exactly that with the cap mirrored in its oracle."""
     from solana_data_etl_pipeline_spark.operators.text import winnow_fingerprints
 
+    # the INDEX defines the winnowing scheme; the parameters are only
+    # the fallback for a pre-meta index
+    k, window = winnow_index_scheme(spark, index_path, k, window)
     idx_fp = spark.read.parquet(f"{index_path}/fingerprints")
     idx_sh = spark.read.parquet(f"{index_path}/shingles")
     d_fp = winnow_fingerprints(delta, k=k, window=window, text_col=text_col)
@@ -1365,6 +1375,8 @@ def delta_containment_exposure(
     from solana_data_etl_pipeline_spark.operators.text import winnow_fingerprints
 
     excluded = spark.read.parquet(f"{index_path}/excluded")
+    # the INDEX defines the winnowing scheme (see delta_containment)
+    k, window = winnow_index_scheme(spark, index_path, k, window)
     d_fp = winnow_fingerprints(delta, k=k, window=window, text_col=text_col)
     totals = d_fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fps")
@@ -1625,6 +1637,69 @@ def embedding_index_tables(spark, index_path: str, default: int = EMBED_INDEX_TA
     except AnalysisException:
         return default
     return default if m is None else int(m) + 1
+
+
+def minhash_index_scheme(
+    spark,
+    index_path: str,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+) -> tuple[int, int]:
+    """Resolve the (num_hashes, bands) scheme a materialized minhash
+    index was BUILT with -- the banding scheme defines band_sig, so a
+    probe at any other scheme produces disjoint signatures and SILENT
+    zero matches (worse than the embedding-family mismatch, which at
+    least kept the shared tables). Reads `{path}/meta`; a pre-meta
+    legacy index infers bands = max(band)+1 with the repo-wide
+    rows-per-band (MINHASH_ROWS); falls back to the arguments only
+    when the index does not exist yet."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{index_path}/meta").first()
+        return int(r["num_hashes"]), int(r["bands"])
+    except AnalysisException:
+        pass
+    try:
+        m = spark.read.parquet(f"{index_path}/bands").agg(F.max("band")).first()[0]
+    except AnalysisException:
+        return num_hashes, bands
+    if m is None:
+        return num_hashes, bands
+    inferred = int(m) + 1
+    return inferred * MINHASH_ROWS, inferred
+
+
+def write_minhash_index_meta(spark, index_path: str, num_hashes: int, bands: int) -> None:
+    """Persist the index's banding scheme (see minhash_index_scheme)."""
+    spark.createDataFrame(
+        [(int(num_hashes), int(bands))], "num_hashes long, bands long"
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def winnow_index_scheme(
+    spark, index_path: str, k: int = 5, window: int = 4
+) -> tuple[int, int]:
+    """Resolve the (k, window) winnowing scheme a materialized
+    containment index was BUILT with: a probe at a different k-gram
+    size or window produces disjoint fingerprints and silent zero
+    matches. Reads `{path}/meta`; fingerprint rows carry no inferable
+    geometry, so a pre-meta legacy index falls back to the arguments
+    (the historical defaults)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{index_path}/meta").first()
+        return int(r["k"]), int(r["window"])
+    except AnalysisException:
+        return k, window
+
+
+def write_winnow_index_meta(spark, index_path: str, k: int, window: int) -> None:
+    """Persist the index's winnowing scheme (see winnow_index_scheme)."""
+    spark.createDataFrame([(int(k), int(window))], "k long, window long").write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/meta")
 
 
 def write_embedding_index_meta(spark, index_path: str, n_tables: int) -> None:

@@ -491,27 +491,37 @@ def run_document_stream(
         tables exactly when a partition re-executes. Band appends pass
         through the accumulated-width bucket cap (cap_new_bands)."""
         corpus_now = spark.read.parquet(output_dir).select("doc_id", "text")
+        # the index's banding scheme governs both the probe
+        # (delta_match_pairs resolves it the same way) and every
+        # append; first creation below defines it
+        nh, nb = D.minhash_index_scheme(spark, near_dup_index)
 
         def _build_bands(d: DataFrame, existing: DataFrame | None) -> DataFrame:
             return cap_new_bands(
-                D._band_rows(D.minhash_signatures(d)), existing, near_dup_max_bucket
+                D._band_rows(D.minhash_signatures(d, num_hashes=nh), nb, nh // nb),
+                existing,
+                near_dup_max_bucket,
             )
 
         builders = {
             "bands": _build_bands,
             "shingles": lambda d, _existing: D._shingle_sets(d),
         }
+        created = False
         for sub, build in builders.items():
             try:
                 existing = spark.read.parquet(f"{near_dup_index}/{sub}")
             except AnalysisException:
                 existing = None
+                created = True
             if existing is not None:
                 have = existing.select("doc_id").distinct()
                 todo = corpus_now.join(have, "doc_id", "left_anti")
             else:
                 todo = corpus_now
             build(todo, existing).write.mode("append").parquet(f"{near_dup_index}/{sub}")
+        if created:
+            D.write_minhash_index_meta(spark, near_dup_index, nh, nb)
 
     def _apply_policies(kept: DataFrame, seen: DataFrame | None, batch_id: int) -> DataFrame:
         """Streaming curation policies over one batch (see docstring):

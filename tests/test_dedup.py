@@ -994,3 +994,30 @@ def test_embedding_index_geometry_is_self_describing(spark, tmp_path):
     assert D.embedding_index_tables(spark, path) == 2
     # nonexistent index: the default is the fallback
     assert D.embedding_index_tables(spark, str(tmp_path / "nope")) == D.EMBED_INDEX_TABLES
+
+
+def test_minhash_and_winnow_indexes_are_self_describing(spark, tmp_path):
+    """Every materialized index family now defines its own probe
+    geometry: a minhash index built at a non-default banding scheme
+    (8 bands x 2 rows) probed with default args resolves the INDEX's
+    scheme (default-arg probing would compute disjoint band_sigs and
+    silently match nothing); the winnow index does the same for its
+    (k, window)."""
+    docs = spark.createDataFrame(
+        [(i, f"shared words one two three four five six seven plus unique{i} filler{i}")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    mpath = str(tmp_path / "midx")
+    D.materialize_minhash(docs, mpath, num_hashes=16, bands=8)
+    assert D.minhash_index_scheme(spark, mpath) == (16, 8)
+    delta = spark.createDataFrame([(100, docs.collect()[0].text)], "doc_id long, text string")
+    hits, _pairs = D.delta_match_pairs(spark, mpath, delta, threshold=0.9)
+    # the exact twin verifies against the index despite default args
+    assert {(r.delta_id, r.corpus_id) for r in hits.collect()} == {(100, 0)}
+
+    wpath = str(tmp_path / "widx")
+    D.materialize_winnow(docs, wpath, k=4, window=3)
+    assert D.winnow_index_scheme(spark, wpath) == (4, 3)
+    got = D.delta_containment(spark, wpath, delta, threshold=0.9)
+    assert {(r.delta_id, r.corpus_id) for r in got.collect()} == {(100, 0)}
