@@ -124,6 +124,41 @@ def main() -> None:
                 f" {x['mean_abs_err_ppm']:.0f} | {analytic} | {sec:.2f} |"
             )
 
+    print()
+    print("## Multi-probe SemDeDup coverage dial (nprobe vs exact-pair coverage)")
+    # the routing knob semdedup_keepers_multiprobe exists to size:
+    # coverage of the exact cos>=0.30 pair list under the shipped
+    # probe assignment; within-cell pair mass grows ~nprobe^2
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semdedup_probe_assignments,
+    )
+    from solana_data_etl_pipeline_spark.plans.suite import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    exact = {
+        frozenset((r["vec_a"], r["vec_b"]))
+        for r in embedding_near_dup_pairs(emb, threshold=0.30).collect()
+    }
+    print("| nprobe | pair_coverage | sec |")
+    print("|---|---|---|")
+    for nprobe in (1, 2, 3, 4):
+        t0 = time.perf_counter()
+        ps: dict = {}
+        for r in (
+            semdedup_probe_assignments(emb, nprobe=nprobe)
+            .select("vec_id", "_pcl")
+            .collect()
+        ):
+            ps.setdefault(r["vec_id"], set()).add(r["_pcl"])
+        cov = sum(
+            1
+            for pr in exact
+            for a, b in (tuple(pr),)
+            if ps.get(a, set()) & ps.get(b, set())
+        ) / max(len(exact), 1)
+        print(f"| {nprobe} | {cov:.3f} | {time.perf_counter() - t0:.2f} |")
+
 
 if __name__ == "__main__":
     main()
