@@ -188,3 +188,36 @@ def test_grouped_quantile_buckets_null_group_is_its_own_group(spark):
         assert got[i] == got[100 + i], (i, got[i], got[100 + i])
     assert got[1] == "tail" and got[9] == "head"
     assert {got[i] for i in range(1, 10)} == {"tail", "middle", "head"}
+
+
+def test_round9_operators_on_empty_and_degenerate_input(spark):
+    """The round-9 operators hold their contracts on empty corpora:
+    empty in, empty out -- no NPEs from aggregates-over-nothing, no
+    sequence(1, 0) surprises, no codec calls on zero rows."""
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        dedup_family_agreement,
+    )
+    from solana_data_etl_pipeline_spark.operators.text import (
+        bm25_rank,
+        denoise_render,
+        epoch_expand,
+        fim_render,
+        fim_split,
+        tokenizer_fertility,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string, lang string")
+    assert fim_split(empty).count() == 0
+    assert fim_render(empty).count() == 0
+    assert denoise_render(empty).count() == 0
+    assert tokenizer_fertility(empty).count() == 0
+    assert bm25_rank(empty, query_terms=["alpha", "beta"], top_k=5).count() == 0
+    assert dedup_family_agreement(empty).count() == 0
+    empty_plan = spark.createDataFrame(
+        [], "source string, capacity long, weight long, tokens_served long, epochs_bp long"
+    )
+    assert epoch_expand(empty, empty_plan).count() == 0
+    # media synth paths on zero rows: no mapInPandas batch ever fires
+    assert M.synth_avi(empty).count() == 0
+    assert M.avi_stats(M.synth_avi(empty)).count() == 0
