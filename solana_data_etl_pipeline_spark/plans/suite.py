@@ -4406,35 +4406,42 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
-# ROUND-10 ROTATION PLAN (execute at the START of round 10, before any
-# other work): rotate IN the round-9 registrants that never had a
-# driver verdict -- `allocation_report`, `media_bmp_stats`,
-# `semdedup_multiprobe_scaled`, `tokenizer_fertility`,
-# `epoch_expand` (late r9, the acting sibling of epoch_plan),
-# `fim_split` (late r9, the FIM transformation plan),
-# `quality_gate_agreement` (late r9, the gate cross-tab),
-# `dedup_family_agreement_full` (late r9, + the vector family),
-# `fim_render` (late r9, the acting PSM rearrangement),
-# `denoise_render` (late r9, the acting T5 corruption) --
-# rotating OUT
-# returning r9 greens (start with the A-query round-robin trio
-# token_transfer_stats / top_errors / top_wallets and the longest-green
-# core entries; every rotated-out entry stays DuckDB-swept on every
-# test run by tests/test_oracle_parity.py). Keep DRIVER_ORDER at
-# exactly 50.
 DRIVER_ORDER = [
-    # --- ROUND-9 ROTATION (executed per the r8 plan + VERDICT r8 #1):
-    #     the 19 late-r8 registrants that never had a driver verdict
+    # --- ROUND-10 ROTATION (executed per the r9 plan + VERDICT r9 #1):
+    #     the 10 late-r9 registrants that never had a driver verdict
     #     (all oracle-swept at sf0.001 on every test run by
     #     tests/test_oracle_parity.py; this is their sf0.01
-    #     CORRECTNESS gate), heaviest plans first. ---
-    "curation_funnel",
-    "text_knn",
-    "semdedup_keepers_scaled",
+    #     CORRECTNESS gate), heaviest plans first. Rotated OUT per
+    #     VERDICT r9 #2 (weight rebalance): the heavy verdicted r9
+    #     greens semdedup_multiprobe (7.39 s solo), text_knn (5.89 s),
+    #     curation_funnel (5.35 s), dedup_family_agreement (4.46 s,
+    #     superseded in-window by its _full form),
+    #     semdedup_keepers_scaled (2.64 s, superseded in-window by
+    #     semdedup_multiprobe_scaled), plus the green r9 entries
+    #     containment_pairs, delta_containment, delta_embedding_dedup,
+    #     delta_embedding_exposure and the A-robin trio
+    #     token_transfer_stats / top_errors / top_wallets. ---
+    "dedup_family_agreement_full",
+    "semdedup_multiprobe_scaled",
+    "quality_gate_agreement",
+    "media_bmp_stats",
+    "allocation_report",
+    "epoch_expand",
+    "tokenizer_fertility",
+    "fim_split",
+    "fim_render",
+    "denoise_render",
+    # --- reference A-query round-robin (VERDICT r9 #8): A8 top_tokens
+    #     + A9 failed_transactions back in (last driver rows r8) for
+    #     the outgoing A7/A10/A12 trio. ---
+    "top_tokens",
+    "failed_transactions",
+    # --- round-9 greens kept: the exposure/observability family stays
+    #     represented by the containment probe; simhash keeps its
+    #     capped-vs-wide comparison pair. ---
     "simhash_near_dup_wide",
     "contamination_report",
     "delta_containment_exposure",
-    "delta_embedding_exposure",
     "dsir_scores",
     "corpus_diversity",
     "minhash_calibration",
@@ -4447,30 +4454,10 @@ DRIVER_ORDER = [
     "mixture_waterfill",
     "epoch_plan",
     "shard_manifest",
-    # --- round-9 new builds (multi-probe SemDeDup pairing, the real
-    #     RIFF/WAV codec path, the allocation-constrained curation
-    #     pipeline, BM25 ranked retrieval) ---
-    "semdedup_multiprobe",
     "media_wav_stats",
     "corpus_curation_v3",
     "bm25_rank",
-    # --- delta_embedding_dedup stays for a re-verdict: round 9
-    #     defaults it to the measured 4-table configuration
-    #     (VERDICT r8 #2) ---
-    "delta_embedding_dedup",
-    # --- reference A-query round-robin: A7 token_transfer_stats +
-    #     A10 top_errors + A12 top_wallets back in (last driver rows
-    #     r7; out since r8) ---
-    "token_transfer_stats",
-    "top_errors",
-    "top_wallets",
-    # --- round-7/8 entries kept: containment's capped default is
-    #     semantics-flagged (observability pair with the exposure
-    #     probes above); simhash_near_dup pairs with the new wide
-    #     variant for the capped-vs-wide comparison ---
-    "containment_pairs",
     "simhash_near_dup",
-    "delta_containment",
     # --- core dedup/similarity/media suite ---
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -4478,16 +4465,10 @@ DRIVER_ORDER = [
     "knn_lsh",
     "knn_ivf",
     "media_stats",
-    # media_avi_stats (late r9, the real AVI demux path completing the
-    # codec trio) takes media_frame_sample's slot -- that byte-offset
-    # plumbing demo is green r8 and stays oracle-swept on every test
-    # run; the real-frame path is the one that needs a verdict.
     "media_avi_stats",
     "dim_wallets",
     "program_dim_rollup",
-    # --- analytics (reference A1-A13 parity; top_tokens /
-    #     failed_transactions green r8, rotate out for the A-robin
-    #     trio above) ---
+    # --- analytics (reference A1-A13 parity) ---
     "transaction_volume",
     "hourly_volume",
     "active_programs",
@@ -4497,18 +4478,8 @@ DRIVER_ORDER = [
     "cumulative_new_users",
     "sketch_rollup",
     "rollup_exact_users",
-    # --- text corpus suite (r8 greens gopher_quality, c4_clean,
-    #     tokenize_corpus, tokenize_pack, source_quota_sample/_hot,
-    #     bpe_merge_stats, pii_redact, packing_efficiency,
-    #     interp_logprob, novelty_scores, perplexity_buckets,
-    #     hash_embed_stats, corpus_curation_v2, benchmark_near_dup,
-    #     simhash_dedup_keepers and the four *_cap_stats rotate out
-    #     after their first green verdict; all stay DuckDB-swept by
-    #     tests/test_oracle_parity on every run) ---
-    # dedup_family_agreement (late r9, the cross-family calibration
-    # report) takes consistent_sample's slot -- that entry is green r8
-    # and stays oracle-swept on every test run
-    "dedup_family_agreement",
+    # --- text corpus suite (rotated-out greens all stay DuckDB-swept
+    #     by tests/test_oracle_parity on every run) ---
     "corpus_selection",
     "benchmark_contamination",
 ]
