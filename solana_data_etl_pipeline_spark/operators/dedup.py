@@ -21,6 +21,8 @@ Hash: h(s) = first 60 bits of md5(s), as a signed long (always >= 0).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1651,8 +1653,12 @@ def minhash_index_scheme(
     zero matches (worse than the embedding-family mismatch, which at
     least kept the shared tables). Reads `{path}/meta`; a pre-meta
     legacy index infers bands = max(band)+1 with the repo-wide
-    rows-per-band (MINHASH_ROWS); falls back to the arguments only
-    when the index does not exist yet."""
+    rows-per-band (MINHASH_ROWS) -- an ASSUMPTION the band rows cannot
+    confirm (they carry only the banded hash, not the signature), so
+    the inference is logged loudly: a legacy index built at a
+    non-default rows-per-band would otherwise resolve to a wrong
+    num_hashes and the probe would silently match nothing. Falls back
+    to the arguments only when the index does not exist yet."""
     from pyspark.sql.utils import AnalysisException
 
     try:
@@ -1667,6 +1673,18 @@ def minhash_index_scheme(
     if m is None:
         return num_hashes, bands
     inferred = int(m) + 1
+    logging.getLogger(__name__).warning(
+        "minhash index %s has no meta table; inferring scheme "
+        "(num_hashes=%d, bands=%d) by ASSUMING the repo-default %d "
+        "rows per band. If the index was built at a different "
+        "rows-per-band the probe will silently match nothing -- "
+        "rebuild the index or write_minhash_index_meta() the true "
+        "scheme.",
+        index_path,
+        inferred * MINHASH_ROWS,
+        inferred,
+        MINHASH_ROWS,
+    )
     return inferred * MINHASH_ROWS, inferred
 
 

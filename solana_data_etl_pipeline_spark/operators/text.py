@@ -62,8 +62,11 @@ def tokenizer_fertility(df: DataFrame, lang_col: str = "lang") -> DataFrame:
     tokenizer analyses). For both shipped tokenizations (whitespace
     `tokens_col` and the BPE-ish regex) per language: document count,
     character mass, token mass, and chars-per-token in basis points
-    (integer floor of one exact division -- ratios stay in the
-    engine-exact integer domain; readers divide by 10000).
+    (floor over a double division -- both engines evaluate the
+    IDENTICAL IEEE-754 expression n_chars*10000/tokens, so parity is
+    bit-exact; the result is only integer-exact while the numerator
+    stays under 2^53, far beyond any per-language character mass the
+    report aggregates; readers divide by 10000).
 
     Scale shape: two zero-shuffle per-doc counting projections fused
     into the scan, then ONE bounded (languages-sized) aggregation --

@@ -29,6 +29,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def _dir_bytes(path: str) -> int:
@@ -200,7 +201,7 @@ def compact_lsh_index(
             continue
         try:
             cols = set(spark.read.parquet(sub_path).columns)
-        except Exception:
+        except AnalysisException:
             continue  # non-parquet artifacts (markers, logs)
         sort_by = next(
             (k for k in _INDEX_CLUSTERING if set(k) <= cols), None
