@@ -466,13 +466,18 @@ def main() -> None:
         kmeans_cells,
         knn_ivf,
         knn_lsh,
+        lloyd_cells,
     )
 
     emb_tbl = load_table(spark, sf_dir, "embeddings")
-    # the testdata's label column is a RANDOM partition; kmeans cells
+    # the testdata's label column is a RANDOM partition; trained cells
     # are geometric -- measuring both quantifies what the trained
     # quantizer buys (a random assignment has no cell locality for the
-    # probe to exploit)
+    # probe to exploit). knn_ivf_kmeans is the REGISTERED form (the
+    # deterministic Lloyd quantizer, suite entry knn_ivf_kmeans);
+    # knn_ivf_kmeans_ml is the ml-KMeans twin kept as the
+    # engine-native comparison point.
+    emb_lloyd = lloyd_cells(emb_tbl).withColumnRenamed("cell", "label").localCheckpoint()
     emb_kmeans = kmeans_cells(emb_tbl, n_cells=16).withColumnRenamed("cell", "label")
     base = emb_tbl.orderBy("vec_id").limit(50).collect()
     rng = np.random.default_rng(42)
@@ -491,7 +496,8 @@ def main() -> None:
         variants = (
             ("knn_lsh", lambda c, q: knn_lsh(c, q, k=10)),
             ("knn_ivf", lambda c, q: knn_ivf(c, q, k=10)),
-            ("knn_ivf_kmeans", lambda c, q: knn_ivf(emb_kmeans, q, k=10)),
+            ("knn_ivf_kmeans", lambda c, q: knn_ivf(emb_lloyd, q, k=10)),
+            ("knn_ivf_kmeans_ml", lambda c, q: knn_ivf(emb_kmeans, q, k=10)),
         )
         for name, fn in variants:
             hit = {}

@@ -366,6 +366,47 @@ def kmeans_cells(
     return model.transform(feats).select("vec_id", "embedding", "cell")
 
 
+LLOYD_ITERS = 4
+LLOYD_INIT_PLANES = 4
+
+
+def lloyd_cells(
+    emb_df: DataFrame,
+    n_iters: int = LLOYD_ITERS,
+    n_planes: int = LLOYD_INIT_PLANES,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means coarse quantizer -- the
+    ENGINE-PORTABLE sibling of kmeans_cells (ml KMeans is seeded but
+    its k-means|| init is not reproducible outside Spark, so a plan
+    built on it cannot be oracle-checked). Init: the 2^n_planes
+    sign-LSH buckets of the fixed hyperplane matrix (table 0) -- a
+    geometric, data-independent seeding. Each Lloyd pass: per-cell
+    mean (rounded 6 dp) then reassign every vector to its
+    nearest-by-cosine centroid (cosine rounded 4 dp, ties to the
+    lowest cell) -- every rounding is part of the contract so DuckDB
+    replays the iteration bit-for-bit. Cells that lose all members
+    drop out (standard Lloyd cell-death; the oracle mirrors it for
+    free by aggregating only populated cells). Returns
+    (vec_id, embedding, cell).
+
+    Scale shape: per pass, ONE bounded centroid aggregation
+    (<= 2^n_planes x dim cells, map-side combined) + ONE broadcast
+    cross join of |corpus| x n_cells NARROW rows folded by max_by --
+    the corpus never shuffles; total cost is n_iters scans. At 100 TB
+    run the fit on a sample (the assignment pass is the only one that
+    must see every row), exactly like retrain_ivf."""
+    assigned = emb_df.select(
+        "vec_id",
+        "embedding",
+        bucket_expr(F.col("embedding"), lsh_planes(n_planes, dim, table=0)).alias("cell"),
+    )
+    for _ in range(n_iters):
+        cents = ivf_centroids(assigned, dim=dim, cell_col="cell")
+        assigned = assign_cells(assigned.select("vec_id", "embedding"), cents)
+    return assigned
+
+
 def assign_cells(emb_df: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, cell): nearest persisted centroid by cosine
     -- the ingest-time assignment for vectors arriving AFTER the

@@ -4095,6 +4095,83 @@ FROM q
 SIMILARITY_SQL["knn_ivf_materialized"] = SIMILARITY_SQL["knn_ivf"]
 
 
+def _knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the TRAINED deterministic Lloyd quantizer
+    (similarity.lloyd_cells) instead of the arbitrary label partition:
+    the label stand-in models an ingest-time assignment but has no
+    cell locality, measuring planted@.95 recall 0.44 vs 1.00 for the
+    fitted quantizer at the same nprobe (BENCH r9/r10) -- this entry
+    registers the configuration a real deployment would ship."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return V.knn_ivf(V.lloyd_cells(emb), queries_df, k=10, nprobe=2, cell_col="cell")
+
+
+SIMILARITY_QUERIES["knn_ivf_kmeans"] = _knn_ivf_kmeans
+
+
+def _lloyd_sql(n_iters: int) -> str:
+    """CTE fragment replaying similarity.lloyd_cells bit-for-bit:
+    sign-LSH init over the _P4 plane matrix, then n_iters unrolled
+    Lloyd passes (6-dp centroid means, 4-dp cosine reassignment, ties
+    to the lowest cell -- the exact roundings the Spark operator
+    contracts). Yields a{n_iters} = (vec_id, v, cell)."""
+    parts = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a0 AS (
+  SELECT vec_id, v, CAST(list_sum([CASE WHEN list_dot_product(m4[p+1], v) >= 0
+    THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    for p in range(0, 4)]) AS BIGINT) AS cell
+  FROM e, (SELECT {_P4} AS m4)
+)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""c{t} AS (
+  SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
+    SELECT cell, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
+    FROM a{t - 1}, UNNEST(range(1, 65)) AS u(i) GROUP BY cell, i
+  ) GROUP BY cell
+)""")
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c{t}.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {COSINE_SQL.format(a="e.v", b="cvec")} DESC, c{t}.cell) AS rn
+    FROM e CROSS JOIN c{t}
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
+SIMILARITY_SQL["knn_ivf_kmeans"] = f"""
+WITH {_lloyd_sql(V.LLOYD_ITERS)},
+cd AS (
+  SELECT cell, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
+  FROM a{V.LLOYD_ITERS}, UNNEST(range(1, 65)) AS u(i) GROUP BY cell, i
+),
+cent AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cell),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+pr AS (
+  SELECT query_id, cell, qv, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {COSINE_SQL.format(a="qv", b="cvec")} DESC, cell
+  ) AS rn
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT query_id, qv, cell FROM pr WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {COSINE_SQL.format(a="p.qv", b="c.v")} AS cosine
+  FROM probes p JOIN a{V.LLOYD_ITERS} c ON c.cell = p.cell
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal suite (binary payloads built from documents)
 
@@ -4463,7 +4540,12 @@ DRIVER_ORDER = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "knn_lsh",
-    "knn_ivf",
+    # knn_ivf_kmeans (r10, VERDICT r9 #3) takes knn_ivf's slot: the
+    # label-partition form is green r9 (and stays oracle-swept) but
+    # its planted@.95 recall is 0.44 vs 1.00 for the registered
+    # trained-quantizer form -- the shippable configuration is the one
+    # that needs the verdict.
+    "knn_ivf_kmeans",
     "media_stats",
     "media_avi_stats",
     "dim_wallets",
