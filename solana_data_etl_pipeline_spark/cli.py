@@ -84,6 +84,24 @@ def main(argv: list[str] | None = None) -> int:
         help="cosine threshold for --semantic-dedup (default 0.95)",
     )
     p_scorp.add_argument(
+        "--semantic-blind-bp",
+        type=int,
+        default=5000,
+        help="log admitted docs whose embedding-LSH buckets are at "
+        "least this many basis points on the semantic index's "
+        "over-cap excluded list (the probe is blind to them) to "
+        "<out>/documents_semantic_blind",
+    )
+    p_scorp.add_argument(
+        "--semantic-route-blind",
+        action="store_true",
+        help="act on the semantic blind-spot signal: docs at or over "
+        "--semantic-blind-bp exposure take a second probe against the "
+        "OVERFLOW twin (exactly the rows the bucket cap rejected), "
+        "and fallback hits are dropped before the corpus commit (the "
+        "blind log then holds only fallback-verified docs)",
+    )
+    p_scorp.add_argument(
         "--compact-clusters",
         action="store_true",
         help="after the drain, fold the near-dup cluster remap log into the per-doc table",
@@ -374,6 +392,8 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_index=f"{out}/near_dup_index" if args.near_dup else None,
             semantic_index=f"{out}/semantic_index" if args.semantic_dedup else None,
             semantic_threshold=args.semantic_threshold,
+            semantic_blind_bp=args.semantic_blind_bp,
+            semantic_route_blind=args.semantic_route_blind,
             temperature_tau=args.temperature_tau,
             target_frac=args.target_frac,
             token_budget=args.token_budget,

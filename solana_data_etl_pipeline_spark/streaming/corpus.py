@@ -81,25 +81,30 @@ def document_features_batch(good: DataFrame, gates: str = "simple") -> DataFrame
     )
 
 
-def cap_new_bands(
+def split_capped_bands(
     new_bands: DataFrame,
     existing: DataFrame | None,
     max_bucket: int | None,
     keys: tuple[str, str] = ("band", "band_sig"),
-) -> DataFrame:
-    """Enforce materialize_minhash's degenerate-bucket cap on band rows
-    APPENDED to a continuously-grown index, against TOTAL bucket width
-    (existing index rows + the new rows). A batch whose rows would push
-    a bucket (the `keys` group: minhash (band, band_sig); embedding
-    (table, bucket)) past the cap contributes nothing to that
-    bucket -- mirroring the build-time rule, which drops over-wide
-    buckets entirely. The existing-side count is a partial-agg groupBy
-    over the index's join keys: the shuffle carries at most |distinct
-    buckets| rows per partition, and the index is being scanned each
-    batch anyway for the probe join."""
-    if max_bucket is None:
-        return new_bands
+) -> tuple[DataFrame, DataFrame]:
+    """(admitted, overflow) split of index rows APPENDED to a
+    continuously-grown LSH index under materialize_minhash's
+    degenerate-bucket cap, against TOTAL bucket width (existing index
+    rows + the new rows). A batch whose rows would push a bucket (the
+    `keys` group: minhash (band, band_sig); embedding (table, bucket))
+    past the cap contributes nothing to that bucket -- mirroring the
+    build-time rule, which drops over-wide buckets entirely. The
+    OVERFLOW side is what the cap rejected: the rows future probes of
+    the capped index are blind to -- callers that route blind docs
+    persist it (the streaming semantic gate's overflow twin) and
+    callers that only log persist its distinct keys (the excluded
+    list the exposure probes read). The existing-side count is a
+    partial-agg groupBy over the index's join keys: the shuffle
+    carries at most |distinct buckets| rows per partition, and the
+    index is being scanned each batch anyway for the probe join."""
     cols = new_bands.columns  # the equi-join reorders; appends must not
+    if max_bucket is None:
+        return new_bands, new_bands.filter(F.lit(False)).select(cols)
     wspec = Window.partitionBy(*keys)
     new_bands = new_bands.withColumn("_new", F.count(F.lit(1)).over(wspec))
     if existing is not None:
@@ -111,7 +116,22 @@ def cap_new_bands(
         )
     else:
         new_bands = new_bands.withColumn("_have", F.lit(0))
-    return new_bands.filter(F.col("_new") + F.col("_have") <= max_bucket).select(cols)
+    fits = F.col("_new") + F.col("_have") <= max_bucket
+    return (
+        new_bands.filter(fits).select(cols),
+        new_bands.filter(~fits).select(cols),
+    )
+
+
+def cap_new_bands(
+    new_bands: DataFrame,
+    existing: DataFrame | None,
+    max_bucket: int | None,
+    keys: tuple[str, str] = ("band", "band_sig"),
+) -> DataFrame:
+    """The admitted side of split_capped_bands (kept as the plain-cap
+    entry point for callers that do not track the blind spot)."""
+    return split_capped_bands(new_bands, existing, max_bucket, keys)[0]
 
 
 def index_health(
@@ -205,6 +225,8 @@ def run_document_stream(
     semantic_index: str | None = None,
     semantic_threshold: float = 0.95,
     semantic_max_bucket: int | None = 64,
+    semantic_blind_bp: int = 5000,
+    semantic_route_blind: bool = False,
     media_health: bool = False,
 ):
     """Landing zone -> quarantine split -> gates + features ->
@@ -224,6 +246,30 @@ def run_document_stream(
     near-dup dedup so only novel content pays embedding cost; it
     catches what they miss (bag-of-words twins: permuted or
     re-ordered content).
+
+    The semantic cap's blind spot is OBSERVED and optionally ACTED on,
+    mirroring the decontamination family: the catch-up records every
+    (table, bucket) the cap rejected rows from as
+    `{semantic_index}/excluded` (bounded by the bucket DOMAIN --
+    n_tables x 2^planes -- so maintenance is trivially cheap), and
+    docs whose probe routes are measurably blind -- >=
+    `semantic_blind_bp` basis points of their buckets on that list
+    (delta_embedding_exposure) -- are logged to
+    `{output_dir}_semantic_blind` before the corpus commit. With
+    `semantic_route_blind=True` the routing ACTS in-stream: the
+    catch-up ALSO persists the rejected rows themselves as an
+    OVERFLOW twin (`{semantic_index}_overflow`, exactly the
+    hot-bucket tail the capped index refuses), and measurably-blind
+    docs take a second probe against it -- fallback hits drop before
+    the corpus commit, the capped index keeps every batch probe
+    cheap, and the overflow's full-width buckets are paid only by the
+    measured-blind fraction; the blind log then records only docs the
+    fallback VERIFIED clean. Unlike the decontamination fallback
+    (whose uncapped twin is bounded by the static bench set), the
+    overflow twin grows with the corpus's degenerate mass -- which is
+    the honest cost of acting on embedding blindness, and still
+    strictly cheaper than an uncapped index (it holds ONLY the
+    over-cap tail).
 
     `decontaminate_bench` (a parquet docs table) blocks benchmark
     contamination AT INGEST: the bench set's winnowing index is built
@@ -447,6 +493,41 @@ def run_document_stream(
         survivors = D.delta_embedding_dedup(
             spark, semantic_index, vecs, threshold=semantic_threshold
         )
+        if semantic_route_blind:
+            # exposure-routed fallback (the embedding mirror of
+            # decon_route_blind): survivors whose probe routes are
+            # measurably blind take a second probe against the
+            # OVERFLOW twin -- exactly the rows the cap rejected --
+            # and fallback hits drop here, before the corpus commit.
+            # Both reads are narrow path probes: no excluded list /
+            # no overflow means nothing has ever over-capped.
+            try:
+                spark.read.parquet(f"{semantic_index}/excluded")
+                spark.read.parquet(f"{semantic_index}_overflow/buckets")
+            except AnalysisException:
+                return survivors.select(F.col("vec_id").alias("doc_id"))
+            blind = (
+                D.delta_embedding_exposure(spark, semantic_index, vecs)
+                .filter(F.col("exposure_bp") >= semantic_blind_bp)
+                .select(F.col("delta_id").alias("vec_id"))
+            )
+            blind_vecs = vecs.join(
+                F.broadcast(survivors.select("vec_id").join(blind, "vec_id", "left_semi")),
+                "vec_id",
+                "left_semi",
+            )
+            fallback_ok = D.delta_embedding_dedup(
+                spark,
+                f"{semantic_index}_overflow",
+                blind_vecs,
+                threshold=semantic_threshold,
+            )
+            caught = blind_vecs.select("vec_id").join(
+                F.broadcast(fallback_ok.select("vec_id")), "vec_id", "left_anti"
+            )
+            survivors = survivors.select("vec_id").join(
+                F.broadcast(caught), "vec_id", "left_anti"
+            )
         return survivors.select(F.col("vec_id").alias("doc_id"))
 
     def _catch_up_semantic():
@@ -454,7 +535,14 @@ def run_document_stream(
         semantic index does not know yet -- the vector twin of
         _catch_up_index, same self-healing doc_id anti-join form,
         appends passing through the accumulated-width bucket cap on
-        the index's (table, bucket) keys."""
+        the index's (table, bucket) keys. The cap's rejects feed the
+        blind-spot machinery (docstring): their distinct (table,
+        bucket) keys append to the excluded list the exposure probe
+        reads, and -- when routing is on -- the rejected rows
+        themselves append to the overflow twin the blind fallback
+        probes. Both frames are eagerly checkpointed before any
+        append so one append cannot change what a later one's
+        anti-join reads (the _catch_up_index desync lesson)."""
         from solana_data_etl_pipeline_spark.operators.text import hash_embed
 
         corpus_now = spark.read.parquet(output_dir).select("doc_id", "text")
@@ -468,17 +556,50 @@ def run_document_stream(
         else:
             todo = corpus_now
         n_tables = D.embedding_index_tables(spark, semantic_index)
-        rows = cap_new_bands(
+        rows, overflow = split_capped_bands(
             _embed_bucket_rows(hash_embed(todo), n_tables),
             existing,
             semantic_max_bucket,
             keys=("table", "bucket"),
         )
+        overflow = overflow.localCheckpoint(eager=True)
         rows.write.mode("append").parquet(f"{semantic_index}/buckets")
         if existing is None:
             # first creation defines the index geometry for every
             # future probe and catch-up (embedding_index_tables)
             D.write_embedding_index_meta(spark, semantic_index, n_tables)
+        if overflow.limit(1).count():
+            # same shape as materialize_embedding_lsh's excluded table;
+            # width here = the rejected mass when the bucket first
+            # over-capped (the build-time table records total width)
+            exc = overflow.groupBy("table", "bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("bucket_width")
+            )
+            try:
+                seen_exc = spark.read.parquet(f"{semantic_index}/excluded")
+            except AnalysisException:
+                seen_exc = None
+            if seen_exc is not None:
+                exc = exc.join(seen_exc, ["table", "bucket"], "left_anti")
+            exc.write.mode("append").parquet(f"{semantic_index}/excluded")
+            if semantic_route_blind:
+                over_path = f"{semantic_index}_overflow"
+                try:
+                    seen_over = spark.read.parquet(f"{over_path}/buckets")
+                except AnalysisException:
+                    seen_over = None
+                    # the overflow twin shares the capped index's
+                    # geometry (a probe at any other table count
+                    # would silently miss its rows)
+                    D.write_embedding_index_meta(spark, over_path, n_tables)
+                new_over = overflow
+                if seen_over is not None:
+                    new_over = overflow.join(
+                        seen_over.select("vec_id", "table", "bucket").distinct(),
+                        ["vec_id", "table", "bucket"],
+                        "left_anti",
+                    )
+                new_over.write.mode("append").parquet(f"{over_path}/buckets")
 
     def _catch_up_index():
         """Append band rows + shingles for corpus docs the index does
@@ -869,6 +990,40 @@ def run_document_stream(
                         "left_anti",
                     )
                 blind.write.mode("append").parquet(blind_dir)
+            if semantic_index:
+                # the embedding family's blind-spot log, same stance
+                # as the decon one above: docs being ADMITTED whose
+                # semantic-dedup verdict the cap hollowed out, written
+                # before the corpus commit. In routed mode fallback
+                # catches were already dropped from `kept`, so the log
+                # records only docs the fallback verified clean. The
+                # narrow try: no excluded list means nothing has ever
+                # over-capped.
+                from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+                try:
+                    spark.read.parquet(f"{semantic_index}/excluded")
+                    have_excluded = True
+                except AnalysisException:
+                    have_excluded = False
+                if have_excluded:
+                    sem_blind_dir = f"{output_dir}_semantic_blind"
+                    import solana_data_etl_pipeline_spark.operators.dedup as DD
+
+                    sem_blind = DD.delta_embedding_exposure(
+                        spark, semantic_index, hash_embed(kept)
+                    ).filter(F.col("exposure_bp") >= semantic_blind_bp)
+                    try:
+                        seen_sb = spark.read.parquet(sem_blind_dir)
+                    except AnalysisException:
+                        seen_sb = None
+                    if seen_sb is not None:
+                        sem_blind = sem_blind.join(
+                            seen_sb.select("delta_id").distinct(),
+                            "delta_id",
+                            "left_anti",
+                        )
+                    sem_blind.write.mode("append").parquet(sem_blind_dir)
             kept.select(
                 "doc_id",
                 "text",

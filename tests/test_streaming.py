@@ -1111,6 +1111,92 @@ def test_document_stream_semantic_dedup(spark, tmp_path):
     assert idx_ids == {1, 3, 5}
 
 
+def _semantic_blind_setup(spark, tmp_path, **stream_kwargs):
+    """Shared planted scenario for the semantic blind-spot tests: a
+    first batch of three bag-of-words PERMUTATIONS (identical
+    hash-embed vectors -- they share every LSH bucket by
+    construction) plus one clean doc, under a bucket cap of 2. The
+    capped pair generator is blind to the 3-wide permutation buckets,
+    so all three are admitted; the catch-up then rejects all their
+    index rows (3 > cap), recording the excluded buckets. A second
+    batch brings ANOTHER permutation (its every probe route is
+    excluded -- exposure 10000 bp) plus a clean doc."""
+    import shutil
+
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    sem = str(tmp_path / "sem_index")
+    os.makedirs(land, exist_ok=True)
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, " ".join(words)) + "\n")
+        f.write(_doc(2, " ".join(reversed(words))) + "\n")
+        f.write(_doc(3, " ".join(words[6:] + words[:6])) + "\n")
+        f.write(_doc(4, "a clean document about adaptive query execution internals and shuffles") + "\n")
+    run_document_stream(
+        spark, land, out, quar, ckpt,
+        semantic_index=sem, semantic_max_bucket=2, **stream_kwargs,
+    )
+    # the capped gate was blind to the in-batch permutation family
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3, 4}
+    # the catch-up recorded the buckets it had to reject rows from
+    assert spark.read.parquet(f"{sem}/excluded").count() > 0
+    # only the clean doc made it into the capped index
+    assert {r.vec_id for r in spark.read.parquet(f"{sem}/buckets").collect()} == {4}
+
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(5, " ".join(words[3:] + words[:3])) + "\n")
+        f.write(_doc(6, "yet another unrelated document describing whole stage code generation boundaries in detail") + "\n")
+    run_document_stream(
+        spark, land, out, quar, ckpt,
+        semantic_index=sem, semantic_max_bucket=2, **stream_kwargs,
+    )
+    return out, sem
+
+
+def test_document_stream_semantic_blind_log(spark, tmp_path):
+    """Log-only mode (the decon_blind stance applied to the embedding
+    family): the batch-2 permutation twin is ADMITTED -- every one of
+    its probe buckets is on the excluded list, so the capped verdict
+    is hollow -- and the blind log records exactly that doc at
+    exposure 10000 before the corpus commit; the clean doc stays out
+    of the log."""
+    out, sem = _semantic_blind_setup(spark, tmp_path)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3, 4, 5, 6}
+    blind = {r.delta_id: r for r in spark.read.parquet(f"{out}_semantic_blind").collect()}
+    assert set(blind) == {5}
+    assert blind[5].exposure_bp == 10000
+
+
+def test_document_stream_semantic_blind_routing_catches_hollow_verdict(spark, tmp_path):
+    """The acting form: with semantic_route_blind=True the catch-up
+    ALSO persists the cap-rejected rows as the overflow twin, and the
+    measurably-blind batch-2 twin takes the fallback probe against it
+    -- its cosine-1.0 match with the overflowed batch-1 permutations
+    drops it before the corpus commit (the log-only run above admits
+    it); the clean doc is untouched and the blind log holds no
+    admitted-blind rows because the only blind doc was caught."""
+    out, sem = _semantic_blind_setup(spark, tmp_path, semantic_route_blind=True)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3, 4, 6}
+    # the overflow twin holds exactly the rejected permutation rows
+    over_ids = {r.vec_id for r in spark.read.parquet(f"{sem}_overflow/buckets").collect()}
+    assert over_ids == {1, 2, 3}
+    # nothing blind was admitted, so the log is empty
+    assert spark.read.parquet(f"{out}_semantic_blind").count() == 0
+
+
 def test_semantic_index_self_heals_after_loss(spark, tmp_path):
     """The semantic index's catch-up is SELF-HEALING: losing the
     entire index after a drain (the worst crash: corpus committed,
