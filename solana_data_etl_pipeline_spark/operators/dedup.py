@@ -2179,7 +2179,17 @@ def semdedup_keepers_multiprobe(
     cell mass drops ~2^bits-fold); probe ranking and keeper scoring
     keep the unrefined label centroids. Probe rows are narrow and
     lazily checkpointed, so the ranking computes once for both the
-    primary-score and pairing branches."""
+    primary-score and pairing branches.
+
+    DEFAULT FOR GROWN CORPORA: refine_bits > 0 (the registered
+    `semdedup_multiprobe_scaled` form runs refine_bits=4). Measured
+    at sf0.1 / tau=0.30: the unrefined nprobe=2 form's pair mass
+    links ~the whole corpus into one duplicate component and removes
+    removed_frac = 1.0 -- deterministic and oracle-correct, but not a
+    curation any real run would ship; refine_bits=4 holds removal at
+    0.612 at the same coverage dial (BENCH r9, SCALE.md). The
+    unrefined form stays registered as the coverage demonstration of
+    the raw multi-probe pair mass."""
     from solana_data_etl_pipeline_spark.operators.similarity import (
         _dvec,
         dot_raw,
