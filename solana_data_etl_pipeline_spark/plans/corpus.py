@@ -226,6 +226,19 @@ def corpus_curation_v3(
         .select("doc_id", "source", "n_words", "alpha_ratio", "kept_lines")
         .localCheckpoint(eager=False)  # feeds capacities AND selection
     )
+    return _allocation_select(train, budget, carry=["kept_lines"])
+
+
+def _allocation_select(train: DataFrame, budget: int, carry: list[str]) -> DataFrame:
+    """The allocation-constrained planner + per-doc selection stages
+    shared by corpus_curation_v3/v4 (docstrings there): per-source
+    capacities and tau=0.5 weights from `train`, the
+    waterfill-vs-epoch branch folded in as a scalar comparison, and
+    the greedy per-source cumulative-window spend. `train` must carry
+    (doc_id, source, n_words, alpha_ratio) plus the `carry` columns
+    passed through to the output. All planner frames are
+    SOURCES-sized broadcasts; the selection window partitions by
+    source."""
     caps = (
         train.groupBy("source")
         .agg(F.sum("n_words").cast("long").alias("capacity"))
@@ -267,12 +280,94 @@ def corpus_curation_v3(
             "source",
             "n_words",
             "alpha_ratio",
-            "kept_lines",
+            *carry,
             "src_alloc",
             F.floor(F.col("src_alloc") * 10000 / F.col("capacity"))
             .cast("long")
             .alias("epochs_bp"),
         )
+    )
+
+
+# corpus_curation_v4 threads the MEDIA column through the pipeline:
+# every surviving document's binary payload is decoded by the REAL
+# stdlib codec and gated on the DECODED features -- the multimodal
+# analog of the Gopher text gates (duration bounds + a near-silence
+# floor). Thresholds sit inside the measured synthetic-corpus
+# distribution (frames p10~105, max ~558; rms p10~43.9, p50~44.9) so
+# both bounds are exercised non-vacuously at every test sf.
+V4_MEDIA_MIN_FRAMES = 80
+V4_MEDIA_MAX_FRAMES = 520
+V4_MEDIA_MIN_RMS = 44.0
+
+
+def corpus_curation_v4(
+    spark: SparkSession, sf_dir: str, budget: int = V3_TOKEN_BUDGET
+) -> DataFrame:
+    """corpus_curation_v3 with media as a FIRST-CLASS corpus column:
+    each gated document's audio payload (synth_wav -- a genuine
+    RIFF/WAV container standing in for reading real recordings;
+    reference analog: the schema-on-read payload drill-down,
+    /root/reference/docs/SCHEMA.md:373-380) is decoded through the
+    real stdlib wave codec and the pipeline gates on the DECODED
+    features: duration within [V4_MEDIA_MIN_FRAMES,
+    V4_MEDIA_MAX_FRAMES] frames and RMS amplitude >= V4_MEDIA_MIN_RMS
+    (the near-silence floor) -- the multimodal analog of the Gopher
+    gate conjunction. The decoded features ride into the output
+    (media_frames, media_rms) so the codec round-trip itself is
+    hash-verified, not just the filter. Downstream, the
+    allocation-constrained planners run unchanged over the
+    media-gated train set.
+
+    Stage order: the codec is the most expensive per-doc stage (an
+    Arrow-batched mapInPandas pass), so it runs on the
+    text-gate/dedup/split SURVIVORS only -- decode cost scales with
+    what the cheap zero-shuffle gates admit, not with the raw corpus.
+    Dedup/decontamination still see every raw twin (they run before
+    and independently of the media gate, which is per-doc
+    deterministic, so the order cannot change its verdicts).
+
+    Scale shape: v3's corpus-keyed work (the dedup window + the LSH
+    band join) plus ONE map-side encode/decode pass over the gated
+    population (behind ensure_parallelism -- the single-split
+    lesson); the payload bytes are born and die map-side, never
+    shuffling; planner stages stay sources-sized broadcasts."""
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+    from solana_data_etl_pipeline_spark.plans.suite import DEDUP_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    gates = X.curation_gates(docs)
+    keepers = D.exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    split = D.leakage_free_split(
+        docs,
+        val_pct=VAL_PCT,
+        threshold=NEAR_DUP_THRESHOLD,
+        max_bucket=DEDUP_MAX_BUCKET,
+    )
+    gated = (
+        docs.select("doc_id", "source", "text")
+        .join(gates, "doc_id")
+        .join(keepers, "doc_id")
+        .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .filter(~F.col("page_filtered") & F.col("gopher_pass"))
+        .select("doc_id", "source", "text", "n_words", "alpha_ratio", "kept_lines")
+    )
+    mstats = M.wav_stats(M.synth_wav(gated.select("doc_id", "text"))).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_frames").alias("media_frames"),
+        F.round("rms", 4).alias("media_rms"),
+    )
+    train = (
+        gated.drop("text")
+        .join(mstats, "doc_id")
+        .filter(
+            F.col("media_frames").between(V4_MEDIA_MIN_FRAMES, V4_MEDIA_MAX_FRAMES)
+            & (F.col("media_rms") >= V4_MEDIA_MIN_RMS)
+        )
+        .localCheckpoint(eager=False)  # feeds capacities AND selection
+    )
+    return _allocation_select(
+        train, budget, carry=["kept_lines", "media_frames", "media_rms"]
     )
 
 

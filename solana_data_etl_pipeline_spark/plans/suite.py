@@ -741,6 +741,13 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # -- the pipeline a data-constrained run executes (plans/corpus.py
     # corpus_curation_v3)
     "corpus_curation_v3": C.corpus_curation_v3,
+    # v4: media as a first-class corpus column -- every gated doc's
+    # genuine WAV payload is decoded by the REAL stdlib codec and the
+    # pipeline gates on the DECODED duration/RMS (the multimodal
+    # Gopher analog); decoded features ride into the output so the
+    # codec round-trip is hash-verified (plans/corpus.py
+    # corpus_curation_v4, VERDICT r9 #6)
+    "corpus_curation_v4": C.corpus_curation_v4,
     # planned-vs-realized mixture manifest over v3 (r10 rotation
     # candidate: registered after the r9 driver surface was frozen)
     "allocation_report": C.allocation_report,
@@ -3504,18 +3511,47 @@ UNION ALL SELECT CAST(5 AS INT), 'budget', CAST(count(*) AS BIGINT), CAST(coales
 # (mixture_waterfill / epoch_plan CTEs inlined at tau=0.5 weights
 # w = greatest(floor(sqrt(capacity)), 1)), and per-doc selection
 # spending each source's single-pass allocation greedily.
-def _v3_oracle(budget: int) -> str:
+def _v3_oracle(budget: int, media: bool = False) -> str:
     """The v3 oracle, budget-parameterized so tests can drive BOTH
     planner branches (waterfill below total capacity, epoch_plan above
     it) through the same engine-vs-engine comparison the registered
-    entry gets at the default budget."""
+    entry gets at the default budget. `media=True` yields the v4
+    oracle: the media-gate CTEs (the WAV samples are the text's ASCII
+    codes, so frames = len(text) and rms recomputes per byte --
+    exactly the media_wav_stats idiom) thread between `train` and the
+    planner stages, and the decoded columns ride into the output."""
+    src = "mtrain" if media else "train"
+    media_ctes = (
+        f""",
+wpos AS (
+  SELECT t.doc_id, unicode(substr(t.text, CAST(u.i AS INT), 1)) AS s
+  FROM (SELECT d.doc_id, d.text FROM documents d JOIN train USING (doc_id)) t,
+       UNNEST(range(1, len(t.text) + 1)) AS u(i)
+),
+mwav AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS media_frames,
+         round(sqrt(avg(CAST((s - 128) * (s - 128) AS DOUBLE))), 4) AS media_rms
+  FROM wpos GROUP BY doc_id
+),
+mtrain AS (
+  SELECT t.*, m.media_frames, m.media_rms
+  FROM train t JOIN mwav m USING (doc_id)
+  WHERE m.media_frames BETWEEN {C.V4_MEDIA_MIN_FRAMES} AND {C.V4_MEDIA_MAX_FRAMES}
+    AND m.media_rms >= {C.V4_MEDIA_MIN_RMS}
+)"""
+        if media
+        else ""
+    )
+    extra_sel3 = ", t.media_frames, t.media_rms" if media else ""
+    extra_out = ", media_frames, media_rms" if media else ""
     return (
         TEXT_SQL["corpus_curation_v2"].rsplit(",\nsrcn AS", 1)[0]
+        + media_ctes
         + f""",
 srcw AS (
   SELECT source, CAST(sum(n_words) AS BIGINT) AS capacity,
          greatest(CAST(floor(sqrt(CAST(sum(n_words) AS DOUBLE))) AS BIGINT), 1) AS weight
-  FROM train GROUP BY source
+  FROM {src} GROUP BY source
 ),
 bdg AS (SELECT CAST({budget} AS DOUBLE) AS b),
 tot AS (SELECT CAST(sum(capacity) AS DOUBLE) AS tc, CAST(sum(weight) AS DOUBLE) AS tw FROM srcw),
@@ -3572,14 +3608,14 @@ served AS (
   FROM walloc w JOIN ealloc e ON w.source = e.source, tot, bdg
 ),
 sel3 AS (
-  SELECT t.doc_id, t.source, t.n_words, t.alpha_ratio, t.kept_lines,
+  SELECT t.doc_id, t.source, t.n_words, t.alpha_ratio, t.kept_lines{extra_sel3},
          s.src_alloc, s.capacity,
          sum(t.n_words) OVER (PARTITION BY t.source
              ORDER BY t.alpha_ratio DESC, t.doc_id
              ROWS UNBOUNDED PRECEDING) AS cum
-  FROM train t JOIN served s ON t.source = s.source
+  FROM {src} t JOIN served s ON t.source = s.source
 )
-SELECT doc_id, source, n_words, alpha_ratio, kept_lines, src_alloc,
+SELECT doc_id, source, n_words, alpha_ratio, kept_lines{extra_out}, src_alloc,
        CAST(floor(src_alloc * 10000.0 / capacity) AS BIGINT) AS epochs_bp
 FROM sel3
 WHERE cum <= least(src_alloc, capacity)
@@ -3588,6 +3624,12 @@ WHERE cum <= least(src_alloc, capacity)
 
 
 TEXT_SQL["corpus_curation_v3"] = _v3_oracle(C.V3_TOKEN_BUDGET)
+
+# corpus_curation_v4: the v3 oracle with the media-gate CTEs threaded
+# between `train` and the planner stages (media=True); the decoded
+# frames/rms recompute per byte from the text, the media_wav_stats
+# idiom applied inside the composed pipeline.
+TEXT_SQL["corpus_curation_v4"] = _v3_oracle(C.V3_TOKEN_BUDGET, media=True)
 
 # allocation_report: the planned-vs-realized mixture manifest = one
 # bounded aggregation over the v3 oracle, wrapped verbatim as a
@@ -4532,7 +4574,11 @@ DRIVER_ORDER = [
     "epoch_plan",
     "shard_manifest",
     "media_wav_stats",
-    "corpus_curation_v3",
+    # corpus_curation_v4 (r10, VERDICT r9 #6) takes v3's slot: v3 is
+    # green r9 (stays oracle-swept); v4 composes the real-codec media
+    # gate into the same pipeline and is the entry that needs a
+    # verdict.
+    "corpus_curation_v4",
     "bm25_rank",
     "simhash_near_dup",
     # --- core dedup/similarity/media suite ---

@@ -335,6 +335,51 @@ def test_curation_v3_planners_stay_source_sized(plans):
     assert v3.count("BroadcastHashJoin") >= 1, v3
 
 
+def test_curation_v4_media_gate_composes_real_codec(plans, spark):
+    # v4 = v3's spine + ONE real-codec media-gate stage: the WAV
+    # encode/decode is the pipeline's only Python, Arrow-batched
+    # map-side (MapInPandas), and the plan stays cartesian-free with
+    # the planner joins still broadcast-shaped
+    # (the selection segment downstream of the train checkpoint; the
+    # codec stage lives in the pre-checkpoint segment, asserted below)
+    p = plans("corpus_curation_v4")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 1, p
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+    from solana_data_etl_pipeline_spark.plans import corpus as C
+
+    # the media-gate stage is a real Arrow-batched map-side pass
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mp = (
+        M.wav_stats(M.synth_wav(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in mp
+    # payload bytes never shuffle: the only exchange is
+    # ensure_parallelism's round-robin BELOW the codec (plan strings
+    # print top-down, so anything above the first MapInPandas would
+    # appear before it)
+    assert "Exchange" not in mp[: mp.index("MapInPandas")]
+    # behavioral: every selected doc's DECODED features sit inside the
+    # gate bounds...
+
+    rows = C.corpus_curation_v4(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert C.V4_MEDIA_MIN_FRAMES <= r.media_frames <= C.V4_MEDIA_MAX_FRAMES
+        assert r.media_rms >= C.V4_MEDIA_MIN_RMS
+    # ...and the gate is non-vacuous on the corpus: real decoded stats
+    # put docs outside BOTH bounds (too-short payloads and
+    # near-silence), so the media stage actually filters
+    from pyspark.sql import functions as F
+
+    st = M.wav_stats(M.synth_wav(spark.read.parquet(f"{SF}/documents.parquet")))
+    assert st.filter(F.col("n_frames") < C.V4_MEDIA_MIN_FRAMES).count() > 0
+    assert st.filter(F.round("rms", 4) < C.V4_MEDIA_MIN_RMS).count() > 0
+
+
 def test_curation_gates_is_zero_shuffle_projection(spark):
     from solana_data_etl_pipeline_spark.operators.text import curation_gates
 
