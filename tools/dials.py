@@ -13,6 +13,18 @@ against its exact twin, not just the analytic formula.
 
 Usage: python tools/dials.py [sf_dir]   (default /root/testdata/sf0.1)
 Prints one markdown table per dial; runtime ~2-4 min at sf0.1.
+
+`--scale10` instead runs ONLY the multi-probe SemDeDup dial's 10x
+pricing (SCALE.md's nprobe coverage-vs-pair-mass tradeoff at the
+second scale point): coverage AND runtime for nprobe=2/3 at sf0.1
+and at the 10x replica (tools/scale10.py protocol; generated under
+.scale10/ if missing). Exact pairs at 10x are DERIVED, not
+brute-forced: replicas carry identical embeddings, so the 10x exact
+pair set is (base pairs x replica pairs) union (identical-twin
+pairs) -- and probe assignments are measured on the actual 10x
+table (centroids of 10x replicated cells equal the base centroids,
+so this also verifies the replica-invariance argument empirically).
+Runtime ~10 min.
 """
 
 from __future__ import annotations
@@ -160,5 +172,109 @@ def main() -> None:
         print(f"| {nprobe} | {cov:.3f} | {time.perf_counter() - t0:.2f} |")
 
 
+def scale10_multiprobe() -> None:
+    """The 10x pricing of the multi-probe dial (see module docstring)."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semdedup_keepers_multiprobe,
+        semdedup_probe_assignments,
+    )
+    from solana_data_etl_pipeline_spark.session import get_spark
+    from tools import scale10
+
+    spark = get_spark("dials10")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(os.path.join(scale10.OUT, "embeddings.parquet")):
+        t0 = time.perf_counter()
+        scale10.generate(spark)
+        print(f"# generated {scale10.OUT} in {time.perf_counter() - t0:.1f}s")
+
+    base = spark.read.parquet(f"{scale10.BASE}/embeddings.parquet")
+    big = spark.read.parquet(f"{scale10.OUT}/embeddings.parquet")
+    v_stride = base.agg(F.max("vec_id")).first()[0] + 1
+    n_base = base.count()
+    reps = scale10.REPLICAS
+
+    # base exact pairs once (brute force is affordable at sf0.1 only)
+    bp = embedding_near_dup_pairs(base, threshold=0.30).select("vec_a", "vec_b")
+    bp = bp.localCheckpoint(eager=True)
+    n_bp = bp.count()
+
+    # the DERIVED 10x exact pair set: every base pair at every ordered
+    # replica combination, plus every vector's identical cross-replica
+    # twins (cos 1.0 >= 0.30 by construction)
+    ra = spark.range(reps).select(F.col("id").alias("_ra"))
+    rb = spark.range(reps).select(F.col("id").alias("_rb"))
+    lifted = (
+        bp.crossJoin(ra)
+        .crossJoin(rb)
+        .select(
+            (F.col("vec_a") + F.col("_ra") * v_stride).alias("a"),
+            (F.col("vec_b") + F.col("_rb") * v_stride).alias("b"),
+        )
+    )
+    twins = (
+        base.select("vec_id")
+        .crossJoin(ra)
+        .crossJoin(rb)
+        .filter(F.col("_ra") < F.col("_rb"))
+        .select(
+            (F.col("vec_id") + F.col("_ra") * v_stride).alias("a"),
+            (F.col("vec_id") + F.col("_rb") * v_stride).alias("b"),
+        )
+    )
+    pairs10 = lifted.unionByName(twins)
+
+    def coverage(emb, pairs, nprobe):
+        probes = (
+            semdedup_probe_assignments(emb, nprobe=nprobe)
+            .groupBy("vec_id")
+            .agg(F.collect_set("_pcl").alias("cells"))
+        )
+        hit = (
+            pairs.join(probes.select(F.col("vec_id").alias("a"), F.col("cells").alias("ca")), "a")
+            .join(probes.select(F.col("vec_id").alias("b"), F.col("cells").alias("cb")), "b")
+            .select(
+                (F.size(F.array_intersect("ca", "cb")) > 0).cast("long").alias("h")
+            )
+            .agg(F.avg("h").alias("cov"), F.count("*").alias("n"))
+            .first()
+        )
+        return float(hit["cov"]), int(hit["n"])
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+
+    def timed(emb, nprobe, bits):
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            semdedup_keepers_multiprobe(emb, nprobe=nprobe, refine_bits=bits).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples)
+
+    print(f"# base vectors {n_base}, base exact pairs {n_bp}, replicas {reps}")
+    print("| nprobe | coverage sf0.1 | coverage 10x | bits | sec sf0.1 | sec 10x | ratio |")
+    print("|---|---|---|---|---|---|---|")
+    for nprobe in (2, 3):
+        cov1, _ = coverage(base, bp.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")), nprobe)
+        cov10, n10 = coverage(big, pairs10, nprobe)
+        for bits in (0, 4):
+            t1 = timed(base, nprobe, bits)
+            t10 = timed(big, nprobe, bits)
+            print(
+                f"| {nprobe} | {cov1:.3f} | {cov10:.3f} ({n10} pairs) | {bits} |"
+                f" {t1:.2f} | {t10:.2f} | {t10 / t1:.1f} |"
+            )
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale10" in sys.argv:
+        scale10_multiprobe()
+    else:
+        main()

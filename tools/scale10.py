@@ -109,6 +109,9 @@ HEAVY = [
     "dedup_family_agreement_full",
     "fim_render",
     "denoise_render",
+    # round-10 registrants
+    "knn_ivf_kmeans",
+    "corpus_curation_v4",
 ]
 
 
