@@ -4529,6 +4529,24 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
+# ROUND-11 ROTATION PLAN (execute at the START of round 11, before any
+# other work; every registrant has a driver verdict after r10, so the
+# r11 window is freshness + weight management): rotate OUT the heavy
+# newly-verdicted r10 entries once their CORRECTNESS_r10 rows are
+# green -- dedup_family_agreement_full (8.3 s solo),
+# corpus_curation_v4 (5.9), allocation_report (5.2), knn_ivf_kmeans
+# (4.6), quality_gate_agreement (3.4), semdedup_multiprobe_scaled
+# (3.2), media_bmp_stats (2.3) -- plus the light r10 robin
+# top_tokens / failed_transactions / tokenizer_fertility / fim_split
+# / fim_render / denoise_render / epoch_expand. Rotate IN: the
+# A-query robin token_transfer_stats / top_errors / top_wallets
+# (last verdict r9; no reference query ages beyond two rounds) and
+# the longest-out greens for re-verdicts (candidates by last-green
+# round: dedup_keepers r5, knn_ivf_materialized r4, corpus_curation
+# r6, corpus_curation_v2 r8, gopher_quality / c4_clean /
+# tokenize_pack / simhash_dedup_keepers / the four *_cap_stats r8).
+# Keep DRIVER_ORDER at exactly 50; everything rotated out stays
+# DuckDB-swept on every test run by tests/test_oracle_parity.py.
 DRIVER_ORDER = [
     # --- ROUND-10 ROTATION (executed per the r9 plan + VERDICT r9 #1):
     #     the 10 late-r9 registrants that never had a driver verdict
