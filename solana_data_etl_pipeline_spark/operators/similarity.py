@@ -395,8 +395,15 @@ def lloyd_cells(
     cross join of |corpus| x n_cells NARROW rows folded by max_by --
     the corpus never shuffles; total cost is n_iters scans. At 100 TB
     run the fit on a sample (the assignment pass is the only one that
-    must see every row), exactly like retrain_ivf."""
-    assigned = emb_df.select(
+    must see every row), exactly like retrain_ivf. The per-row
+    assignment arithmetic (dim x n_cells dots x n_iters) is heavy
+    enough that the input routes through ensure_parallelism -- a
+    no-op on real multi-split tables, and the difference between 1
+    and 32 cores on single-row-group test fixtures (the 10x-replica-
+    runs-faster symptom, measured on this operator)."""
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    assigned = ensure_parallelism(emb_df).select(
         "vec_id",
         "embedding",
         bucket_expr(F.col("embedding"), lsh_planes(n_planes, dim, table=0)).alias("cell"),
