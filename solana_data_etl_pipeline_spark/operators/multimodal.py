@@ -689,6 +689,76 @@ def wav_resample(media_df: DataFrame, stride: int = 4) -> DataFrame:
     return media_df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def media_exact_dups(media_df: DataFrame) -> DataFrame:
+    """Exact MEDIA dedup via payload digest: one row per distinct
+    payload with the kept (min) media_id and the copy count -- the
+    binary twin of dedup.exact_duplicates (which normalizes text;
+    bytes are compared RAW, since two payloads differing in any byte
+    are different media). The digest (sha256, MEDIA_SCHEMA's
+    checksum) is computed map-side at synth/ingest, so dedup is one
+    hash aggregation over (checksum) -- the payload itself never
+    shuffles, and at 100 TB the digest column is the only thing the
+    exchange carries. Returns (keep_media_id, dup_count)."""
+    return media_df.groupBy("checksum").agg(
+        F.min("media_id").alias("keep_media_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select("keep_media_id", "dup_count")
+
+
+MEDIA_NEAR_DUP_TOL_BP = 2000
+
+
+def media_near_dup_pairs(
+    media_df: DataFrame,
+    tol_bp: int = MEDIA_NEAR_DUP_TOL_BP,
+) -> DataFrame:
+    """Feature-based MEDIA near-dup pairs: decode every payload through
+    the REAL wave codec, then call two items near-duplicates when
+    their DECODED features agree -- equal duration (n_frames, the
+    blocking key) and mean amplitude + RMS within `tol_bp` basis
+    points (integer 1e-4 sample units; quantized BEFORE the compare so
+    both engines difference identical integers). The digest ladder's
+    second rung: media_exact_dups catches byte-identical copies; this
+    catches re-encodes/containers of the same signal whose bytes
+    differ but whose decoded profile does not -- the standard
+    coarse-feature stage before perceptual hashing.
+
+    Scale shape: one Arrow-batched map-side decode (payloads die
+    map-side; only the NARROW typed feature rows shuffle), then a
+    self-equi-join blocked on decoded duration. Duration is a
+    high-cardinality key for real audio (max block width 6 on the
+    test corpus), but a boilerplate-length corpus can make a block
+    hot -- the same degenerate-bucket story as every LSH family here;
+    cap or sub-key by a second feature (mean_bp div k) if block
+    widths grow. Returns (media_a, media_b, n_frames, d_mean_bp,
+    d_rms_bp)."""
+    feats = wav_stats(media_df).select(
+        "media_id",
+        "n_frames",
+        F.round(F.col("mean_amp") * 10000, 0).cast("long").alias("mean_bp"),
+        F.round(F.col("rms") * 10000, 0).cast("long").alias("rms_bp"),
+    )
+    a, b = feats.alias("a"), feats.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_frames") == F.col("b.n_frames"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .filter(
+            (F.abs(F.col("a.mean_bp") - F.col("b.mean_bp")) <= tol_bp)
+            & (F.abs(F.col("a.rms_bp") - F.col("b.rms_bp")) <= tol_bp)
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.n_frames").alias("n_frames"),
+            (F.col("a.mean_bp") - F.col("b.mean_bp")).alias("d_mean_bp"),
+            (F.col("a.rms_bp") - F.col("b.rms_bp")).alias("d_rms_bp"),
+        )
+    )
+
+
 BMP_WIDTH = 16
 
 

@@ -4344,6 +4344,23 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     # fps/2 and re-decoded. Deterministic, so the per-pixel oracle
     # recomputes every decoded number from the text itself.
     "media_avi_stats": _media_avi_stats,
+    # MEDIA DEDUP (r10, r11 rotation candidates): the digest ladder.
+    # Exact = one hash agg on the map-side sha256 payload digest;
+    # synth payloads are injective in the text, so the oracle groups
+    # by RAW text (byte-equality semantics, no normalization).
+    "media_exact_dups": (
+        lambda spark, sf_dir: M.media_exact_dups(
+            M.synth_wav(load_table(spark, sf_dir, "documents"))
+        )
+    ),
+    # Near-dup = REAL-decode feature agreement (equal duration block
+    # + mean/RMS within integer basis-point tolerance) -- catches
+    # same-signal re-encodes whose bytes differ.
+    "media_near_dup": (
+        lambda spark, sf_dir: M.media_near_dup_pairs(
+            M.synth_wav(load_table(spark, sf_dir, "documents"))
+        )
+    ),
 }
 
 MULTIMODAL_SQL: dict[str, str] = {
@@ -4477,6 +4494,38 @@ FROM orig o JOIN rs r ON o.doc_id = r.doc_id
 ORDER BY media_id
 """,
 }
+
+# media_exact_dups: the synth payload is injective in the text (header
+# depends only on len(text) + a constant framerate), so payload-digest
+# equality IS raw-text equality -- the oracle groups by text verbatim
+# (no normalization: binary semantics).
+MULTIMODAL_SQL["media_exact_dups"] = """
+SELECT min(doc_id) AS keep_media_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY text
+"""
+
+# media_near_dup: decoded features recompute per byte (the
+# media_wav_stats idiom), quantized to integer basis points BEFORE the
+# tolerance compare so both engines difference identical integers.
+MULTIMODAL_SQL["media_near_dup"] = f"""
+WITH pos AS (
+  SELECT doc_id, unicode(substr(text, CAST(u.i AS INT), 1)) AS s
+  FROM documents, UNNEST(range(1, len(text) + 1)) AS u(i)
+),
+feats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(round(avg(s) * 10000) AS BIGINT) AS mean_bp,
+         CAST(round(sqrt(avg(CAST((s - 128) * (s - 128) AS DOUBLE))) * 10000) AS BIGINT) AS rms_bp
+  FROM pos GROUP BY doc_id
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b, a.n_frames,
+       a.mean_bp - b.mean_bp AS d_mean_bp,
+       a.rms_bp - b.rms_bp AS d_rms_bp
+FROM feats a JOIN feats b
+  ON a.n_frames = b.n_frames AND a.doc_id < b.doc_id
+WHERE abs(a.mean_bp - b.mean_bp) <= {M.MEDIA_NEAR_DUP_TOL_BP}
+  AND abs(a.rms_bp - b.rms_bp) <= {M.MEDIA_NEAR_DUP_TOL_BP}
+"""
 
 
 # ---------------------------------------------------------------------------

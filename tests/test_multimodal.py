@@ -352,3 +352,43 @@ def test_wav_rejects_unsupported_sample_width(spark):
     )
     with pytest.raises(Exception, match="unsupported WAV variant"):
         M.resize_media(bad, target=4).collect()
+
+
+def test_media_exact_dups_digest_groups(spark):
+    """Byte-identical payloads collapse to one keeper (min media_id);
+    raw-byte semantics: texts differing only in case are DIFFERENT
+    media (no normalization, unlike text exact_duplicates)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "identical audio content here"),
+            (2, "identical audio content here"),
+            (3, "IDENTICAL AUDIO CONTENT HERE"),
+            (4, "something else entirely okay"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.keep_media_id: r.dup_count for r in M.media_exact_dups(M.synth_wav(docs)).collect()}
+    assert rows == {1: 2, 3: 1, 4: 1}
+
+
+def test_media_near_dup_pairs_feature_agreement(spark):
+    """Same decoded duration + mean/RMS within tolerance pairs; a
+    different-duration item never pairs regardless of content, and a
+    same-duration item with a shifted amplitude profile stays out."""
+    base = "aaaaaaaaaaaaaaaaaaaa"          # 20 frames of 'a' (97)
+    close = "aaaaaaaaaaaaaaaaaaab"         # one sample off: d_mean 5bp
+    far = "zzzzzzzzzzzzzzzzzzzz"           # same duration, mean 122 vs 97
+    other_len = "aaaaaaaaaaaaaaaaaaaaa"    # 21 frames
+    docs = spark.createDataFrame(
+        [(1, base), (2, close), (3, far), (4, other_len)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.media_a, r.media_b): r
+        for r in M.media_near_dup_pairs(M.synth_wav(docs)).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    p = pairs[(1, 2)]
+    assert p.n_frames == 20
+    assert abs(p.d_mean_bp) <= M.MEDIA_NEAR_DUP_TOL_BP
+    assert abs(p.d_rms_bp) <= M.MEDIA_NEAR_DUP_TOL_BP
