@@ -4578,9 +4578,11 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
-# ROUND-11 ROTATION PLAN (execute at the START of round 11, before any
-# other work; every registrant has a driver verdict after r10, so the
-# r11 window is freshness + weight management): rotate OUT the heavy
+# ROUND-11 ROTATION PLAN (execute at the START of round 11, before
+# any other work). Rotate IN first the never-driver-verified late-r10
+# registrants `media_exact_dups` + `media_near_dup` (the media dedup
+# ladder; both oracle-swept on every test run). Then weight/freshness
+# management: rotate OUT the heavy
 # newly-verdicted r10 entries once their CORRECTNESS_r10 rows are
 # green -- dedup_family_agreement_full (8.3 s solo),
 # corpus_curation_v4 (5.9), allocation_report (5.2), knn_ivf_kmeans
