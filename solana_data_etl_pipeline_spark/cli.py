@@ -455,6 +455,24 @@ def main(argv: list[str] | None = None) -> int:
                 f"max width {h['max_width']}, p99 {h['p99_width']}, "
                 f"{h['at_cap']} at cap"
             )
+            # the blind-spot surfaces: excluded list (always maintained
+            # once something over-caps) and the overflow twin (routing
+            # mode) -- the operator reads these to size the cap
+            try:
+                n_exc = spark.read.parquet(f"{out}/semantic_index/excluded").count()
+                line = f"semantic_blind_spot: {n_exc} excluded buckets"
+                if args.semantic_route_blind:
+                    ho = index_health(
+                        spark, f"{out}/semantic_index_overflow",
+                        ("table", "bucket"), sub="buckets",
+                    )
+                    line += (
+                        f"; overflow twin {ho['rows']} rows in "
+                        f"{ho['buckets']} buckets (max width {ho['max_width']})"
+                    )
+                print(line)
+            except Exception:
+                print("semantic_blind_spot: nothing has over-capped")
         if args.near_dup:
             from solana_data_etl_pipeline_spark.streaming.clusters import (
                 compact_clusters,

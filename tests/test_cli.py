@@ -386,6 +386,59 @@ def test_cli_stream_corpus_semantic_dedup(spark, tmp_path, capsys):
     assert h["max_width"] == 1 and h["at_cap"] == 0
 
 
+def test_cli_stream_corpus_semantic_route_blind(spark, tmp_path, capsys):
+    """--semantic-route-blind end to end: the over-capped permutation
+    family makes the capped gate blind in batch 1; batch 2's twin is
+    caught by the overflow fallback, and the health summary surfaces
+    the excluded buckets + the overflow twin."""
+    import json
+    import os
+
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    wh = str(tmp_path / "wh")
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    args = [
+        "--warehouse-path", wh, "stream-corpus", "--input", land,
+        "--semantic-dedup", "--semantic-route-blind",
+    ]
+    # 66 distinct permutations of one bag of words (> the shipped cap
+    # of 64): identical hash-embed vectors share every bucket, so the
+    # capped gate is blind to the whole family and the catch-up
+    # rejects all its index rows into excluded/overflow
+    import itertools
+
+    perms = list(itertools.islice(itertools.permutations(words), 66))
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        for i, p in enumerate(perms, start=1):
+            f.write(_doc(i, " ".join(p)) + "\n")
+        f.write(_doc(900, "a clean document about adaptive query execution internals and shuffles") + "\n")
+    rc = main(args)
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert "semantic_blind_spot:" in out1
+    assert "excluded buckets" in out1
+    assert "overflow twin" in out1
+    # batch 2: one more permutation -- blind in the capped index but
+    # cosine-1.0 against the overflow twin -> dropped pre-commit
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(901, " ".join(words[5:] + words[:5])) + "\n")
+    rc = main(args)
+    assert rc == 0
+    capsys.readouterr()
+    docs = spark.read.parquet(f"{wh}/corpus_stream/documents")
+    assert 901 not in {r.doc_id for r in docs.collect()}
+    assert 900 in {r.doc_id for r in docs.collect()}
+
+
 def test_cli_stream_corpus_waterfill_budget(spark, tmp_path, capsys):
     """--waterfill-budget end to end: the small source saturates, the
     big one is cut to its weighted allocation."""
