@@ -363,6 +363,40 @@ def test_streaming_index_bucket_cap_counts_accumulated_width(spark):
     assert cap_new_bands(new, existing, None) is new
 
 
+def test_split_capped_bands_partitions_the_batch(spark):
+    """The admitted/overflow split is a PARTITION of the new rows:
+    overflow holds exactly what the cap rejected (all-or-nothing per
+    bucket, mirroring the build-time rule), admitted == cap_new_bands,
+    and uncapped mode yields an empty overflow with the same
+    schema."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import split_capped_bands
+
+    schema = "doc_id long, band int, band_sig string"
+    existing = spark.createDataFrame(
+        [(1, 0, "hot"), (2, 0, "hot"), (3, 1, "warm")], schema
+    )
+    new = spark.createDataFrame(
+        [(10, 0, "hot"), (11, 1, "warm"), (12, 2, "cold"), (13, 2, "cold")], schema
+    )
+    adm, over = split_capped_bands(new, existing, 2)
+    got_adm = {tuple(r) for r in adm.collect()}
+    got_over = {tuple(r) for r in over.collect()}
+    assert got_adm == {(11, 1, "warm"), (12, 2, "cold"), (13, 2, "cold")}
+    assert got_over == {(10, 0, "hot")}  # exactly the rejected rows
+    assert got_adm | got_over == {tuple(r) for r in new.collect()}
+    assert got_adm & got_over == set()
+
+    # first batch, tight cap: whole over-wide buckets overflow
+    adm, over = split_capped_bands(new, None, 1)
+    assert {tuple(r) for r in over.collect()} == {(12, 2, "cold"), (13, 2, "cold")}
+
+    # uncapped: empty overflow, schema preserved for downstream appends
+    adm, over = split_capped_bands(new, existing, None)
+    assert adm is new
+    assert over.columns == new.columns
+    assert over.count() == 0
+
+
 def test_embedding_stream_maintains_ivf_layout(spark, tmp_path):
     """Streaming embedding ingest: first batch trains the quantizer and
     creates the materialize_ivf layout; later batches assign against
