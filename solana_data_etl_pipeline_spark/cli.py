@@ -187,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
         "admitted by the text pipeline)",
     )
     p_scorp.add_argument(
+        "--media-gate",
+        action="store_true",
+        help="with --media-health: the streaming twin of the v4 media "
+        "gate -- docs whose audio payload decodes cleanly but whose "
+        "DECODED duration/RMS violate the v4 bounds are dropped "
+        "before the corpus commit and logged to "
+        "<out>/documents_media_gated",
+    )
+    p_scorp.add_argument(
         "--gates",
         choices=["simple", "published"],
         default="simple",
@@ -405,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
             decon_blind_bp=args.decon_blind_bp,
             decon_route_blind=args.decon_route_blind,
             media_health=args.media_health,
+            media_gate=args.media_gate,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()

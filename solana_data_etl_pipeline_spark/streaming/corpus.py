@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from solana_data_etl_pipeline_spark.operators import text as X
-from solana_data_etl_pipeline_spark.plans.corpus import MIN_ALPHA_RATIO, MIN_TOKENS
+from solana_data_etl_pipeline_spark.plans.corpus import (
+    MIN_ALPHA_RATIO,
+    MIN_TOKENS,
+    V4_MEDIA_MAX_FRAMES,
+    V4_MEDIA_MIN_FRAMES,
+    V4_MEDIA_MIN_RMS,
+)
 
 #: JSONL landing-zone shape for documents (ingest_time is the event
 #: time stamped by the crawler/uploader). Explicitly TIMESTAMP_NTZ so
@@ -228,6 +234,7 @@ def run_document_stream(
     semantic_blind_bp: int = 5000,
     semantic_route_blind: bool = False,
     media_health: bool = False,
+    media_gate: bool = False,
 ):
     """Landing zone -> quarantine split -> gates + features ->
     (optional) benchmark DECONTAMINATION -> exact dedup -> (optional)
@@ -385,7 +392,21 @@ def run_document_stream(
     on arriving docs BEFORE dedup/policies (corruption is a property
     of the upload, not of curation), so its idempotency comes from
     its own guards (epoch key + doc_id anti-join), not from the
-    fingerprint anti-join."""
+    fingerprint anti-join.
+
+    `media_gate=True` (requires `media_health`) is the STREAMING twin
+    of corpus_curation_v4's media gate: docs whose audio payload
+    DECODES cleanly but whose decoded features violate the v4 bounds
+    (duration outside [V4_MEDIA_MIN_FRAMES, V4_MEDIA_MAX_FRAMES]
+    frames, or RMS below V4_MEDIA_MIN_RMS -- the near-silence floor)
+    are DROPPED before the corpus commit and logged to
+    `{output_dir}_media_gated` (doc_id, n_frames, rms, epoch; doc_id
+    anti-join idempotency). Unlike corruption -- a property of the
+    upload, quarantined without touching the doc -- a feature-bound
+    violation is a CURATION verdict on real decoded content, so it
+    gates the document exactly as the batch pipeline does. Docs with
+    no media, non-audio media, or failed decodes (already
+    quarantined) pass through ungated."""
     from solana_data_etl_pipeline_spark.sinks.quarantine import (
         CORRUPT_COL,
         split_corrupt,
@@ -813,6 +834,11 @@ def run_document_stream(
                 T.StructField("byte_len", T.LongType()),
                 T.StructField("ok", T.IntegerType()),
                 T.StructField("error", T.StringType()),
+                # decoded FEATURES (audio only; null otherwise) -- the
+                # media_gate reads these, the v4 bounds applied
+                # in-stream
+                T.StructField("n_frames", T.LongType()),
+                T.StructField("rms", T.DoubleType()),
             ]
         )
 
@@ -820,15 +846,26 @@ def run_document_stream(
             from solana_data_etl_pipeline_spark.operators.multimodal import (
                 DECODERS,
                 _unavailable_decode,
+                _wav_parse,
             )
 
             for pdf in batches:
                 rows = []
                 for mid, mod, p in zip(pdf["doc_id"], pdf["modality"], pdf["payload"]):
                     b = bytes(p) if p is not None else b""
+                    nf = rms = None
                     try:
                         DECODERS.get(mod, _unavailable_decode)(b, mod)
                         ok, err = 1, None
+                        if mod == "audio":
+                            m = _wav_parse(b)
+                            s = m["samples"]
+                            nf = m["n_frames"]
+                            rms = (
+                                (sum((x - 128) ** 2 for x in s) / len(s)) ** 0.5
+                                if s
+                                else None
+                            )
                     except Exception as e:  # a real codec rejecting real bytes
                         ok, err = 0, f"{type(e).__name__}: {e}"[:200]
                     rows.append(
@@ -838,6 +875,8 @@ def run_document_stream(
                             "byte_len": len(b),
                             "ok": ok,
                             "error": err,
+                            "n_frames": nf,
+                            "rms": rms,
                         }
                     )
                 yield _pd.DataFrame(
@@ -851,7 +890,7 @@ def run_document_stream(
         )
         probed = mm.mapInPandas(probe, schema=probe_schema).localCheckpoint(eager=True)
         if not probed.limit(1).count():
-            return
+            return None
         health_dir = f"{output_dir}_media_health"
         try:
             logged = (
@@ -882,15 +921,48 @@ def run_document_stream(
             bad = bad.join(seen_mq.select("doc_id").distinct(), "doc_id", "left_anti")
         if bad.limit(1).count():
             bad.write.mode("append").parquet(mq_dir)
+        return probed
 
     def _sink(batch_df, batch_id):
         batch_df.persist()
         try:
             good, quarantine = split_corrupt(batch_df, required_col="doc_id")
+            media_probed = None
             if media_health:
-                _media_sidecar(good, batch_id)
+                media_probed = _media_sidecar(good, batch_id)
                 good = good.drop("media_b64")
             kept = document_features_batch(good, gates=gates)
+            if media_gate and media_probed is not None:
+                # the streaming twin of corpus_curation_v4's media
+                # gate (docstring): cleanly-decoded audio whose
+                # features violate the v4 bounds gates the DOCUMENT,
+                # logged pre-commit with doc_id anti-join idempotency
+                gated = media_probed.filter(
+                    (F.col("modality") == "audio")
+                    & (F.col("ok") == 1)
+                    & (
+                        ~F.col("n_frames").between(
+                            V4_MEDIA_MIN_FRAMES, V4_MEDIA_MAX_FRAMES
+                        )
+                        | (F.round("rms", 4) < V4_MEDIA_MIN_RMS)
+                    )
+                ).select("doc_id", "n_frames", F.round("rms", 4).alias("rms"))
+                gated = gated.localCheckpoint(eager=True)
+                gate_dir = f"{output_dir}_media_gated"
+                try:
+                    seen_g = spark.read.parquet(gate_dir)
+                except AnalysisException:
+                    seen_g = None
+                log_rows = gated.withColumn("epoch", F.lit(int(batch_id)))
+                if seen_g is not None:
+                    log_rows = log_rows.join(
+                        seen_g.select("doc_id").distinct(), "doc_id", "left_anti"
+                    )
+                if log_rows.limit(1).count():
+                    log_rows.write.mode("append").parquet(gate_dir)
+                kept = kept.join(
+                    F.broadcast(gated.select("doc_id")), "doc_id", "left_anti"
+                )
             if decon_index is not None:
                 import solana_data_etl_pipeline_spark.operators.dedup as DD
 

@@ -1346,3 +1346,55 @@ def test_document_stream_media_sidecar(spark, tmp_path):
     run_document_stream(spark, land, out, quar, ckpt, media_health=True)
     assert spark.read.parquet(f"{out}_media_health").count() == 3
     assert spark.read.parquet(f"{out}_media_quarantine").count() == 1
+
+
+def test_document_stream_media_gate_applies_v4_bounds(spark, tmp_path):
+    """media_gate=True is the streaming twin of corpus_curation_v4's
+    media gate: cleanly-decoded audio whose DECODED features violate
+    the v4 bounds (too-short duration; near-silence RMS) gates the
+    DOCUMENT before the corpus commit and logs it; in-bounds audio
+    and media-less docs pass; health still counts all decodes ok; a
+    restarted stream appends nothing twice."""
+    import base64
+
+    from solana_data_etl_pipeline_spark.operators.multimodal import _wav_encode
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, media=None):
+        words = " ".join(f"doc{i}word{j}" for j in range(12))
+        d = {"doc_id": i, "text": words, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        if media is not None:
+            d["media_b64"] = base64.b64encode(media).decode()
+            d["modality"] = "audio"
+        return json.dumps(d)
+
+    ok_wav = _wav_encode(b"\x20" * 100, 8000)     # 100 frames, rms 96
+    short_wav = _wav_encode(b"\x20" * 20, 8000)   # 20 < V4_MEDIA_MIN_FRAMES
+    silent_wav = _wav_encode(b"\x80" * 100, 8000) # rms 0 < V4_MEDIA_MIN_RMS
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, ok_wav) + "\n")
+        f.write(_doc(2, short_wav) + "\n")
+        f.write(_doc(3, silent_wav) + "\n")
+        f.write(_doc(4) + "\n")  # no media
+
+    run_document_stream(spark, land, out, quar, ckpt, media_health=True, media_gate=True)
+
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 4}
+    gated = {r.doc_id: r for r in spark.read.parquet(f"{out}_media_gated").collect()}
+    assert set(gated) == {2, 3}
+    assert gated[2].n_frames == 20
+    assert gated[3].rms == 0.0
+    # every decode SUCCEEDED (gating is curation, not corruption)
+    health = {r.modality: r for r in spark.read.parquet(f"{out}_media_health").collect()}
+    assert health["audio"].n_ok == 3 and health["audio"].n_bad == 0
+
+    run_document_stream(spark, land, out, quar, ckpt, media_health=True, media_gate=True)
+    assert spark.read.parquet(f"{out}_media_gated").count() == 2
+    assert spark.read.parquet(out).count() == 2
