@@ -221,3 +221,38 @@ def test_round9_operators_on_empty_and_degenerate_input(spark):
     # media synth paths on zero rows: no mapInPandas batch ever fires
     assert M.synth_avi(empty).count() == 0
     assert M.avi_stats(M.synth_avi(empty)).count() == 0
+
+
+def test_round10_operators_on_empty_and_degenerate_input(spark):
+    """The round-10 operators hold their contracts on empty corpora:
+    empty in, empty out -- the Lloyd quantizer converges on nothing
+    (zero cells, zero assignments), the media dedup ladder emits no
+    groups/pairs, and the IVF probe over an empty trained corpus
+    returns no neighbors."""
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+    from solana_data_etl_pipeline_spark.operators import similarity as V
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assigned = V.lloyd_cells(empty_emb)
+    assert assigned.count() == 0
+    queries = spark.createDataFrame([], "query_id long, embedding array<float>")
+    assert V.knn_ivf(assigned, queries, k=10, nprobe=2, cell_col="cell").count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    media = M.synth_wav(empty_docs)
+    assert M.media_exact_dups(media).count() == 0
+    assert M.media_near_dup_pairs(media).count() == 0
+
+
+def test_media_near_dup_ignores_undecodable_feature_rows(spark):
+    """A zero-frame payload decodes to null mean/rms; null features
+    must never satisfy the tolerance predicates (no pair involving
+    the empty item, in either engine's semantics)."""
+    from solana_data_etl_pipeline_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "aaaaaaaaaaaaaaaaaaaa"), (4, "aaaaaaaaaaaaaaaaaaab")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.media_a, r.media_b) for r in M.media_near_dup_pairs(M.synth_wav(docs)).collect()}
+    assert pairs == {(3, 4)}
