@@ -467,6 +467,7 @@ def main() -> None:
         knn_ivf,
         knn_lsh,
         lloyd_cells,
+        reconstructed_int8,
     )
 
     emb_tbl = load_table(spark, sf_dir, "embeddings")
@@ -479,6 +480,13 @@ def main() -> None:
     # engine-native comparison point.
     emb_lloyd = lloyd_cells(emb_tbl).withColumnRenamed("cell", "label").localCheckpoint()
     emb_kmeans = kmeans_cells(emb_tbl, n_cells=16).withColumnRenamed("cell", "label")
+    # the registered compressed-index form: quantizer + scoring vectors
+    # int8-reconstructed, queries full precision (suite knn_ivf_int8)
+    emb_int8 = (
+        lloyd_cells(reconstructed_int8(emb_tbl))
+        .withColumnRenamed("cell", "label")
+        .localCheckpoint()
+    )
     base = emb_tbl.orderBy("vec_id").limit(50).collect()
     rng = np.random.default_rng(42)
     offset = 10_000_000  # keep query_id != source vec_id (self-match filter)
@@ -498,6 +506,7 @@ def main() -> None:
             ("knn_ivf", lambda c, q: knn_ivf(c, q, k=10)),
             ("knn_ivf_kmeans", lambda c, q: knn_ivf(emb_lloyd, q, k=10)),
             ("knn_ivf_kmeans_ml", lambda c, q: knn_ivf(emb_kmeans, q, k=10)),
+            ("knn_ivf_int8", lambda c, q: knn_ivf(emb_int8, q, k=10)),
         )
         for name, fn in variants:
             hit = {}

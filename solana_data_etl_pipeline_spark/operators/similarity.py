@@ -331,6 +331,40 @@ def quantize_embeddings(emb_df: DataFrame) -> DataFrame:
     )
 
 
+def reconstructed_int8(emb_df: DataFrame) -> DataFrame:
+    """(vec_id, embedding) with every vector round-tripped through the
+    symmetric int8 quantization (quantize_embeddings' math: scale =
+    max|x|/127, q = round(x/scale), x_hat = q * scale) -- the
+    INDEX-side vector a memory-bound deployment actually stores (4x
+    smaller than float32). Probing with reconstructed corpus vectors
+    against full-precision queries measures exactly the recall the
+    compression costs; the registered knn_ivf_int8 plan builds its
+    quantizer AND scores from these, so nothing in the index path
+    touches the original floats.
+
+    Scale shape: pure per-row projection, zero shuffles. The scale
+    scalar binds to a column BEFORE the per-element lambdas (the HOF
+    re-evaluation lesson: an aggregate referenced inside transform
+    would recompute per element). Deterministic and engine-portable:
+    round-half-away on both engines, exact float multiply back."""
+    dv = _dvec(F.col("embedding"))
+    b = emb_df.select(F.col("vec_id"), dv.alias("_v")).withColumn(
+        "_scale", F.greatest(absmax_col("_v"), F.lit(1e-12)) / F.lit(127.0)
+    )
+    q8 = F.transform(F.col("_v"), lambda x: F.round(x / F.col("_scale"), 0))
+    return b.select(
+        "vec_id",
+        F.transform(q8, lambda q: q * F.col("_scale")).alias("embedding"),
+    )
+
+
+def absmax_col(name: str) -> Column:
+    """max |x| over an already-double array column."""
+    return F.aggregate(
+        F.col(name), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+
+
 def label_centroids(emb_df: DataFrame) -> DataFrame:
     """Per-label centroid of embeddings (IVF coarse-quantizer training
     analog): element-wise mean via posexplode + group-by -- shuffles

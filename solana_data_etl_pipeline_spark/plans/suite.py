@@ -4156,14 +4156,16 @@ def _knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_QUERIES["knn_ivf_kmeans"] = _knn_ivf_kmeans
 
 
-def _lloyd_sql(n_iters: int) -> str:
+def _lloyd_sql(n_iters: int, e_cte: str | None = None) -> str:
     """CTE fragment replaying similarity.lloyd_cells bit-for-bit:
     sign-LSH init over the _P4 plane matrix, then n_iters unrolled
     Lloyd passes (6-dp centroid means, 4-dp cosine reassignment, ties
     to the lowest cell -- the exact roundings the Spark operator
-    contracts). Yields a{n_iters} = (vec_id, v, cell)."""
+    contracts). Yields a{n_iters} = (vec_id, v, cell). `e_cte`
+    overrides the corpus CTE chain (must end by defining
+    e = (vec_id, v)) -- the int8 form feeds reconstructed vectors."""
     parts = [
-        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        f"""{e_cte or "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"},
 a0 AS (
   SELECT vec_id, v, CAST(list_sum([CASE WHEN list_dot_product(m4[p+1], v) >= 0
     THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END
@@ -4189,14 +4191,19 @@ a0 AS (
     return ",\n".join(parts)
 
 
-SIMILARITY_SQL["knn_ivf_kmeans"] = f"""
-WITH {_lloyd_sql(V.LLOYD_ITERS)},
+def _lloyd_ivf_sql(q_src: str = "e", e_cte: str | None = None) -> str:
+    """The full Lloyd-quantized IVF oracle: _lloyd_sql + the knn_ivf
+    probe tail. `q_src` names the CTE queries draw full-precision
+    vectors from (the int8 form trains/scores on reconstructed
+    vectors while queries stay raw, exactly the registered plan)."""
+    return f"""
+WITH {_lloyd_sql(V.LLOYD_ITERS, e_cte=e_cte)},
 cd AS (
   SELECT cell, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
   FROM a{V.LLOYD_ITERS}, UNNEST(range(1, 65)) AS u(i) GROUP BY cell, i
 ),
 cent AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cell),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+q AS (SELECT vec_id AS query_id, v AS qv FROM {q_src} WHERE vec_id < 5),
 pr AS (
   SELECT query_id, cell, qv, row_number() OVER (
       PARTITION BY query_id
@@ -4216,6 +4223,35 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
   FROM scored
 ) WHERE rnk <= 10
 """
+
+
+SIMILARITY_SQL["knn_ivf_kmeans"] = _lloyd_ivf_sql()
+
+
+def _knn_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory-bound production shape: the INDEX side (quantizer
+    training, cell assignment, and scoring vectors) runs entirely on
+    int8-reconstructed vectors (quantize_embeddings' 4x-smaller
+    storage), while queries arrive full-precision -- measuring
+    exactly the recall the compression costs (planted bench rows
+    knn_ivf_int8_*)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    assigned = V.lloyd_cells(V.reconstructed_int8(emb)).localCheckpoint(eager=False)
+    return V.knn_ivf(assigned, queries_df, k=10, nprobe=2, cell_col="cell")
+
+
+SIMILARITY_QUERIES["knn_ivf_int8"] = _knn_ivf_int8
+
+_INT8_E_CTE = """raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS s
+  FROM raw
+),
+e AS (SELECT vec_id, list_transform(v, x -> round(x / s) * s) AS v FROM sc)"""
+
+SIMILARITY_SQL["knn_ivf_int8"] = _lloyd_ivf_sql(q_src="raw", e_cte=_INT8_E_CTE)
 
 
 # ---------------------------------------------------------------------------
@@ -4581,7 +4617,8 @@ def all_oracle_sql() -> dict[str, str]:
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, before
 # any other work). Rotate IN first the never-driver-verified late-r10
 # registrants `media_exact_dups` + `media_near_dup` (the media dedup
-# ladder; both oracle-swept on every test run). Then weight/freshness
+# ladder) + `knn_ivf_int8` (the compressed-index IVF; all
+# oracle-swept on every test run). Then weight/freshness
 # management: rotate OUT the heavy
 # newly-verdicted r10 entries once their CORRECTNESS_r10 rows are
 # green -- dedup_family_agreement_full (8.3 s solo),
