@@ -112,6 +112,8 @@ HEAVY = [
     # round-10 registrants
     "knn_ivf_kmeans",
     "corpus_curation_v4",
+    "knn_ivf_int8",
+    "media_near_dup",
 ]
 
 
