@@ -1404,6 +1404,66 @@ def corpus_diversity(df: DataFrame, top_v: int = 1000, text_col: str = "text") -
     )
 
 
+def corpus_drift(
+    df: DataFrame,
+    snapshot_col: str = "snapshot",
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Inter-snapshot vocabulary DRIFT report: for two corpus
+    snapshots (``snapshot_col`` = 0 for the old cut, 1 for the new),
+    the top_k tokens whose share of the total token mass moved the
+    most, with both shares in integer basis points. The monitoring
+    table a data team reads before re-training on a refreshed corpus:
+    a large drift on content words flags a topical shift in the
+    crawl, drift on markup/punctuation tokens flags an extraction
+    regression upstream (the "distribution shift between dataset
+    versions" check of continual-pretraining analyses, e.g.
+    Gururangan et al. 2020's domain-relevance diagnostics). The
+    reference has no corpus-versioning surface; this extends the
+    observability family (corpus_card / corpus_diversity) to the
+    TIME axis.
+
+    Shares are floor(count * 10000 / snapshot_total) computed with
+    integer `div` -- the whole report stays in the engine-exact
+    integer domain; readers divide by 10000. drift_bp =
+    share_new_bp - share_old_bp (positive = token gained mass).
+
+    Scale shape: ONE explode + ONE token-keyed aggregation computes
+    both snapshots' counts (map-side combined -- the two snapshots
+    share the pass, not two corpus scans); snapshot totals are a
+    two-row aggregate of the token-count frame broadcast back; the
+    report is an orderBy+limit over the vocab-sized frame
+    (TakeOrderedAndProject, never a global sort of the corpus)."""
+    snap = F.col(snapshot_col).cast("long")
+    tok = df.select(
+        snap.alias("_s"),
+        F.explode(F.filter(tokens_col(text_col), lambda t: t != "")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("_s") == 0, 1).otherwise(0)).cast("long").alias("count_old"),
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).cast("long").alias("count_new"),
+    )
+    totals = counts.agg(
+        F.greatest(F.sum("count_old"), F.lit(1).cast("long")).alias("_tot_old"),
+        F.greatest(F.sum("count_new"), F.lit(1).cast("long")).alias("_tot_new"),
+    )
+    shared = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "count_old",
+        "count_new",
+        F.expr("count_old * 10000 div _tot_old").cast("long").alias("share_old_bp"),
+        F.expr("count_new * 10000 div _tot_new").cast("long").alias("share_new_bp"),
+    )
+    return (
+        shared.withColumn(
+            "drift_bp", (F.col("share_new_bp") - F.col("share_old_bp")).cast("long")
+        )
+        .orderBy(F.abs(F.col("drift_bp")).desc(), F.col("token"))
+        .limit(top_k)
+    )
+
+
 def mixture_waterfill(
     counts: DataFrame,
     budget: int,

@@ -853,6 +853,14 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "interp_logprob": _docs(X.interp_logprob),
     # distributional-health diagnostic: distinct-n ratios + Zipf fit
     "corpus_diversity": _docs(X.corpus_diversity),
+    # corpus-versioning drift report: the two snapshots are the
+    # deterministic doc_id parity halves (the stand-in for old/new
+    # corpus cuts); shares in integer basis points
+    "corpus_drift": _docs(
+        lambda df: X.corpus_drift(
+            df.withColumn("snapshot", F.col("doc_id") % 2)
+        )
+    ),
     # padded-batching waste planner (16-token buckets: the synthetic
     # docs average ~50 tokens; production fine-tuning uses 64-128)
     "length_buckets": _docs(lambda df: X.length_buckets(df, bucket_width=16)),
@@ -1497,6 +1505,38 @@ SELECT t1 AS total_tokens, d1 AS vocab_size,
        round(d3 * 1.0 / t3, 4) AS distinct_3,
        round(s, 4) AS zipf_slope, fit_vocab
 FROM s1, s2, s3, fit
+"""
+
+# corpus_drift: both snapshot counts come from ONE token aggregation
+# (mirroring the single-pass Spark plan); shares are integer-div
+# basis points so the whole report stays engine-exact
+TEXT_SQL["corpus_drift"] = """
+WITH t AS (
+  SELECT CAST(doc_id % 2 AS BIGINT) AS snap,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token,
+         CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS count_old,
+         CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS count_new
+  FROM t WHERE token <> '' GROUP BY token
+),
+tot AS (
+  SELECT greatest(CAST(sum(count_old) AS BIGINT), 1) AS tot_old,
+         greatest(CAST(sum(count_new) AS BIGINT), 1) AS tot_new
+  FROM c
+),
+sh AS (
+  SELECT token, count_old, count_new,
+         CAST(count_old * 10000 // tot_old AS BIGINT) AS share_old_bp,
+         CAST(count_new * 10000 // tot_new AS BIGINT) AS share_new_bp
+  FROM c, tot
+)
+SELECT token, count_old, count_new, share_old_bp, share_new_bp,
+       CAST(share_new_bp - share_old_bp AS BIGINT) AS drift_bp
+FROM sh
+ORDER BY abs(share_new_bp - share_old_bp) DESC, token LIMIT 50
 """
 
 TEXT_SQL["mixture_waterfill"] = """

@@ -1714,3 +1714,40 @@ def test_epoch_plan_rejects_key_overflow_weights(spark):
     )
     rows = epoch_plan(ok, budget=250).collect()
     assert rows[0].tokens_served == 250
+
+
+def test_corpus_drift_hand_model(spark):
+    """Planted drift: 'cats' dominates the old snapshot, 'dogs' the
+    new one; shared filler keeps both totals equal so the basis-point
+    shares are hand-computable."""
+    rows = [
+        # old snapshot (snapshot=0): 4 tokens -- cats cats fill fill
+        (0, 0, "cats cats fill fill"),
+        # new snapshot (snapshot=1): 4 tokens -- dogs dogs fill fill
+        (1, 1, "dogs dogs fill fill"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, snapshot long, text string")
+    got = {r.token: r for r in X.corpus_drift(df, top_k=10).collect()}
+    assert set(got) == {"cats", "dogs", "fill"}
+    # cats: 2/4 old (5000 bp), 0/4 new -> drift -5000
+    assert (got["cats"].share_old_bp, got["cats"].share_new_bp, got["cats"].drift_bp) == (5000, 0, -5000)
+    assert (got["dogs"].share_old_bp, got["dogs"].share_new_bp, got["dogs"].drift_bp) == (0, 5000, 5000)
+    assert got["fill"].drift_bp == 0
+    # report orders by |drift| desc then token asc: cats before dogs before fill
+    ordered = [r.token for r in X.corpus_drift(df, top_k=10).collect()]
+    assert ordered == ["cats", "dogs", "fill"]
+    # top_k truncates deterministically
+    assert [r.token for r in X.corpus_drift(df, top_k=2).collect()] == ["cats", "dogs"]
+
+
+def test_corpus_drift_empty_and_one_sided(spark):
+    """An empty snapshot divides by the greatest(total, 1) floor
+    instead of erroring; an empty corpus returns an empty report."""
+    one_sided = spark.createDataFrame(
+        [(0, 0, "only old tokens")], "doc_id long, snapshot long, text string"
+    )
+    rows = X.corpus_drift(one_sided).collect()
+    assert {r.token for r in rows} == {"only", "old", "tokens"}
+    assert all(r.share_new_bp == 0 and r.count_new == 0 for r in rows)
+    empty = spark.createDataFrame([], "doc_id long, snapshot long, text string")
+    assert X.corpus_drift(empty).collect() == []
