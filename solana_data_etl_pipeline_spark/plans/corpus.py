@@ -561,3 +561,83 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gopher_pass", "c4_pass", "bucket")
     )
+
+
+def corpus_topic_map(
+    df: DataFrame, top_terms: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Cluster-level corpus TOPIC MAP -- the inspection table of
+    cluster-based curation (MiniPile, Kaddour 2023: embed, cluster,
+    eyeball clusters, drop the junk ones): the corpus is hash-embedded
+    (operators/text.py hash_embed -- the model-free encoder) and
+    clustered by the deterministic Lloyd quantizer
+    (operators/similarity.py lloyd_cells), then each cluster reports
+    its document count, token mass, mean tokens per document (integer
+    floor), dominant source, and top ``top_terms`` terms by frequency
+    -- one row per (cell, term_rank). A data lead reads this table to
+    decide which clusters are boilerplate/spam (low mean_tokens,
+    template top-terms) before a cluster-drop gate; the dominant
+    source column shows when a cluster is really a source in disguise.
+
+    Scale shape: the Lloyd fit is n_iters bounded-centroid
+    aggregations + broadcast assignments (the corpus never shuffles in
+    the fit; see lloyd_cells); the single corpus-keyed exchange is the
+    doc_id equi-join of the cell assignment onto the token projection,
+    checkpointed once and shared by all three rollups. The term
+    rollup shuffles (cell, term) counts -- VOCABULARY-sized, sublinear
+    in corpus mass; its per-cell top-k window runs over that counted
+    frame, never the corpus. Report size is n_cells x top_terms."""
+    from solana_data_etl_pipeline_spark.operators import similarity as V
+
+    emb = X.hash_embed(df, text_col=text_col)
+    member = V.lloyd_cells(emb).select(F.col("vec_id").alias("doc_id"), "cell")
+    toks = df.select(
+        "doc_id",
+        "source",
+        F.filter(X.tokens_col(text_col), lambda t: t != "").alias("_tk"),
+    )
+    # one corpus-keyed join, three consumers: checkpoint the joined
+    # frame so stats/source/term rollups re-read one narrow relation
+    # instead of re-deriving the Lloyd fit per branch
+    base = toks.join(member, "doc_id").localCheckpoint(eager=False)
+    stats = (
+        base.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size("_tk")).cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "mean_tokens", F.expr("total_tokens div n_docs").cast("long")
+        )
+    )
+    wsrc = Window.partitionBy("cell").orderBy(F.col("_c").desc(), F.col("source"))
+    top_src = (
+        base.groupBy("cell", "source")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_r", F.row_number().over(wsrc))
+        .filter(F.col("_r") == 1)
+        .select("cell", F.col("source").alias("top_source"))
+    )
+    wterm = Window.partitionBy("cell").orderBy(F.col("term_count").desc(), F.col("term"))
+    top = (
+        base.select("cell", F.explode("_tk").alias("term"))
+        .groupBy("cell", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("term_count"))
+        .withColumn("term_rank", F.row_number().over(wterm))
+        .filter(F.col("term_rank") <= top_terms)
+    )
+    return (
+        stats.join(top_src, "cell")
+        .join(top, "cell")
+        .select(
+            "cell",
+            "n_docs",
+            "total_tokens",
+            "mean_tokens",
+            "top_source",
+            F.col("term_rank").cast("int").alias("term_rank"),
+            "term",
+            "term_count",
+        )
+        .orderBy("cell", "term_rank")
+    )

@@ -861,6 +861,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             df.withColumn("snapshot", F.col("doc_id") % 2)
         )
     ),
+    # MiniPile-style cluster inspection table: hash_embed -> Lloyd
+    # cells -> per-cluster mass/source/top-terms rollup
+    "corpus_topic_map": _docs(C.corpus_topic_map),
     # padded-batching waste planner (16-token buckets: the synthetic
     # docs average ~50 tokens; production fine-tuning uses 64-128)
     "length_buckets": _docs(lambda df: X.length_buckets(df, bucket_width=16)),
@@ -4292,6 +4295,50 @@ sc AS (
 e AS (SELECT vec_id, list_transform(v, x -> round(x / s) * s) AS v FROM sc)"""
 
 SIMILARITY_SQL["knn_ivf_int8"] = _lloyd_ivf_sql(q_src="raw", e_cte=_INT8_E_CTE)
+
+
+# corpus_topic_map: the hash-embed prefix (text_knn's oracle, ends at
+# e) feeds the unrolled Lloyd replay (knn_ivf_kmeans's oracle), then
+# three rollups over the (doc_id, cell) membership -- both building
+# blocks are the exact CTEs the already-verdicted entries pin, so the
+# composition cannot drift from either
+_HASH_EMBED_E_CTE = _HASH_EMBED_E_SQL[len("WITH ") :]
+TEXT_SQL["corpus_topic_map"] = f"""
+WITH {_lloyd_sql(V.LLOYD_ITERS, e_cte=_HASH_EMBED_E_CTE)},
+m AS (SELECT vec_id AS doc_id, cell FROM a{V.LLOYD_ITERS}),
+dt AS (
+  SELECT m.cell, d.doc_id, d.source,
+         list_filter(string_split_regex(trim(lower(d.text)), '\\s+'), x -> x <> '') AS tkf
+  FROM m JOIN documents d USING (doc_id)
+),
+stats AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(tkf)) AS BIGINT) AS total_tokens
+  FROM dt GROUP BY cell
+),
+srcs AS (
+  SELECT cell, source, count(*) AS c,
+         row_number() OVER (PARTITION BY cell ORDER BY count(*) DESC, source) AS r
+  FROM dt GROUP BY cell, source
+),
+tt AS (
+  SELECT cell, term, CAST(count(*) AS BIGINT) AS term_count
+  FROM (SELECT cell, unnest(tkf) AS term FROM dt) GROUP BY cell, term
+),
+rk AS (
+  SELECT cell, term, term_count,
+         row_number() OVER (PARTITION BY cell ORDER BY term_count DESC, term) AS term_rank
+  FROM tt
+)
+SELECT s.cell, s.n_docs, s.total_tokens,
+       CAST(s.total_tokens // s.n_docs AS BIGINT) AS mean_tokens,
+       sr.source AS top_source,
+       CAST(rk.term_rank AS INT) AS term_rank, rk.term, rk.term_count
+FROM stats s
+JOIN (SELECT cell, source FROM srcs WHERE r = 1) sr USING (cell)
+JOIN rk ON rk.cell = s.cell AND rk.term_rank <= 3
+ORDER BY s.cell, rk.term_rank
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -611,3 +611,45 @@ def test_quality_gate_agreement_reconciles(spark):
     assert sum(r.total_words for r in rows) == g.agg(F.sum("n_words")).first()[0]
     assert sum(r.n_docs for r in rows if r.gopher_pass) == g.filter("gopher_pass").count()
     assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
+
+
+def test_corpus_topic_map_hand_rollup(spark):
+    """The topic map's rollups reconcile against a hand replay over
+    the operator's OWN cluster assignment (hash_embed -> lloyd_cells,
+    both pinned by their registered entries): per-cell doc/token
+    masses, the integer-floor mean, the dominant source, and the
+    top-term ranking with its (count desc, term asc) tie-break."""
+    from collections import Counter
+
+    from solana_data_etl_pipeline_spark.operators import similarity as V
+    from solana_data_etl_pipeline_spark.operators import text as X
+    from solana_data_etl_pipeline_spark.plans.corpus import corpus_topic_map
+    from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    rows = corpus_topic_map(docs, top_terms=2).collect()
+    cell_of = {
+        r.vec_id: r.cell for r in V.lloyd_cells(X.hash_embed(docs)).collect()
+    }
+    toks, src = {}, {}
+    for r in docs.select("doc_id", "text", "source").collect():
+        toks[r.doc_id] = [t for t in r.text.strip().lower().split() if t]
+        src[r.doc_id] = r.source
+    by_cell = {}
+    for d, c in cell_of.items():
+        by_cell.setdefault(c, []).append(d)
+    assert {r.cell for r in rows} == set(by_cell)
+    for cell, members in by_cell.items():
+        mine = [r for r in rows if r.cell == cell]
+        n_docs = len(members)
+        total = sum(len(toks[d]) for d in members)
+        assert all(r.n_docs == n_docs and r.total_tokens == total for r in mine)
+        assert all(r.mean_tokens == total // n_docs for r in mine)
+        sc = Counter(src[d] for d in members)
+        want_src = min(sc, key=lambda s: (-sc[s], s))
+        assert all(r.top_source == want_src for r in mine)
+        tc = Counter(t for d in members for t in toks[d])
+        want_terms = sorted(tc, key=lambda t: (-tc[t], t))[:2]
+        got = [(r.term_rank, r.term, r.term_count) for r in sorted(mine, key=lambda r: r.term_rank)]
+        assert got == [(i + 1, t, tc[t]) for i, t in enumerate(want_terms)]
