@@ -468,6 +468,7 @@ def main() -> None:
         knn_lsh,
         lloyd_cells,
         reconstructed_int8,
+        reconstructed_pq,
     )
 
     emb_tbl = load_table(spark, sf_dir, "embeddings")
@@ -484,6 +485,14 @@ def main() -> None:
     # int8-reconstructed, queries full precision (suite knn_ivf_int8)
     emb_int8 = (
         lloyd_cells(reconstructed_int8(emb_tbl))
+        .withColumnRenamed("cell", "label")
+        .localCheckpoint()
+    )
+    # the PQ rung (suite knn_ivf_pq): index entirely on product-
+    # quantization reconstructions, queries full precision -- its
+    # planted rows price PQ's recall next to int8's
+    emb_pq = (
+        lloyd_cells(reconstructed_pq(emb_tbl).localCheckpoint())
         .withColumnRenamed("cell", "label")
         .localCheckpoint()
     )
@@ -507,6 +516,7 @@ def main() -> None:
             ("knn_ivf_kmeans", lambda c, q: knn_ivf(emb_lloyd, q, k=10)),
             ("knn_ivf_kmeans_ml", lambda c, q: knn_ivf(emb_kmeans, q, k=10)),
             ("knn_ivf_int8", lambda c, q: knn_ivf(emb_int8, q, k=10)),
+            ("knn_ivf_pq", lambda c, q: knn_ivf(emb_pq, q, k=10)),
         )
         for name, fn in variants:
             hit = {}

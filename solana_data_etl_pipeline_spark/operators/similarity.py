@@ -365,6 +365,65 @@ def absmax_col(name: str) -> Column:
     )
 
 
+#: product-quantization geometry: m subquantizers over EMB_DIM dims
+PQ_SUBSPACES = 4
+#: sign-LSH init planes per subspace codebook (<= 2^planes codes)
+PQ_SUB_PLANES = 4
+#: Lloyd passes per subspace codebook
+PQ_ITERS = 2
+
+
+def reconstructed_pq(
+    emb_df: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(vec_id, embedding) with every vector round-tripped through
+    PRODUCT QUANTIZATION (Jegou, Douze & Schmid 2011): the vector
+    splits into `m` contiguous subvectors, each subspace trains its
+    own deterministic Lloyd codebook (lloyd_cells on the slice, an
+    independent plane table per subspace), and the reconstruction
+    concatenates each subvector's assigned codeword (the final
+    per-cell centroid). The stored form is m small codes per vector
+    (here m=4 codes of <=4 bits = 2 bytes) plus m bounded codebooks
+    -- two orders of magnitude below float32, the deepest rung of the
+    compression ladder (float32 -> int8 -> PQ). Scoring reconstructed
+    vectors against full-precision queries is EXACTLY asymmetric
+    distance computation (ADC): dot(q, recon(x)) equals the sum of
+    per-subspace query-to-codeword dots that a lookup-table scan
+    would accumulate, so the measured recall is the recall PQ costs.
+
+    Scale shape: each subspace fit is lloyd_cells' (n_iters bounded
+    centroid aggregations + broadcast assignments -- the corpus never
+    shuffles in the fit); codebooks broadcast (<= 2^PQ_SUB_PLANES
+    rows); the m reconstruction joins are vec_id-co-partitioned
+    narrow frames AQE plans together. Train on a sample at 100 TB --
+    only the assignment pass must see every row, exactly like
+    retrain_ivf."""
+    sub_dim = dim // m
+    if sub_dim * m != dim:
+        raise ValueError(f"dim {dim} must split evenly into {m} subspaces")
+    parts: DataFrame | None = None
+    for j in range(m):
+        sub = emb_df.select(
+            "vec_id",
+            F.slice(_dvec(F.col("embedding")), j * sub_dim + 1, sub_dim).alias("embedding"),
+        )
+        assigned = lloyd_cells(
+            sub, n_iters=n_iters, n_planes=PQ_SUB_PLANES, dim=sub_dim, table=j
+        )
+        cents = ivf_centroids(assigned, dim=sub_dim, cell_col="cell")
+        part = assigned.join(F.broadcast(cents), "cell").select(
+            "vec_id", F.col("centroid").alias(f"_p{j}")
+        )
+        parts = part if parts is None else parts.join(part, "vec_id")
+    return parts.select(
+        "vec_id",
+        F.concat(*[F.col(f"_p{j}") for j in range(m)]).alias("embedding"),
+    )
+
+
 def label_centroids(emb_df: DataFrame) -> DataFrame:
     """Per-label centroid of embeddings (IVF coarse-quantizer training
     analog): element-wise mean via posexplode + group-by -- shuffles
@@ -409,13 +468,16 @@ def lloyd_cells(
     n_iters: int = LLOYD_ITERS,
     n_planes: int = LLOYD_INIT_PLANES,
     dim: int = EMB_DIM,
+    table: int = 0,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means coarse quantizer -- the
     ENGINE-PORTABLE sibling of kmeans_cells (ml KMeans is seeded but
     its k-means|| init is not reproducible outside Spark, so a plan
     built on it cannot be oracle-checked). Init: the 2^n_planes
-    sign-LSH buckets of the fixed hyperplane matrix (table 0) -- a
-    geometric, data-independent seeding. Each Lloyd pass: per-cell
+    sign-LSH buckets of the fixed hyperplane matrix (plane table
+    `table`, default 0; per-subspace quantizers pass their subspace
+    index for independent seedings) -- a geometric, data-independent
+    seeding. Each Lloyd pass: per-cell
     mean (rounded 6 dp) then reassign every vector to its
     nearest-by-cosine centroid (cosine rounded 4 dp, ties to the
     lowest cell) -- every rounding is part of the contract so DuckDB
@@ -440,7 +502,7 @@ def lloyd_cells(
     assigned = ensure_parallelism(emb_df).select(
         "vec_id",
         "embedding",
-        bucket_expr(F.col("embedding"), lsh_planes(n_planes, dim, table=0)).alias("cell"),
+        bucket_expr(F.col("embedding"), lsh_planes(n_planes, dim, table=table)).alias("cell"),
     )
     for _ in range(n_iters):
         cents = ivf_centroids(assigned, dim=dim, cell_col="cell")

@@ -4297,6 +4297,85 @@ e AS (SELECT vec_id, list_transform(v, x -> round(x / s) * s) AS v FROM sc)"""
 SIMILARITY_SQL["knn_ivf_int8"] = _lloyd_ivf_sql(q_src="raw", e_cte=_INT8_E_CTE)
 
 
+def _knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deepest rung of the compression ladder (float32 -> int8 ->
+    PQ): the index side -- quantizer training, cell assignment, and
+    scoring vectors -- runs entirely on product-quantization
+    reconstructions (reconstructed_pq: m=4 subspace codebooks, ~2
+    bytes of codes per vector), while queries arrive full-precision
+    (asymmetric distance computation, Jegou et al. 2011). The planted
+    bench rows knn_ivf_pq_* price exactly the recall this compression
+    costs next to the int8 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    # both the PQ reconstruction and the coarse Lloyd fit are
+    # iterative DAGs with multiple consumers downstream -- checkpoint
+    # each once or every Lloyd pass re-derives the whole PQ pipeline
+    recon = V.reconstructed_pq(emb).localCheckpoint(eager=False)
+    assigned = V.lloyd_cells(recon).localCheckpoint(eager=False)
+    return V.knn_ivf(assigned, queries_df, k=10, nprobe=2, cell_col="cell")
+
+
+SIMILARITY_QUERIES["knn_ivf_pq"] = _knn_ivf_pq
+
+
+def _pq_e_cte(m: int = V.PQ_SUBSPACES, n_iters: int = V.PQ_ITERS) -> str:
+    """CTE chain replaying similarity.reconstructed_pq bit-for-bit:
+    per subspace, the slice, the sign-LSH init over that subspace's
+    OWN plane table, n_iters unrolled Lloyd passes (the exact
+    roundings _lloyd_sql contracts), the final per-cell codeword, and
+    the codeword join; then e = the concatenated reconstruction.
+    Ends by defining raw (full-precision, for queries) and
+    e = (vec_id, v) -- the contract _lloyd_ivf_sql's e_cte expects."""
+    sub_dim = V.EMB_DIM // m
+    parts = ["raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for j in range(m):
+        pj = "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in row) + "]"
+            for row in V.lsh_planes(V.PQ_SUB_PLANES, sub_dim, table=j)
+        ) + "]"
+        lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
+        parts.append(f"""s{j}v AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM raw)""")
+        parts.append(f"""s{j}a0 AS (
+  SELECT vec_id, sv, CAST(list_sum([CASE WHEN list_dot_product(mj[p+1], sv) >= 0
+    THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END
+    for p in range(0, {V.PQ_SUB_PLANES})]) AS BIGINT) AS cell
+  FROM s{j}v, (SELECT {pj} AS mj)
+)""")
+        for t in range(1, n_iters + 1):
+            parts.append(f"""s{j}c{t} AS (
+  SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
+    SELECT cell, i AS dim, round(avg(sv[CAST(i AS INT)]), 6) AS cv
+    FROM s{j}a{t - 1}, UNNEST(range(1, {sub_dim + 1})) AS u(i) GROUP BY cell, i
+  ) GROUP BY cell
+)""")
+            parts.append(f"""s{j}a{t} AS (
+  SELECT vec_id, sv, cell FROM (
+    SELECT s{j}v.vec_id, s{j}v.sv, s{j}c{t}.cell,
+           row_number() OVER (PARTITION BY s{j}v.vec_id
+               ORDER BY {COSINE_SQL.format(a=f"s{j}v.sv", b="cvec")} DESC, s{j}c{t}.cell) AS rn
+    FROM s{j}v CROSS JOIN s{j}c{t}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""s{j}cent AS (
+  SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
+    SELECT cell, i AS dim, round(avg(sv[CAST(i AS INT)]), 6) AS cv
+    FROM s{j}a{n_iters}, UNNEST(range(1, {sub_dim + 1})) AS u(i) GROUP BY cell, i
+  ) GROUP BY cell
+)""")
+        parts.append(
+            f"s{j}p AS (SELECT a.vec_id, c.cvec AS p{j} "
+            f"FROM s{j}a{n_iters} a JOIN s{j}cent c USING (cell))"
+        )
+    concat = " || ".join(f"s{j}p.p{j}" for j in range(m))
+    joins = " ".join(f"JOIN s{j}p USING (vec_id)" for j in range(1, m))
+    parts.append(f"e AS (SELECT s0p.vec_id, {concat} AS v FROM s0p {joins})")
+    return ",\n".join(parts)
+
+
+SIMILARITY_SQL["knn_ivf_pq"] = _lloyd_ivf_sql(q_src="raw", e_cte=_pq_e_cte())
+
+
 # corpus_topic_map: the hash-embed prefix (text_knn's oracle, ends at
 # e) feeds the unrolled Lloyd replay (knn_ivf_kmeans's oracle), then
 # three rollups over the (doc_id, cell) membership -- both building

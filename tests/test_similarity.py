@@ -335,3 +335,65 @@ def test_knn_ivf_int8_recall_survives_compression(spark):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(approx.get(qid, set()) & exact[qid]) / 10 for qid in exact]
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_reconstructed_pq_shape_determinism_and_quality(spark):
+    """The PQ round-trip: (a) every vector comes back at full
+    dimensionality with every element equal to a subspace codeword
+    mean (bounded codebook -- at most 2^PQ_SUB_PLANES distinct
+    subvectors per subspace), (b) byte-stable across runs (fixed
+    sign-LSH init, contracted roundings), (c) on CLUSTERED data the
+    reconstruction points the right way: cosine(original, recon) far
+    above the ~0 a random codeword would give."""
+    import numpy as np
+
+    emb = _planted_cluster_emb(spark, seed=11)
+    r1 = {r.vec_id: tuple(r.embedding) for r in V.reconstructed_pq(emb, m=4, dim=16).collect()}
+    r2 = {r.vec_id: tuple(r.embedding) for r in V.reconstructed_pq(emb, m=4, dim=16).collect()}
+    assert r1 == r2
+    assert len(r1) == 400 and all(len(v) == 16 for v in r1.values())
+    sub_dim = 16 // 4
+    for j in range(4):
+        codewords = {v[j * sub_dim : (j + 1) * sub_dim] for v in r1.values()}
+        assert len(codewords) <= 2**V.PQ_SUB_PLANES  # bounded codebook
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cos = [
+        float(np.dot(orig[i], np.array(r1[i])))
+        / (np.linalg.norm(orig[i]) * np.linalg.norm(np.array(r1[i])))
+        for i in orig
+    ]
+    # tight clusters reconstruct usefully: measured mean ~0.84 (a
+    # random codeword would sit near 0 in 16-dim); 4-dim subspace
+    # codebooks assign by direction, so magnitude loss caps this well
+    # below int8's ~0.999
+    assert sum(cos) / len(cos) > 0.75
+    assert min(cos) > 0.5
+
+
+def test_reconstructed_pq_rejects_uneven_split(spark, emb):
+    with pytest.raises(ValueError, match="subspaces"):
+        V.reconstructed_pq(emb, m=3, dim=DIM)
+
+
+def test_knn_ivf_pq_cluster_coherent(spark):
+    """The registered PQ index shape (PQ-reconstructed quantizer +
+    scoring vectors, full-precision queries) keeps planted-cluster
+    coherence: neighbors come from the query's own cluster, and
+    exact-top-10 recall among near-tied members stays usable. PQ is
+    the lossiest rung, so the bar sits below int8's."""
+    emb = _planted_cluster_emb(spark, seed=7)
+    recon = V.reconstructed_pq(emb, m=4, dim=16)
+    cells = V.lloyd_cells(recon, dim=16)
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {}
+    for r in V.knn_bruteforce(emb, q, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in V.knn_ivf(cells, q, k=10, nprobe=2, cell_col="cell").collect():
+        assert r.neighbor_id % 8 == r.query_id % 8  # cluster coherence
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(approx.get(qid, set()) & exact[qid]) / 10 for qid in exact]
+    # near-TIED members (true cosines ~0.999) discriminate poorly
+    # through 4-dim codewords -- measured 0.425; the distinct-neighbor
+    # regime (bench planted rows) is where PQ recall is judged
+    assert sum(recalls) / len(recalls) >= 0.35
