@@ -641,3 +641,60 @@ def corpus_topic_map(
         )
         .orderBy("cell", "term_rank")
     )
+
+
+#: cluster-prune bar: clusters whose mean document length (whitespace
+#: tokens, integer floor) sits below this are template/boilerplate
+#: populations on the synthetic corpus (measured bimodal: short
+#: clusters 20-43, content clusters 47-64 at every SF)
+MIN_CLUSTER_MEAN_TOKENS = 45
+
+
+def cluster_prune_keepers(
+    df: DataFrame,
+    min_mean_tokens: int = MIN_CLUSTER_MEAN_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTING form of corpus_topic_map -- MiniPile's pruning step
+    (Kaddour 2023: cluster the embedded corpus, judge clusters, drop
+    the junk ones WHOLE): documents keep their hash_embed ->
+    lloyd_cells cluster assignment, each cluster's mean document
+    length (integer floor of one token-mass division) is the
+    cluster-quality proxy, and every document in a cluster below
+    ``min_mean_tokens`` is dropped -- template/boilerplate
+    populations die as a population, including their individually
+    long members that a per-document length gate would keep. Returns
+    (doc_id, cell, cluster_mean_tokens) for the survivors so the
+    gate's reasoning stays auditable; semi-join on doc_id for the
+    pruned corpus.
+
+    Scale shape: identical to corpus_topic_map's fit (bounded Lloyd
+    aggregations, corpus never shuffles) plus ONE cells-sized stats
+    rollup broadcast back onto the membership -- the gate adds no
+    corpus-keyed exchange beyond the shared doc_id join."""
+    from solana_data_etl_pipeline_spark.operators import similarity as V
+
+    emb = X.hash_embed(df, text_col=text_col)
+    member = V.lloyd_cells(emb).select(F.col("vec_id").alias("doc_id"), "cell")
+    toks = df.select(
+        "doc_id",
+        F.size(F.filter(X.tokens_col(text_col), lambda t: t != "")).cast("long").alias("_nt"),
+    )
+    base = toks.join(member, "doc_id").localCheckpoint(eager=False)
+    stats = (
+        base.groupBy("cell")
+        .agg(
+            F.sum("_nt").cast("long").alias("_tot"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        .select(
+            "cell",
+            F.expr("_tot div _n").cast("long").alias("cluster_mean_tokens"),
+        )
+        .filter(F.col("cluster_mean_tokens") >= min_mean_tokens)
+    )
+    return (
+        base.join(F.broadcast(stats), "cell")
+        .select("doc_id", "cell", "cluster_mean_tokens")
+        .orderBy("doc_id")
+    )

@@ -864,6 +864,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # MiniPile-style cluster inspection table: hash_embed -> Lloyd
     # cells -> per-cluster mass/source/top-terms rollup
     "corpus_topic_map": _docs(C.corpus_topic_map),
+    # ...and its ACTING form: drop whole clusters below the
+    # mean-length bar (template populations die as a population)
+    "cluster_prune_keepers": _docs(C.cluster_prune_keepers),
     # padded-batching waste planner (16-token buckets: the synthetic
     # docs average ~50 tokens; production fine-tuning uses 64-128)
     "length_buckets": _docs(lambda df: X.length_buckets(df, bucket_width=16)),
@@ -4380,16 +4383,19 @@ SIMILARITY_SQL["knn_ivf_pq"] = _lloyd_ivf_sql(q_src="raw", e_cte=_pq_e_cte())
 # e) feeds the unrolled Lloyd replay (knn_ivf_kmeans's oracle), then
 # three rollups over the (doc_id, cell) membership -- both building
 # blocks are the exact CTEs the already-verdicted entries pin, so the
-# composition cannot drift from either
+# composition cannot drift from either. The membership prefix is
+# shared verbatim with cluster_prune_keepers (the acting form) so the
+# gate drops exactly the clusters the inspection table shows.
 _HASH_EMBED_E_CTE = _HASH_EMBED_E_SQL[len("WITH ") :]
-TEXT_SQL["corpus_topic_map"] = f"""
-WITH {_lloyd_sql(V.LLOYD_ITERS, e_cte=_HASH_EMBED_E_CTE)},
+_TOPIC_MEMBER_CTES = f"""WITH {_lloyd_sql(V.LLOYD_ITERS, e_cte=_HASH_EMBED_E_CTE)},
 m AS (SELECT vec_id AS doc_id, cell FROM a{V.LLOYD_ITERS}),
 dt AS (
   SELECT m.cell, d.doc_id, d.source,
          list_filter(string_split_regex(trim(lower(d.text)), '\\s+'), x -> x <> '') AS tkf
   FROM m JOIN documents d USING (doc_id)
-),
+)"""
+TEXT_SQL["corpus_topic_map"] = f"""
+{_TOPIC_MEMBER_CTES},
 stats AS (
   SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(tkf)) AS BIGINT) AS total_tokens
@@ -4417,6 +4423,21 @@ FROM stats s
 JOIN (SELECT cell, source FROM srcs WHERE r = 1) sr USING (cell)
 JOIN rk ON rk.cell = s.cell AND rk.term_rank <= 3
 ORDER BY s.cell, rk.term_rank
+"""
+
+# the ACTING form: drop whole clusters below the mean-length bar --
+# membership CTEs shared verbatim with the inspection table above
+TEXT_SQL["cluster_prune_keepers"] = f"""
+{_TOPIC_MEMBER_CTES},
+cs AS (
+  SELECT cell,
+         CAST(CAST(sum(len(tkf)) AS BIGINT) // count(*) AS BIGINT) AS cluster_mean_tokens
+  FROM dt GROUP BY cell
+)
+SELECT dt.doc_id, dt.cell, cs.cluster_mean_tokens
+FROM dt JOIN cs USING (cell)
+WHERE cs.cluster_mean_tokens >= {C.MIN_CLUSTER_MEAN_TOKENS}
+ORDER BY dt.doc_id
 """
 
 

@@ -653,3 +653,39 @@ def test_corpus_topic_map_hand_rollup(spark):
         want_terms = sorted(tc, key=lambda t: (-tc[t], t))[:2]
         got = [(r.term_rank, r.term, r.term_count) for r in sorted(mine, key=lambda r: r.term_rank)]
         assert got == [(i + 1, t, tc[t]) for i, t in enumerate(want_terms)]
+
+
+def test_cluster_prune_drops_whole_clusters(spark):
+    """The gate is CLUSTER-level: kept docs are exactly the members of
+    clusters at/above the bar in the operator's own inspection table
+    (corpus_topic_map shares the membership pipeline verbatim), and a
+    dropped cluster dies whole -- including members longer than the
+    bar, which a per-document gate would keep."""
+    from solana_data_etl_pipeline_spark.plans.corpus import (
+        MIN_CLUSTER_MEAN_TOKENS,
+        cluster_prune_keepers,
+        corpus_topic_map,
+    )
+    from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    kept = cluster_prune_keepers(docs).collect()
+    tm = {r.cell: (r.n_docs, r.mean_tokens) for r in corpus_topic_map(docs, top_terms=1).collect()}
+    good = {c for c, (_, mt) in tm.items() if mt >= MIN_CLUSTER_MEAN_TOKENS}
+    assert good and good != set(tm)  # the bar discriminates at this SF
+    assert {r.cell for r in kept} == good
+    assert all(r.cluster_mean_tokens == tm[r.cell][1] for r in kept)
+    # every above-bar cluster survives with its FULL population
+    from collections import Counter
+
+    by_cell = Counter(r.cell for r in kept)
+    assert all(by_cell[c] == tm[c][0] for c in good)
+    # population semantics: at least one individually-long document
+    # dies with its short cluster (the doc a per-doc gate would keep)
+    kept_ids = {r.doc_id for r in kept}
+    dropped = docs.filter(~docs.doc_id.isin(list(kept_ids))).collect()
+    assert any(
+        len([t for t in r.text.strip().lower().split() if t]) >= MIN_CLUSTER_MEAN_TOKENS
+        for r in dropped
+    )
