@@ -4804,7 +4804,10 @@ def all_oracle_sql() -> dict[str, str]:
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, before
 # any other work). Rotate IN first the never-driver-verified late-r10
 # registrants `media_exact_dups` + `media_near_dup` (the media dedup
-# ladder) + `knn_ivf_int8` (the compressed-index IVF; all
+# ladder) + `knn_ivf_int8` (the compressed-index IVF) +
+# `corpus_drift` (snapshot drift report) + `corpus_topic_map` /
+# `cluster_prune_keepers` (the MiniPile inspection table and its
+# acting gate) + `knn_ivf_pq` (the product-quantization rung; all
 # oracle-swept on every test run). Then weight/freshness
 # management: rotate OUT the heavy
 # newly-verdicted r10 entries once their CORRECTNESS_r10 rows are

@@ -256,3 +256,36 @@ def test_media_near_dup_ignores_undecodable_feature_rows(spark):
     )
     pairs = {(r.media_a, r.media_b) for r in M.media_near_dup_pairs(M.synth_wav(docs)).collect()}
     assert pairs == {(3, 4)}
+
+
+def test_late_round10_operators_on_empty_and_degenerate_input(spark):
+    """The late-r10 operators hold their contracts on empty corpora:
+    corpus_drift returns an empty report (its totals floor at 1, so
+    no division blows up), the topic map and the prune gate emit no
+    clusters/keepers, and the PQ reconstruction of nothing is
+    nothing."""
+    from solana_data_etl_pipeline_spark.operators import similarity as V
+    from solana_data_etl_pipeline_spark.operators import text as X
+    from solana_data_etl_pipeline_spark.plans.corpus import (
+        cluster_prune_keepers,
+        corpus_topic_map,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert X.corpus_drift(empty_docs.withColumn("snapshot", F.lit(0))).count() == 0
+    assert corpus_topic_map(empty_docs).count() == 0
+    assert cluster_prune_keepers(empty_docs).count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert V.reconstructed_pq(empty_emb).count() == 0
+    # degenerate: a single one-token document still yields exactly one
+    # cluster row per term rank and survives/dies deterministically
+    one = spark.createDataFrame(
+        [(1, "hello", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tm = corpus_topic_map(one).collect()
+    assert len(tm) == 1 and tm[0].n_docs == 1 and tm[0].term == "hello"
+    assert cluster_prune_keepers(one, min_mean_tokens=1).count() == 1
+    assert cluster_prune_keepers(one, min_mean_tokens=2).count() == 0

@@ -114,6 +114,11 @@ HEAVY = [
     "corpus_curation_v4",
     "knn_ivf_int8",
     "media_near_dup",
+    # late-r10 registrants
+    "corpus_drift",
+    "corpus_topic_map",
+    "cluster_prune_keepers",
+    "knn_ivf_pq",
 ]
 
 
