@@ -196,6 +196,15 @@ def main(argv: list[str] | None = None) -> int:
         "<out>/documents_media_gated",
     )
     p_scorp.add_argument(
+        "--drift-report",
+        action="store_true",
+        help="ingest-time vocabulary-drift sidecar (the streaming "
+        "twin of corpus_drift): per batch, the top tokens whose "
+        "basis-point share moved most between the corpus-so-far and "
+        "the batch's admitted docs append to <out>/documents_drift "
+        "(write-once per epoch; first batch has no baseline)",
+    )
+    p_scorp.add_argument(
         "--gates",
         choices=["simple", "published"],
         default="simple",
@@ -415,6 +424,7 @@ def main(argv: list[str] | None = None) -> int:
             decon_route_blind=args.decon_route_blind,
             media_health=args.media_health,
             media_gate=args.media_gate,
+            drift_report=args.drift_report,
         )
         try:
             n = spark.read.parquet(f"{out}/documents").count()

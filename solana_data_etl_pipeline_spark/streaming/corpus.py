@@ -235,6 +235,8 @@ def run_document_stream(
     semantic_route_blind: bool = False,
     media_health: bool = False,
     media_gate: bool = False,
+    drift_report: bool = False,
+    drift_top_k: int = 20,
 ):
     """Landing zone -> quarantine split -> gates + features ->
     (optional) benchmark DECONTAMINATION -> exact dedup -> (optional)
@@ -406,7 +408,17 @@ def run_document_stream(
     violation is a CURATION verdict on real decoded content, so it
     gates the document exactly as the batch pipeline does. Docs with
     no media, non-audio media, or failed decodes (already
-    quarantined) pass through ungated."""
+    quarantined) pass through ungated.
+
+    `drift_report=True` turns on the ingest-time VOCABULARY-DRIFT
+    sidecar -- the streaming twin of corpus_drift: per batch, the
+    `drift_top_k` tokens whose basis-point share of the token mass
+    moved most between the corpus-so-far and this batch's admitted
+    docs append to `{output_dir}_drift` (token, counts, shares,
+    drift_bp, epoch), write-once per epoch and BEFORE the corpus
+    commit so a replayed (anti-join-emptied) batch can never rewrite
+    the true report. The first batch has no baseline and logs
+    nothing."""
     from solana_data_etl_pipeline_spark.sinks.quarantine import (
         CORRUPT_COL,
         split_corrupt,
@@ -1096,6 +1108,43 @@ def run_document_stream(
                             "left_anti",
                         )
                     sem_blind.write.mode("append").parquet(sem_blind_dir)
+            if drift_report and seen is not None:
+                # the streaming twin of corpus_drift (operators/
+                # text.py): per batch, the top-k tokens whose share of
+                # the token mass moved most between the corpus-so-far
+                # (snapshot 0) and this batch's ADMITTED docs
+                # (snapshot 1) -- the ingest-time monitor that flags a
+                # topical shift or an upstream extraction regression
+                # while the batch that introduced it is still
+                # identifiable. Written BEFORE the corpus commit
+                # (the pair-log stance) and write-once per epoch, so
+                # a replayed batch -- whose kept set the fingerprint
+                # anti-join empties -- can never overwrite the true
+                # report. No report for the first batch: there is no
+                # baseline corpus to drift from.
+                from solana_data_etl_pipeline_spark.operators.text import (
+                    corpus_drift,
+                )
+
+                drift_dir = f"{output_dir}_drift"
+                try:
+                    logged_d = (
+                        spark.read.parquet(drift_dir)
+                        .filter(F.col("epoch") == batch_id)
+                        .limit(1)
+                        .count()
+                    )
+                except AnalysisException:
+                    logged_d = 0
+                if not logged_d:
+                    both = seen.select(
+                        F.lit(0).alias("snapshot"), "text"
+                    ).unionByName(kept.select(F.lit(1).alias("snapshot"), "text"))
+                    report = corpus_drift(both, top_k=drift_top_k).withColumn(
+                        "epoch", F.lit(int(batch_id))
+                    )
+                    if report.limit(1).count():
+                        report.write.mode("append").parquet(drift_dir)
             kept.select(
                 "doc_id",
                 "text",

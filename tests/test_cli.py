@@ -635,3 +635,35 @@ def test_cli_stream_corpus_compact_indexes(spark, tmp_path, capsys):
     assert "compacted near_dup_index/bands:" in cli_out
     # the index still probes after the swap
     assert spark.read.parquet(f"{wh}/cs/near_dup_index/bands").count() > 0
+
+
+def test_cli_stream_corpus_drift_report(spark, tmp_path):
+    """--drift-report end to end: the drift sidecar lands under the
+    output dir from the second drained batch on, ranking the planted
+    new-vocabulary token."""
+    import json
+    import os
+
+    wh = str(tmp_path / "wh")
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, " ".join(["base"] * 12)) + "\n")
+    rc = main(["--warehouse-path", wh, "stream-corpus",
+               "--input", land, "--output", f"{wh}/cs", "--drift-report"])
+    assert rc == 0
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(2, " ".join(["base"] * 6 + ["novel"] * 6)) + "\n")
+    rc = main(["--warehouse-path", wh, "stream-corpus",
+               "--input", land, "--output", f"{wh}/cs", "--drift-report"])
+    assert rc == 0
+    rows = spark.read.parquet(f"{wh}/cs/documents_drift").collect()
+    by_tok = {r.token: r for r in rows}
+    assert by_tok["novel"].drift_bp == 5000 and by_tok["base"].drift_bp == -5000

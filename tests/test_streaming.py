@@ -1398,3 +1398,56 @@ def test_document_stream_media_gate_applies_v4_bounds(spark, tmp_path):
     run_document_stream(spark, land, out, quar, ckpt, media_health=True, media_gate=True)
     assert spark.read.parquet(f"{out}_media_gated").count() == 2
     assert spark.read.parquet(out).count() == 2
+
+
+def test_document_stream_drift_report_per_batch(spark, tmp_path):
+    """drift_report=True is the streaming twin of corpus_drift: the
+    first batch logs nothing (no baseline), the second batch's report
+    ranks the planted new-vocabulary token at the top with
+    hand-computable basis-point shares, and a restarted stream
+    appends nothing twice (write-once per epoch, logged before the
+    corpus commit)."""
+    from solana_data_etl_pipeline_spark.streaming.corpus import run_document_stream
+
+    land = str(tmp_path / "docs_in")
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "doc_quar")
+    ckpt = str(tmp_path / "doc_ckpt")
+    os.makedirs(land, exist_ok=True)
+
+    def _doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s1",
+             "ingest_time": "2024-01-01T00:00:00"}
+        )
+
+    # batch 1: the baseline corpus -- 12 tokens (past the simple
+    # gates' minimum), all 'base'
+    with open(os.path.join(land, "a.jsonl"), "w") as f:
+        f.write(_doc(1, " ".join(["base"] * 12)) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, drift_report=True)
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pytest.raises(AnalysisException):  # no baseline -> no log
+        spark.read.parquet(f"{out}_drift")
+
+    # batch 2: half old vocab, half NEW -- corpus-so-far is 100% base
+    with open(os.path.join(land, "b.jsonl"), "w") as f:
+        f.write(_doc(2, " ".join(["base"] * 6 + ["novel"] * 6)) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, drift_report=True)
+    rows = spark.read.parquet(f"{out}_drift").collect()
+    assert {r.epoch for r in rows} == {1}
+    by_tok = {r.token: r for r in rows}
+    # corpus-so-far: 12x base (10000 bp); batch: 6x base + 6x novel
+    assert by_tok["base"].share_old_bp == 10000
+    assert by_tok["base"].share_new_bp == 5000
+    assert by_tok["base"].drift_bp == -5000
+    assert by_tok["novel"].share_old_bp == 0
+    assert by_tok["novel"].share_new_bp == 5000
+    assert by_tok["novel"].drift_bp == 5000
+
+    # restart: replayed batches are anti-join-emptied and epoch-
+    # guarded -- the report never rewrites
+    run_document_stream(spark, land, out, quar, ckpt, drift_report=True)
+    assert spark.read.parquet(f"{out}_drift").count() == len(rows)
