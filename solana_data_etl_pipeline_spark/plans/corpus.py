@@ -693,8 +693,8 @@ def cluster_prune_keepers(
         )
         .filter(F.col("cluster_mean_tokens") >= min_mean_tokens)
     )
-    return (
-        base.join(F.broadcast(stats), "cell")
-        .select("doc_id", "cell", "cluster_mean_tokens")
-        .orderBy("doc_id")
+    # no global sort: the keepers frame is corpus-sized and every
+    # consumer is a semi-join or the order-insensitive oracle compare
+    return base.join(F.broadcast(stats), "cell").select(
+        "doc_id", "cell", "cluster_mean_tokens"
     )
