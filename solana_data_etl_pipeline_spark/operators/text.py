@@ -397,6 +397,63 @@ def bm25_rank(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def hybrid_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    rrf_k: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009; the standard fusion every lexical+vector search
+    stack ships) of the two registered retrieval routes -- bm25_rank's
+    lexical top-k and the hash_embed -> knn_lsh semantic top-k for
+    the SAME query. rrf(d) = sum over lists of 1/(rrf_k + rank_d),
+    absent-from-a-list contributing 0; the query's embedding is the
+    registered encoder run on the query text itself (query_id -1, so
+    no corpus doc is self-excluded). Returns (doc_id, lex_rank,
+    sem_rank, rrf_score) for the fused top-k -- a doc ranked by only
+    one route carries a NULL in the other's column, which is the
+    fusion's whole point (lexical-only exact-term hits meet
+    semantic-only paraphrase hits in one list).
+
+    Engine-exactness: both member ranks are INTEGERS from the member
+    operators' own contracted orderings; the fusion score is one
+    fixed two-term double expression per row (no aggregation-order
+    sensitivity), rounded 6 dp.
+
+    Scale shape: exactly the two members' shapes (bm25's zero-shuffle
+    projections + one scalar broadcast + TakeOrderedAndProject;
+    knn_lsh's bucketed probe with the single query row broadcast) --
+    the fusion itself joins two <=k-row frames and sorts <=2k rows."""
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_lsh
+
+    lex = bm25_rank(df, query_terms, top_k=k).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    enc = hash_embed(df, text_col=text_col).localCheckpoint(eager=False)
+    qdf = df.sparkSession.createDataFrame(
+        [(-1, " ".join(query_terms))], "doc_id long, text string"
+    )
+    qvec = hash_embed(qdf).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = knn_lsh(enc, qvec, k=k).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full")
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", score.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1))).

@@ -727,6 +727,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # under BM25 (integer-ppm scores keep the across-terms sum
     # engine-exact)
     "bm25_rank": _docs(lambda df: X.bm25_rank(df, _BM25_TERMS)),
+    # hybrid retrieval: RRF fusion of bm25_rank and the hash_embed ->
+    # knn_lsh semantic route for the SAME query terms
+    "hybrid_rank": _docs(lambda df: X.hybrid_rank(df, _BM25_TERMS)),
     "corpus_selection": C.corpus_selection,
     # the full curation pipeline composed end-to-end: gates + exact
     # keepers + cluster-decontaminated split + temperature mix +
@@ -1830,6 +1833,66 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
   FROM scored
 ) WHERE rnk <= 10
 """
+
+# hybrid_rank: RRF over the two registered retrieval routes -- the
+# bm25_rank SQL embedded VERBATIM as the lexical member (the
+# agreement-report pinning idiom), the corpus hash-embed chain shared
+# with text_knn, and the query's OWN embedding replayed over a
+# one-row literal (q-prefixed chain, vec_id -1 so no corpus doc
+# self-excludes); buckets computed over the union so both sides hash
+# through the identical plane matrices.
+_HYBRID_Q_TEXT = " ".join(_BM25_TERMS)
+TEXT_SQL["hybrid_rank"] = f"""
+{_HASH_EMBED_E_SQL},
+qsrc AS (SELECT CAST(-1 AS BIGINT) AS doc_id, '{_HYBRID_Q_TEXT}' AS text),
+qtok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM qsrc
+),
+qt AS (SELECT doc_id, unnest(tk) AS token FROM qtok),
+qh AS (SELECT doc_id, {H64_SQL.format(x="token")} AS hv FROM qt WHERE token <> ''),
+qfv AS (
+  SELECT doc_id, CAST(hv % 64 AS INT) AS d,
+         CASE WHEN (hv >> 6) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM qh
+),
+qsv AS (SELECT doc_id, d, sum(sgn) AS val FROM qfv GROUP BY doc_id, d),
+qgrid AS (
+  SELECT qtok.doc_id, CAST(u.i AS INT) AS d FROM qtok, UNNEST(range(0, 64)) AS u(i)
+),
+qdense AS (
+  SELECT qgrid.doc_id, list(coalesce(qsv.val, 0.0) ORDER BY qgrid.d) AS raw
+  FROM qgrid LEFT JOIN qsv ON qgrid.doc_id = qsv.doc_id AND qgrid.d = qsv.d
+  GROUP BY qgrid.doc_id
+),
+qe AS (
+  SELECT doc_id AS vec_id,
+         list_transform(raw, x -> x / greatest(sqrt(list_dot_product(raw, raw)), 1e-12)) AS v
+  FROM qdense
+),
+allv AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM qe),
+{_table_buckets_sql(V.LSH_TABLES, src="allv")},
+q AS (SELECT vec_id AS query_id, v AS qv, tbl, bkt FROM b WHERE vec_id = -1),
+scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, {COSINE_SQL.format(a="q.qv", b="c.v")} AS cosine
+  FROM b c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt
+  WHERE c.vec_id <> -1
+),
+sem AS (
+  SELECT neighbor_id AS doc_id, CAST(rnk AS INT) AS sem_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+lex AS (SELECT doc_id, rank AS lex_rank FROM ({{BM25}})),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank,
+       round(coalesce(1.0 / (60 + lex_rank), 0.0)
+             + coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""".replace("{BM25}", TEXT_SQL["bm25_rank"])
 
 TEXT_SQL["dsir_scores"] = f"""
 WITH tok AS (

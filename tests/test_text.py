@@ -1751,3 +1751,43 @@ def test_corpus_drift_empty_and_one_sided(spark):
     assert all(r.share_new_bp == 0 and r.count_new == 0 for r in rows)
     empty = spark.createDataFrame([], "doc_id long, snapshot long, text string")
     assert X.corpus_drift(empty).collect() == []
+
+
+def test_hybrid_rank_reconciles_with_members(spark):
+    """The fusion reconciles against its OWN member operators run at
+    the same k: every fused row's lex_rank/sem_rank matches bm25_rank
+    / the knn_lsh semantic route exactly, the rrf arithmetic is
+    1/(60+r) summed over present lists, and ordering is (score desc,
+    doc_id asc)."""
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_lsh
+
+    rows = []
+    for i in range(40):
+        # half the docs carry the lexical query terms; vocabulary
+        # varies so the semantic route ranks differently
+        terms = "alpha beta" if i % 2 == 0 else "gamma delta"
+        filler = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append((i, f"{terms} {filler}", "en", "s", 50))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    q = ["alpha", "beta"]
+    fused = X.hybrid_rank(docs, q, k=10).collect()
+    assert 0 < len(fused) <= 10
+    lex = {r.doc_id: r.rank for r in X.bm25_rank(docs, q, top_k=10).collect()}
+    enc = X.hash_embed(docs)
+    qdf = spark.createDataFrame([(-1, "alpha beta")], "doc_id long, text string")
+    qv = X.hash_embed(qdf).selectExpr("vec_id as query_id", "embedding")
+    sem = {r.neighbor_id: r.rank for r in knn_lsh(enc, qv, k=10).collect()}
+    for r in fused:
+        assert r.lex_rank == lex.get(r.doc_id)
+        assert r.sem_rank == sem.get(r.doc_id)
+        want = (1.0 / (60 + r.lex_rank) if r.doc_id in lex else 0.0) + (
+            1.0 / (60 + r.sem_rank) if r.doc_id in sem else 0.0
+        )
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9
+    scores = [(r.rrf_score, -r.doc_id) for r in fused]
+    assert scores == sorted(scores, reverse=True)
+    # the fusion's point: at least one surfaced doc came from only one
+    # member list (NULL in the other's rank column)
+    assert any(r.lex_rank is None or r.sem_rank is None for r in fused)
