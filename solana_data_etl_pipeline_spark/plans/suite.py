@@ -4870,8 +4870,11 @@ def all_oracle_sql() -> dict[str, str]:
 # ladder) + `knn_ivf_int8` (the compressed-index IVF) +
 # `corpus_drift` (snapshot drift report) + `corpus_topic_map` /
 # `cluster_prune_keepers` (the MiniPile inspection table and its
-# acting gate) + `knn_ivf_pq` (the product-quantization rung; all
-# oracle-swept on every test run). Then weight/freshness
+# acting gate) + `knn_ivf_pq` (the product-quantization rung) +
+# `hybrid_rank` (RRF retrieval fusion; all
+# oracle-swept on every test run). WEIGHT NOTE: topic map + prune
+# share the ~8 s Lloyd-fit cost each at sf0.1 -- if the window gets
+# heavy, stagger them across r11/r12. Then weight/freshness
 # management: rotate OUT the heavy
 # newly-verdicted r10 entries once their CORRECTNESS_r10 rows are
 # green -- dedup_family_agreement_full (8.3 s solo),
