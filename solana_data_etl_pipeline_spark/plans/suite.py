@@ -722,6 +722,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
         lambda spark, sf_dir: SH.shard_manifest(spark, _shard_export_dir(spark, sf_dir))
     ),
     "vocab_top_words": _docs(X.vocab_top_words),
+    # Count-Min sketch on the token stream, graded against the exact
+    # top-20: the bounded-shuffle (depth x width cells) alternative to
+    # the vocabulary-keyed count, fully oracle-able unlike HLL
+    "cms_heavy_hitters": _docs(K.cms_heavy_hitters),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
     # lexical ranked retrieval: top-10 docs for the fixed term query
     # under BM25 (integer-ppm scores keep the across-terms sum
@@ -1833,6 +1837,49 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
   FROM scored
 ) WHERE rnk <= 10
 """
+
+# cms_heavy_hitters: the Count-Min cells replayed per depth row (the
+# same 'cms{i}|' salts), sketch + exact candidates + min-over-rows
+# estimate; 'row' renamed rw SQL-side (reserved-ish), output columns
+# unchanged
+def _cms_cell_sql(i: int, tok: str) -> str:
+    salted = f"'cms{i}|' || {tok}"
+    return f"CAST({H64_SQL.format(x=salted)} % {K.CMS_WIDTH} AS INT)"
+
+
+_CMS_CELLS_UNION = "\n  UNION ALL ".join(
+    f"SELECT {i} AS rw, {_cms_cell_sql(i, 'token')} AS cell FROM tok"
+    for i in range(K.CMS_DEPTH)
+)
+_CMS_CAND_UNION = "\n  UNION ALL ".join(
+    f"SELECT token, exact_count, {i} AS rw, {_cms_cell_sql(i, 'token')} AS cell FROM cand"
+    for i in range(K.CMS_DEPTH)
+)
+TEXT_SQL["cms_heavy_hitters"] = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+cells AS (
+  {_CMS_CELLS_UNION}
+),
+sk AS (SELECT rw, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY rw, cell),
+cand AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count FROM tok
+  GROUP BY token ORDER BY exact_count DESC, token LIMIT 20
+),
+cc AS (
+  {_CMS_CAND_UNION}
+),
+est AS (
+  SELECT cc.token, cc.exact_count, min(sk.c) AS cms_count
+  FROM cc JOIN sk USING (rw, cell) GROUP BY cc.token, cc.exact_count
+)
+SELECT token, exact_count, cms_count,
+       CAST((cms_count - exact_count) * 10000 // exact_count AS BIGINT) AS over_bp
+FROM est ORDER BY exact_count DESC, token
+"""
+
 
 # hybrid_rank: RRF over the two registered retrieval routes -- the
 # bm25_rank SQL embedded VERBATIM as the lexical member (the

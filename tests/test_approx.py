@@ -65,3 +65,29 @@ def test_hll_rollup_merge_is_lossless_and_accurate(spark):
     }
     for r in days:
         assert abs(r.est_users - per_day_exact[r.day]) / per_day_exact[r.day] < 0.05
+
+
+def test_cms_never_underestimates_and_is_exact_when_uncollided(spark):
+    """Count-Min structural invariants on a hand-sized corpus: the
+    estimate never drops below the exact count (every occurrence
+    lands in its own cells), equals it when no collision exists at
+    the given width, and genuinely collides (over_bp > 0 somewhere)
+    when the width is squeezed far below the vocabulary."""
+    from solana_data_etl_pipeline_spark.operators.sketches import cms_heavy_hitters
+
+    rows = []
+    for i in range(60):
+        toks = " ".join(f"tok{j}" for j in range(i % 7 + 3))
+        rows.append((i, f"common common {toks}", "en", "s", 30))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    wide = cms_heavy_hitters(docs, k=10, width=4096).collect()
+    assert all(r.cms_count >= r.exact_count for r in wide)
+    assert all(r.over_bp >= 0 for r in wide)
+    # 10 distinct tokens in 4096 cells x 4 rows: no collisions expected
+    assert all(r.cms_count == r.exact_count for r in wide)
+    assert wide[0].token == "common" and wide[0].exact_count == 120
+    narrow = cms_heavy_hitters(docs, k=10, width=4).collect()
+    assert all(r.cms_count >= r.exact_count for r in narrow)
+    assert any(r.over_bp > 0 for r in narrow)  # width 4 must collide
