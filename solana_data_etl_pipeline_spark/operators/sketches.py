@@ -110,49 +110,19 @@ def cms_heavy_hitters(
     TakeOrderedAndProject (the correctness anchor, same stance as
     user_exact_rollup vs the HLL rollup); the estimate join
     broadcasts the bounded sketch."""
-    from solana_data_etl_pipeline_spark.operators.dedup import _hash64
-    from solana_data_etl_pipeline_spark.operators.text import (
-        tokens_col,
-        vocab_top_words,
-    )
+    from solana_data_etl_pipeline_spark.operators.text import vocab_top_words
 
-    def _ne(t):
-        return t != F.lit("")
-
-    tok = df.select(F.explode(F.filter(tokens_col(text_col), _ne)).alias("token"))
-
-    def _cells(token_col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    F.pmod(
-                        _hash64(F.concat(F.lit(f"cms{i}|"), token_col)),
-                        F.lit(width),
-                    )
-                    .cast("int")
-                    .alias("cell"),
-                )
-                for i in range(depth)
-            ]
-        )
-
-    sketch = (
-        tok.select(F.explode(_cells(F.col("token"))).alias("s"))
-        .select("s.row", "s.cell")
-        .groupBy("row", "cell")
-        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-    )
+    sketch = cms_sketch(df, depth=depth, width=width, text_col=text_col)
     cand = vocab_top_words(df, top_n=k).select(
         "token", F.col("freq").alias("exact_count")
     )
     cand_cells = cand.select(
-        "token", "exact_count", F.explode(_cells(F.col("token"))).alias("s")
-    ).select("token", "exact_count", "s.row", "s.cell")
+        "token", "exact_count", F.explode(_cms_cells(F.col("token"), depth, width)).alias("s")
+    ).select("token", "exact_count", "s.rw", "s.cell")
     est = (
-        cand_cells.join(F.broadcast(sketch), ["row", "cell"])
+        cand_cells.join(F.broadcast(sketch), ["rw", "cell"])
         .groupBy("token", "exact_count")
-        .agg(F.min("_c").alias("cms_count"))
+        .agg(F.min("c").alias("cms_count"))
     )
     return est.select(
         "token",
@@ -162,3 +132,63 @@ def cms_heavy_hitters(
         .cast("long")
         .alias("over_bp"),
     ).orderBy(F.desc("exact_count"), F.asc("token"))
+
+
+def cms_sketch(
+    df: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """The raw Count-Min sketch frame (rw, cell, c) for a corpus slice
+    -- the mergeable building block behind cms_heavy_hitters, exposed
+    so partitions/days/batches can each materialize their own bounded
+    sketch once and any coarser window merges them (cms_merge) without
+    rescanning rows: the CMS analog of daily_user_sketches. Merge is
+    LOSSLESS -- counters are additive -- so estimates from a merged
+    sketch are identical to sketching the concatenated stream (pinned
+    by test)."""
+    from solana_data_etl_pipeline_spark.operators.text import tokens_col
+
+    def _ne(t):
+        return t != F.lit("")
+
+    tok = df.select(F.explode(F.filter(tokens_col(text_col), _ne)).alias("token"))
+    cells = tok.select(
+        F.explode(_cms_cells(F.col("token"), depth, width)).alias("s")
+    ).select("s.rw", "s.cell")
+    return cells.groupBy("rw", "cell").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def _cms_cells(token_col, depth: int, width: int):
+    """The depth (rw, cell) pairs of one token -- the single source of
+    the salted-hash cell derivation shared by the sketch builder and
+    the heavy-hitter estimate side (drift here would silently zero
+    the estimates)."""
+    from solana_data_etl_pipeline_spark.operators.dedup import _hash64
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rw"),
+                F.pmod(
+                    _hash64(F.concat(F.lit(f"cms{i}|"), token_col)), F.lit(width)
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches by cell-wise counter addition -- the
+    lossless rollup (union the bounded frames, one <= depth*width
+    aggregation)."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("rw", "cell").agg(F.sum("c").cast("long").alias("c"))

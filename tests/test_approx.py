@@ -91,3 +91,23 @@ def test_cms_never_underestimates_and_is_exact_when_uncollided(spark):
     narrow = cms_heavy_hitters(docs, k=10, width=4).collect()
     assert all(r.cms_count >= r.exact_count for r in narrow)
     assert any(r.over_bp > 0 for r in narrow)  # width 4 must collide
+
+
+def test_cms_merge_is_lossless(spark):
+    """Merging per-slice sketches equals sketching the concatenated
+    stream cell-for-cell -- the property that lets a 100 TB corpus
+    materialize one bounded sketch per partition/day and answer any
+    window by addition."""
+    from solana_data_etl_pipeline_spark.operators.sketches import cms_merge, cms_sketch
+
+    a = spark.createDataFrame(
+        [(1, "x x y", "en", "s", 5), (2, "y z", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    b = spark.createDataFrame(
+        [(3, "z z q", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merged = {(r.rw, r.cell): r.c for r in cms_merge(cms_sketch(a), cms_sketch(b)).collect()}
+    whole = {(r.rw, r.cell): r.c for r in cms_sketch(a.unionByName(b)).collect()}
+    assert merged == whole
