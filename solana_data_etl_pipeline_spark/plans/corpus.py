@@ -626,9 +626,11 @@ def corpus_topic_map(
         .withColumn("term_rank", F.row_number().over(wterm))
         .filter(F.col("term_rank") <= top_terms)
     )
+    # the three rollup outputs are cells-/report-sized -- broadcast
+    # them so the final assembly never sort-merges
     return (
-        stats.join(top_src, "cell")
-        .join(top, "cell")
+        stats.join(F.broadcast(top_src), "cell")
+        .join(F.broadcast(top), "cell")
         .select(
             "cell",
             "n_docs",
