@@ -1604,6 +1604,50 @@ def mixture_waterfill(
     )
 
 
+def unimax_allocation(
+    counts: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    cap_col: str = "capacity",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split the budget as UNIFORMLY as possible across
+    sources/languages, cap every source at ``max_epochs`` passes over
+    its corpus, and redistribute the capped surplus over the rest.
+    That is EXACTLY the verified waterfilling run on epoch-capped
+    capacities (capacity' = max_epochs * capacity) with uniform
+    weights -- so this composes mixture_waterfill (one projection in,
+    one join out) instead of reimplementing the fill; any weight
+    column on the input is deliberately ignored (uniformity is the
+    paper's point). Returns (source, capacity, alloc, epochs_bp,
+    saturated): epochs_bp = floor(alloc * 10000 / capacity) is the
+    per-source repetition factor epoch_expand materializes; a
+    saturated source sits exactly at max_epochs * 10000 bp.
+
+    Scale shape: sources-sized frames end to end (waterfill's shape);
+    the raw-capacity join broadcasts."""
+    if max_epochs < 1:
+        raise ValueError("unimax_allocation: max_epochs must be >= 1")
+    raw = counts.select(
+        source_col, F.col(cap_col).cast("long").alias("_raw")
+    )
+    capped = raw.select(
+        source_col,
+        (F.col("_raw") * max_epochs).alias(cap_col),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    filled = mixture_waterfill(capped, budget, cap_col=cap_col, source_col=source_col)
+    return filled.join(F.broadcast(raw), source_col).select(
+        source_col,
+        F.col("_raw").alias("capacity"),
+        "alloc",
+        F.expr("alloc * 10000 div greatest(_raw, 1)").cast("long").alias("epochs_bp"),
+        "saturated",
+    )
+
+
 def epoch_plan(
     counts: DataFrame,
     budget: int,

@@ -897,6 +897,24 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             .withColumn("weight", F.lit(1).cast("long"))
         )
     ),
+    # UniMax (Chung et al. 2023): uniform budget split, epoch-capped
+    # at 4 passes -- budget of 2x corpus tokens so small sources cap
+    # and redistribute to big ones
+    "unimax_allocation": (
+        lambda spark, sf_dir: (
+            lambda c: X.unimax_allocation(
+                c, budget=int(2 * c.agg(F.sum("capacity")).first()[0])
+            )
+        )(
+            load_table(spark, sf_dir, "documents")
+            .groupBy("source")
+            .agg(
+                F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+                .cast("long")
+                .alias("capacity")
+            )
+        )
+    ),
     # data-constrained epoch planning (Muennighoff et al. 2023):
     # budget of 2.5x corpus tokens -- every source serves its first
     # two epochs in full, the third fills partially in utility order
@@ -1590,6 +1608,60 @@ SELECT source, capacity, weight,
             ELSE least(capacity * 1.0, round((b - sc) / greatest(tw - sw, 1e-12) * weight)) END AS BIGINT) AS alloc,
        saturated
 FROM run, sat
+"""
+
+# unimax_allocation: the waterfill oracle run on epoch-capped
+# capacities (4x) with uniform weights at budget 2x corpus tokens,
+# mapped back to raw capacity + integer-bp epochs -- the fill CTEs
+# mirror TEXT_SQL["mixture_waterfill"] exactly
+TEXT_SQL["unimax_allocation"] = """
+WITH c0 AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS rawcap
+  FROM documents GROUP BY source
+),
+c AS (
+  SELECT source, CAST(rawcap * 4 AS BIGINT) AS capacity,
+         CAST(1 AS BIGINT) AS weight, rawcap
+  FROM c0
+),
+bdg AS (SELECT CAST(floor(2 * sum(rawcap)) AS DOUBLE) AS b FROM c),
+tot AS (SELECT CAST(sum(capacity) AS DOUBLE) AS tc, CAST(sum(weight) AS DOUBLE) AS tw FROM c),
+cum AS (
+  SELECT *,
+         sum(capacity) OVER (ORDER BY capacity * 1.0 / weight, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+         sum(weight) OVER (ORDER BY capacity * 1.0 / weight, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pw
+  FROM c
+),
+fl AS (
+  SELECT cum.*, tot.tw, bdg.b,
+         (capacity * 1.0 / weight) < ((bdg.b - coalesce(pc, 0)) / (tot.tw - coalesce(pw, 0))) AS flag
+  FROM cum, tot, bdg
+),
+run AS (
+  SELECT *, CAST(min(CASE WHEN flag THEN 1 ELSE 0 END)
+                 OVER (ORDER BY capacity * 1.0 / weight, source
+                       ROWS UNBOUNDED PRECEDING) AS BOOLEAN) AS saturated
+  FROM fl
+),
+sat AS (
+  SELECT CAST(coalesce(sum(CASE WHEN saturated THEN capacity END), 0) AS DOUBLE) AS sc,
+         CAST(coalesce(sum(CASE WHEN saturated THEN weight END), 0) AS DOUBLE) AS sw
+  FROM run
+),
+filled AS (
+  SELECT source, rawcap,
+         CAST(CASE WHEN saturated THEN capacity
+              ELSE least(capacity * 1.0, round((b - sc) / greatest(tw - sw, 1e-12) * weight)) END AS BIGINT) AS alloc,
+         saturated
+  FROM run, sat
+)
+SELECT source, rawcap AS capacity, alloc,
+       CAST(alloc * 10000 // greatest(rawcap, 1) AS BIGINT) AS epochs_bp,
+       saturated
+FROM filled
 """
 
 # data-constrained epoch planning: (source, epoch) units filled

@@ -1791,3 +1791,30 @@ def test_hybrid_rank_reconciles_with_members(spark):
     # the fusion's point: at least one surfaced doc came from only one
     # member list (NULL in the other's rank column)
     assert any(r.lex_rank is None or r.sem_rank is None for r in fused)
+
+
+def test_unimax_allocation_hand_model(spark):
+    """UniMax invariants on a hand corpus: budget conserved, every
+    source capped at max_epochs passes, the capped source's surplus
+    redistributes UNIFORMLY over the rest, and any weight column on
+    the input is ignored (uniformity is the paper's point)."""
+    from pyspark.sql import functions as F
+
+    counts = spark.createDataFrame(
+        [("tiny", 10), ("mid", 100), ("big", 100)],
+        "source string, capacity long",
+    )
+    # budget 160 > uniform share 3x53.3: tiny caps at 4 epochs = 40,
+    # leftover 120 splits evenly -> mid/big get 60 each (0.6 epochs)
+    rows = {r.source: r for r in X.unimax_allocation(counts, budget=160, max_epochs=4).collect()}
+    assert rows["tiny"].alloc == 40 and rows["tiny"].saturated
+    assert rows["tiny"].epochs_bp == 40000
+    assert rows["mid"].alloc == 60 and rows["big"].alloc == 60
+    assert rows["mid"].epochs_bp == 6000 and not rows["mid"].saturated
+    assert sum(r.alloc for r in rows.values()) == 160
+    # a weight column must not change the uniform split
+    weighted = counts.withColumn("weight", F.lit(99))
+    rows_w = {r.source: r.alloc for r in X.unimax_allocation(weighted, budget=160).collect()}
+    assert rows_w == {s: r.alloc for s, r in rows.items()}
+    with pytest.raises(ValueError, match="max_epochs"):
+        X.unimax_allocation(counts, budget=10, max_epochs=0)
