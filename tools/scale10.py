@@ -119,6 +119,9 @@ HEAVY = [
     "corpus_topic_map",
     "cluster_prune_keepers",
     "knn_ivf_pq",
+    "hybrid_rank",
+    "cms_heavy_hitters",
+    "unimax_allocation",
 ]
 
 
