@@ -171,6 +171,57 @@ def main() -> None:
         ) / max(len(exact), 1)
         print(f"| {nprobe} | {cov:.3f} | {time.perf_counter() - t0:.2f} |")
 
+    print()
+    print("## PQ subspace dial (m vs planted recall; bytes = m*4 bits of codes)")
+    # the compression knob knn_ivf_pq exists to size: planted-near-dup
+    # recall of the full registered shape (PQ-reconstructed index +
+    # lloyd coarse cells, nprobe=2) as the subspace count m varies;
+    # fewer/wider subspaces = coarser codes = cheaper but blinder
+    import numpy as np
+
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        knn_ivf,
+        lloyd_cells,
+        reconstructed_pq,
+    )
+
+    base = emb.orderBy("vec_id").limit(50).collect()
+    offset = 10_000_000
+    print("| m | code_bytes | recall@.95 | recall@.85 | fit_sec |")
+    print("|---|---|---|---|---|")
+    for m in (2, 4, 8):
+        t0 = time.perf_counter()
+        idx = (
+            lloyd_cells(reconstructed_pq(emb, m=m).localCheckpoint())
+            .withColumnRenamed("cell", "label")
+            .localCheckpoint()
+        )
+        fit = time.perf_counter() - t0
+        rng = np.random.default_rng(42)
+        rec = {}
+        for target, tag in ((0.95, "95"), (0.85, "85")):
+            rows_q = []
+            for r in base:
+                v = np.asarray(r["embedding"], dtype=float)
+                v /= np.linalg.norm(v)
+                u = rng.standard_normal(v.size)
+                u -= u.dot(v) * v
+                u /= np.linalg.norm(u)
+                rows_q.append(
+                    (offset + int(r["vec_id"]),
+                     [float(x) for x in target * v + (1 - target**2) ** 0.5 * u])
+                )
+            q = spark.createDataFrame(rows_q, "query_id long, embedding array<double>")
+            hit = {
+                rr["query_id"]
+                for rr in knn_ivf(idx, q, k=10).collect()
+                if rr["neighbor_id"] == rr["query_id"] - offset
+            }
+            rec[tag] = len(hit) / len(rows_q)
+        print(
+            f"| {m} | {m * 4 // 8 or 1} | {rec['95']:.2f} | {rec['85']:.2f} | {fit:.1f} |"
+        )
+
 
 def scale10_multiprobe() -> None:
     """The 10x pricing of the multi-probe dial (see module docstring)."""
