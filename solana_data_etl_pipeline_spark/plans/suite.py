@@ -696,6 +696,26 @@ _PACK_BUDGET = 512
 # actually discriminates); BM25 defaults k1=1.2 b=0.75
 _BM25_TERMS = ["spark", "window", "merge", "query"]
 
+#: materialized inverted-index dirs keyed by sf_dir -- the
+#: _DELTA_DEDUP_INDEX lifecycle (build once per process, atexit
+#: cleanup); bm25_indexed probes it instead of scanning the corpus
+_BM25_INDEX: dict[str, str] = {}
+
+
+def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    path = _BM25_INDEX.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="bm25_index_")
+        X.materialize_inverted_index(docs, path)
+        _BM25_INDEX[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 
 TEXT_QUERIES: dict[str, QueryFn] = {
     # doc_features fuses the five per-doc projections (token counts,
@@ -731,6 +751,14 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # under BM25 (integer-ppm scores keep the across-terms sum
     # engine-exact)
     "bm25_rank": _docs(lambda df: X.bm25_rank(df, _BM25_TERMS)),
+    # the materialized-search form: same query answered from the
+    # inverted index (prefix-pruned postings read), result pinned
+    # IDENTICAL to the scan form -- shared oracle
+    "bm25_indexed": (
+        lambda spark, sf_dir: X.bm25_rank_indexed(
+            spark, _bm25_index_dir(spark, sf_dir), _BM25_TERMS
+        )
+    ),
     # hybrid retrieval: RRF fusion of bm25_rank and the hash_embed ->
     # knn_lsh semantic route for the SAME query terms
     "hybrid_rank": _docs(lambda df: X.hybrid_rank(df, _BM25_TERMS)),
@@ -1909,6 +1937,13 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
   FROM scored
 ) WHERE rnk <= 10
 """
+
+# bm25_indexed answers the SAME query with the SAME quantization
+# contract as the scan form (per-term BIGINT-ppm then an
+# order-independent integer sum), so the scan form's oracle IS its
+# oracle -- result-identity additionally pinned Spark-vs-Spark by test
+TEXT_SQL["bm25_indexed"] = TEXT_SQL["bm25_rank"]
+
 
 # cms_heavy_hitters: the Count-Min cells replayed per depth row (the
 # same 'cms{i}|' salts), sketch + exact candidates + min-over-rows

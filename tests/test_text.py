@@ -1818,3 +1818,31 @@ def test_unimax_allocation_hand_model(spark):
     assert rows_w == {s: r.alloc for s, r in rows.items()}
     with pytest.raises(ValueError, match="max_epochs"):
         X.unimax_allocation(counts, budget=10, max_epochs=0)
+
+
+def test_bm25_indexed_identical_to_scan_form(spark, tmp_path):
+    """The inverted-index form returns EXACTLY the scan form's rows
+    (same quantization contract: per-term BIGINT ppm, order-free
+    integer sum), and its postings read prunes to the query terms'
+    md5-prefix partitions."""
+    rows = []
+    for i in range(50):
+        base = ["spark", "window"] if i % 3 == 0 else ["merge"] if i % 3 == 1 else ["plain"]
+        text = " ".join(base * (i % 4 + 1) + [f"filler{i}x{j}" for j in range(6)])
+        rows.append((i, text, "en", "s", 40))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "inv")
+    X.materialize_inverted_index(docs, path)
+    terms = ["spark", "merge", "query"]
+    scan = [(r.doc_id, r.dl, r.score_ppm, r.rank) for r in X.bm25_rank(docs, terms).collect()]
+    idx = [(r.doc_id, r.dl, r.score_ppm, r.rank) for r in X.bm25_rank_indexed(spark, path, terms).collect()]
+    assert scan == idx and scan  # identical, non-vacuous
+    # partition pruning: the postings scan carries the pfx filter
+    plan = X.bm25_rank_indexed(spark, path, terms)._jdf.queryExecution().executedPlan().toString()
+    assert "pfx" in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        X.bm25_rank_indexed(spark, path, [])
