@@ -5027,7 +5027,8 @@ def all_oracle_sql() -> dict[str, str]:
 # acting gate) + `knn_ivf_pq` (the product-quantization rung) +
 # `hybrid_rank` (RRF retrieval fusion) + `cms_heavy_hitters` (the
 # oracle-able Count-Min sketch family) + `unimax_allocation`
-# (UniMax over the waterfill; all
+# (UniMax over the waterfill) + `bm25_indexed` (the inverted-index
+# search form, result-identical to the scan form; all
 # oracle-swept on every test run). WEIGHT NOTE: topic map + prune
 # share the ~8 s Lloyd-fit cost each at sf0.1 -- if the window gets
 # heavy, stagger them across r11/r12. Then weight/freshness
