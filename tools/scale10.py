@@ -122,6 +122,7 @@ HEAVY = [
     "hybrid_rank",
     "cms_heavy_hitters",
     "unimax_allocation",
+    "bm25_indexed",
 ]
 
 
