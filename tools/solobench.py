@@ -58,6 +58,26 @@ def main() -> int:
     payload = json.loads(line)
     payload["solo"] = {"loadavg_1m_at_start": round(load1, 2), "loadavg_5m_at_start": round(load5, 2)}
     path = f"BENCH_SOLO_r{rnd:02d}.json"
+    # Contamination backstop (learned the hard way: three runs that
+    # PASSED the loadavg gate recorded 1.2x-5.5x the standing total
+    # while targeted per-query probes at true quiet reproduced the
+    # old medians -- ambient contention is not always visible in
+    # loadavg at launch). If an artifact for this round exists and
+    # the new total regresses >25% on IDENTICAL code, that is almost
+    # certainly the box, not the queries: refuse unless --force.
+    if os.path.exists(path) and not force:
+        with open(path) as f:
+            prev = json.load(f)
+        if payload["value"] > 1.25 * prev["value"]:
+            print(
+                f"refusing to overwrite {path}: new total "
+                f"{payload['value']} s is >1.25x the standing "
+                f"{prev['value']} s -- contaminated run is far more "
+                "likely than a real uniform regression; re-run on a "
+                "drained box or pass --force if the code truly changed",
+                file=sys.stderr,
+            )
+            return 1
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
