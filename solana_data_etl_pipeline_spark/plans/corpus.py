@@ -700,3 +700,54 @@ def cluster_prune_keepers(
     return base.join(F.broadcast(stats), "cell").select(
         "doc_id", "cell", "cluster_mean_tokens"
     )
+
+
+def source_scorecard(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-SOURCE quality scorecard -- the data-acquisition decision
+    table a corpus team reads before renewing/weighting a source
+    (the per-source analog of corpus_card, and the table the
+    source-level weighting in temperature/waterfill/UniMax planning
+    is chosen FROM): for every source, document count, Gopher token
+    mass, and the pass/incident rates of the registered quality
+    signals in integer basis points -- Gopher rule conjunction, C4
+    page gate, PII any-hit rate, and the exact-duplicate rate
+    (documents whose normalized content hash appears more than once
+    corpus-wide, dedup_exact's normalization).
+
+    Scale shape: three zero-shuffle per-doc projections over one
+    corpus scan (gopher/c4/pii), one hash-window pass for the dup
+    flag (count window over the content hash -- reuses that
+    shuffle's partitioning, the cap-stats idiom), a doc_id equi-join
+    chain AQE plans within the corpus partitioning, and a bounded
+    sources-sized rollup. All rates are integer-div basis points."""
+    g = X.gopher_quality(df, text_col=text_col).select(
+        "doc_id", "n_words", "gopher_pass"
+    )
+    c = X.c4_clean(df, text_col=text_col).select(
+        "doc_id", (~F.col("page_filtered")).alias("c4_pass")
+    )
+    p = X.pii_scan(df, text_col=text_col).select("doc_id", "has_pii")
+    hash_w = Window.partitionBy(F.md5(D.normalized_text(text_col)))
+    base = df.select(
+        "doc_id",
+        "source",
+        (F.count(F.lit(1)).over(hash_w) > 1).alias("is_dup"),
+    )
+    joined = base.join(g, "doc_id").join(c, "doc_id").join(p, "doc_id")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("_g"),
+        F.sum(F.col("c4_pass").cast("long")).alias("_c"),
+        F.sum(F.col("has_pii").cast("long")).alias("_p"),
+        F.sum(F.col("is_dup").cast("long")).alias("_d"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_words",
+        F.expr("_g * 10000 div n_docs").cast("long").alias("gopher_pass_bp"),
+        F.expr("_c * 10000 div n_docs").cast("long").alias("c4_pass_bp"),
+        F.expr("_p * 10000 div n_docs").cast("long").alias("pii_bp"),
+        F.expr("_d * 10000 div n_docs").cast("long").alias("exact_dup_bp"),
+    ).orderBy("source")

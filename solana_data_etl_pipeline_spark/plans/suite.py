@@ -902,6 +902,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # ...and its ACTING form: drop whole clusters below the
     # mean-length bar (template populations die as a population)
     "cluster_prune_keepers": _docs(C.cluster_prune_keepers),
+    # per-source data-acquisition scorecard: registered quality
+    # signals + exact-dup rate rolled up per source in integer bp
+    "source_scorecard": _docs(C.source_scorecard),
     # padded-batching waste planner (16-token buckets: the synthetic
     # docs average ~50 tokens; production fine-tuning uses 64-128)
     "length_buckets": _docs(lambda df: X.length_buckets(df, bucket_width=16)),
@@ -2432,6 +2435,39 @@ SELECT doc_id, source, lang FROM (
 # the hot-source fallback is pinned result-identical to the rank form:
 # one oracle grades both
 TEXT_SQL["source_quota_hot"] = TEXT_SQL["source_quota_sample"]
+
+# source_scorecard: the four member signals embedded/generated from
+# exactly the registered contracts -- gopher and c4 SQLs verbatim as
+# subqueries, per-doc PII from the same _PII_SELECT/_PII_TOTAL
+# pattern tables, and dedup_exact's normalization for the dup window
+TEXT_SQL["source_scorecard"] = f"""
+WITH g AS (SELECT doc_id, n_words, gopher_pass FROM ({{GOPHER}})),
+c AS (SELECT doc_id, NOT page_filtered AS c4_pass FROM ({{C4}})),
+pp AS (
+  SELECT doc_id, {_PII_SELECT}
+  FROM documents
+),
+p AS (SELECT doc_id, ({_PII_TOTAL}) > 0 AS has_pii FROM pp),
+d AS (
+  SELECT doc_id, source,
+         count(*) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) > 1 AS is_dup
+  FROM documents
+),
+j AS (
+  SELECT d.source, g.n_words, g.gopher_pass, c.c4_pass, p.has_pii, d.is_dup
+  FROM d JOIN g USING (doc_id) JOIN c USING (doc_id) JOIN p USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS gopher_pass_bp,
+       CAST(sum(CASE WHEN c4_pass THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS c4_pass_bp,
+       CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS pii_bp,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS exact_dup_bp
+FROM j GROUP BY source ORDER BY source
+""".replace("{GOPHER}", TEXT_SQL["gopher_quality"]).replace(
+    "{C4}", TEXT_SQL["c4_clean"]
+)
 
 TEXT_SQL["stratified_holdout"] = """
 SELECT doc_id, source, lang,
@@ -5028,7 +5064,8 @@ def all_oracle_sql() -> dict[str, str]:
 # `hybrid_rank` (RRF retrieval fusion) + `cms_heavy_hitters` (the
 # oracle-able Count-Min sketch family) + `unimax_allocation`
 # (UniMax over the waterfill) + `bm25_indexed` (the inverted-index
-# search form, result-identical to the scan form; all
+# search form, result-identical to the scan form) +
+# `source_scorecard` (the per-source quality decision table; all
 # oracle-swept on every test run). WEIGHT NOTE: topic map + prune
 # share the ~8 s Lloyd-fit cost each at sf0.1 -- if the window gets
 # heavy, stagger them across r11/r12. Then weight/freshness

@@ -689,3 +689,49 @@ def test_cluster_prune_drops_whole_clusters(spark):
         len([t for t in r.text.strip().lower().split() if t]) >= MIN_CLUSTER_MEAN_TOKENS
         for r in dropped
     )
+
+
+def test_source_scorecard_reconciles_with_members(spark):
+    """Every scorecard cell reconciles against the registered member
+    operators run standalone (the quality_gate_agreement stance), and
+    the rates are integer-floor basis points."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators import dedup as D
+    from solana_data_etl_pipeline_spark.operators import text as X
+    from solana_data_etl_pipeline_spark.plans.corpus import source_scorecard
+    from solana_data_etl_pipeline_spark.plans.testdata_model import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    rows = {r.source: r for r in source_scorecard(docs).collect()}
+    src_of = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    assert sum(r.n_docs for r in rows.values()) == len(src_of)
+    g = {r.doc_id: r for r in X.gopher_quality(docs).collect()}
+    c4 = {r.doc_id: not r.page_filtered for r in X.c4_clean(docs).collect()}
+    pii = {r.doc_id: r.has_pii for r in X.pii_scan(docs).collect()}
+    dup_groups = {
+        r.content_hash: r.dup_count for r in D.exact_duplicates(docs).collect()
+    }
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for d, s in src_of.items():
+        by_src[s].append(d)
+    import hashlib
+    import re
+
+    for s, members in by_src.items():
+        r = rows[s]
+        assert r.n_docs == len(members)
+        assert r.total_words == sum(g[d].n_words for d in members)
+        gp = sum(1 for d in members if g[d].gopher_pass)
+        assert r.gopher_pass_bp == gp * 10000 // len(members)
+        assert r.c4_pass_bp == sum(1 for d in members if c4[d]) * 10000 // len(members)
+        assert r.pii_bp == sum(1 for d in members if pii[d]) * 10000 // len(members)
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    def h(t):
+        return hashlib.md5(re.sub(r"\s+", " ", t.strip().lower()).encode()).hexdigest()
+    for s, members in by_src.items():
+        dups = sum(1 for d in members if dup_groups.get(h(texts[d]), 1) > 1)
+        assert rows[s].exact_dup_bp == dups * 10000 // len(members)
