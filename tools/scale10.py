@@ -123,6 +123,7 @@ HEAVY = [
     "cms_heavy_hitters",
     "unimax_allocation",
     "bm25_indexed",
+    "source_scorecard",
 ]
 
 
