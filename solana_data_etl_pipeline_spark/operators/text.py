@@ -3400,3 +3400,47 @@ def novelty_scores(
             4,
         ).alias("novelty"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language OUT-OF-VOCABULARY rate against the corpus's own
+    top-``vocab_size`` vocabulary -- the tokenizer-coverage table read
+    next to tokenizer_fertility when sizing a vocabulary (the
+    mT5/BLOOM per-language coverage analyses: a language whose token
+    mass falls heavily outside the shared vocab pays fertility and
+    UNK costs first). Returns (lang, total_tokens, oov_tokens,
+    oov_bp) with the rate as an integer-basis-point floor.
+
+    Scale shape: the vocabulary is ONE token-keyed count aggregation
+    truncated by orderBy+limit (TakeOrderedAndProject, vocab-sized,
+    bounded by construction at vocab_size rows -- broadcastable by
+    CONTRACT); the coverage pass is one explode + a left anti-ish
+    broadcast membership join folded into a languages-sized
+    aggregation. Two scans total, nothing corpus-keyed shuffles."""
+    vocab = vocab_top_words(df, top_n=vocab_size).select("token")
+    tok = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.filter(tokens_col(text_col), lambda t: t != "")).alias("token"),
+    )
+    tagged = tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    agg = tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "total_tokens",
+        "oov_tokens",
+        F.expr("oov_tokens * 10000 div greatest(total_tokens, 1)")
+        .cast("long")
+        .alias("oov_bp"),
+    ).orderBy("lang")

@@ -746,6 +746,10 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # top-20: the bounded-shuffle (depth x width cells) alternative to
     # the vocabulary-keyed count, fully oracle-able unlike HLL
     "cms_heavy_hitters": _docs(K.cms_heavy_hitters),
+    # per-language coverage against the corpus's own top-10 vocab
+    # (top-10 of the ~31-token synthetic vocabulary, so the OOV rate
+    # is non-vacuous at every SF)
+    "oov_rate": _docs(lambda df: X.oov_rate(df, vocab_size=10)),
     "tfidf_top_terms": _docs(X.tfidf_top_terms),
     # lexical ranked retrieval: top-10 docs for the fixed term query
     # under BM25 (integer-ppm scores keep the across-terms sum
@@ -2435,6 +2439,29 @@ SELECT doc_id, source, lang FROM (
 # the hot-source fallback is pinned result-identical to the rank form:
 # one oracle grades both
 TEXT_SQL["source_quota_hot"] = TEXT_SQL["source_quota_sample"]
+
+# oov_rate: one token projection feeds both the vocabulary count and
+# the per-language coverage rollup, same integer-bp floor
+TEXT_SQL["oov_rate"] = """
+WITH tok AS (
+  SELECT lang, token FROM (
+    SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+v AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tok GROUP BY token
+    ORDER BY c DESC, token LIMIT 10
+  )
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS oov_tokens,
+       CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) * 10000
+            // greatest(count(*), 1) AS BIGINT) AS oov_bp
+FROM tok GROUP BY lang ORDER BY lang
+"""
 
 # source_scorecard: the four member signals embedded/generated from
 # exactly the registered contracts -- gopher and c4 SQLs verbatim as
@@ -5065,7 +5092,8 @@ def all_oracle_sql() -> dict[str, str]:
 # oracle-able Count-Min sketch family) + `unimax_allocation`
 # (UniMax over the waterfill) + `bm25_indexed` (the inverted-index
 # search form, result-identical to the scan form) +
-# `source_scorecard` (the per-source quality decision table; all
+# `source_scorecard` (the per-source quality decision table) +
+# `oov_rate` (per-language vocabulary coverage; all
 # oracle-swept on every test run). WEIGHT NOTE: topic map + prune
 # share the ~8 s Lloyd-fit cost each at sf0.1 -- if the window gets
 # heavy, stagger them across r11/r12. Then weight/freshness

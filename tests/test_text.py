@@ -1846,3 +1846,24 @@ def test_bm25_indexed_identical_to_scan_form(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-empty"):
         X.bm25_rank_indexed(spark, path, [])
+
+
+def test_oov_rate_hand_model(spark):
+    """Coverage against a planted vocabulary: with vocab_size=2 the
+    top-2 tokens by (freq desc, token asc) are in-vocab and everything
+    else counts as OOV per language, rates as integer-bp floors."""
+    rows = [
+        (0, "aa aa aa bb bb cc", "en"),   # en: 6 tokens, cc OOV
+        (1, "aa bb zz zz", "de"),          # de: 4 tokens, zz zz OOV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in X.oov_rate(df, vocab_size=2).collect()}
+    # corpus freqs: aa 4, bb 3, zz 2, cc 1 -> vocab {aa, bb}
+    assert (got["en"].total_tokens, got["en"].oov_tokens) == (6, 1)
+    assert got["en"].oov_bp == 1 * 10000 // 6
+    assert (got["de"].total_tokens, got["de"].oov_tokens) == (4, 2)
+    assert got["de"].oov_bp == 5000
+    # full coverage at a big-enough vocab; empty corpus is empty
+    assert all(r.oov_tokens == 0 for r in X.oov_rate(df, vocab_size=10).collect())
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert X.oov_rate(empty).collect() == []
