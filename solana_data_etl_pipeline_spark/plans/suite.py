@@ -5081,69 +5081,65 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
-# ROUND-11 ROTATION PLAN (execute at the START of round 11, before
-# any other work). Rotate IN first the never-driver-verified late-r10
-# registrants `media_exact_dups` + `media_near_dup` (the media dedup
-# ladder) + `knn_ivf_int8` (the compressed-index IVF) +
-# `corpus_drift` (snapshot drift report) + `corpus_topic_map` /
-# `cluster_prune_keepers` (the MiniPile inspection table and its
-# acting gate) + `knn_ivf_pq` (the product-quantization rung) +
-# `hybrid_rank` (RRF retrieval fusion) + `cms_heavy_hitters` (the
-# oracle-able Count-Min sketch family) + `unimax_allocation`
-# (UniMax over the waterfill) + `bm25_indexed` (the inverted-index
-# search form, result-identical to the scan form) +
-# `source_scorecard` (the per-source quality decision table) +
-# `oov_rate` (per-language vocabulary coverage; all
-# oracle-swept on every test run). WEIGHT NOTE: topic map + prune
-# share the ~8 s Lloyd-fit cost each at sf0.1 -- if the window gets
-# heavy, stagger them across r11/r12. Then weight/freshness
-# management: rotate OUT the heavy
-# newly-verdicted r10 entries once their CORRECTNESS_r10 rows are
-# green -- dedup_family_agreement_full (8.3 s solo),
-# corpus_curation_v4 (5.9), allocation_report (5.2), knn_ivf_kmeans
-# (4.6), quality_gate_agreement (3.4), semdedup_multiprobe_scaled
-# (3.2), media_bmp_stats (2.3) -- plus the light r10 robin
-# top_tokens / failed_transactions / tokenizer_fertility / fim_split
-# / fim_render / denoise_render / epoch_expand. Rotate IN: the
-# A-query robin token_transfer_stats / top_errors / top_wallets
-# (last verdict r9; no reference query ages beyond two rounds) and
-# the longest-out greens for re-verdicts (candidates by last-green
-# round: dedup_keepers r5, knn_ivf_materialized r4, corpus_curation
-# r6, corpus_curation_v2 r8, gopher_quality / c4_clean /
-# tokenize_pack / simhash_dedup_keepers / the four *_cap_stats r8).
-# Keep DRIVER_ORDER at exactly 50; everything rotated out stays
+# ROUND-12 ROTATION PLAN (execute at the START of round 12, before
+# any other work). The r11 window is the heaviest rotation ever run
+# (all 13 late-r10 registrants + the A7/A10/A12 robin landed at
+# once), so r12 is a FRESHNESS round: rotate IN the longest-out
+# greens for re-verdicts -- by last-green round: dedup_keepers r5,
+# knn_ivf_materialized r4, corpus_curation r6, merge_dim_wallets r4,
+# corpus_curation_v2 r8, gopher_quality / c4_clean / tokenize_pack /
+# simhash_dedup_keepers / the four *_cap_stats r8 -- plus the
+# A-query robin A1-A4/A5/A6 twins aging past two rounds
+# (transaction_volume / hourly_volume / active_programs /
+# wallet_activity / program_trends last verdict r10 -> fine through
+# r12; top_tokens / failed_tranactions r10 likewise) and any r11
+# registrant that lands without a verdict. Rotate OUT the heaviest
+# newly-verdicted r11 entries once their CORRECTNESS_r11 rows are
+# green -- corpus_topic_map (~11 s solo), cluster_prune_keepers
+# (~9 s), knn_ivf_pq, knn_ivf_int8 -- plus light r11 robin entries
+# as needed to keep the solo suite under the 87.6 s gate. Keep
+# DRIVER_ORDER at exactly 50; everything rotated out stays
 # DuckDB-swept on every test run by tests/test_oracle_parity.py.
 DRIVER_ORDER = [
-    # --- ROUND-10 ROTATION (executed per the r9 plan + VERDICT r9 #1):
-    #     the 10 late-r9 registrants that never had a driver verdict
-    #     (all oracle-swept at sf0.001 on every test run by
-    #     tests/test_oracle_parity.py; this is their sf0.01
+    # --- ROUND-11 ROTATION (executed per the r10 in-file plan +
+    #     VERDICT r10 #1): the 13 late-r10 registrants that never had
+    #     a driver verdict (all oracle-swept at sf0.001 on every test
+    #     run by tests/test_oracle_parity.py; this is their sf0.01
     #     CORRECTNESS gate), heaviest plans first. Rotated OUT per
-    #     VERDICT r9 #2 (weight rebalance): the heavy verdicted r9
-    #     greens semdedup_multiprobe (7.39 s solo), text_knn (5.89 s),
-    #     curation_funnel (5.35 s), dedup_family_agreement (4.46 s,
-    #     superseded in-window by its _full form),
-    #     semdedup_keepers_scaled (2.64 s, superseded in-window by
-    #     semdedup_multiprobe_scaled), plus the green r9 entries
-    #     containment_pairs, delta_containment, delta_embedding_dedup,
-    #     delta_embedding_exposure and the A-robin trio
-    #     token_transfer_stats / top_errors / top_wallets. ---
-    "dedup_family_agreement_full",
-    "semdedup_multiprobe_scaled",
-    "quality_gate_agreement",
-    "media_bmp_stats",
-    "allocation_report",
-    "epoch_expand",
-    "tokenizer_fertility",
-    "fim_split",
-    "fim_render",
-    "denoise_render",
-    # --- reference A-query round-robin (VERDICT r9 #8): A8 top_tokens
-    #     + A9 failed_transactions back in (last driver rows r8) for
-    #     the outgoing A7/A10/A12 trio. ---
-    "top_tokens",
-    "failed_transactions",
-    # --- round-9 greens kept: the exposure/observability family stays
+    #     VERDICT r10 #1/#2 (weight rebalance): the heavy verdicted
+    #     r10 greens dedup_family_agreement_full (8.19 s solo),
+    #     allocation_report (5.95 s), corpus_curation_v4 (5.78 s),
+    #     knn_ivf_kmeans (4.37 s), semdedup_multiprobe_scaled
+    #     (2.69 s), quality_gate_agreement (2.57 s), media_bmp_stats
+    #     (2.11 s), the light r10 robin top_tokens /
+    #     failed_transactions / tokenizer_fertility / fim_split /
+    #     fim_render / denoise_render / epoch_expand, plus bm25_rank
+    #     (0.70 s -- superseded in-window by bm25_indexed, which pins
+    #     the IDENTICAL result through the same oracle) and
+    #     media_wav_stats (2.63 s -- the media family stays
+    #     represented by media_stats / media_avi_stats and the new
+    #     dedup ladder pair). ---
+    "corpus_topic_map",
+    "cluster_prune_keepers",
+    "knn_ivf_pq",
+    "knn_ivf_int8",
+    "media_near_dup",
+    "media_exact_dups",
+    "hybrid_rank",
+    "cms_heavy_hitters",
+    "corpus_drift",
+    "bm25_indexed",
+    "unimax_allocation",
+    "source_scorecard",
+    "oov_rate",
+    # --- reference A-query round-robin (VERDICT r10 #4): A7
+    #     token_transfer_stats + A10 top_errors + A12 top_wallets
+    #     back in (last driver rows r9; no reference query ages
+    #     beyond two rounds). ---
+    "token_transfer_stats",
+    "top_errors",
+    "top_wallets",
+    # --- kept greens: the exposure/observability family stays
     #     represented by the containment probe; simhash keeps its
     #     capped-vs-wide comparison pair. ---
     "simhash_near_dup_wide",
@@ -5161,25 +5157,12 @@ DRIVER_ORDER = [
     "mixture_waterfill",
     "epoch_plan",
     "shard_manifest",
-    "media_wav_stats",
-    # corpus_curation_v4 (r10, VERDICT r9 #6) takes v3's slot: v3 is
-    # green r9 (stays oracle-swept); v4 composes the real-codec media
-    # gate into the same pipeline and is the entry that needs a
-    # verdict.
-    "corpus_curation_v4",
-    "bm25_rank",
     "simhash_near_dup",
     # --- core dedup/similarity/media suite ---
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "knn_lsh",
-    # knn_ivf_kmeans (r10, VERDICT r9 #3) takes knn_ivf's slot: the
-    # label-partition form is green r9 (and stays oracle-swept) but
-    # its planted@.95 recall is 0.44 vs 1.00 for the registered
-    # trained-quantizer form -- the shippable configuration is the one
-    # that needs the verdict.
-    "knn_ivf_kmeans",
     "media_stats",
     "media_avi_stats",
     "dim_wallets",

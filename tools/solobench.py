@@ -54,7 +54,9 @@ def main() -> int:
         sys.stderr.write(out.stdout[-2000:])
         print("bench.py exited 0 but printed no JSON line", file=sys.stderr)
         return 1
-    line = json_lines[-1]
+    # bench.py prints the FULL payload first and a compact driver-tail
+    # summary last (VERDICT r10 #5); the longest line is the full one.
+    line = max(json_lines, key=len)
     payload = json.loads(line)
     payload["solo"] = {"loadavg_1m_at_start": round(load1, 2), "loadavg_5m_at_start": round(load5, 2)}
     path = f"BENCH_SOLO_r{rnd:02d}.json"
