@@ -1603,7 +1603,11 @@ def corpus_drift(
     report is an orderBy+limit over the vocab-sized frame
     (TakeOrderedAndProject, never a global sort of the corpus)."""
     snap = F.col(snapshot_col).cast("long")
-    tok = df.select(
+    # Contract: exactly two snapshots, 0 and 1. Rows outside that
+    # domain are EXCLUDED before the explode -- previously their
+    # tokens still flowed through with both counts 0, padding top_k
+    # slots with drift_bp=0 rows (ADVICE r10).
+    tok = df.filter(snap.isin(0, 1)).select(
         snap.alias("_s"),
         F.explode(F.filter(tokens_col(text_col), lambda t: t != "")).alias("token"),
     )

@@ -1136,7 +1136,13 @@ def run_document_stream(
                     )
                 except AnalysisException:
                     logged_d = 0
-                if not logged_d:
+                # Empty admitted set => no snapshot-1 mass, so there is
+                # nothing to drift FROM: without this gate count_new
+                # floors _tot_new to 1 and every corpus token logs
+                # drift_bp = -share_old_bp, reading as "the entire
+                # vocabulary vanished" (ADVICE r10). Mirrors the
+                # first-batch no-baseline rule on the other side.
+                if not logged_d and kept.limit(1).count():
                     both = seen.select(
                         F.lit(0).alias("snapshot"), "text"
                     ).unionByName(kept.select(F.lit(1).alias("snapshot"), "text"))

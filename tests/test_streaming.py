@@ -1451,3 +1451,15 @@ def test_document_stream_drift_report_per_batch(spark, tmp_path):
     # guarded -- the report never rewrites
     run_document_stream(spark, land, out, quar, ckpt, drift_report=True)
     assert spark.read.parquet(f"{out}_drift").count() == len(rows)
+
+    # a NEW batch (fresh epoch, so the epoch guard does not apply)
+    # whose every doc is an exact dup of the committed corpus admits
+    # nothing -- no snapshot-1 mass means there is nothing to drift
+    # from, so NO report is written (previously every corpus token
+    # logged drift_bp = -share_old_bp, reading as the entire
+    # vocabulary vanishing; ADVICE r10)
+    with open(os.path.join(land, "c.jsonl"), "w") as f:
+        f.write(_doc(3, " ".join(["base"] * 12)) + "\n")
+    run_document_stream(spark, land, out, quar, ckpt, drift_report=True)
+    after = spark.read.parquet(f"{out}_drift").collect()
+    assert len(after) == len(rows) and {r.epoch for r in after} == {1}

@@ -1753,6 +1753,24 @@ def test_corpus_drift_empty_and_one_sided(spark):
     assert X.corpus_drift(empty).collect() == []
 
 
+def test_corpus_drift_excludes_out_of_contract_snapshots(spark):
+    """Rows whose snapshot is outside {0, 1} are excluded, not
+    silently zero-counted: previously a snapshot=2 doc's tokens
+    appeared as count_old=count_new=0, drift_bp=0 rows that could
+    occupy top_k slots (ADVICE r10)."""
+    rows = [
+        (0, 0, "cats cats fill fill"),
+        (1, 1, "dogs dogs fill fill"),
+        (2, 2, "ghost ghost ghost ghost"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, snapshot long, text string")
+    got = X.corpus_drift(df, top_k=10).collect()
+    assert {r.token for r in got} == {"cats", "dogs", "fill"}
+    # the contracted snapshots' shares are unchanged by the stray rows
+    by_tok = {r.token: r for r in got}
+    assert by_tok["cats"].drift_bp == -5000 and by_tok["dogs"].drift_bp == 5000
+
+
 def test_hybrid_rank_reconciles_with_members(spark):
     """The fusion reconciles against its OWN member operators run at
     the same k: every fused row's lex_rank/sem_rank matches bm25_rank
