@@ -469,6 +469,7 @@ def main() -> None:
         lloyd_cells,
         reconstructed_int8,
         reconstructed_pq,
+        reconstructed_pq_residual,
     )
 
     emb_tbl = load_table(spark, sf_dir, "embeddings")
@@ -488,10 +489,18 @@ def main() -> None:
         .withColumnRenamed("cell", "label")
         .localCheckpoint()
     )
-    # the PQ rung (suite knn_ivf_pq): index entirely on product-
-    # quantization reconstructions, queries full precision -- its
-    # planted rows price PQ's recall next to int8's
+    # the PQ rung (suite knn_ivf_pq): RESIDUAL-encoded IVF-ADC --
+    # coarse cells on raw vectors, codes on x - centroid(x); its
+    # planted rows price PQ's recall next to int8's. The raw-vector
+    # form stays measured beside it as knn_ivf_pq_raw: the recall gap
+    # at the SAME code budget is what residual encoding buys
+    # (VERDICT r10 #3).
     emb_pq = (
+        reconstructed_pq_residual(emb_tbl)
+        .withColumnRenamed("cell", "label")
+        .localCheckpoint()
+    )
+    emb_pq_raw = (
         lloyd_cells(reconstructed_pq(emb_tbl).localCheckpoint())
         .withColumnRenamed("cell", "label")
         .localCheckpoint()
@@ -517,6 +526,7 @@ def main() -> None:
             ("knn_ivf_kmeans_ml", lambda c, q: knn_ivf(emb_kmeans, q, k=10)),
             ("knn_ivf_int8", lambda c, q: knn_ivf(emb_int8, q, k=10)),
             ("knn_ivf_pq", lambda c, q: knn_ivf(emb_pq, q, k=10)),
+            ("knn_ivf_pq_raw", lambda c, q: knn_ivf(emb_pq_raw, q, k=10)),
         )
         for name, fn in variants:
             hit = {}

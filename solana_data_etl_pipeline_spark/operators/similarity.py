@@ -424,6 +424,77 @@ def reconstructed_pq(
     )
 
 
+def reconstructed_pq_residual(
+    emb_df: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(vec_id, embedding, cell): the RESIDUAL-encoded IVF-PQ form
+    (Jegou, Douze & Schmid 2011's published recipe) -- the coarse
+    Lloyd quantizer assigns each vector to a cell FIRST, the per-
+    subspace codebooks then train on the RESIDUAL x - centroid(x)
+    (not the raw vector), and the reconstruction is
+    centroid(cell) + concat(subspace codewords). Residuals carry far
+    less variance than raw vectors (the coarse quantizer has already
+    explained the cell's mean), so the same code budget (m=4 codes of
+    <=4 bits) quantizes a much tighter distribution -- this is why
+    real IVF-ADC systems hold recall at ~100x compression where
+    raw-vector PQ saturates (measured here: the raw form's planted
+    recall stalls at 0.70 @.95 with wider codebooks "no better",
+    VERDICT r10 #3 -- consistent with codebooks spending their codes
+    on cell-mean variance the coarse quantizer already captured).
+
+    Returns the cell column alongside the reconstruction because in
+    IVF-ADC the coarse assignment IS part of the code (the index
+    stores cell + m subspace codes); knn_ivf probes those cells
+    directly, and its per-cell centroid aggregation over the
+    reconstructions is derivable from the index alone (no raw floats
+    at query time).
+
+    Scale shape: one coarse lloyd_cells fit (bounded aggregations +
+    broadcast assignments -- the corpus never shuffles), one
+    broadcast centroid join for the residuals, then m subspace fits
+    on the (vec_id, sub_dim-slice) projections and m vec_id-
+    co-partitioned narrow joins for the reconstruction, exactly the
+    raw form's cost plus the one residual join. Train on a sample at
+    100 TB -- only the assignment passes must see every row, like
+    retrain_ivf."""
+    sub_dim = dim // m
+    if sub_dim * m != dim:
+        raise ValueError(f"dim {dim} must split evenly into {m} subspaces")
+    # the coarse assignment feeds the centroid agg, the residual join,
+    # and (through them) every subspace fit -- checkpoint once or each
+    # consumer re-derives the full 4-pass Lloyd DAG
+    assigned = lloyd_cells(emb_df, dim=dim).localCheckpoint(eager=False)
+    coarse = ivf_centroids(assigned, dim=dim, cell_col="cell")
+    res = assigned.join(F.broadcast(coarse), "cell").select(
+        "vec_id",
+        "cell",
+        F.col("centroid").alias("_c"),
+        F.zip_with(
+            _dvec(F.col("embedding")), _dvec(F.col("centroid")), lambda x, c: x - c
+        ).alias("_r"),
+    ).localCheckpoint(eager=False)
+    parts: DataFrame = res.select("vec_id", "cell", "_c")
+    for j in range(m):
+        sub = res.select(
+            "vec_id", F.slice(F.col("_r"), j * sub_dim + 1, sub_dim).alias("embedding")
+        )
+        sub_assigned = lloyd_cells(sub, n_iters=n_iters, n_planes=PQ_SUB_PLANES, dim=sub_dim, table=j)
+        cents = ivf_centroids(sub_assigned, dim=sub_dim, cell_col="cell")
+        part = sub_assigned.join(F.broadcast(cents), "cell").select(
+            "vec_id", F.col("centroid").alias(f"_p{j}")
+        )
+        parts = parts.join(part, "vec_id")
+    code = F.concat(*[F.col(f"_p{j}") for j in range(m)])
+    return parts.select(
+        "vec_id",
+        F.zip_with(F.col("_c"), code, lambda c, r: c + r).alias("embedding"),
+        "cell",
+    )
+
+
 def label_centroids(emb_df: DataFrame) -> DataFrame:
     """Per-label centroid of embeddings (IVF coarse-quantizer training
     analog): element-wise mean via posexplode + group-by -- shuffles

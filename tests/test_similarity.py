@@ -375,6 +375,73 @@ def test_reconstructed_pq_rejects_uneven_split(spark, emb):
         V.reconstructed_pq(emb, m=3, dim=DIM)
 
 
+def test_reconstructed_pq_residual_determinism_cells_and_quality(spark):
+    """The residual-encoded IVF-ADC form: (a) byte-stable across runs,
+    (b) the cell column IS the coarse lloyd_cells assignment on the
+    raw vectors (the coarse code the index stores), (c) on clustered
+    data the residual reconstruction is strictly closer to the
+    original than the raw-vector PQ at the same code budget -- the
+    whole point of encoding x - centroid(x) (mean L2 error and mean
+    cosine both better)."""
+    import numpy as np
+
+    emb = _planted_cluster_emb(spark, seed=11)
+    r1 = {r.vec_id: (tuple(r.embedding), r.cell) for r in V.reconstructed_pq_residual(emb, m=4, dim=16).collect()}
+    r2 = {r.vec_id: (tuple(r.embedding), r.cell) for r in V.reconstructed_pq_residual(emb, m=4, dim=16).collect()}
+    assert r1 == r2
+    assert len(r1) == 400 and all(len(v[0]) == 16 for v in r1.values())
+    coarse = {r.vec_id: r.cell for r in V.lloyd_cells(emb, dim=16).collect()}
+    assert {i: c for i, (_, c) in r1.items()} == coarse
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    raw = {r.vec_id: np.array(r.embedding) for r in V.reconstructed_pq(emb, m=4, dim=16).collect()}
+
+    def _stats(recon):
+        l2 = [float(np.linalg.norm(orig[i] - np.asarray(recon[i]))) for i in orig]
+        cos = [
+            float(np.dot(orig[i], np.asarray(recon[i])))
+            / (np.linalg.norm(orig[i]) * np.linalg.norm(np.asarray(recon[i])))
+            for i in orig
+        ]
+        return sum(l2) / len(l2), sum(cos) / len(cos)
+
+    res_l2, res_cos = _stats({i: v for i, (v, _) in r1.items()})
+    raw_l2, raw_cos = _stats(raw)
+    assert res_l2 < raw_l2
+    assert res_cos > raw_cos
+    # absolute quality: the coarse centroid explains the cluster
+    # direction, residual codes sharpen it (measured ~0.96 vs the raw
+    # form's ~0.84 on this fixture)
+    assert res_cos > 0.9
+
+
+def test_reconstructed_pq_residual_rejects_uneven_split(spark, emb):
+    with pytest.raises(ValueError, match="subspaces"):
+        V.reconstructed_pq_residual(emb, m=3, dim=DIM)
+
+
+def test_knn_ivf_pq_residual_cluster_coherent(spark):
+    """The registered residual-PQ index shape (recon carries its own
+    coarse cell; knn_ivf probes those cells; queries full precision)
+    keeps planted-cluster coherence. Among NEAR-TIED members (true
+    cosines ~0.999) exact-top-10 recall stays weak for ANY 2-byte
+    code (measured 0.325 here vs the raw form's 0.425 -- both forms
+    cannot rank what the codes cannot separate); residual encoding's
+    win is the distinct-neighbor regime, where the bench planted rows
+    measure 1.00 @.95 vs raw's 0.70 at the same budget."""
+    emb = _planted_cluster_emb(spark, seed=7)
+    recon = V.reconstructed_pq_residual(emb, m=4, dim=16)
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {}
+    for r in V.knn_bruteforce(emb, q, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in V.knn_ivf(recon, q, k=10, nprobe=2, cell_col="cell").collect():
+        assert r.neighbor_id % 8 == r.query_id % 8  # cluster coherence
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(approx.get(qid, set()) & exact[qid]) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.25
+
+
 def test_knn_ivf_pq_cluster_coherent(spark):
     """The registered PQ index shape (PQ-reconstructed quantizer +
     scoring vectors, full-precision queries) keeps planted-cluster

@@ -174,28 +174,40 @@ def main() -> None:
     print()
     print("## PQ subspace dial (m vs planted recall; bytes = m*4 bits of codes)")
     # the compression knob knn_ivf_pq exists to size: planted-near-dup
-    # recall of the full registered shape (PQ-reconstructed index +
-    # lloyd coarse cells, nprobe=2) as the subspace count m varies;
-    # fewer/wider subspaces = coarser codes = cheaper but blinder
+    # recall of the full registered shape (residual-encoded IVF-ADC,
+    # nprobe=2) as the subspace count m varies, with the raw-vector
+    # form priced beside it at every m -- the residual-vs-raw gap is
+    # what encoding x - centroid(x) buys at each code budget
     import numpy as np
 
     from solana_data_etl_pipeline_spark.operators.similarity import (
         knn_ivf,
         lloyd_cells,
         reconstructed_pq,
+        reconstructed_pq_residual,
     )
 
     base = emb.orderBy("vec_id").limit(50).collect()
     offset = 10_000_000
-    print("| m | code_bytes | recall@.95 | recall@.85 | fit_sec |")
-    print("|---|---|---|---|---|")
-    for m in (2, 4, 8):
+    print("| form | m | code_bytes | recall@.95 | recall@.85 | fit_sec |")
+    print("|---|---|---|---|---|---|")
+    for form, m in (
+        ("residual", 2), ("residual", 4), ("residual", 8),
+        ("raw", 2), ("raw", 4), ("raw", 8),
+    ):
         t0 = time.perf_counter()
-        idx = (
-            lloyd_cells(reconstructed_pq(emb, m=m).localCheckpoint())
-            .withColumnRenamed("cell", "label")
-            .localCheckpoint()
-        )
+        if form == "residual":
+            idx = (
+                reconstructed_pq_residual(emb, m=m)
+                .withColumnRenamed("cell", "label")
+                .localCheckpoint()
+            )
+        else:
+            idx = (
+                lloyd_cells(reconstructed_pq(emb, m=m).localCheckpoint())
+                .withColumnRenamed("cell", "label")
+                .localCheckpoint()
+            )
         fit = time.perf_counter() - t0
         rng = np.random.default_rng(42)
         rec = {}
@@ -219,7 +231,7 @@ def main() -> None:
             }
             rec[tag] = len(hit) / len(rows_q)
         print(
-            f"| {m} | {m * 4 // 8 or 1} | {rec['95']:.2f} | {rec['85']:.2f} | {fit:.1f} |"
+            f"| {form} | {m} | {m * 4 // 8 or 1} | {rec['95']:.2f} | {rec['85']:.2f} | {fit:.1f} |"
         )
 
 
