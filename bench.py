@@ -413,6 +413,29 @@ def main() -> None:
         / max(emb_tbl.count(), 1),
         3,
     )
+    # the tau-routed coverage-honest point (suite semdedup_near_dup,
+    # VERDICT r10 #4): at tau=0.5 the duplicate graph stops
+    # percolating, so nprobe=3 covers every exact pair while removal
+    # stays a real curation rate -- coverage is measured against the
+    # tau=0.5 exact pair list (ITS OWN evidence standard, like every
+    # recall row)
+    exact_nd = _pairs(
+        embedding_near_dup_pairs(emb_tbl, threshold=0.5), "vec_a", "vec_b"
+    )
+    _p3 = _probe_sets(3)
+    n_nd = sum(
+        1
+        for p in exact_nd
+        for a, b in (tuple(p),)
+        if _p3.get(a, set()) & _p3.get(b, set())
+    )
+    recall["semdedup_pair_coverage_neardup_tau05_np3"] = round(
+        n_nd / max(len(exact_nd), 1), 3
+    )
+    recall["semdedup_removed_frac_neardup_tau05_np3"] = round(
+        1 - _smp(emb_tbl, threshold=0.5, nprobe=3).count() / max(emb_tbl.count(), 1),
+        3,
+    )
 
     kept_refined = semdedup_keepers(emb_tbl, threshold=0.30, refine_bits=4).count()
     kept_reg = semdedup_keepers(emb_tbl, threshold=0.30).count()

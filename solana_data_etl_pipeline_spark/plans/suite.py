@@ -3118,6 +3118,26 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             refine_bits=4,
         )
     ),
+    # the COVERAGE-HONEST operating point (VERDICT r10 #4): the full
+    # (tau, nprobe, refine_bits) grid at sf0.1 (tools/dials.py
+    # semdedup operating grid, SCALE.md) shows the
+    # coverage>=0.5 AND removal<1.0 region is EMPTY at tau=0.30 --
+    # the duplicate graph percolates (14,922 pairs, one giant
+    # component), so any sub-key that breaks the component (the only
+    # way removal drops below 1.0) must separate cos-0.30 pairs,
+    # which IS destroying coverage (per-bit sign agreement ~0.6 at
+    # cos 0.30: 4 bits -> 0.13 predicted, 0.092 measured). At
+    # tau=0.5 the graph is a true near-dup graph (14 pairs) and both
+    # bars are met trivially: nprobe=3 pair coverage 1.00, removal
+    # 0.007, no refine bits needed (the quadratic mass the bits
+    # existed to cut is gone once tau stops percolating). Routing
+    # rule: tau is the regime dial -- percolating tau = sampler
+    # semantics (the _scaled form), near-dup tau = this form.
+    "semdedup_near_dup": (
+        lambda spark, sf_dir: D.semdedup_keepers_multiprobe(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.5, nprobe=3
+        )
+    ),
 }
 
 def _minhash_sigs_sql(num_hashes: int = D.MINHASH_HASHES) -> str:
@@ -4198,7 +4218,7 @@ DEDUP_SQL["semdedup_keepers_scaled"] = _semdedup_sql(f"""e AS (
 # only: each probe cell splits by the vector's 4 leading sign-LSH
 # sub-bits (the same _P4 literal matrix as semdedup_keepers_scaled;
 # probe ranking and keeper scoring keep the unrefined centroids).
-def _semdedup_mp_sql(refined: bool = False) -> str:
+def _semdedup_mp_sql(refined: bool = False, tau: float = 0.30, nprobe: int = 2) -> str:
     if refined:
         probes = f"""sb AS (
   SELECT vec_id, CAST(list_sum([CASE WHEN list_dot_product(m4[p+1], v) >= 0
@@ -4208,10 +4228,10 @@ def _semdedup_mp_sql(refined: bool = False) -> str:
 ),
 probes AS (
   SELECT pr.vec_id, pr.pcl * 16 + sb.sub AS pcl
-  FROM pr JOIN sb ON pr.vec_id = sb.vec_id WHERE pr.rn <= 2
+  FROM pr JOIN sb ON pr.vec_id = sb.vec_id WHERE pr.rn <= {nprobe}
 )"""
     else:
-        probes = "probes AS (SELECT vec_id, pcl FROM pr WHERE rn <= 2)"
+        probes = f"probes AS (SELECT vec_id, pcl FROM pr WHERE rn <= {nprobe})"
     return f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                             CAST(label AS BIGINT) AS cl FROM embeddings),
@@ -4238,12 +4258,16 @@ pairs AS (
   FROM probes pa JOIN probes pb ON pa.pcl = pb.pcl AND pa.vec_id < pb.vec_id
   JOIN e a ON a.vec_id = pa.vec_id
   JOIN e b ON b.vec_id = pb.vec_id
-  WHERE {COSINE_SQL.format(a="a.v", b="b.v")} >= 0.30
+  WHERE {COSINE_SQL.format(a="a.v", b="b.v")} >= {tau}
 ),{_SEMDEDUP_TAIL_SQL}"""
 
 
 DEDUP_SQL["semdedup_multiprobe"] = _semdedup_mp_sql()
 DEDUP_SQL["semdedup_multiprobe_scaled"] = _semdedup_mp_sql(refined=True)
+# The tau-routed COVERAGE-HONEST operating point (VERDICT r10 #4):
+# same CTE body at tau=0.5, nprobe=3, no refine bits -- see the
+# registration comment for the measured grid behind the choice.
+DEDUP_SQL["semdedup_near_dup"] = _semdedup_mp_sql(tau=0.5, nprobe=3)
 
 # Incremental embedding dedup: bucket CTEs shared with the embedding
 # pair/keeper oracles; corpus-side rows capped (mirroring the capped

@@ -835,6 +835,36 @@ def test_semdedup_multiprobe_refine_keeps_identical_twins_colocated(spark):
     assert n4 >= n0
 
 
+def test_semdedup_near_dup_operating_point(spark):
+    """The registered tau-routed point (tau=0.5, nprobe=3, bits=0;
+    suite `semdedup_near_dup`): a planted cross-cluster NEAR-dup pair
+    (cos ~0.999, different labels) is caught with no refine bits,
+    non-duplicates survive untouched, and removal stays a per-pair
+    rate (exactly one of the planted twins is removed) -- the
+    coverage-1.0 / bounded-removal regime the grid selects once tau
+    stops percolating (SCALE.md r11)."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_keepers_multiprobe,
+    )
+
+    rows = [
+        (1, _vec64(1.0, 0.01), 1),
+        (2, _vec64(0.3, 0.0, 0.0, 0.954), 1),  # cos ~0.3 to vec 1: below tau=0.5, orthogonal to 6/7
+        (5, _vec64(1.0, 0.00), 2),    # cross-cluster near-dup of vec 1
+        (6, _vec64(0.0, 1.0), 2),
+        (7, _vec64(0.0, 0.0, 1.0), 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in
+           semdedup_keepers_multiprobe(df, threshold=0.5, nprobe=3).collect()}
+    kept_pair = [i for i in (1, 5) if i in out]
+    assert len(kept_pair) == 1 and out[kept_pair[0]].group_size == 2
+    # vec 2 (cos ~0.31 to vec 1 -- a tau=0.30 "duplicate" but NOT a
+    # tau=0.5 one) and the orthogonal vectors all survive alone
+    for vid in (2, 6, 7):
+        assert vid in out and out[vid].group_size == 1
+
+
 def test_semdedup_refine_bits_only_splits_groups(spark):
     """Finer clusters (refine_bits) can only SHRINK the pair graph:
     the keeper count is monotonically non-decreasing in refine_bits,

@@ -234,6 +234,65 @@ def main() -> None:
             f"| {form} | {m} | {m * 4 // 8 or 1} | {rec['95']:.2f} | {rec['85']:.2f} | {fit:.1f} |"
         )
 
+    print()
+    print("## SemDeDup operating grid (tau x nprobe x refine_bits; VERDICT r10 #4)")
+    # the coverage-honesty map: for each tau, exact pairs are
+    # brute-forced at THAT tau and each (nprobe, bits) point reports
+    # pair coverage (probe-set intersection + shared sub-bits) and
+    # removed_frac of the full keeper pipeline. The question the grid
+    # answers: does a point with coverage >= 0.5 AND removal < 1.0
+    # exist? At a percolating tau (0.30 here: one giant component) it
+    # provably cannot -- breaking the component and destroying
+    # coverage are the same partitioning; at a near-dup tau (>= 0.5)
+    # nprobe=3/bits=0 meets both bars (the registered
+    # semdedup_near_dup point). See the tau routing rule in
+    # semdedup_keepers_multiprobe's docstring + SCALE.md.
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs as _endp,
+        sign_sub_bits as _ssb2,
+    )
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_keepers_multiprobe as _smp2,
+        semdedup_probe_assignments as _spa2,
+    )
+    from solana_data_etl_pipeline_spark.operators.similarity import _dvec as _dv2
+
+    from pyspark.sql import functions as F
+
+    n_corpus = emb.count()
+    print("| tau | exact_pairs | nprobe | bits | coverage | removed | sec |")
+    print("|---|---|---|---|---|---|---|")
+    for tau in (0.3, 0.5):
+        exact_t = _pairs(_endp(emb, threshold=tau), "vec_a", "vec_b")
+        for nprobe in (2, 3):
+            for bits in (0, 2, 4):
+                t0 = time.perf_counter()
+                pv = _spa2(emb, nprobe=nprobe).select("vec_id", "_pcl")
+                if bits:
+                    sub = emb.select(
+                        "vec_id", _ssb2(_dv2(F.col("embedding")), bits).alias("_sb")
+                    )
+                    pv = pv.join(sub, "vec_id").select(
+                        "vec_id",
+                        (F.col("_pcl") * (2**bits) + F.col("_sb")).alias("_pcl"),
+                    )
+                pset: dict = {}
+                for r in pv.collect():
+                    pset.setdefault(r["vec_id"], set()).add(r["_pcl"])
+                cov = sum(
+                    1
+                    for p in exact_t
+                    for a, b in (tuple(p),)
+                    if pset.get(a, set()) & pset.get(b, set())
+                ) / max(len(exact_t), 1)
+                removed = 1 - _smp2(
+                    emb, threshold=tau, nprobe=nprobe, refine_bits=bits
+                ).count() / max(n_corpus, 1)
+                print(
+                    f"| {tau} | {len(exact_t)} | {nprobe} | {bits} | {cov:.3f} "
+                    f"| {removed:.3f} | {time.perf_counter() - t0:.1f} |"
+                )
+
 
 def scale10_multiprobe() -> None:
     """The 10x pricing of the multi-probe dial (see module docstring)."""
