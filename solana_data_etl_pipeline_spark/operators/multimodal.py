@@ -711,6 +711,7 @@ MEDIA_NEAR_DUP_TOL_BP = 2000
 def media_near_dup_pairs(
     media_df: DataFrame,
     tol_bp: int = MEDIA_NEAR_DUP_TOL_BP,
+    sub_key: bool = False,
 ) -> DataFrame:
     """Feature-based MEDIA near-dup pairs: decode every payload through
     the REAL wave codec, then call two items near-duplicates when
@@ -728,23 +729,36 @@ def media_near_dup_pairs(
     self-equi-join blocked on decoded duration. Duration is a
     high-cardinality key for real audio (max block width 6 on the
     test corpus), but a boilerplate-length corpus can make a block
-    hot -- the same degenerate-bucket story as every LSH family here;
-    cap or sub-key by a second feature (mean_bp div k) if block
-    widths grow. Returns (media_a, media_b, n_frames, d_mean_bp,
-    d_rms_bp)."""
+    hot -- the same degenerate-bucket story as every LSH family here.
+    `sub_key=True` is the measured answer (SCALE.md r11): the
+    blocking key becomes (n_frames, floor(mean_bp / tol_bp)) with
+    each row emitted into its own sub-bucket AND the next one -- the
+    pigeonhole guarantee that any pair within tol_bp shares at least
+    one sub-bucket (|q_a - q_b| <= 1 when |mean_a - mean_b| <=
+    tol_bp), so the result is IDENTICAL to the unkeyed form
+    (test-pinned) while a duration-degenerate block splits by
+    amplitude: planted 500 equal-duration docs -> one 500-wide block
+    (124,750 candidates) becomes 72 sub-blocks, max width 34,
+    candidate mass 10,623 (11.7x cut), pair set unchanged (1,688).
+    Returns (media_a, media_b, n_frames, d_mean_bp, d_rms_bp)."""
     feats = wav_stats(media_df).select(
         "media_id",
         "n_frames",
         F.round(F.col("mean_amp") * 10000, 0).cast("long").alias("mean_bp"),
         F.round(F.col("rms") * 10000, 0).cast("long").alias("rms_bp"),
     )
+    if sub_key:
+        q = F.floor(F.col("mean_bp") / F.lit(int(tol_bp))).cast("long")
+        feats = feats.withColumn("_q", F.explode(F.array(q, q + 1)))
+        block = ["n_frames", "_q"]
+    else:
+        block = ["n_frames"]
     a, b = feats.alias("a"), feats.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.n_frames") == F.col("b.n_frames"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+    cond = F.col("a.media_id") < F.col("b.media_id")
+    for k in block:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    out = (
+        a.join(b, cond)
         .filter(
             (F.abs(F.col("a.mean_bp") - F.col("b.mean_bp")) <= tol_bp)
             & (F.abs(F.col("a.rms_bp") - F.col("b.rms_bp")) <= tol_bp)
@@ -756,6 +770,41 @@ def media_near_dup_pairs(
             (F.col("a.mean_bp") - F.col("b.mean_bp")).alias("d_mean_bp"),
             (F.col("a.rms_bp") - F.col("b.rms_bp")).alias("d_rms_bp"),
         )
+    )
+    # a pair can share both its sub-buckets (q equal); dedup the
+    # doubled candidates -- the unkeyed form emits each pair once
+    return out.distinct() if sub_key else out
+
+
+def media_block_stats(
+    media_df: DataFrame,
+    tol_bp: int = MEDIA_NEAR_DUP_TOL_BP,
+    sub_key: bool = False,
+) -> DataFrame:
+    """Observability for media_near_dup_pairs' blocking key (the
+    *_cap_stats idiom -- no silent hot buckets): one row with the
+    block count, max/mean block width, and total candidate-pair mass
+    sum(w*(w-1)/2) for the chosen key ((n_frames) or the sub-keyed
+    (n_frames, floor(mean_bp/tol_bp)) with the pigeonhole double
+    emission). Watch max_width under a boilerplate-duration corpus;
+    the sub-keyed row is the cost the fix actually pays."""
+    feats = wav_stats(media_df).select(
+        "media_id",
+        "n_frames",
+        F.round(F.col("mean_amp") * 10000, 0).cast("long").alias("mean_bp"),
+    )
+    if sub_key:
+        q = F.floor(F.col("mean_bp") / F.lit(int(tol_bp))).cast("long")
+        feats = feats.withColumn("_q", F.explode(F.array(q, q + 1)))
+        keys = ["n_frames", "_q"]
+    else:
+        keys = ["n_frames"]
+    widths = feats.groupBy(*keys).agg(F.count(F.lit(1)).alias("w"))
+    return widths.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("w").alias("max_width"),
+        F.round(F.avg("w"), 2).alias("mean_width"),
+        F.sum(F.expr("w * (w - 1) div 2")).alias("candidate_pairs"),
     )
 
 

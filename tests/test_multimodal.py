@@ -392,3 +392,40 @@ def test_media_near_dup_pairs_feature_agreement(spark):
     assert p.n_frames == 20
     assert abs(p.d_mean_bp) <= M.MEDIA_NEAR_DUP_TOL_BP
     assert abs(p.d_rms_bp) <= M.MEDIA_NEAR_DUP_TOL_BP
+
+
+def test_media_near_dup_sub_key_identical_under_degenerate_durations(spark):
+    """The duration-blocking hot-key fix (VERDICT r10 #6): on a
+    planted DEGENERATE population -- every doc the same length, so
+    the plain key is one corpus-wide block -- the pigeonhole sub-key
+    (n_frames, floor(mean_bp/tol) with double emission) returns the
+    IDENTICAL pair set while splitting the block: measured here one
+    120-wide block -> max sub-block width bounded well under the
+    population, candidate mass cut accordingly. Completeness is the
+    pigeonhole argument: |mean_a - mean_b| <= tol implies the
+    sub-bucket ids differ by at most 1, and emitting each row into
+    (q, q+1) makes any such pair share a bucket."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, "".join(random.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(30)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = M.synth_wav(docs).localCheckpoint()
+    base = {(r.media_a, r.media_b) for r in M.media_near_dup_pairs(media).collect()}
+    keyed = {
+        (r.media_a, r.media_b)
+        for r in M.media_near_dup_pairs(media, sub_key=True).collect()
+    }
+    assert keyed == base and len(base) > 0
+    plain = M.media_block_stats(media).collect()[0]
+    sub = M.media_block_stats(media, sub_key=True).collect()[0]
+    # the degenerate population is ONE block under the plain key
+    assert plain.n_blocks == 1 and plain.max_width == 120
+    assert plain.candidate_pairs == 120 * 119 // 2
+    # the sub-key splits it and cuts the candidate mass
+    assert sub.n_blocks > 10
+    assert sub.max_width < 60
+    assert sub.candidate_pairs < plain.candidate_pairs // 3
