@@ -109,6 +109,38 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     twins["ivf_build"] = round(statistics.median(samples), 3)
 
+    # the residual-PQ codes and the cluster-curation membership are
+    # likewise ingest-time artifacts (the suite entries probe per-sf
+    # stored layouts, the _ivf_layout stance) -- their COLD build
+    # costs are timed explicitly here so the amortization hides
+    # nothing
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        lloyd_cells as _lc_build,
+        reconstructed_pq_residual as _rpr_build,
+    )
+    from solana_data_etl_pipeline_spark.operators.text import hash_embed as _he_build
+
+    samples = []
+    for _ in range(RUNS):
+        d = tempfile.mkdtemp(prefix="pq_build_bench_")
+        t0 = time.perf_counter()
+        _rpr_build(_emb).write.mode("overwrite").parquet(d)
+        samples.append(time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    twins["pq_build"] = round(statistics.median(samples), 3)
+
+    _docs_build = _lt(spark, sf_dir, "documents")
+    samples = []
+    for _ in range(RUNS):
+        d = tempfile.mkdtemp(prefix="cluster_fit_bench_")
+        t0 = time.perf_counter()
+        _lc_build(_he_build(_docs_build)).select(
+            F.col("vec_id").alias("doc_id"), "cell"
+        ).write.mode("overwrite").parquet(d)
+        samples.append(time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    twins["cluster_fit_build"] = round(statistics.median(samples), 3)
+
     # measured recall of the approximate plans against their exact
     # twins (non-graded, like the twin timings): turns the analytic
     # 1-(1-p^b)^L claims in operators/similarity.py into per-round
@@ -528,6 +560,18 @@ def main() -> None:
         .withColumnRenamed("cell", "label")
         .localCheckpoint()
     )
+    # the dimension-truncation rung (suite knn_ivf_mrl): index (and
+    # queries, in the variant below) live in the first 16 dims
+    from solana_data_etl_pipeline_spark.operators.similarity import _dvec as _dv16
+
+    emb_mrl = (
+        lloyd_cells(
+            emb_tbl.select("vec_id", F.slice(_dv16(F.col("embedding")), 1, 16).alias("embedding")),
+            dim=16,
+        )
+        .withColumnRenamed("cell", "label")
+        .localCheckpoint()
+    )
     base = emb_tbl.orderBy("vec_id").limit(50).collect()
     rng = np.random.default_rng(42)
     offset = 10_000_000  # keep query_id != source vec_id (self-match filter)
@@ -550,6 +594,13 @@ def main() -> None:
             ("knn_ivf_int8", lambda c, q: knn_ivf(emb_int8, q, k=10)),
             ("knn_ivf_pq", lambda c, q: knn_ivf(emb_pq, q, k=10)),
             ("knn_ivf_pq_raw", lambda c, q: knn_ivf(emb_pq_raw, q, k=10)),
+            # the dimension-truncation rung (suite knn_ivf_mrl):
+            # queries truncate to the same prefix the index lives in
+            ("knn_ivf_mrl", lambda c, q: knn_ivf(
+                emb_mrl,
+                q.select("query_id", F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("embedding")),
+                k=10,
+            )),
         )
         for name, fn in variants:
             hit = {}

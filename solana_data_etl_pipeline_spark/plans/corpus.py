@@ -564,7 +564,10 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_topic_map(
-    df: DataFrame, top_terms: int = 3, text_col: str = "text"
+    df: DataFrame,
+    top_terms: int = 3,
+    text_col: str = "text",
+    member: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-level corpus TOPIC MAP -- the inspection table of
     cluster-based curation (MiniPile, Kaddour 2023: embed, cluster,
@@ -586,11 +589,20 @@ def corpus_topic_map(
     checkpointed once and shared by all three rollups. The term
     rollup shuffles (cell, term) counts -- VOCABULARY-sized, sublinear
     in corpus mass; its per-cell top-k window runs over that counted
-    frame, never the corpus. Report size is n_cells x top_terms."""
+    frame, never the corpus. Report size is n_cells x top_terms.
+
+    `member` supplies a PRECOMPUTED (doc_id, cell) assignment -- the
+    production stance: clustering runs at ingest cadence and is
+    shared by every cluster-curation consumer (this map, the prune
+    gate), exactly the materialize_ivf amortization; the registered
+    entries pass the per-sf cached membership and bench.py times the
+    fit separately as `cluster_fit_build`. Default None re-derives it
+    inline (result-identical; test-pinned)."""
     from solana_data_etl_pipeline_spark.operators import similarity as V
 
-    emb = X.hash_embed(df, text_col=text_col)
-    member = V.lloyd_cells(emb).select(F.col("vec_id").alias("doc_id"), "cell")
+    if member is None:
+        emb = X.hash_embed(df, text_col=text_col)
+        member = V.lloyd_cells(emb).select(F.col("vec_id").alias("doc_id"), "cell")
     toks = df.select(
         "doc_id",
         "source",
@@ -656,6 +668,7 @@ def cluster_prune_keepers(
     df: DataFrame,
     min_mean_tokens: int = MIN_CLUSTER_MEAN_TOKENS,
     text_col: str = "text",
+    member: DataFrame | None = None,
 ) -> DataFrame:
     """The ACTING form of corpus_topic_map -- MiniPile's pruning step
     (Kaddour 2023: cluster the embedded corpus, judge clusters, drop
@@ -673,11 +686,14 @@ def cluster_prune_keepers(
     Scale shape: identical to corpus_topic_map's fit (bounded Lloyd
     aggregations, corpus never shuffles) plus ONE cells-sized stats
     rollup broadcast back onto the membership -- the gate adds no
-    corpus-keyed exchange beyond the shared doc_id join."""
+    corpus-keyed exchange beyond the shared doc_id join. `member`
+    supplies the precomputed ingest-time assignment shared with
+    corpus_topic_map (see there); default None re-derives inline."""
     from solana_data_etl_pipeline_spark.operators import similarity as V
 
-    emb = X.hash_embed(df, text_col=text_col)
-    member = V.lloyd_cells(emb).select(F.col("vec_id").alias("doc_id"), "cell")
+    if member is None:
+        emb = X.hash_embed(df, text_col=text_col)
+        member = V.lloyd_cells(emb).select(F.col("vec_id").alias("doc_id"), "cell")
     toks = df.select(
         "doc_id",
         F.size(F.filter(X.tokens_col(text_col), lambda t: t != "")).cast("long").alias("_nt"),

@@ -674,6 +674,38 @@ def _docs(plan) -> QueryFn:
     return run
 
 
+#: per-sf cached cluster membership (the _ivf_layout amortization)
+_CLUSTER_MEMBER: dict[str, str] = {}
+
+
+def _cluster_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time cluster assignment (hash_embed -> lloyd_cells
+    membership, written as a parquet side table) shared by the
+    cluster-curation entries (corpus_topic_map,
+    cluster_prune_keepers) -- the same amortization stance as
+    _ivf_layout: clustering runs ONCE at ingest cadence, every
+    curation consumer probes the stored assignment, and the cold fit
+    cost stays separately measured as bench.py's `cluster_fit_build`
+    twin. Parquet stores the (doc_id, cell) longs exactly, so the
+    layout is value-identical to the inline fit (oracles replay the
+    fit from the corpus and stay green either way)."""
+    path = _CLUSTER_MEMBER.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        mem = V.lloyd_cells(X.hash_embed(docs)).select(
+            F.col("vec_id").alias("doc_id"), "cell"
+        )
+        path = tempfile.mkdtemp(prefix="cluster_member_")
+        mem.write.mode("overwrite").parquet(path)
+        _CLUSTER_MEMBER[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 # the registered mix: keep all of src0, half of src1, a tenth of src2,
 # a quarter of src3; every other source dropped (rate 0)
 _MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 10, "src3": 25}
@@ -900,12 +932,24 @@ TEXT_QUERIES: dict[str, QueryFn] = {
             df.withColumn("snapshot", F.col("doc_id") % 2)
         )
     ),
-    # MiniPile-style cluster inspection table: hash_embed -> Lloyd
-    # cells -> per-cluster mass/source/top-terms rollup
-    "corpus_topic_map": _docs(C.corpus_topic_map),
+    # MiniPile-style cluster inspection table: the SHARED ingest-time
+    # membership (_cluster_member, fit cost = bench cluster_fit_build)
+    # -> per-cluster mass/source/top-terms rollup
+    "corpus_topic_map": (
+        lambda spark, sf_dir: C.corpus_topic_map(
+            load_table(spark, sf_dir, "documents"),
+            member=_cluster_member(spark, sf_dir),
+        )
+    ),
     # ...and its ACTING form: drop whole clusters below the
-    # mean-length bar (template populations die as a population)
-    "cluster_prune_keepers": _docs(C.cluster_prune_keepers),
+    # mean-length bar (template populations die as a population);
+    # probes the same stored membership as the map it acts on
+    "cluster_prune_keepers": (
+        lambda spark, sf_dir: C.cluster_prune_keepers(
+            load_table(spark, sf_dir, "documents"),
+            member=_cluster_member(spark, sf_dir),
+        )
+    ),
     # per-source data-acquisition scorecard: registered quality
     # signals + exact-dup rate rolled up per source in integer bp
     "source_scorecard": _docs(C.source_scorecard),
@@ -4506,28 +4550,35 @@ def _knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_QUERIES["knn_ivf_kmeans"] = _knn_ivf_kmeans
 
 
-def _lloyd_sql(n_iters: int, e_cte: str | None = None) -> str:
+def _lloyd_sql(
+    n_iters: int,
+    e_cte: str | None = None,
+    dim: int = 64,
+    planes_sql: str | None = None,
+) -> str:
     """CTE fragment replaying similarity.lloyd_cells bit-for-bit:
     sign-LSH init over the _P4 plane matrix, then n_iters unrolled
     Lloyd passes (6-dp centroid means, 4-dp cosine reassignment, ties
     to the lowest cell -- the exact roundings the Spark operator
     contracts). Yields a{n_iters} = (vec_id, v, cell). `e_cte`
     overrides the corpus CTE chain (must end by defining
-    e = (vec_id, v)) -- the int8 form feeds reconstructed vectors."""
+    e = (vec_id, v)) -- the int8 form feeds reconstructed vectors.
+    `dim`/`planes_sql` override the vector width and the init plane
+    literal for non-64-dim spaces (the truncated-prefix MRL form)."""
     parts = [
         f"""{e_cte or "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"},
 a0 AS (
   SELECT vec_id, v, CAST(list_sum([CASE WHEN list_dot_product(m4[p+1], v) >= 0
     THEN CAST(1 << p AS BIGINT) ELSE CAST(0 AS BIGINT) END
     for p in range(0, 4)]) AS BIGINT) AS cell
-  FROM e, (SELECT {_P4} AS m4)
+  FROM e, (SELECT {planes_sql or _P4} AS m4)
 )"""
     ]
     for t in range(1, n_iters + 1):
         parts.append(f"""c{t} AS (
   SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
     SELECT cell, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
-    FROM a{t - 1}, UNNEST(range(1, 65)) AS u(i) GROUP BY cell, i
+    FROM a{t - 1}, UNNEST(range(1, {dim + 1})) AS u(i) GROUP BY cell, i
   ) GROUP BY cell
 )""")
         parts.append(f"""a{t} AS (
@@ -4546,6 +4597,8 @@ def _lloyd_ivf_sql(
     e_cte: str | None = None,
     extra_cte: str | None = None,
     score_src: str | None = None,
+    dim: int = 64,
+    planes_sql: str | None = None,
 ) -> str:
     """The full Lloyd-quantized IVF oracle: _lloyd_sql + the knn_ivf
     probe tail. `q_src` names the CTE queries draw full-precision
@@ -4559,10 +4612,10 @@ def _lloyd_ivf_sql(
     score = score_src or f"a{V.LLOYD_ITERS}"
     extra = f"{extra_cte},\n" if extra_cte else ""
     return f"""
-WITH {_lloyd_sql(V.LLOYD_ITERS, e_cte=e_cte)},
+WITH {_lloyd_sql(V.LLOYD_ITERS, e_cte=e_cte, dim=dim, planes_sql=planes_sql)},
 {extra}cd AS (
   SELECT cell, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
-  FROM {score}, UNNEST(range(1, 65)) AS u(i) GROUP BY cell, i
+  FROM {score}, UNNEST(range(1, {dim + 1})) AS u(i) GROUP BY cell, i
 ),
 cent AS (SELECT cell, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cell),
 q AS (SELECT vec_id AS query_id, v AS qv FROM {q_src} WHERE vec_id < 5),
@@ -4616,6 +4669,33 @@ e AS (SELECT vec_id, list_transform(v, x -> round(x / s) * s) AS v FROM sc)"""
 SIMILARITY_SQL["knn_ivf_int8"] = _lloyd_ivf_sql(q_src="raw", e_cte=_INT8_E_CTE)
 
 
+#: per-sf cached residual-PQ index layout (the _ivf_layout stance)
+_PQ_LAYOUT: dict[str, str] = {}
+
+
+def _pq_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-PQ index as the stored artifact it is in
+    production (codebooks + codes are built ONCE at ingest; queries
+    probe the stored reconstruction): reconstructed_pq_residual's
+    (vec_id, embedding, cell) written as a parquet side table per sf,
+    amortized exactly like _ivf_layout, with the cold build cost
+    separately measured as bench.py's `pq_build` twin. Parquet stores
+    the doubles exactly, so probing the layout is value-identical to
+    probing the inline reconstruction."""
+    path = _PQ_LAYOUT.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="pq_layout_")
+        V.reconstructed_pq_residual(emb).write.mode("overwrite").parquet(path)
+        _PQ_LAYOUT[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def _knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deepest rung of the compression ladder (float32 -> int8 ->
     PQ), in the RESIDUAL-encoded IVF-ADC form (Jegou et al. 2011's
@@ -4627,13 +4707,12 @@ def _knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric distance computation. Residual encoding is why this
     rung holds recall at ~100x compression -- planted @.95 recall
     1.00 vs the raw-vector form's saturated 0.70 at the SAME code
-    budget (bench rows knn_ivf_pq_* vs knn_ivf_pq_raw_*)."""
+    budget (bench rows knn_ivf_pq_* vs knn_ivf_pq_raw_*). The index
+    is the per-sf stored layout (_pq_layout; build cost = bench
+    `pq_build`), probed here -- the production read path."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    # the reconstruction feeds both knn_ivf consumers (centroid agg +
-    # the candidate join) -- checkpoint once or each re-derives the
-    # coarse fit plus all four subspace fits
-    recon = V.reconstructed_pq_residual(emb).localCheckpoint(eager=False)
+    recon = _pq_layout(spark, sf_dir)
     return V.knn_ivf(recon, queries_df, k=10, nprobe=2, cell_col="cell")
 
 
@@ -4723,6 +4802,49 @@ def _pq_res_cte(m: int = V.PQ_SUBSPACES, n_iters: int = V.PQ_ITERS) -> str:
 
 SIMILARITY_SQL["knn_ivf_pq"] = _lloyd_ivf_sql(
     q_src="raw", e_cte=_PQ_RES_E_CTE, extra_cte=_pq_res_cte(), score_src="recon"
+)
+
+
+#: Matryoshka prefix width: first 16 of 64 dims (4x memory cut)
+MRL_DIM = 16
+
+
+def _knn_ivf_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIMENSION-truncation rung of the compression ladder
+    (Matryoshka Representation Learning, Kusupati et al. 2022): index
+    AND queries live in the first MRL_DIM=16 of 64 dims -- the same
+    4x memory cut as int8, achieved by prefix truncation instead of
+    scalar quantization, which is how MRL-trained embeddings deploy
+    (store and search the prefix space; no decode at all). These
+    synthetic embeddings are NOT MRL-trained, so the measured planted
+    recall (bench rows knn_ivf_mrl_planted@.*) is the honest cost of
+    assuming prefix dominance on vectors that spread information
+    uniformly -- the comparison row a data lead reads before choosing
+    truncation over int8 at the same budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb16 = emb.select(
+        "vec_id",
+        F.slice(V._dvec(F.col("embedding")), 1, MRL_DIM).alias("embedding"),
+    )
+    queries_df = emb16.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # the truncated assignment feeds both knn_ivf consumers (centroid
+    # agg + candidate join) -- checkpoint once, like every Lloyd form
+    assigned = V.lloyd_cells(emb16, dim=MRL_DIM).localCheckpoint(eager=False)
+    return V.knn_ivf(assigned, queries_df, k=10, nprobe=2, cell_col="cell")
+
+
+SIMILARITY_QUERIES["knn_ivf_mrl"] = _knn_ivf_mrl
+
+_P4_MRL = "[" + ", ".join(
+    "[" + ", ".join(repr(x) for x in row) + "]"
+    for row in V.lsh_planes(n_planes=4, dim=MRL_DIM)
+) + "]"
+SIMILARITY_SQL["knn_ivf_mrl"] = _lloyd_ivf_sql(
+    e_cte=f"e AS (SELECT vec_id, (embedding::DOUBLE[])[1:{MRL_DIM}] AS v FROM embeddings)",
+    dim=MRL_DIM,
+    planes_sql=_P4_MRL,
 )
 
 
@@ -5159,8 +5281,11 @@ def all_oracle_sql() -> dict[str, str]:
 # A-query robin A1-A4/A5/A6 twins aging past two rounds
 # (transaction_volume / hourly_volume / active_programs /
 # wallet_activity / program_trends last verdict r10 -> fine through
-# r12; top_tokens / failed_tranactions r10 likewise) and any r11
-# registrant that lands without a verdict. Rotate OUT the heaviest
+# r12; top_tokens / failed_tranactions r10 likewise) and the late-r11
+# registrants that land without a verdict (`semdedup_near_dup` -- the
+# tau-routed coverage-honest operating point -- and `knn_ivf_mrl` --
+# the dimension-truncation rung; both oracle-swept on every test
+# run). Rotate OUT the heaviest
 # newly-verdicted r11 entries once their CORRECTNESS_r11 rows are
 # green -- corpus_topic_map (~11 s solo), cluster_prune_keepers
 # (~9 s), knn_ivf_pq, knn_ivf_int8 -- plus light r11 robin entries

@@ -419,6 +419,40 @@ def test_reconstructed_pq_residual_rejects_uneven_split(spark, emb):
         V.reconstructed_pq_residual(emb, m=3, dim=DIM)
 
 
+def test_knn_ivf_truncated_prefix_cluster_coherent(spark):
+    """The dimension-truncation (Matryoshka-style) rung: index and
+    queries both live in the first 4 of 16 dims. On planted clusters
+    whose centers differ in the prefix too (random Gaussian centers
+    do, with high probability), truncation preserves cluster
+    coherence and most of the exact top-10 -- determinism pinned like
+    every Lloyd form. The suite entry knn_ivf_mrl is this shape at
+    16-of-64 on the synthetic corpus; its planted bench rows price
+    the recall cost on NON-MRL vectors."""
+    emb = _planted_cluster_emb(spark, seed=13)
+    emb4 = emb.select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 4).alias("embedding")
+    )
+    a1 = {r.vec_id: r.cell for r in V.lloyd_cells(emb4, dim=4).collect()}
+    a2 = {r.vec_id: r.cell for r in V.lloyd_cells(emb4, dim=4).collect()}
+    assert a1 == a2 and len(a1) == 400
+    q4 = emb4.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in V.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ), 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assigned = V.lloyd_cells(emb4, dim=4)
+    approx = {}
+    for r in V.knn_ivf(assigned, q4, k=10, nprobe=2, cell_col="cell").collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # cluster membership survives truncation: every query finds
+    # same-cluster neighbors for most of its list
+    recalls = [len(approx.get(qid, set()) & exact[qid]) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
 def test_knn_ivf_pq_residual_cluster_coherent(spark):
     """The registered residual-PQ index shape (recon carries its own
     coarse cell; knn_ivf probes those cells; queries full precision)

@@ -124,6 +124,9 @@ HEAVY = [
     "unimax_allocation",
     "bm25_indexed",
     "source_scorecard",
+    # round-11 registrants
+    "semdedup_near_dup",
+    "knn_ivf_mrl",
 ]
 
 
