@@ -1292,6 +1292,116 @@ def bpe_merge_stats(df: DataFrame, top_n: int = 50, text_col: str = "text") -> D
     )
 
 
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) -- the
+    full algorithm bpe_merge_stats is one round of: start from the
+    character-level word corpus, and n_merges times (1) count
+    adjacent-symbol pairs weighted by word frequency, (2) take the
+    most frequent pair (ties (left, right) ascending), (3) apply the
+    merge LEFT-GREEDILY to every word. Returns the learned merge
+    table (rank, left, right, merged, pair_count) -- the artifact a
+    tokenizer ships (HF tokenizers' merges.txt).
+
+    Scale shape -- the real trainers' shape (HF/SentencePiece count
+    words first): ONE corpus-scale pass builds the (word, count)
+    table; every iteration after that runs on the VOCABULARY-sized
+    symbol frame (pairs agg is symbol-pair bounded; the argmax is a
+    1-row TakeOrderedAndProject broadcast back -- no driver loop, no
+    collect; the merge application is one explode + windows per
+    word). At 100 TB the word count is the only pass that sees every
+    row, and in practice trains on a sample anyway.
+
+    Left-greedy overlap semantics, engine-exact: a merge (a, b) can
+    self-overlap only when a == b (runs of the same symbol), where
+    greedy keeps every OTHER match from each run's start -- computed
+    set-wise via gaps-and-islands (consecutive matched positions form
+    a run; select even offsets), identical windows on both engines.
+    Every iteration's symbol frame is lazily checkpointed: the plan
+    would otherwise deepen by ~6 windowed stages per merge."""
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    syms = words.select(
+        "w", "wc", F.filter(F.split(F.col("w"), ""), lambda c: c != "").alias("s")
+    ).localCheckpoint(eager=False)
+    wpos = Window.partitionBy("w").orderBy("pos")
+    merge_rows: DataFrame | None = None
+    for rank in range(1, n_merges + 1):
+        pairs = syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("s"), 1, F.greatest(F.size("s") - 1, F.lit(0))),
+                    F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "wc",
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .select(
+                F.lit(rank).cast("int").alias("rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=False)
+        )
+        merge_rows = top if merge_rows is None else merge_rows.unionByName(top)
+        # apply the merge: position rows + match flags, islands of
+        # consecutive matches (only possible when lhs == rhs),
+        # greedy = even offsets within each island
+        e = (
+            syms.crossJoin(F.broadcast(top.select("lhs", "rhs", "merged")))
+            .select("w", "wc", "lhs", "rhs", "merged", F.posexplode("s").alias("pos", "sym"))
+        )
+        e = e.withColumn(
+            "m",
+            F.coalesce(
+                (F.col("sym") == F.col("lhs"))
+                & (F.lead("sym", 1).over(wpos) == F.col("rhs")),
+                F.lit(False),
+            ),
+        )
+        wrun = Window.partitionBy("w", "m").orderBy("pos")
+        e = e.withColumn(
+            "run", F.when(F.col("m"), F.col("pos") - F.row_number().over(wrun))
+        )
+        wisl = Window.partitionBy("w", "run")
+        e = e.withColumn(
+            "sel",
+            F.when(
+                F.col("m"),
+                ((F.col("pos") - F.min("pos").over(wisl)) % 2) == 0,
+            ).otherwise(F.lit(False)),
+        )
+        e = e.withColumn(
+            "osym",
+            F.when(F.col("sel"), F.col("merged")).otherwise(F.col("sym")),
+        ).withColumn("skip", F.coalesce(F.lag("sel", 1).over(wpos), F.lit(False)))
+        syms = (
+            e.filter(~F.col("skip"))
+            .groupBy("w", "wc")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "osym"))),
+                    lambda st: st["osym"],
+                ).alias("s")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return merge_rows
+
+
 # -- unigram language-model scoring ----------------------------------
 
 

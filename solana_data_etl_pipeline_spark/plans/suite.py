@@ -1155,6 +1155,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # first-merge BPE statistics: the aggregation a tokenizer-training
     # round maximizes (top adjacent character pairs, occurrence-weighted)
     "bpe_merge_stats": _docs(X.bpe_merge_stats),
+    # the full iterative BPE trainer (bpe_merge_stats is one round):
+    # 8 learned merges over the frequency-weighted word vocabulary
+    "bpe_train": _docs(X.bpe_train),
     # vocab-based numericalization: frequency-ranked ids, 0 = unk
     "tokenize_corpus": _docs(lambda df: X.tokenize_corpus(df, vocab_size=200)),
     # C4 line-level cleaning (the synthetic corpus has no sentence
@@ -2353,6 +2356,71 @@ FROM p GROUP BY 1, 2
 ORDER BY pair_count DESC, lhs, rhs
 LIMIT 50
 """
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Unrolled replay of text.bpe_train: the (word, count) table,
+    character-level symbol arrays, then per merge round the weighted
+    pair count, the (count DESC, lhs, rhs) argmax, and the
+    left-greedy merge application via the same gaps-and-islands
+    windows the Spark operator runs (consecutive matched positions
+    form a run -- only possible when lhs == rhs -- and greedy keeps
+    even offsets from each run's start). DuckDB's 1-based positions
+    vs Spark's 0-based posexplode cancel out: only parity of
+    (pos - run start) and the lag/lead adjacency matter."""
+    parts = [
+        r"""wcnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+)""",
+        """s0 AS (
+  SELECT w, wc,
+         list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS s
+  FROM wcnt
+)""",
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"s{t - 1}"
+        parts.append(f"""c{t} AS (
+  SELECT s[CAST(i AS INT)] AS lhs, s[CAST(i AS INT) + 1] AS rhs, SUM(wc) AS pair_count
+  FROM {prev}, UNNEST(range(1, list_count(s))) AS u(i)
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""t{t} AS (
+  SELECT CAST({t} AS INT) AS rank, lhs, rhs, lhs || rhs AS merged,
+         CAST(pair_count AS BIGINT) AS pair_count
+  FROM c{t} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+)""")
+        parts.append(f"""e{t} AS (
+  SELECT w, wc, i AS pos, s[CAST(i AS INT)] AS sym, t.merged AS merged,
+         COALESCE(s[CAST(i AS INT)] = t.lhs AND s[CAST(i AS INT) + 1] = t.rhs, false) AS m
+  FROM {prev}, UNNEST(range(1, list_count(s) + 1)) AS u(i), t{t} t
+)""")
+        parts.append(f"""f{t} AS (
+  SELECT *, CASE WHEN m THEN pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) END AS run
+  FROM e{t}
+)""")
+        parts.append(f"""g{t} AS (
+  SELECT *, CASE WHEN m THEN (pos - MIN(pos) OVER (PARTITION BY w, run)) % 2 = 0
+            ELSE false END AS sel
+  FROM f{t}
+)""")
+        parts.append(f"""h{t} AS (
+  SELECT w, wc, pos, CASE WHEN sel THEN merged ELSE sym END AS osym,
+         COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos), false) AS skip
+  FROM g{t}
+)""")
+        parts.append(f"""s{t} AS (
+  SELECT w, wc, list(osym ORDER BY pos) AS s FROM h{t} WHERE NOT skip GROUP BY w, wc
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, lhs, rhs, merged, pair_count FROM t{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+TEXT_SQL["bpe_train"] = _bpe_train_sql()
 
 TEXT_SQL["tokenize_corpus"] = r"""
 WITH t AS (

@@ -681,6 +681,44 @@ def test_bpe_merge_stats_counts_adjacent_pairs(spark):
     assert got == [("a", "a", 2), ("a", "b", 2), ("b", "a", 1)]
 
 
+def test_bpe_train_hand_model(spark):
+    """The iterative trainer on a hand-computable corpus: 'low low
+    lower' (the Sennrich-paper flavor of example). Word counts:
+    low=2, lower=1. Round 1 pairs: (l,o)=3, (o,w)=3, (w,e)=1,
+    (e,r)=1 -> tie (l,o) wins by (lhs, rhs) ascending; merge 'lo'.
+    Round 2: (lo,w)=3 wins; merge 'low'. Round 3: words are
+    [low][low] / [low,e,r]: (low,e)=1, (e,r)=1 -> (e,r) loses the
+    ascending tie to (low,e)? No: 'e' < 'low' lexicographically, so
+    (e,r) wins. Merge 'er'."""
+    df = spark.createDataFrame([(1, "low low lower")], "doc_id long, text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in X.bpe_train(df, n_merges=3).orderBy("rank").collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 3),
+        (2, "lo", "w", "low", 3),
+        (3, "e", "r", "er", 1),
+    ]
+
+
+def test_bpe_train_left_greedy_self_overlap(spark):
+    """A run of identical symbols merges left-greedily: 'aaaa' x2 and
+    'aaa' -> round 1 merges (a,a) with count 2*3 + 2 = 8 (every
+    adjacent occurrence counts in the STATISTIC), and the application
+    keeps every other match: aaaa -> [aa][aa], aaa -> [aa][a]. Round
+    2's top pair is then (aa,aa)=2 (from the two 'aaaa') vs
+    (aa,a)=1 -- merging 'aaaa'."""
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa")], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.lhs, r.rhs, r.pair_count)
+        for r in X.bpe_train(df, n_merges=2).orderBy("rank").collect()
+    ]
+    assert got == [(1, "a", "a", 8), (2, "aa", "aa", 2)]
+
+
 def test_tokenize_corpus_frequency_ranked_ids(spark):
     df = spark.createDataFrame(
         [(1, "b a a c"), (2, "a b zz")], "doc_id long, text string"
