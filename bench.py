@@ -58,6 +58,19 @@ def main() -> None:
 
     from solana_data_etl_pipeline_spark.plans.suite import DRIVER_ORDER
 
+    # NOTE on cross-entry interference (the r9-r11 "drift >30% on
+    # untouched code" class): entries late in DRIVER_ORDER measure a
+    # position-dependent 1.5-2x drag that tracks WINDOW COMPOSITION,
+    # not their plans (uniform across trivial constants; standalone
+    # warm medians unchanged since r8 -- see SCALE.md). Two attempted
+    # fixes both measured SLOWER overall and were reverted: a JVM
+    # System.gc() between entries flattens the tail but unloads
+    # generated codegen classes (+7 s suite re-JIT), and a
+    # python-side gc.collect() triggers the async ContextCleaner
+    # whose block/shuffle deletion then contends INSIDE the next
+    # entry's timed region (+8 s). Cross-round comparisons should
+    # therefore compare per-query medians at the SAME window position
+    # (or standalone) before attributing drift to code.
     timings: dict[str, float] = {}
     for name in DRIVER_ORDER:
         fn = qs[name]

@@ -1295,6 +1295,55 @@ def bpe_merge_stats(df: DataFrame, top_n: int = 50, text_col: str = "text") -> D
 def bpe_train(
     df: DataFrame, n_merges: int = 8, text_col: str = "text"
 ) -> DataFrame:
+    """The learned merge TABLE (rank, lhs, rhs, merged, pair_count)
+    from `n_merges` rounds of iterative BPE training -- see _bpe_loop
+    for the algorithm and its scale shape; bpe_encode applies the
+    result to the corpus."""
+    return _bpe_loop(df, n_merges, text_col)[0]
+
+
+def bpe_encode(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """ENCODE the corpus with the learned BPE -- the downstream half
+    of bpe_train (training learns merges.txt; encoding applies it to
+    every document): per document, the word count, character mass,
+    token count under the n_merges-merge learned tokenizer, and the
+    chars-per-token fertility in integer basis points (floor; the
+    bpe_fertility_bp convention -- higher = better compression).
+    The table a tokenizer evaluation reads: fertility under the
+    LEARNED tokenizer vs the fixed regex proxy (bpe_ish_token_counts)
+    is the measured value of training merges on one's own corpus.
+
+    Scale shape: encoding is a VOCABULARY join, not a per-document
+    re-segmentation -- a word's encoding depends only on the word, so
+    the trained symbol table (vocabulary-sized) joins onto the
+    exploded corpus tokens by word and a per-doc aggregation sums
+    piece counts; the training loop itself never touches the corpus
+    after the one word-count pass (see bpe_train)."""
+    _, syms = _bpe_loop(df, n_merges, text_col)
+    vocab = syms.select("w", F.size("s").cast("long").alias("_wp"))
+    tok = df.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        tok.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("_wp").cast("long").alias("n_bpe_learned"),
+        )
+        .withColumn(
+            "fertility_bp",
+            F.expr("n_chars * 10000 div n_bpe_learned").cast("long"),
+        )
+    )
+
+
+def _bpe_loop(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
     """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) -- the
     full algorithm bpe_merge_stats is one round of: start from the
     character-level word corpus, and n_merges times (1) count
@@ -1399,7 +1448,7 @@ def bpe_train(
             )
             .localCheckpoint(eager=False)
         )
-    return merge_rows
+    return merge_rows, syms
 
 
 # -- unigram language-model scoring ----------------------------------

@@ -1158,6 +1158,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # the full iterative BPE trainer (bpe_merge_stats is one round):
     # 8 learned merges over the frequency-weighted word vocabulary
     "bpe_train": _docs(X.bpe_train),
+    # ...and its downstream half: encode the corpus with the learned
+    # tokenizer (per-doc piece counts + integer-bp fertility)
+    "bpe_encode": _docs(X.bpe_encode),
     # vocab-based numericalization: frequency-ranked ids, 0 = unk
     "tokenize_corpus": _docs(lambda df: X.tokenize_corpus(df, vocab_size=200)),
     # C4 line-level cleaning (the synthetic corpus has no sentence
@@ -2420,7 +2423,35 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """bpe_encode's oracle: the SAME training chain (the trained
+    symbol table s{n} is the encoder -- a word's encoding depends
+    only on the word), then the vocabulary join onto the exploded
+    corpus tokens and the per-doc piece-count rollup with the
+    integer-bp fertility floor."""
+    chain = _bpe_train_sql(n_merges)
+    # _bpe_train_sql ends with the UNION of t{t} selects; strip it and
+    # append the encode tail instead
+    head = chain.split("\nSELECT rank, lhs")[0]
+    return f"""{head},
+vsz AS (SELECT w, CAST(list_count(s) AS BIGINT) AS wp FROM s{n_merges}),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       CAST(sum(wp) AS BIGINT) AS n_bpe_learned,
+       CAST(sum(length(w)) * 10000 // sum(wp) AS BIGINT) AS fertility_bp
+FROM tok JOIN vsz USING (w)
+WHERE w <> ''
+GROUP BY doc_id
+"""
+
+
 TEXT_SQL["bpe_train"] = _bpe_train_sql()
+TEXT_SQL["bpe_encode"] = _bpe_encode_sql()
 
 TEXT_SQL["tokenize_corpus"] = r"""
 WITH t AS (
@@ -5351,9 +5382,10 @@ def all_oracle_sql() -> dict[str, str]:
 # wallet_activity / program_trends last verdict r10 -> fine through
 # r12; top_tokens / failed_tranactions r10 likewise) and the late-r11
 # registrants that land without a verdict (`semdedup_near_dup` -- the
-# tau-routed coverage-honest operating point -- and `knn_ivf_mrl` --
-# the dimension-truncation rung; both oracle-swept on every test
-# run). Rotate OUT the heaviest
+# tau-routed coverage-honest operating point; `knn_ivf_mrl` -- the
+# dimension-truncation rung; `bpe_train` / `bpe_encode` -- the
+# iterative tokenizer trainer and its corpus encoding; all
+# oracle-swept on every test run). Rotate OUT the heaviest
 # newly-verdicted r11 entries once their CORRECTNESS_r11 rows are
 # green -- corpus_topic_map (~11 s solo), cluster_prune_keepers
 # (~9 s), knn_ivf_pq, knn_ivf_int8 -- plus light r11 robin entries

@@ -702,6 +702,24 @@ def test_bpe_train_hand_model(spark):
     ]
 
 
+def test_bpe_encode_piece_counts_and_fertility(spark):
+    """Encoding applies the trained symbol table by vocabulary join:
+    after 2 merges on 'low low lower' (lo then low), 'low' is 1 piece
+    and 'lower' is 3 (low, e, r). Doc piece count = sum over words;
+    fertility_bp = chars * 10000 div pieces (floor)."""
+    df = spark.createDataFrame([(1, "low low lower")], "doc_id long, text string")
+    r = X.bpe_encode(df, n_merges=2).collect()[0]
+    assert (r.n_words, r.n_chars, r.n_bpe_learned) == (3, 11, 5)
+    assert r.fertility_bp == 11 * 10000 // 5
+    # a second doc reuses the SAME learned tokenizer (trained on the
+    # whole corpus): 'low w' -> low=1 piece, w=1 piece
+    df2 = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low w")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in X.bpe_encode(df2, n_merges=2).collect()}
+    assert got[2].n_bpe_learned == 2 and got[2].n_chars == 4
+
+
 def test_bpe_train_left_greedy_self_overlap(spark):
     """A run of identical symbols merges left-greedily: 'aaaa' x2 and
     'aaa' -> round 1 merges (a,a) with count 2*3 + 2 = 8 (every

@@ -127,6 +127,8 @@ HEAVY = [
     # round-11 registrants
     "semdedup_near_dup",
     "knn_ivf_mrl",
+    "bpe_train",
+    "bpe_encode",
 ]
 
 
