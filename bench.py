@@ -142,6 +142,19 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     twins["pq_build"] = round(statistics.median(samples), 3)
 
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        reconstructed_int8 as _ri8_build,
+    )
+
+    samples = []
+    for _ in range(RUNS):
+        d = tempfile.mkdtemp(prefix="int8_build_bench_")
+        t0 = time.perf_counter()
+        _lc_build(_ri8_build(_emb)).write.mode("overwrite").parquet(d)
+        samples.append(time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    twins["int8_build"] = round(statistics.median(samples), 3)
+
     _docs_build = _lt(spark, sf_dir, "documents")
     samples = []
     for _ in range(RUNS):
