@@ -5178,6 +5178,16 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
             M.synth_wav(load_table(spark, sf_dir, "documents"))
         )
     ),
+    # the hot-key-proof blocking form (SCALE.md r11): sub-keyed on
+    # (n_frames, floor(mean_bp/tol)) with pigeonhole double emission
+    # -- result-identical to the plain key by construction, so it
+    # shares that entry's oracle VERBATIM (the bm25_indexed pinning
+    # idiom: the strongest identity statement the gate can make)
+    "media_near_dup_subkey": (
+        lambda spark, sf_dir: M.media_near_dup_pairs(
+            M.synth_wav(load_table(spark, sf_dir, "documents")), sub_key=True
+        )
+    ),
 }
 
 MULTIMODAL_SQL: dict[str, str] = {
@@ -5344,6 +5354,10 @@ WHERE abs(a.mean_bp - b.mean_bp) <= {M.MEDIA_NEAR_DUP_TOL_BP}
   AND abs(a.rms_bp - b.rms_bp) <= {M.MEDIA_NEAR_DUP_TOL_BP}
 """
 
+# result-identical by the pigeonhole argument (test-pinned), so the
+# sub-keyed form shares the oracle verbatim
+MULTIMODAL_SQL["media_near_dup_subkey"] = MULTIMODAL_SQL["media_near_dup"]
+
 
 # ---------------------------------------------------------------------------
 # public manifest
@@ -5410,7 +5424,9 @@ def all_oracle_sql() -> dict[str, str]:
 # registrants that land without a verdict (`semdedup_near_dup` -- the
 # tau-routed coverage-honest operating point; `knn_ivf_mrl` -- the
 # dimension-truncation rung; `bpe_train` / `bpe_encode` -- the
-# iterative tokenizer trainer and its corpus encoding; all
+# iterative tokenizer trainer and its corpus encoding;
+# `media_near_dup_subkey` -- the hot-key-proof blocking form pinned
+# result-identical through the shared oracle; all
 # oracle-swept on every test run). Rotate OUT the heaviest
 # newly-verdicted r11 entries once their CORRECTNESS_r11 rows are
 # green -- corpus_topic_map (~11 s solo), cluster_prune_keepers
