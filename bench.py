@@ -167,6 +167,25 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     twins["cluster_fit_build"] = round(statistics.median(samples), 3)
 
+    # the trained-BPE artifact (merges + per-word piece counts) the
+    # suite's bpe_train/bpe_encode entries probe is likewise built
+    # once per process (_bpe_layout_dir) -- its cold 8-round training
+    # cost is timed here so the amortization hides nothing
+    from solana_data_etl_pipeline_spark.operators.text import _bpe_loop as _bpe_build
+
+    samples = []
+    for _ in range(RUNS):
+        d = tempfile.mkdtemp(prefix="bpe_build_bench_")
+        t0 = time.perf_counter()
+        _m, _s = _bpe_build(_docs_build, n_merges=8)
+        _m.write.mode("overwrite").parquet(f"{d}/merges")
+        _s.select("w", F.size("s").cast("long").alias("n_pieces")).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/vocab")
+        samples.append(time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    twins["bpe_train_build"] = round(statistics.median(samples), 3)
+
     # measured recall of the approximate plans against their exact
     # twins (non-graded, like the twin timings): turns the analytic
     # 1-(1-p^b)^L claims in operators/similarity.py into per-round
@@ -676,6 +695,32 @@ def main() -> None:
         for r in minhash_calibration(_docs_tbl, max_bucket=DEDUP_MAX_BUCKET).collect()
     }
 
+    # standalone-warm medians for the heaviest window entries
+    # (VERDICT r11 #6): the driver BENCH total is position-sensitive
+    # (entries late in DRIVER_ORDER carry a measured 1.5-2x drag from
+    # accumulated executor state -- see the NOTE above), so the
+    # artifact itself now carries position-corrected numbers for the
+    # top-5. Protocol: restart the SparkContext ONCE (clears the
+    # accumulated localCheckpoint blocks and shuffle files; the JVM
+    # and its whole-stage-codegen cache survive, so JIT is not
+    # re-paid), then per entry run one untimed warm pass + RUNS timed
+    # samples in isolation. This is the same evidence standard
+    # SCALE.md's standalone-warm rows use for drift adjudication.
+    heavy5 = sorted(timings, key=lambda n: -timings[n])[:5]
+    spark.stop()
+    spark = get_spark("bench-standalone")
+    spark.sparkContext.setLogLevel("ERROR")
+    standalone_warm: dict[str, float] = {}
+    for name in heavy5:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        standalone_warm[name] = round(statistics.median(samples), 3)
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full payload first (tools/solobench.py captures complete stdout
@@ -690,6 +735,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "standalone_warm": standalone_warm,
                 "baseline_twins": twins,
                 "recall": recall,
                 "cap_coverage": cap_coverage,
@@ -706,6 +752,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "standalone_warm": standalone_warm,
                 "sf": sf_val,
                 "runs": RUNS,
             },

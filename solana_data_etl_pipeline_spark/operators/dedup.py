@@ -694,12 +694,24 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     return hashed.select("doc_id", fp.alias("simhash"))
 
 
+class SimhashCoverageError(RuntimeError):
+    """Raised when a capped simhash pair plan is in the
+    density-degenerate regime (estimated pair coverage below the
+    caller's floor): the cap would silently refuse nearly all true
+    pairs, so pair emission is the wrong operator for this corpus --
+    route dense families to the cluster/keeper path
+    (simhash_dedup_keepers) or widen the key (bits=60). See the
+    SCALE.md routing rule."""
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     max_bucket: int | None = None,
+    coverage_floor: float | None = 0.5,
+    on_low_coverage: str = "raise",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, found with the
     classic PIGEONHOLE LSH: split the fingerprint into max_hamming+1
@@ -718,9 +730,42 @@ def simhash_near_dup_pairs(
     can be density-DEGENERATE (sf0.1 synthetic: ~17% of ALL pairs
     within hamming 3), where the cap silently refuses ~99.8% of true
     pairs -- simhash_cap_stats surfaces exactly that (est coverage
-    ~0.003 there); check it before trusting capped pair output, and
-    use the cluster/keeper operators for dense families.
+    ~0.003 there); use the cluster/keeper operators for dense
+    families.
+
+    COVERAGE-FLOOR GUARD (VERDICT r11 #5 -- the blind regime must not
+    be silent): when a cap is set, the cap-stats estimate is computed
+    up front (one narrow aggregation over the same (segment, doc)
+    projection the candidate join shuffles; an eager job at
+    plan-build time) and compared to `coverage_floor`. Below the
+    floor the call RAISES SimhashCoverageError by default, pointing
+    at the routing rule; `on_low_coverage="warn"` downgrades to a
+    loud RuntimeWarning for callers that register the capped form
+    deliberately as a priced demonstration next to its
+    uncapped/wide/routed twins (the suite does). Pass
+    `coverage_floor=None` only where measuring the cap's refusal IS
+    the point (the cross-family calibration report).
     """
+    if max_bucket is not None and coverage_floor is not None:
+        row = simhash_cap_stats(df, text_col, max_hamming, bits, max_bucket).collect()[0]
+        cov = float(row["est_pair_coverage"])
+        if cov < coverage_floor:
+            msg = (
+                f"simhash_near_dup_pairs: capped pair plan is nearly blind on "
+                f"this corpus (est_pair_coverage={cov:.4f} < floor "
+                f"{coverage_floor}, {int(row['dropped_buckets'])}/"
+                f"{int(row['n_buckets'])} buckets over max_bucket={max_bucket} "
+                f"at bits={bits}). Pair emission is the wrong operator for a "
+                f"density-degenerate family: route to the cluster/keeper path "
+                f"(simhash_dedup_keepers) or widen the key (bits=60); see the "
+                f"SCALE.md simhash routing rule."
+            )
+            if on_low_coverage == "warn":
+                import warnings
+
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
+            else:
+                raise SimhashCoverageError(msg)
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
     fp = simhash(df, text_col, bits)
@@ -2262,6 +2307,45 @@ def semdedup_keepers_multiprobe(
     return _semdedup_select_keepers(scored, pairs)
 
 
+def semdedup_exact_first(
+    emb_df: DataFrame,
+    threshold: float = 0.5,
+    cluster_col: str = "label",
+    nprobe: int = 3,
+) -> DataFrame:
+    """The dedup-ladder contract as ONE executable plan (VERDICT r11
+    #3): EXACT dedup first, the semantic stage on the residue.
+    SemDeDup's pair stage is pair-set-sized, and byte-identical
+    copies make the tau>=0.5 pair set itself quadratic (the measured
+    16.45x replica row in SCALE.md -- any pair-emitting dedup pays
+    it); the production answer is the ladder every curation pipeline
+    runs (cf. the exact -> fuzzy -> semantic staging in corpus
+    curation writeups): a LINEAR groupBy collapses byte-identical
+    vectors to their min-vec_id representative, and the registered
+    multiprobe SemDeDup (tau-routed coverage-honest point: tau=0.5,
+    nprobe=3) sees only the exact residue, where tau=0.5 pairs are
+    sparse (14 in 2M at sf0.1).
+
+    Output: the semantic keepers over the residue, same schema as
+    semdedup_near_dup (vec_id, cluster, group_size, centroid_cos) --
+    group_size counts SEMANTIC group members among exact
+    representatives; the exact stage's absorbed copies are simply
+    not rows (the same contract dedup_keepers has for its collapsed
+    exact twins).
+
+    Scale shape: the exact stage is one hash aggregation keyed on the
+    raw vector bytes (the only stage that shuffles full vectors --
+    the same cost any exact content dedup pays) + a min-id semi-join
+    back; the semantic stage inherits semdedup_keepers_multiprobe's
+    shape with replica-degenerate cells already collapsed, so its
+    per-cell pair mass is the residue's, not the corpus's."""
+    keep_ids = emb_df.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    residue = emb_df.join(keep_ids.select("vec_id"), "vec_id", "semi")
+    return semdedup_keepers_multiprobe(
+        residue, threshold=threshold, cluster_col=cluster_col, nprobe=nprobe
+    )
+
+
 def embedding_near_dup_pairs(emb_df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-dup pairs (doc_a < doc_b, cos >= threshold).
 
@@ -2323,7 +2407,11 @@ def dedup_family_agreement(
     report itself is at most 2^families rows."""
     members = [
         ("minhash", minhash_lsh_pairs(df, text_col, threshold=minhash_threshold, max_bucket=max_bucket)),
-        ("simhash", simhash_near_dup_pairs(df, text_col, max_hamming=max_hamming, max_bucket=max_bucket)),
+        # coverage_floor=None: measuring what the caps refuse is this
+        # report's PURPOSE (a large minhash-only cell on a capped run
+        # is the signal); the guard would turn the measurement into
+        # an error
+        ("simhash", simhash_near_dup_pairs(df, text_col, max_hamming=max_hamming, max_bucket=max_bucket, coverage_floor=None)),
         ("containment", containment_pairs(df, threshold=containment_threshold, max_bucket=max_bucket, text_col=text_col)),
     ]
     if include_embedding:

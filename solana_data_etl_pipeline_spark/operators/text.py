@@ -542,15 +542,34 @@ def hybrid_rank(
         "doc_id", F.col("rank").alias("lex_rank")
     )
     enc = hash_embed(df, text_col=text_col).localCheckpoint(eager=False)
-    qdf = df.sparkSession.createDataFrame(
+    sem = _semantic_rank(enc, query_terms, k)
+    return _rrf_fuse(lex, sem, k, rrf_k)
+
+
+def _semantic_rank(corpus_vecs: DataFrame, query_terms: list[str], k: int) -> DataFrame:
+    """The semantic member route shared by hybrid_rank and its indexed
+    form: encode the query text with the registered hash_embed
+    encoder (query_id -1, so no corpus doc is self-excluded) and
+    probe the corpus vectors with the bucketed knn_lsh plan. Returns
+    (doc_id, sem_rank)."""
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_lsh
+
+    qdf = corpus_vecs.sparkSession.createDataFrame(
         [(-1, " ".join(query_terms))], "doc_id long, text string"
     )
     qvec = hash_embed(qdf).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    sem = knn_lsh(enc, qvec, k=k).select(
+    return knn_lsh(corpus_vecs, qvec, k=k).select(
         F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
     )
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame, k: int, rrf_k: int) -> DataFrame:
+    """Reciprocal-rank fusion of the two member top-k frames (both
+    <=k rows): full outer join on doc_id, absent-from-a-list
+    contributes 0, fused score rounded 6 dp, top-k by (score DESC,
+    doc_id)."""
     fused = lex.join(sem, "doc_id", "full")
     score = F.round(
         F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
@@ -562,6 +581,38 @@ def hybrid_rank(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def hybrid_rank_indexed(
+    spark,
+    index_path: str,
+    corpus_vecs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """hybrid_rank answered from STORED ingest-time artifacts -- the
+    production shape of the fusion (VERDICT r11 #4): the lexical
+    member reads only the query terms' pruned posting partitions of
+    the materialized inverted index (bm25_rank_indexed -- result
+    pinned identical to the scan form through the shared oracle) and
+    the semantic member probes a stored hash_embed corpus layout
+    (`corpus_vecs`: the (vec_id, embedding) parquet written once at
+    ingest cadence) instead of re-encoding the corpus per query.
+    Result-identical to hybrid_rank on the same corpus: parquet
+    stores the encoder's doubles exactly, BM25's integer-ppm scores
+    are aggregation-order-free, and the fusion is the same shared
+    _rrf_fuse tail (pinned by test + the shared oracle).
+
+    Scale shape: query cost is the terms' posting lists (pruned scan)
+    plus the LSH bucket probe over the stored vectors -- neither
+    member rescans or re-encodes the corpus; the fusion joins two
+    <=k-row frames."""
+    lex = bm25_rank_indexed(spark, index_path, query_terms, top_k=k).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = _semantic_rank(corpus_vecs, query_terms, k)
+    return _rrf_fuse(lex, sem, k, rrf_k)
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 5) -> DataFrame:
@@ -1322,12 +1373,34 @@ def bpe_encode(
     piece counts; the training loop itself never touches the corpus
     after the one word-count pass (see bpe_train)."""
     _, syms = _bpe_loop(df, n_merges, text_col)
-    vocab = syms.select("w", F.size("s").cast("long").alias("_wp"))
+    vocab = syms.select("w", F.size("s").cast("long").alias("n_pieces"))
+    return bpe_encode_with_vocab(df, vocab, text_col)
+
+
+def bpe_encode_with_vocab(
+    df: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """bpe_encode's corpus half against an ALREADY-TRAINED symbol
+    table: `vocab` is (w, n_pieces) -- the per-word piece count the
+    trained tokenizer produces, i.e. exactly what a stored merges.txt
+    artifact determines for each vocabulary word. This is the
+    production split (train once at ingest cadence, encode per run):
+    the suite's bpe_train/bpe_encode entries probe a per-sf stored
+    vocab parquet instead of re-running the 8-round training DAG
+    twice per pass (ADVICE r11), with the cold train cost benched
+    separately as `bpe_train_build`. Parquet stores (string, long)
+    exactly, so the stored-vocab path is value-identical to the
+    inline training (oracles replay the training either way).
+
+    Scale shape: one corpus token explode joined to the
+    vocabulary-sized table on `w` (no hint -- vocabulary can outgrow
+    a broadcast at corpus scale; AQE still elects broadcast when the
+    vocab measures small), then one per-doc aggregation."""
     tok = df.select(
         "doc_id", F.explode(tokens_col(text_col)).alias("w")
     ).filter(F.col("w") != "")
     return (
-        tok.join(vocab, "w")
+        tok.join(vocab.select("w", F.col("n_pieces").alias("_wp")), "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1405,6 +1478,21 @@ def _bpe_loop(
             )
             .localCheckpoint(eager=False)
         )
+        if top.isEmpty():
+            # Adjacent pairs can run dry before n_merges (all
+            # single-symbol words, or a tiny vocabulary fully merged).
+            # Without this guard the empty argmax crossJoin collapses
+            # `syms` to an empty frame, so bpe_encode's vocabulary
+            # join silently drops the whole corpus -- and the unrolled
+            # SQL replay collapses identically, so oracle parity
+            # cannot catch it. Stop at the last valid state instead:
+            # the merge table simply carries < n_merges rows (an empty
+            # frame with the contract schema if round 1 is already
+            # dry). isEmpty() materializes the lazy checkpoint that
+            # the downstream stages would have materialized anyway.
+            if merge_rows is None:
+                merge_rows = top
+            break
         merge_rows = top if merge_rows is None else merge_rows.unionByName(top)
         # apply the merge: position rows + match flags, islands of
         # consecutive matches (only possible when lhs == rhs),

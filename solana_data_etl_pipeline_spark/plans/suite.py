@@ -749,6 +749,63 @@ def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: stored hash_embed corpus layouts keyed by sf_dir -- the encoder
+#: output (vec_id, embedding) as a parquet side table, written once
+#: per process per sf (the _cluster_member stance: encoding is an
+#: ingest-time artifact; hybrid_rank_indexed's semantic member probes
+#: it instead of re-encoding the corpus per query -- VERDICT r11 #4).
+#: Parquet stores the encoder's doubles exactly, so the stored path
+#: is value-identical to inline hash_embed.
+_HASH_EMBED_LAYOUT: dict[str, str] = {}
+
+
+def _hash_embed_dir(spark: SparkSession, sf_dir: str) -> str:
+    path = _HASH_EMBED_LAYOUT.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="hash_embed_layout_")
+        X.hash_embed(docs).write.mode("overwrite").parquet(path)
+        _HASH_EMBED_LAYOUT[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+#: trained-BPE artifact dirs keyed by sf_dir -- merges/ (the learned
+#: merge table, bpe_train's contract frame) and vocab/ (per-word
+#: piece counts, the encoder bpe_encode_with_vocab joins). One
+#: training run per process per sf (cold cost = bench
+#: `bpe_train_build`); both suite entries probe the stored layout
+#: (ADVICE r11: registering train + encode inline executed the
+#: 8-round training DAG twice per pass). Parquet stores the
+#: (string, int/long) columns exactly, so the stored path is
+#: value-identical to inline training -- the oracles replay all 8
+#: merge rounds from the corpus and stay green either way.
+_BPE_LAYOUT: dict[str, str] = {}
+
+
+def _bpe_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    path = _BPE_LAYOUT.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges, syms = X._bpe_loop(docs, n_merges=8)
+        path = tempfile.mkdtemp(prefix="bpe_layout_")
+        merges.write.mode("overwrite").parquet(f"{path}/merges")
+        syms.select(
+            "w", F.size("s").cast("long").alias("n_pieces")
+        ).write.mode("overwrite").parquet(f"{path}/vocab")
+        _BPE_LAYOUT[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 TEXT_QUERIES: dict[str, QueryFn] = {
     # doc_features fuses the five per-doc projections (token counts,
     # BPE-ish counts, quality signals, language ID, fingerprints) into
@@ -798,6 +855,21 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # hybrid retrieval: RRF fusion of bm25_rank and the hash_embed ->
     # knn_lsh semantic route for the SAME query terms
     "hybrid_rank": _docs(lambda df: X.hybrid_rank(df, _BM25_TERMS)),
+    # the production composition: both members answered from STORED
+    # ingest-time artifacts (bm25_indexed's pruned postings + the
+    # per-sf hash_embed layout) -- result pinned IDENTICAL to the
+    # scan-form fusion via the shared oracle + a row-identity test
+    # (VERDICT r11 #4: hybrid_rank was the heaviest window entry
+    # because it re-encoded the corpus and re-derived BM25 stats per
+    # probe)
+    "hybrid_rank_indexed": (
+        lambda spark, sf_dir: X.hybrid_rank_indexed(
+            spark,
+            _bm25_index_dir(spark, sf_dir),
+            spark.read.parquet(_hash_embed_dir(spark, sf_dir)),
+            _BM25_TERMS,
+        )
+    ),
     "corpus_selection": C.corpus_selection,
     # the full curation pipeline composed end-to-end: gates + exact
     # keepers + cluster-decontaminated split + temperature mix +
@@ -1156,11 +1228,29 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # round maximizes (top adjacent character pairs, occurrence-weighted)
     "bpe_merge_stats": _docs(X.bpe_merge_stats),
     # the full iterative BPE trainer (bpe_merge_stats is one round):
-    # 8 learned merges over the frequency-weighted word vocabulary
-    "bpe_train": _docs(X.bpe_train),
+    # 8 learned merges over the frequency-weighted word vocabulary.
+    # Both entries probe the per-sf stored training artifact
+    # (_bpe_layout_dir -- merges table + per-word piece counts), the
+    # materialized-index stance every other ingest-time artifact
+    # here takes: training runs ONCE per process per sf (cold cost =
+    # bench `bpe_train_build`) instead of the 8-round DAG executing
+    # twice per suite pass (ADVICE r11). Value-identical to inline
+    # training (parquet-exact strings/longs); the oracles replay the
+    # full training from the corpus.
+    "bpe_train": (
+        lambda spark, sf_dir: spark.read.parquet(
+            f"{_bpe_layout_dir(spark, sf_dir)}/merges"
+        )
+    ),
     # ...and its downstream half: encode the corpus with the learned
-    # tokenizer (per-doc piece counts + integer-bp fertility)
-    "bpe_encode": _docs(X.bpe_encode),
+    # tokenizer (per-doc piece counts + integer-bp fertility) via the
+    # stored vocabulary join (operators/text.py bpe_encode_with_vocab)
+    "bpe_encode": (
+        lambda spark, sf_dir: X.bpe_encode_with_vocab(
+            load_table(spark, sf_dir, "documents"),
+            spark.read.parquet(f"{_bpe_layout_dir(spark, sf_dir)}/vocab"),
+        )
+    ),
     # vocab-based numericalization: frequency-ranked ids, 0 = unk
     "tokenize_corpus": _docs(lambda df: X.tokenize_corpus(df, vocab_size=200)),
     # C4 line-level cleaning (the synthetic corpus has no sentence
@@ -2104,6 +2194,10 @@ SELECT doc_id, lex_rank, sem_rank,
              + coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf_score
 FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
 """.replace("{BM25}", TEXT_SQL["bm25_rank"])
+# the indexed composition is pinned result-identical to the scan-form
+# fusion (same contract as bm25_indexed/bm25_rank): ONE oracle grades
+# both registrations
+TEXT_SQL["hybrid_rank_indexed"] = TEXT_SQL["hybrid_rank"]
 
 TEXT_SQL["dsir_scores"] = f"""
 WITH tok AS (
@@ -2360,16 +2454,22 @@ ORDER BY pair_count DESC, lhs, rhs
 LIMIT 50
 """
 
-def _bpe_train_sql(n_merges: int = 8) -> str:
-    """Unrolled replay of text.bpe_train: the (word, count) table,
-    character-level symbol arrays, then per merge round the weighted
-    pair count, the (count DESC, lhs, rhs) argmax, and the
-    left-greedy merge application via the same gaps-and-islands
-    windows the Spark operator runs (consecutive matched positions
-    form a run -- only possible when lhs == rhs -- and greedy keeps
-    even offsets from each run's start). DuckDB's 1-based positions
-    vs Spark's 0-based posexplode cancel out: only parity of
-    (pos - run start) and the lag/lead adjacency matter."""
+def _bpe_sql_parts(n_merges: int = 8) -> tuple[str, str]:
+    """Unrolled replay of text.bpe_train as COMPOSABLE parts: the
+    rendered CTE chain (word counts, character-level symbol arrays,
+    then per merge round the weighted pair count, the (count DESC,
+    lhs, rhs) argmax, and the left-greedy merge application via the
+    same gaps-and-islands windows the Spark operator runs --
+    consecutive matched positions form a run, only possible when
+    lhs == rhs, and greedy keeps even offsets from each run's start)
+    and, separately, the train oracle's UNION-of-argmaxes tail.
+    DuckDB's 1-based positions vs Spark's 0-based posexplode cancel
+    out: only parity of (pos - run start) and the lag/lead adjacency
+    matter. Returning (ctes, union) lets _bpe_train_sql and
+    _bpe_encode_sql compose each oracle from the SAME rendered chain
+    instead of string-splitting one rendered statement (ADVICE r11:
+    the split silently produced malformed SQL on any reformat of the
+    union tail)."""
     parts = [
         r"""wcnt AS (
   SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
@@ -2420,7 +2520,14 @@ def _bpe_train_sql(n_merges: int = 8) -> str:
         f"SELECT rank, lhs, rhs, merged, pair_count FROM t{t}"
         for t in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return "WITH " + ",\n".join(parts), union
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """bpe_train's oracle: the rendered CTE chain plus the
+    UNION-of-argmaxes tail (one row per merge round)."""
+    ctes, union = _bpe_sql_parts(n_merges)
+    return ctes + "\n" + union
 
 
 def _bpe_encode_sql(n_merges: int = 8) -> str:
@@ -2429,10 +2536,7 @@ def _bpe_encode_sql(n_merges: int = 8) -> str:
     only on the word), then the vocabulary join onto the exploded
     corpus tokens and the per-doc piece-count rollup with the
     integer-bp fertility floor."""
-    chain = _bpe_train_sql(n_merges)
-    # _bpe_train_sql ends with the UNION of t{t} selects; strip it and
-    # append the encode tail instead
-    head = chain.split("\nSELECT rank, lhs")[0]
+    head, _ = _bpe_sql_parts(n_merges)
     return f"""{head},
 vsz AS (SELECT w, CAST(list_count(s) AS BIGINT) AS wp FROM s{n_merges}),
 tok AS (
@@ -3031,9 +3135,19 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": _docs(lambda df: D.ngram_jaccard_pairs(df, threshold=0.2)),
     "simhash_fingerprints": _docs(D.simhash),
     # hamming<=3 pairs via 4-segment pigeonhole; the oracle reproduces
-    # the identical capped-bucket candidate set
+    # the identical capped-bucket candidate set. On THIS corpus the
+    # 32-bit capped form is nearly blind (est coverage ~0.003,
+    # measured every round as BENCH cap_coverage.simhash) -- it stays
+    # registered DELIBERATELY as the priced demonstration next to its
+    # uncapped / wide / routed twins, and the operator's
+    # coverage-floor guard (VERDICT r11 #5) is downgraded to a loud
+    # RuntimeWarning here so the blind regime is never silent: a
+    # caller lifting this registration verbatim gets the warning (the
+    # default, on_low_coverage="raise", refuses to run blind).
     "simhash_near_dup": _docs(
-        lambda df: D.simhash_near_dup_pairs(df, max_hamming=3, max_bucket=DEDUP_MAX_BUCKET)
+        lambda df: D.simhash_near_dup_pairs(
+            df, max_hamming=3, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn"
+        )
     ),
     # the key-width dial registered: 60-bit fingerprints (15-bit
     # segments) keep the pigeonhole bucket DOMAIN growing with
@@ -3041,9 +3155,12 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # domain saturates to zero by 100x (measured, SCALE.md "Cap
     # coverage UNDER SCALE"); hamming<=3 at 60 bits is also the
     # stricter (production) similarity bar
+    # (same guard stance: the wide form's capped coverage on this
+    # dense synthetic corpus is ~0.015 -- warn, never silent)
     "simhash_near_dup_wide": _docs(
         lambda df: D.simhash_near_dup_pairs(
-            df, max_hamming=3, bits=60, max_bucket=DEDUP_MAX_BUCKET
+            df, max_hamming=3, bits=60, max_bucket=DEDUP_MAX_BUCKET,
+            on_low_coverage="warn",
         )
     ),
     # LSH-bucketed candidates + exact-cosine verify: the scale path.
@@ -3278,6 +3395,16 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # semantics (the _scaled form), near-dup tau = this form.
     "semdedup_near_dup": (
         lambda spark, sf_dir: D.semdedup_keepers_multiprobe(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.5, nprobe=3
+        )
+    ),
+    # the dedup-ladder contract as a registered plan (VERDICT r11
+    # #3): exact dedup absorbs byte-identical copies BEFORE the
+    # semantic stage, so the replica-degenerate quadratic pair set
+    # never forms (the 16.45x SCALE.md row's mitigation, now
+    # oracle-checked instead of prose)
+    "semdedup_exact_first": (
+        lambda spark, sf_dir: D.semdedup_exact_first(
             load_table(spark, sf_dir, "embeddings"), threshold=0.5, nprobe=3
         )
     ),
@@ -4361,7 +4488,12 @@ DEDUP_SQL["semdedup_keepers_scaled"] = _semdedup_sql(f"""e AS (
 # only: each probe cell splits by the vector's 4 leading sign-LSH
 # sub-bits (the same _P4 literal matrix as semdedup_keepers_scaled;
 # probe ranking and keeper scoring keep the unrefined centroids).
-def _semdedup_mp_sql(refined: bool = False, tau: float = 0.30, nprobe: int = 2) -> str:
+def _semdedup_mp_sql(
+    refined: bool = False,
+    tau: float = 0.30,
+    nprobe: int = 2,
+    exact_first: bool = False,
+) -> str:
     if refined:
         probes = f"""sb AS (
   SELECT vec_id, CAST(list_sum([CASE WHEN list_dot_product(m4[p+1], v) >= 0
@@ -4375,9 +4507,16 @@ probes AS (
 )"""
     else:
         probes = f"probes AS (SELECT vec_id, pcl FROM pr WHERE rn <= {nprobe})"
+    src = (
+        """keep AS (SELECT min(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS cl
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM keep))"""
+        if exact_first
+        else """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            CAST(label AS BIGINT) AS cl FROM embeddings)"""
+    )
     return f"""
-WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                            CAST(label AS BIGINT) AS cl FROM embeddings),
+WITH RECURSIVE {src},
 cd AS (
   SELECT cl, i AS dim, round(avg(v[CAST(i AS INT)]), 6) AS cv
   FROM e, UNNEST(range(1, 65)) AS u(i)
@@ -4411,6 +4550,16 @@ DEDUP_SQL["semdedup_multiprobe_scaled"] = _semdedup_mp_sql(refined=True)
 # same CTE body at tau=0.5, nprobe=3, no refine bits -- see the
 # registration comment for the measured grid behind the choice.
 DEDUP_SQL["semdedup_near_dup"] = _semdedup_mp_sql(tau=0.5, nprobe=3)
+# The LADDER composition (VERDICT r11 #3): exact dedup (min-vec_id per
+# byte-identical vector, a linear groupBy) feeding the SAME tau-routed
+# semantic stage -- the registered, oracle-checked form of the
+# replica-degeneracy mitigation SCALE.md documents (byte-identical
+# copies make the tau>=0.5 pair set itself quadratic; the exact stage
+# absorbs them, so the semantic stage prices ~linear under the 10x
+# replica protocol).
+DEDUP_SQL["semdedup_exact_first"] = _semdedup_mp_sql(
+    tau=0.5, nprobe=3, exact_first=True
+)
 
 # Incremental embedding dedup: bucket CTEs shared with the embedding
 # pair/keeper oracles; corpus-side rows capped (mirroring the capped
@@ -5409,73 +5558,71 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
-# ROUND-12 ROTATION PLAN (execute at the START of round 12, before
-# any other work). The r11 window is the heaviest rotation ever run
-# (all 13 late-r10 registrants + the A7/A10/A12 robin landed at
-# once), so r12 is a FRESHNESS round: rotate IN the longest-out
-# greens for re-verdicts -- by last-green round: dedup_keepers r5,
-# knn_ivf_materialized r4, corpus_curation r6, merge_dim_wallets r4,
-# corpus_curation_v2 r8, gopher_quality / c4_clean / tokenize_pack /
-# simhash_dedup_keepers / the four *_cap_stats r8 -- plus the
-# A-query robin A1-A4/A5/A6 twins aging past two rounds
-# (transaction_volume / hourly_volume / active_programs /
-# wallet_activity / program_trends last verdict r10 -> fine through
-# r12; top_tokens / failed_tranactions r10 likewise) and the late-r11
-# registrants that land without a verdict (`semdedup_near_dup` -- the
-# tau-routed coverage-honest operating point; `knn_ivf_mrl` -- the
-# dimension-truncation rung; `bpe_train` / `bpe_encode` -- the
-# iterative tokenizer trainer and its corpus encoding;
-# `media_near_dup_subkey` -- the hot-key-proof blocking form pinned
-# result-identical through the shared oracle; all
-# oracle-swept on every test run). Rotate OUT the heaviest
-# newly-verdicted r11 entries once their CORRECTNESS_r11 rows are
-# green -- corpus_topic_map (~11 s solo), cluster_prune_keepers
-# (~9 s), knn_ivf_pq, knn_ivf_int8 -- plus light r11 robin entries
-# as needed to keep the solo suite under the 87.6 s gate. Keep
-# DRIVER_ORDER at exactly 50; everything rotated out stays
-# DuckDB-swept on every test run by tests/test_oracle_parity.py.
+# ROUND-13 ROTATION PLAN (execute at the START of round 13, before
+# any other work). STANDING RULE (VERDICT r11 #2): no entry's driver
+# verdict ages past ~6 rounds -- each round returns 3-5 of the
+# longest-out greens alongside any never-verdicted registrants.
+# For r13: rotate IN the A7/A10/A12 robin (token_transfer_stats /
+# top_errors / top_wallets, verdicted r11 -> due r13 per the
+# two-round A-query cadence) and the next oldest stale greens from
+# the r2-r8 era (candidates by last verdict: price_percentiles r2-4,
+# order_cube, customer_order_ranks, corpus_curation_v2 r8,
+# gopher_quality / c4_clean / tokenize_pack / simhash_dedup_keepers /
+# the four *_cap_stats r8), plus any r12 registrant that lands
+# without a verdict. Rotate OUT the heaviest newly-verdicted r12
+# entries (semdedup_exact_first, hybrid_rank_indexed,
+# semdedup_near_dup, media_near_dup_subkey are the candidates) and
+# light verdicted robin entries as needed. Keep DRIVER_ORDER at
+# exactly 50; everything rotated out stays DuckDB-swept on every
+# test run by tests/test_oracle_parity.py.
 DRIVER_ORDER = [
-    # --- ROUND-11 ROTATION (executed per the r10 in-file plan +
-    #     VERDICT r10 #1): the 13 late-r10 registrants that never had
-    #     a driver verdict (all oracle-swept at sf0.001 on every test
-    #     run by tests/test_oracle_parity.py; this is their sf0.01
-    #     CORRECTNESS gate), heaviest plans first. Rotated OUT per
-    #     VERDICT r10 #1/#2 (weight rebalance): the heavy verdicted
-    #     r10 greens dedup_family_agreement_full (8.19 s solo),
-    #     allocation_report (5.95 s), corpus_curation_v4 (5.78 s),
-    #     knn_ivf_kmeans (4.37 s), semdedup_multiprobe_scaled
-    #     (2.69 s), quality_gate_agreement (2.57 s), media_bmp_stats
-    #     (2.11 s), the light r10 robin top_tokens /
-    #     failed_transactions / tokenizer_fertility / fim_split /
-    #     fim_render / denoise_render / epoch_expand, plus bm25_rank
-    #     (0.70 s -- superseded in-window by bm25_indexed, which pins
-    #     the IDENTICAL result through the same oracle) and
-    #     media_wav_stats (2.63 s -- the media family stays
-    #     represented by media_stats / media_avi_stats and the new
-    #     dedup ladder pair). ---
-    "corpus_topic_map",
-    "cluster_prune_keepers",
-    "knn_ivf_pq",
-    "knn_ivf_int8",
-    "media_near_dup",
+    # --- ROUND-12 ROTATION (executed per the r11 in-file plan +
+    #     VERDICT r11 #1/#2/#3/#4): the 5 late-r11 registrants that
+    #     never had a driver verdict (semdedup_near_dup / knn_ivf_mrl
+    #     / bpe_train / bpe_encode / media_near_dup_subkey) plus the
+    #     two NEW r12 compositions -- semdedup_exact_first (the
+    #     dedup-ladder contract as an oracle-checked plan, VERDICT
+    #     r11 #3) and hybrid_rank_indexed (both fusion members
+    #     answered from stored ingest artifacts, VERDICT r11 #4,
+    #     result pinned identical to hybrid_rank through the shared
+    #     oracle). Rotated OUT per VERDICT r11 #1 (newly-verdicted
+    #     r11 greens, heaviest first): corpus_topic_map,
+    #     cluster_prune_keepers, knn_ivf_pq, knn_ivf_int8,
+    #     media_near_dup (its subkey twin stays, sharing the oracle
+    #     verbatim), hybrid_rank (9.1 s solo -- superseded in-window
+    #     by the indexed form), cms_heavy_hitters, corpus_drift,
+    #     unimax_allocation, source_scorecard, oov_rate, and the
+    #     A7/A10/A12 robin (token_transfer_stats / top_errors /
+    #     top_wallets, verdicted r11 -> due back r13). ---
+    "semdedup_exact_first",
+    "hybrid_rank_indexed",
+    "semdedup_near_dup",
+    "knn_ivf_mrl",
+    "media_near_dup_subkey",
     "media_exact_dups",
-    "hybrid_rank",
-    "cms_heavy_hitters",
-    "corpus_drift",
-    "bm25_indexed",
-    "unimax_allocation",
-    "source_scorecard",
-    "oov_rate",
-    # --- reference A-query round-robin (VERDICT r10 #4): A7
-    #     token_transfer_stats + A10 top_errors + A12 top_wallets
-    #     back in (last driver rows r9; no reference query ages
-    #     beyond two rounds). ---
-    "token_transfer_stats",
-    "top_errors",
-    "top_wallets",
+    "bpe_train",
+    "bpe_encode",
+    # --- reference A-query round-robin (VERDICT r11 #7): A8
+    #     top_tokens + A9 failed_transactions back in (last driver
+    #     rows r10; no reference query ages beyond two rounds;
+    #     reference src/analytics.rs:459-473,495-533). ---
+    "top_tokens",
+    "failed_transactions",
+    # --- stale-green re-verdict robin (VERDICT r11 #2, restarting
+    #     the skipped r10 #8): the oldest capability-critical greens
+    #     -- merge_dim_wallets (last verdict r4), knn_ivf_materialized
+    #     (r7), dedup_keepers (r7), corpus_curation (r7), and
+    #     sales_rollup as the r2-era relational representative. ---
+    "merge_dim_wallets",
+    "knn_ivf_materialized",
+    "dedup_keepers",
+    "corpus_curation",
+    "sales_rollup",
     # --- kept greens: the exposure/observability family stays
     #     represented by the containment probe; simhash keeps its
-    #     capped-vs-wide comparison pair. ---
+    #     capped-vs-wide comparison pair (both now behind the loud
+    #     coverage-floor guard, VERDICT r11 #5). ---
+    "bm25_indexed",
     "simhash_near_dup_wide",
     "contamination_report",
     "delta_containment_exposure",

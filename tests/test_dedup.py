@@ -479,10 +479,28 @@ def test_cap_stats_fire_on_dense_corpus(spark):
     assert tight.dropped_buckets > 0
     assert tight.est_pair_coverage < 0.5
     assert tight.candidate_pairs_kept < tight.candidate_pairs_uncapped
-    # and the capped pair op really does emit fewer pairs than exist
-    n_capped = D.simhash_near_dup_pairs(df, max_bucket=10).count()
+    # the coverage-floor guard (VERDICT r11 #5): running the capped
+    # pair op blind on this corpus RAISES by default...
+    with pytest.raises(D.SimhashCoverageError, match="routing rule"):
+        D.simhash_near_dup_pairs(df, max_bucket=10).count()
+    # ...warns loudly when the caller registers the capped form as a
+    # priced demonstration...
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        n_capped = D.simhash_near_dup_pairs(
+            df, max_bucket=10, on_low_coverage="warn"
+        ).count()
+    assert any("nearly blind" in str(w.message) for w in caught)
+    # ...and the capped pair op really does emit fewer pairs than exist
     n_true = D.simhash_bruteforce_pairs(df).count()
     assert n_capped < n_true
+    # a non-degenerate cap passes the guard silently
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        D.simhash_near_dup_pairs(df, max_bucket=100_000).count()
+    assert not [w for w in caught2 if issubclass(w.category, RuntimeWarning)]
 
     loose = D.simhash_cap_stats(df, max_bucket=100_000).collect()[0]
     assert loose.dropped_buckets == 0
@@ -863,6 +881,52 @@ def test_semdedup_near_dup_operating_point(spark):
     # tau=0.5 one) and the orthogonal vectors all survive alone
     for vid in (2, 6, 7):
         assert vid in out and out[vid].group_size == 1
+
+
+def test_semdedup_exact_first_absorbs_replicas(spark):
+    """The registered ladder composition (suite semdedup_exact_first):
+    byte-identical copies are absorbed by the LINEAR exact stage
+    before the semantic pair scan ever sees them -- the quadratic
+    replica pair set never forms -- and the semantic stage on the
+    residue behaves exactly like semdedup_near_dup. Planted: vec 1
+    replicated 4x byte-identically (ids 1,10,11,12), plus the
+    operating-point scenario's cross-cluster near-dup (5) and
+    non-dups (2,6,7)."""
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_exact_first,
+        semdedup_keepers_multiprobe,
+    )
+
+    base = [
+        (1, _vec64(1.0, 0.01), 1),
+        (2, _vec64(0.3, 0.0, 0.0, 0.954), 1),
+        (5, _vec64(1.0, 0.00), 2),
+        (6, _vec64(0.0, 1.0), 2),
+        (7, _vec64(0.0, 0.0, 1.0), 3),
+    ]
+    replicas = [(rid, base[0][1], lab) for rid, lab in ((10, 1), (11, 2), (12, 3))]
+    df = spark.createDataFrame(
+        base + replicas, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in
+           semdedup_exact_first(df, threshold=0.5, nprobe=3).collect()}
+    # no replica id survives OR appears in any group: the exact stage
+    # collapsed 10/11/12 onto vec 1 before the semantic stage
+    assert not {10, 11, 12} & set(out)
+    # the residue behaves like the operating-point test: exactly one
+    # of the near-dup pair (1, 5) survives, counting 2 semantic members
+    kept_pair = [i for i in (1, 5) if i in out]
+    assert len(kept_pair) == 1 and out[kept_pair[0]].group_size == 2
+    for vid in (2, 6, 7):
+        assert vid in out and out[vid].group_size == 1
+    # on a frame with NO byte-identical copies the composition is
+    # row-identical to the plain multiprobe form
+    nodup = spark.createDataFrame(base, "vec_id long, embedding array<float>, label int")
+    a = {(r.vec_id, r.cluster, r.group_size) for r in
+         semdedup_exact_first(nodup, threshold=0.5, nprobe=3).collect()}
+    b = {(r.vec_id, r.cluster, r.group_size) for r in
+         semdedup_keepers_multiprobe(nodup, threshold=0.5, nprobe=3).collect()}
+    assert a == b
 
 
 def test_semdedup_refine_bits_only_splits_groups(spark):

@@ -720,6 +720,42 @@ def test_bpe_encode_piece_counts_and_fertility(spark):
     assert got[2].n_bpe_learned == 2 and got[2].n_chars == 4
 
 
+def test_bpe_train_dry_corpus_stops_early(spark):
+    """ADVICE r11: when adjacent pairs run dry before n_merges the
+    loop must stop at the last valid state, not collapse `syms`
+    through an empty argmax crossJoin. All-single-char words are dry
+    from round 1: train returns an EMPTY merge table (contract
+    schema) and encode still covers every document (each word is its
+    own single symbol)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c a")], "doc_id long, text string"
+    )
+    trained = X.bpe_train(df, n_merges=4)
+    assert trained.columns == ["rank", "lhs", "rhs", "merged", "pair_count"]
+    assert trained.count() == 0
+    got = {r.doc_id: r for r in X.bpe_encode(df, n_merges=4).collect()}
+    assert set(got) == {1, 2}
+    for r in got.values():
+        assert (r.n_words, r.n_chars, r.n_bpe_learned) == (3, 3, 3)
+
+
+def test_bpe_train_partial_dry_keeps_learned_merges(spark):
+    """A vocabulary that fully merges mid-run keeps the merges it
+    learned: 'ab ab' learns (a,b) in round 1, runs dry in round 2
+    (every word is the single symbol 'ab'), and encode applies the
+    1-merge tokenizer (1 piece per word) instead of dropping the
+    corpus."""
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in X.bpe_train(df, n_merges=5).orderBy("rank").collect()
+    ]
+    assert got == [(1, "a", "b", "ab", 2)]
+    r = X.bpe_encode(df, n_merges=5).collect()[0]
+    assert (r.n_words, r.n_chars, r.n_bpe_learned) == (2, 4, 2)
+    assert r.fertility_bp == 4 * 10000 // 2
+
+
 def test_bpe_train_left_greedy_self_overlap(spark):
     """A run of identical symbols merges left-greedily: 'aaaa' x2 and
     'aaa' -> round 1 merges (a,a) with count 2*3 + 2 = 8 (every
@@ -1920,6 +1956,38 @@ def test_bm25_indexed_identical_to_scan_form(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-empty"):
         X.bm25_rank_indexed(spark, path, [])
+
+
+def test_hybrid_rank_indexed_identical_to_scan_form(spark, tmp_path):
+    """The stored-artifact fusion (pruned bm25 postings + a written
+    hash_embed corpus layout) returns EXACTLY the scan-form
+    hybrid_rank rows: parquet stores the encoder's doubles exactly
+    and BM25's integer-ppm scores are order-free, so amortizing the
+    corpus-side work changes no values (VERDICT r11 #4)."""
+    rows = []
+    for i in range(40):
+        terms = "alpha beta" if i % 2 == 0 else "gamma delta"
+        filler = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append((i, f"{terms} {filler}", "en", "s", 50))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    q = ["alpha", "beta"]
+    idx = str(tmp_path / "inv")
+    X.materialize_inverted_index(docs, idx)
+    vec_path = str(tmp_path / "vecs")
+    X.hash_embed(docs).write.parquet(vec_path)
+    scan = [
+        (r.doc_id, r.lex_rank, r.sem_rank, r.rrf_score)
+        for r in X.hybrid_rank(docs, q, k=10).collect()
+    ]
+    stored = [
+        (r.doc_id, r.lex_rank, r.sem_rank, r.rrf_score)
+        for r in X.hybrid_rank_indexed(
+            spark, idx, spark.read.parquet(vec_path), q, k=10
+        ).collect()
+    ]
+    assert scan == stored and scan  # identical, non-vacuous
 
 
 def test_oov_rate_hand_model(spark):

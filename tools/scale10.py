@@ -129,6 +129,14 @@ HEAVY = [
     "knn_ivf_mrl",
     "bpe_train",
     "bpe_encode",
+    # round-12 registrants: the ladder composition (the replica-
+    # degeneracy mitigation -- semdedup_near_dup's 16.45x row should
+    # read ~linear here because the exact stage absorbs the
+    # byte-identical replicas this protocol plants) and the
+    # stored-artifact fusion
+    "semdedup_exact_first",
+    "hybrid_rank_indexed",
+    "media_near_dup_subkey",
 ]
 
 
