@@ -586,7 +586,7 @@ def _rrf_fuse(lex: DataFrame, sem: DataFrame, k: int, rrf_k: int) -> DataFrame:
 def hybrid_rank_indexed(
     spark,
     index_path: str,
-    corpus_vecs: DataFrame,
+    lsh_index_rows: DataFrame,
     query_terms: list[str],
     k: int = 10,
     rrf_k: int = 60,
@@ -596,22 +596,35 @@ def hybrid_rank_indexed(
     member reads only the query terms' pruned posting partitions of
     the materialized inverted index (bm25_rank_indexed -- result
     pinned identical to the scan form through the shared oracle) and
-    the semantic member probes a stored hash_embed corpus layout
-    (`corpus_vecs`: the (vec_id, embedding) parquet written once at
-    ingest cadence) instead of re-encoding the corpus per query.
+    the semantic member probes a stored LSH bucket index over the
+    hash_embed corpus vectors (`lsh_index_rows`: the exploded
+    (vec_id, c_emb, c_norm, table, bucket) parquet
+    similarity.materialize_lsh_rows writes once at ingest cadence)
+    instead of re-encoding and re-bucketing the corpus per query.
     Result-identical to hybrid_rank on the same corpus: parquet
-    stores the encoder's doubles exactly, BM25's integer-ppm scores
-    are aggregation-order-free, and the fusion is the same shared
-    _rrf_fuse tail (pinned by test + the shared oracle).
+    stores the encoder's doubles and norms exactly, the query side
+    buckets with the same fixed plane matrices, BM25's integer-ppm
+    scores are aggregation-order-free, and the fusion is the same
+    shared _rrf_fuse tail (pinned by test + the shared oracle).
 
     Scale shape: query cost is the terms' posting lists (pruned scan)
-    plus the LSH bucket probe over the stored vectors -- neither
-    member rescans or re-encodes the corpus; the fusion joins two
-    <=k-row frames."""
+    plus the index rows in the probed buckets -- neither member
+    rescans, re-encodes, or re-buckets the corpus; the fusion joins
+    two <=k-row frames."""
+    from solana_data_etl_pipeline_spark.operators.similarity import knn_lsh_indexed
+
     lex = bm25_rank_indexed(spark, index_path, query_terms, top_k=k).select(
         "doc_id", F.col("rank").alias("lex_rank")
     )
-    sem = _semantic_rank(corpus_vecs, query_terms, k)
+    qdf = lsh_index_rows.sparkSession.createDataFrame(
+        [(-1, " ".join(query_terms))], "doc_id long, text string"
+    )
+    qvec = hash_embed(qdf).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = knn_lsh_indexed(lsh_index_rows, qvec, k=k).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
     return _rrf_fuse(lex, sem, k, rrf_k)
 
 

@@ -749,27 +749,30 @@ def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-#: stored hash_embed corpus layouts keyed by sf_dir -- the encoder
-#: output (vec_id, embedding) as a parquet side table, written once
-#: per process per sf (the _cluster_member stance: encoding is an
-#: ingest-time artifact; hybrid_rank_indexed's semantic member probes
-#: it instead of re-encoding the corpus per query -- VERDICT r11 #4).
-#: Parquet stores the encoder's doubles exactly, so the stored path
-#: is value-identical to inline hash_embed.
-_HASH_EMBED_LAYOUT: dict[str, str] = {}
+#: stored text-corpus LSH bucket indexes keyed by sf_dir -- hash_embed
+#: run once over the documents, then the exploded (vec_id, c_emb,
+#: c_norm, table, bucket) rows written as a parquet side table
+#: (similarity.materialize_lsh_rows: the classic bucket->members LSH
+#: table layout). Written once per process per sf (the
+#: _cluster_member stance: encoding AND bucketing are ingest-time
+#: artifacts; hybrid_rank_indexed's semantic member probes the index
+#: instead of re-encoding and re-bucketing the corpus per query --
+#: VERDICT r11 #4). Parquet stores the doubles exactly, so the probe
+#: is value-identical to the inline knn_lsh form.
+_TEXT_LSH_INDEX: dict[str, str] = {}
 
 
-def _hash_embed_dir(spark: SparkSession, sf_dir: str) -> str:
-    path = _HASH_EMBED_LAYOUT.get(sf_dir)
+def _text_lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    path = _TEXT_LSH_INDEX.get(sf_dir)
     if path is None:
         import atexit
         import shutil
         import tempfile
 
         docs = load_table(spark, sf_dir, "documents")
-        path = tempfile.mkdtemp(prefix="hash_embed_layout_")
-        X.hash_embed(docs).write.mode("overwrite").parquet(path)
-        _HASH_EMBED_LAYOUT[sf_dir] = path
+        path = tempfile.mkdtemp(prefix="text_lsh_index_")
+        V.materialize_lsh_rows(X.hash_embed(docs), path)
+        _TEXT_LSH_INDEX[sf_dir] = path
         atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
@@ -857,16 +860,16 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     "hybrid_rank": _docs(lambda df: X.hybrid_rank(df, _BM25_TERMS)),
     # the production composition: both members answered from STORED
     # ingest-time artifacts (bm25_indexed's pruned postings + the
-    # per-sf hash_embed layout) -- result pinned IDENTICAL to the
-    # scan-form fusion via the shared oracle + a row-identity test
-    # (VERDICT r11 #4: hybrid_rank was the heaviest window entry
-    # because it re-encoded the corpus and re-derived BM25 stats per
-    # probe)
+    # per-sf LSH bucket index over the hash_embed vectors) -- result
+    # pinned IDENTICAL to the scan-form fusion via the shared oracle
+    # + a row-identity test (VERDICT r11 #4: hybrid_rank was the
+    # heaviest window entry because it re-encoded and re-bucketed the
+    # corpus and re-derived BM25 stats per probe)
     "hybrid_rank_indexed": (
         lambda spark, sf_dir: X.hybrid_rank_indexed(
             spark,
             _bm25_index_dir(spark, sf_dir),
-            spark.read.parquet(_hash_embed_dir(spark, sf_dir)),
+            spark.read.parquet(_text_lsh_index_dir(spark, sf_dir)),
             _BM25_TERMS,
         )
     ),

@@ -157,6 +157,27 @@ def test_multi_table_lsh_beats_single_table_on_planted_near_dups(spark):
     assert r1 >= 0.5 * len(truth)
 
 
+def test_knn_lsh_indexed_identical_to_inline(emb, queries, tmp_path):
+    """The stored bucket index (materialize_lsh_rows) probed by
+    knn_lsh_indexed returns EXACTLY the inline knn_lsh rows: the
+    query side buckets with the same fixed plane matrices and parquet
+    stores the corpus vectors/norms exactly, so moving the corpus-side
+    encode+bucket work to ingest changes no values."""
+    path = str(tmp_path / "lsh_rows")
+    V.materialize_lsh_rows(emb, path)
+    inline = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in V.knn_lsh(emb, queries, k=K).collect()
+    )
+    stored = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in V.knn_lsh_indexed(
+            emb.sparkSession.read.parquet(path), queries, k=K
+        ).collect()
+    )
+    assert inline == stored and inline  # identical, non-vacuous
+
+
 def test_knn_lsh_multi_table_candidates_superset_and_dedup(emb, queries):
     """More tables -> more candidates (union), and a neighbor found by
     several tables appears exactly once in the output."""

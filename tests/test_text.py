@@ -1960,10 +1960,16 @@ def test_bm25_indexed_identical_to_scan_form(spark, tmp_path):
 
 def test_hybrid_rank_indexed_identical_to_scan_form(spark, tmp_path):
     """The stored-artifact fusion (pruned bm25 postings + a written
-    hash_embed corpus layout) returns EXACTLY the scan-form
-    hybrid_rank rows: parquet stores the encoder's doubles exactly
-    and BM25's integer-ppm scores are order-free, so amortizing the
-    corpus-side work changes no values (VERDICT r11 #4)."""
+    LSH bucket index over the hash_embed vectors) returns EXACTLY the
+    scan-form hybrid_rank rows: parquet stores the encoder's doubles
+    and norms exactly, the query buckets with the same fixed plane
+    matrices, and BM25's integer-ppm scores are order-free, so
+    amortizing the corpus-side work changes no values (VERDICT r11
+    #4)."""
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        materialize_lsh_rows,
+    )
+
     rows = []
     for i in range(40):
         terms = "alpha beta" if i % 2 == 0 else "gamma delta"
@@ -1975,8 +1981,8 @@ def test_hybrid_rank_indexed_identical_to_scan_form(spark, tmp_path):
     q = ["alpha", "beta"]
     idx = str(tmp_path / "inv")
     X.materialize_inverted_index(docs, idx)
-    vec_path = str(tmp_path / "vecs")
-    X.hash_embed(docs).write.parquet(vec_path)
+    lsh_path = str(tmp_path / "lsh")
+    materialize_lsh_rows(X.hash_embed(docs), lsh_path)
     scan = [
         (r.doc_id, r.lex_rank, r.sem_rank, r.rrf_score)
         for r in X.hybrid_rank(docs, q, k=10).collect()
@@ -1984,7 +1990,7 @@ def test_hybrid_rank_indexed_identical_to_scan_form(spark, tmp_path):
     stored = [
         (r.doc_id, r.lex_rank, r.sem_rank, r.rrf_score)
         for r in X.hybrid_rank_indexed(
-            spark, idx, spark.read.parquet(vec_path), q, k=10
+            spark, idx, spark.read.parquet(lsh_path), q, k=10
         ).collect()
     ]
     assert scan == stored and scan  # identical, non-vacuous
