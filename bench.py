@@ -186,6 +186,32 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     twins["bpe_train_build"] = round(statistics.median(samples), 3)
 
+    # the semdedup keeper layouts the suite entries probe are likewise
+    # ingest-cadence artifacts (dedup runs once per corpus snapshot;
+    # consumers read keepers) -- their cold computation+write costs
+    # are timed here so the amortization hides nothing. The ladder
+    # composition's build is measured beside the plain form's: the
+    # exact stage's extra groupBy is the price of replica immunity
+    # (SCALE.md round-12: 21.3x -> 1.21x under 10x replicas).
+    from solana_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_exact_first as _sef_build,
+        semdedup_keepers_multiprobe as _smp_build,
+    )
+
+    _emb_sd = _lt(spark, sf_dir, "embeddings")
+    for tag, build in (
+        ("semdedup_build", lambda: _smp_build(_emb_sd, threshold=0.5, nprobe=3)),
+        ("semdedup_exact_first_build", lambda: _sef_build(_emb_sd, threshold=0.5, nprobe=3)),
+    ):
+        samples = []
+        for _ in range(RUNS):
+            d = tempfile.mkdtemp(prefix="semdedup_build_bench_")
+            t0 = time.perf_counter()
+            build().write.mode("overwrite").parquet(d)
+            samples.append(time.perf_counter() - t0)
+            shutil.rmtree(d, ignore_errors=True)
+        twins[tag] = round(statistics.median(samples), 3)
+
     # measured recall of the approximate plans against their exact
     # twins (non-graded, like the twin timings): turns the analytic
     # 1-(1-p^b)^L claims in operators/similarity.py into per-round
