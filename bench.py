@@ -71,6 +71,26 @@ def main() -> None:
     # entry's timed region (+8 s). Cross-round comparisons should
     # therefore compare per-query medians at the SAME window position
     # (or standalone) before attributing drift to code.
+    #
+    # r12 ADDITION -- the fix that DOES work: one untimed warm pass
+    # over the window first. It (a) builds every per-sf ingest
+    # artifact (semdedup keeper layouts, bm25 postings, LSH bucket
+    # index, BPE vocab, cluster membership -- their cold costs are
+    # the *_build twins below, so the timed loop should measure the
+    # PROBE shape the registry documents, not smear one-time builds
+    # into first samples) and (b) pays expression JIT once; then ONE
+    # SparkContext restart clears the accumulated executor state the
+    # builds leave behind (localCheckpoint blocks, shuffle files --
+    # the drag class above) while the JVM's codegen cache survives.
+    # Unlike the per-entry System.gc()/gc.collect() attempts, the
+    # restart happens OUTSIDE any timed region, exactly once.
+    for name in DRIVER_ORDER:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.stop()
+    spark = get_spark("bench-window")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
     timings: dict[str, float] = {}
     for name in DRIVER_ORDER:
         fn = qs[name]
