@@ -5608,8 +5608,10 @@ def all_oracle_sql() -> dict[str, str]:
 # gopher_quality / c4_clean / tokenize_pack / simhash_dedup_keepers /
 # the four *_cap_stats r8), plus any r12 registrant that lands
 # without a verdict. Rotate OUT the heaviest newly-verdicted r12
-# entries (semdedup_exact_first, hybrid_rank_indexed,
-# semdedup_near_dup, media_near_dup_subkey are the candidates) and
+# entries -- by BENCH_SOLO_r12 weight: knn_ivf_mrl 6.0 s (inline
+# 16-dim Lloyd fit), corpus_curation 5.2 s, hybrid_rank_indexed
+# 4.4 s, dedup_keepers 3.3 s, media_near_dup_subkey 2.2 s (the
+# amortized semdedup pair is now <=0.5 s and cheap to keep) -- and
 # light verdicted robin entries as needed. Keep DRIVER_ORDER at
 # exactly 50; everything rotated out stays DuckDB-swept on every
 # test run by tests/test_oracle_parity.py.
