@@ -5596,72 +5596,85 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
-# ROUND-13 ROTATION PLAN (execute at the START of round 13, before
-# any other work). STANDING RULE (VERDICT r11 #2): no entry's driver
-# verdict ages past ~6 rounds -- each round returns 3-5 of the
-# longest-out greens alongside any never-verdicted registrants.
-# For r13: rotate IN the A7/A10/A12 robin (token_transfer_stats /
-# top_errors / top_wallets, verdicted r11 -> due r13 per the
-# two-round A-query cadence) and the next oldest stale greens from
-# the r2-r8 era (candidates by last verdict: price_percentiles r2-4,
-# order_cube, customer_order_ranks, corpus_curation_v2 r8,
-# gopher_quality / c4_clean / tokenize_pack / simhash_dedup_keepers /
-# the four *_cap_stats r8), plus any r12 registrant that lands
-# without a verdict. Rotate OUT the heaviest newly-verdicted r12
-# entries -- by BENCH_SOLO_r12 weight: knn_ivf_mrl 6.0 s (inline
-# 16-dim Lloyd fit), corpus_curation 5.2 s, hybrid_rank_indexed
-# 4.4 s, dedup_keepers 3.3 s, media_near_dup_subkey 2.2 s (the
-# amortized semdedup pair is now <=0.5 s and cheap to keep) -- and
-# light verdicted robin entries as needed. Keep DRIVER_ORDER at
-# exactly 50; everything rotated out stays DuckDB-swept on every
-# test run by tests/test_oracle_parity.py.
+# STANDING RULE (VERDICT r11 #2, cadence recalibrated r13 per
+# VERDICT r12 #2): the stale-green re-verdict robin returns 12-18
+# of the longest-out greens per round, oldest first, alongside any
+# never-verdicted registrants -- at that pace the measured <=r8
+# backlog (84 live entries after r12; 69 after the r13 rotation
+# below) clears in ~4-5 rounds, after which no verdict should age
+# past ~4 rounds (174 oracle entries / ~15 returns per round + the
+# ~32 standing keeps). The r11-era "3-5/round, ~6 rounds" numbers
+# were arithmetically unachievable and are superseded.
+# ROUND-14 ROTATION PLAN (execute at the START of round 14):
+# rotate IN the A8/A9 robin (top_tokens / failed_transactions,
+# verdicted r12 -> due r14 per the two-round A-query cadence;
+# reference src/analytics.rs:459-473,495-533), A7/A10/A12 go back
+# out after their r13 verdicts, and the next 12-15 oldest stale
+# greens by live-registry last-verdict: the r4 cohort
+# (pack_sequences, pii_stats, salted_session_stats, weighted_mix),
+# the r5 cohort (dedup_exact, label_centroids, simhash_fingerprints,
+# stratified_sample), then the oldest r6 entries (asof_attribution,
+# daily_volume_trend, event_funnel, hourly_gapfill,
+# inactive_customers, language_stats, nation_trade_balance ...).
+# Rotate OUT the heaviest newly-verdicted r13 entries by
+# BENCH_SOLO_r13 weight plus light verdicted robin returns (the 15
+# r2/r3 relational entries below all leave after their r13
+# verdicts). Keep DRIVER_ORDER at exactly 50; keep exactly ONE of
+# the semdedup pair (semdedup_exact_first / semdedup_near_dup) in
+# every window (VERDICT r12 #5 -- they share the multiprobe chain;
+# both 10x replica rows stay in every BENCH_SOLO regardless);
+# everything rotated out stays DuckDB-swept on every test run by
+# tests/test_oracle_parity.py.
 DRIVER_ORDER = [
-    # --- ROUND-12 ROTATION (executed per the r11 in-file plan +
-    #     VERDICT r11 #1/#2/#3/#4): the 5 late-r11 registrants that
-    #     never had a driver verdict (semdedup_near_dup / knn_ivf_mrl
-    #     / bpe_train / bpe_encode / media_near_dup_subkey) plus the
-    #     two NEW r12 compositions -- semdedup_exact_first (the
-    #     dedup-ladder contract as an oracle-checked plan, VERDICT
-    #     r11 #3) and hybrid_rank_indexed (both fusion members
-    #     answered from stored ingest artifacts, VERDICT r11 #4,
-    #     result pinned identical to hybrid_rank through the shared
-    #     oracle). Rotated OUT per VERDICT r11 #1 (newly-verdicted
-    #     r11 greens, heaviest first): corpus_topic_map,
-    #     cluster_prune_keepers, knn_ivf_pq, knn_ivf_int8,
-    #     media_near_dup (its subkey twin stays, sharing the oracle
-    #     verbatim), hybrid_rank (9.1 s solo -- superseded in-window
-    #     by the indexed form), cms_heavy_hitters, corpus_drift,
-    #     unimax_allocation, source_scorecard, oov_rate, and the
-    #     A7/A10/A12 robin (token_transfer_stats / top_errors /
-    #     top_wallets, verdicted r11 -> due back r13). ---
+    # --- ROUND-13 ROTATION (executed per the r12 in-file plan +
+    #     VERDICT r12 #1/#2/#5): IN -- the A7/A10/A12 robin
+    #     (token_transfer_stats / top_errors / top_wallets, verdicted
+    #     r11 -> due r13 per the two-round A-query cadence; reference
+    #     src/analytics.rs:406-438,536-549,619-633) plus the WIDENED
+    #     stale-green robin (VERDICT r12 #2): the entire live r2
+    #     relational cohort (11 entries, last driver verdict r2) and
+    #     the r3 cohort (4 entries, last verdict r3) -- 15 light
+    #     returns that drop the <=r8 backlog 84 -> 69. OUT -- the 5
+    #     heaviest newly-verdicted r12 entries by BENCH_SOLO_r12
+    #     weight (knn_ivf_mrl 6.0 s, corpus_curation 5.2 s,
+    #     hybrid_rank_indexed 4.4 s, dedup_keepers 3.3 s,
+    #     media_near_dup_subkey 2.2 s) and 13 light r12-verdicted
+    #     greens (semdedup_near_dup -- its exact-first composition
+    #     twin stays, VERDICT r12 #5; top_tokens + failed_transactions
+    #     -- A8/A9 due back r14; merge_dim_wallets,
+    #     knn_ivf_materialized, sales_rollup, media_exact_dups,
+    #     bpe_train, bpe_encode, mixture_waterfill, epoch_plan,
+    #     corpus_selection, corpus_card). ---
     "semdedup_exact_first",
-    "hybrid_rank_indexed",
-    "semdedup_near_dup",
-    "knn_ivf_mrl",
-    "media_near_dup_subkey",
-    "media_exact_dups",
-    "bpe_train",
-    "bpe_encode",
-    # --- reference A-query round-robin (VERDICT r11 #7): A8
-    #     top_tokens + A9 failed_transactions back in (last driver
-    #     rows r10; no reference query ages beyond two rounds;
-    #     reference src/analytics.rs:459-473,495-533). ---
-    "top_tokens",
-    "failed_transactions",
-    # --- stale-green re-verdict robin (VERDICT r11 #2, restarting
-    #     the skipped r10 #8): the oldest capability-critical greens
-    #     -- merge_dim_wallets (last verdict r4), knn_ivf_materialized
-    #     (r7), dedup_keepers (r7), corpus_curation (r7), and
-    #     sales_rollup as the r2-era relational representative. ---
-    "merge_dim_wallets",
-    "knn_ivf_materialized",
-    "dedup_keepers",
-    "corpus_curation",
-    "sales_rollup",
+    # --- reference A-query round-robin (A7/A10/A12 back in; last
+    #     driver rows r11). ---
+    "token_transfer_stats",
+    "top_errors",
+    "top_wallets",
+    # --- widened stale-green robin: the r2 relational cohort (last
+    #     verdict r2 -- big_spenders ... user_sessions) then the r3
+    #     cohort (last verdict r3). All light (0.2-1.3 s at r2-era
+    #     weights); every one stays DuckDB-swept between verdicts. ---
+    "big_spenders",
+    "customer_order_ranks",
+    "daily_purchase_vs_error",
+    "late_shipment_priority",
+    "nation_revenue_share",
+    "price_percentiles",
+    "repeat_buyers",
+    "revenue_change",
+    "segment_order_stats",
+    "shipping_priority",
+    "user_sessions",
+    "lineitem_measures_unpivot",
+    "price_tier_distribution",
+    "region_revenue",
+    "small_quantity_revenue",
     # --- kept greens: the exposure/observability family stays
     #     represented by the containment probe; simhash keeps its
-    #     capped-vs-wide comparison pair (both now behind the loud
-    #     coverage-floor guard, VERDICT r11 #5). ---
+    #     capped-vs-wide comparison pair (both behind the loud
+    #     coverage-floor guard, generalized to every capped family
+    #     in r13 per VERDICT r12 #3). ---
     "bm25_indexed",
     "simhash_near_dup_wide",
     "contamination_report",
@@ -5670,13 +5683,10 @@ DRIVER_ORDER = [
     "corpus_diversity",
     "minhash_calibration",
     "stratified_holdout",
-    "corpus_card",
     "denoising_spans",
     "pack_boundaries",
     "length_buckets",
     "canary_registry",
-    "mixture_waterfill",
-    "epoch_plan",
     "shard_manifest",
     "simhash_near_dup",
     # --- core dedup/similarity/media suite ---
@@ -5700,7 +5710,6 @@ DRIVER_ORDER = [
     "rollup_exact_users",
     # --- text corpus suite (rotated-out greens all stay DuckDB-swept
     #     by tests/test_oracle_parity on every run) ---
-    "corpus_selection",
     "benchmark_contamination",
 ]
 
