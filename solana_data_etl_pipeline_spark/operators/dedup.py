@@ -294,6 +294,8 @@ def minhash_lsh_pairs(
     num_hashes: int = MINHASH_HASHES,
     bands: int = MINHASH_BANDS,
     max_bucket: int | None = None,
+    coverage_floor: float | None = 0.5,
+    on_low_coverage: str = "raise",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact verify.
 
@@ -309,14 +311,32 @@ def minhash_lsh_pairs(
     signature, can dominate the whole job at corpus scale). Capped
     buckets trade recall for a bounded worst case; exact duplicates
     lost this way are caught by the cheap exact_duplicates pass.
-    The truncation is OBSERVABLE: minhash_cap_stats reports dropped
-    buckets + estimated pair coverage over the identical band
-    buckets -- run it whenever a capped corpus's density is unknown
-    (coverage ~0 means pair emission is the wrong operator for that
-    family; route to the cluster/keeper path).
+    The truncation is OBSERVABLE two ways: minhash_cap_stats reports
+    dropped buckets + estimated pair coverage over the identical band
+    buckets, and a capped call is GUARDED by the shared
+    coverage-floor check (check_cap_coverage, VERDICT r12 #3) --
+    below `coverage_floor` it raises CapCoverageError by default
+    (`on_low_coverage="warn"` for registered demos;
+    `coverage_floor=None` opts out where measuring refusal is the
+    point, e.g. deliberately tiny caps in cap-behavior tests).
+    Doc-global content keys hold coverage ~1.0 at every measured
+    scale (SCALE.md), so this family's guard is expected to stay
+    silent -- it exists so a corpus where that stops being true
+    cannot be processed blind.
     """
     from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
 
+    if max_bucket is not None and coverage_floor is not None:
+        check_cap_coverage(
+            df,
+            lambda: minhash_cap_stats(df, text_col, num_hashes, bands, max_bucket),
+            (text_col, num_hashes, bands, max_bucket),
+            family="minhash_lsh_pairs",
+            coverage_floor=coverage_floor,
+            on_low_coverage=on_low_coverage,
+            max_bucket=max_bucket,
+            route_hint="route to the cluster/keeper path (dedup_keepers)",
+        )
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, num_hashes)
     b = _band_rows(sigs, bands, rows)
@@ -694,14 +714,107 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     return hashed.select("doc_id", fp.alias("simhash"))
 
 
-class SimhashCoverageError(RuntimeError):
-    """Raised when a capped simhash pair plan is in the
+class CapCoverageError(RuntimeError):
+    """Raised when a capped pair-emitting plan is in the
     density-degenerate regime (estimated pair coverage below the
     caller's floor): the cap would silently refuse nearly all true
     pairs, so pair emission is the wrong operator for this corpus --
-    route dense families to the cluster/keeper path
-    (simhash_dedup_keepers) or widen the key (bits=60). See the
-    SCALE.md routing rule."""
+    route dense families to the cluster/keeper path or (for families
+    with a width dial) widen the key. Applies uniformly to every
+    capped LSH family here (minhash bands, simhash segments, winnow
+    fingerprints, embedding hyperplane buckets) -- the VERDICT r12
+    generalization of the r12 simhash-only guard. See the SCALE.md
+    routing rule."""
+
+
+class SimhashCoverageError(CapCoverageError):
+    """Simhash-family CapCoverageError (the original r12 guard --
+    kept as a subclass so existing handlers keep catching it): route
+    dense families to simhash_dedup_keepers or widen the key
+    (bits=60)."""
+
+
+#: (plan semantic hash, family, params...) -> (est_pair_coverage,
+#: dropped_buckets, n_buckets). The guard's cap-stats aggregation is
+#: corpus-scale work; computing it on EVERY plan construction made
+#: each timed bench sample of a capped entry pay roughly double
+#: (ADVICE r12). The semantic hash of the ANALYZED logical plan is
+#: stable across re-built identical FILE reads (bench re-invokes a
+#: registered query callable per sample, producing a fresh DataFrame
+#: object over the same scan), so each unique (corpus, params) pays
+#: the stats job exactly once per process. Rebuilt createDataFrame
+#: LocalRelations hash fresh each time (new attribute ids) and
+#: simply re-pay the job -- correct either way, cached where it
+#: matters.
+_CAP_GUARD_CACHE: dict[tuple, tuple[float, int, int]] = {}
+
+
+def _guard_plan_key(df: DataFrame):
+    """Cache key for the coverage guard: the semantic hash of the
+    frame's analyzed logical plan; falls back to id(df) for frames
+    that cannot be analyzed (never expected in practice)."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return id(df)
+
+
+def check_cap_coverage(
+    df: DataFrame,
+    stats_thunk,
+    params_key: tuple,
+    *,
+    family: str,
+    coverage_floor: float,
+    on_low_coverage: str,
+    max_bucket: int,
+    route_hint: str,
+    error_cls: type = CapCoverageError,
+) -> None:
+    """COVERAGE-FLOOR GUARD shared by every capped pair-emitting
+    family (VERDICT r12 #3 -- a registry caller must not be able to
+    silently run a near-blind capped plan): compare the family's
+    cap-stats estimate (candidate-pair coverage over the exact
+    buckets the candidate join shuffles) against `coverage_floor`,
+    raising `error_cls` by default and downgrading to a loud
+    RuntimeWarning for callers that register the capped form
+    deliberately as a priced demonstration (`on_low_coverage="warn"`).
+
+    The estimate is ONE narrow aggregation over the same bucket
+    projection the join shuffles -- but it is corpus-scale work, so
+    it is computed once per (analyzed-plan semantic hash, params) and
+    cached for the life of the process (ADVICE r12: the previous
+    eager per-construction collect doubled every timed bench sample
+    of a capped entry). First construction per unique corpus+params
+    still pays the job eagerly at plan-build time; that is the
+    contract -- the guard must fire before a caller can act on a
+    blind plan."""
+    key = (_guard_plan_key(df), family) + params_key
+    cached = _CAP_GUARD_CACHE.get(key)
+    if cached is None:
+        row = stats_thunk().collect()[0]
+        cached = (
+            float(row["est_pair_coverage"]),
+            int(row["dropped_buckets"]),
+            int(row["n_buckets"]),
+        )
+        _CAP_GUARD_CACHE[key] = cached
+    cov, dropped, n_buckets = cached
+    if cov >= coverage_floor:
+        return
+    msg = (
+        f"{family} capped pair plan is nearly blind on this corpus "
+        f"(est_pair_coverage={cov:.4f} < floor {coverage_floor}, "
+        f"{dropped}/{n_buckets} buckets over max_bucket={max_bucket}). "
+        f"Pair emission is the wrong operator for a density-degenerate "
+        f"family: {route_hint}; see the SCALE.md routing rule."
+    )
+    if on_low_coverage == "warn":
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    else:
+        raise error_cls(msg)
 
 
 def simhash_near_dup_pairs(
@@ -734,38 +847,33 @@ def simhash_near_dup_pairs(
     families.
 
     COVERAGE-FLOOR GUARD (VERDICT r11 #5 -- the blind regime must not
-    be silent): when a cap is set, the cap-stats estimate is computed
-    up front (one narrow aggregation over the same (segment, doc)
-    projection the candidate join shuffles; an eager job at
-    plan-build time) and compared to `coverage_floor`. Below the
-    floor the call RAISES SimhashCoverageError by default, pointing
-    at the routing rule; `on_low_coverage="warn"` downgrades to a
-    loud RuntimeWarning for callers that register the capped form
+    be silent; generalized to every capped family via
+    check_cap_coverage in r13, with the estimate cached per
+    plan+params per ADVICE r12): when a cap is set, the cap-stats
+    estimate is compared to `coverage_floor`. Below the floor the
+    call RAISES SimhashCoverageError by default, pointing at the
+    routing rule; `on_low_coverage="warn"` downgrades to a loud
+    RuntimeWarning for callers that register the capped form
     deliberately as a priced demonstration next to its
     uncapped/wide/routed twins (the suite does). Pass
     `coverage_floor=None` only where measuring the cap's refusal IS
     the point (the cross-family calibration report).
     """
     if max_bucket is not None and coverage_floor is not None:
-        row = simhash_cap_stats(df, text_col, max_hamming, bits, max_bucket).collect()[0]
-        cov = float(row["est_pair_coverage"])
-        if cov < coverage_floor:
-            msg = (
-                f"simhash_near_dup_pairs: capped pair plan is nearly blind on "
-                f"this corpus (est_pair_coverage={cov:.4f} < floor "
-                f"{coverage_floor}, {int(row['dropped_buckets'])}/"
-                f"{int(row['n_buckets'])} buckets over max_bucket={max_bucket} "
-                f"at bits={bits}). Pair emission is the wrong operator for a "
-                f"density-degenerate family: route to the cluster/keeper path "
-                f"(simhash_dedup_keepers) or widen the key (bits=60); see the "
-                f"SCALE.md simhash routing rule."
-            )
-            if on_low_coverage == "warn":
-                import warnings
-
-                warnings.warn(msg, RuntimeWarning, stacklevel=2)
-            else:
-                raise SimhashCoverageError(msg)
+        check_cap_coverage(
+            df,
+            lambda: simhash_cap_stats(df, text_col, max_hamming, bits, max_bucket),
+            (text_col, max_hamming, bits, max_bucket),
+            family="simhash_near_dup_pairs",
+            coverage_floor=coverage_floor,
+            on_low_coverage=on_low_coverage,
+            max_bucket=max_bucket,
+            route_hint=(
+                "route to the cluster/keeper path (simhash_dedup_keepers) "
+                f"or widen the key (bits=60, got bits={bits})"
+            ),
+            error_cls=SimhashCoverageError,
+        )
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
     fp = simhash(df, text_col, bits)
@@ -1167,6 +1275,8 @@ def leakage_free_split(
     max_bucket: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    coverage_floor: float | None = 0.5,
+    on_low_coverage: str = "raise",
 ) -> DataFrame:
     """Deterministic train/val split WITH cross-split near-dup
     decontamination: docs are split by the consistent hash-mod rule
@@ -1194,7 +1304,14 @@ def leakage_free_split(
     labeled = df.select(
         id_col, F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split")
     )
-    pairs = minhash_lsh_pairs(df, text_col=text_col, threshold=threshold, max_bucket=max_bucket)
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        coverage_floor=coverage_floor,
+        on_low_coverage=on_low_coverage,
+    )
     return decontaminate_split(labeled, pairs, id_col=id_col)
 
 
@@ -1211,14 +1328,18 @@ def containment_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = CONTAINMENT_MAX_BUCKET,
     text_col: str = "text",
+    coverage_floor: float | None = 0.5,
+    on_low_coverage: str = "raise",
 ) -> DataFrame:
     """CAPPED BY DEFAULT since round 7: max_bucket defaults to
     CONTAINMENT_MAX_BUCKET (64), not None -- results are approximate
     (measured recall 0.926 at sf0.1; every miss root-caused to the
     cap, uncapped recall 1.000). Callers who relied on the former
-    exact default must pass max_bucket=None; use winnow_cap_stats on
-    the same corpus to measure what the cap drops before trusting a
-    capped run.
+    exact default must pass max_bucket=None; a capped run is guarded
+    by the shared winnow coverage-floor check (see
+    winnow_overlap_pairs -- raises CapCoverageError below
+    `coverage_floor`, "warn" for registered demos), and
+    winnow_cap_stats measures what the cap drops in detail.
 
     Near-SUBSET duplicate pairs by shingle CONTAINMENT
     (|A∩B| / min(|A|,|B|) >= threshold, Broder's containment): the
@@ -1249,7 +1370,12 @@ def containment_pairs(
     from solana_data_etl_pipeline_spark.operators.text import winnow_overlap_pairs
 
     cand = winnow_overlap_pairs(
-        df, min_shared=1, max_bucket=max_bucket, text_col=text_col
+        df,
+        min_shared=1,
+        max_bucket=max_bucket,
+        text_col=text_col,
+        coverage_floor=coverage_floor,
+        on_low_coverage=on_low_coverage,
     ).select("doc_a", "doc_b")
     sh = _shingle_sets(df, text_col).hint("merge")
     a, b = sh.alias("sa"), sh.alias("sb")
@@ -1586,6 +1712,8 @@ def embedding_near_dup_lsh(
     threshold: float = 0.95,
     max_bucket: int | None = None,
     n_tables: int = 2,
+    coverage_floor: float | None = 0.5,
+    on_low_coverage: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via MULTI-TABLE random-
     hyperplane LSH bucketing + exact-cosine verify (vec_a < vec_b,
@@ -1606,7 +1734,13 @@ def embedding_near_dup_lsh(
     before the self-join (same quadratic-degenerate-bucket defense as
     minhash_lsh_pairs -- e.g. an all-zeros embedding cluster);
     embedding_cap_stats reports what the cap drops over the identical
-    buckets.
+    buckets, and a capped call is GUARDED by the shared
+    coverage-floor check (check_cap_coverage, VERDICT r12 #3 -- the
+    measured sf0.1 coverage sits at 0.52, just above the default 0.5
+    floor, so this family is the one the guard watches most closely:
+    8-plane bucket domains are FIXED, and coverage saturates toward
+    zero as the corpus outgrows them; see SCALE.md "Cap coverage
+    UNDER SCALE").
     """
     from solana_data_etl_pipeline_spark.operators.similarity import (
         _dvec,
@@ -1615,6 +1749,21 @@ def embedding_near_dup_lsh(
         table_bucket_col,
     )
     from solana_data_etl_pipeline_spark.operators.similarity import LSH_PLANES
+
+    if max_bucket is not None and coverage_floor is not None:
+        check_cap_coverage(
+            emb_df,
+            lambda: embedding_cap_stats(emb_df, n_tables, max_bucket),
+            (n_tables, max_bucket),
+            family="embedding_near_dup_lsh",
+            coverage_floor=coverage_floor,
+            on_low_coverage=on_low_coverage,
+            max_bucket=max_bucket,
+            route_hint=(
+                "route to the cluster/keeper path (semdedup_keepers / "
+                "embedding_dedup_keepers)"
+            ),
+        )
 
     buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
     v = emb_df.select(
@@ -2405,14 +2554,14 @@ def dedup_family_agreement(
     set -- never all-pairs); their outputs are pairs-sized frames, so
     the agreement rollup shuffles only (doc_a, doc_b, flags) and the
     report itself is at most 2^families rows."""
+    # coverage_floor=None on EVERY member: measuring what the caps
+    # refuse is this report's PURPOSE (a large family-only cell on a
+    # capped run is the signal); the guard would turn the measurement
+    # into an error
     members = [
-        ("minhash", minhash_lsh_pairs(df, text_col, threshold=minhash_threshold, max_bucket=max_bucket)),
-        # coverage_floor=None: measuring what the caps refuse is this
-        # report's PURPOSE (a large minhash-only cell on a capped run
-        # is the signal); the guard would turn the measurement into
-        # an error
+        ("minhash", minhash_lsh_pairs(df, text_col, threshold=minhash_threshold, max_bucket=max_bucket, coverage_floor=None)),
         ("simhash", simhash_near_dup_pairs(df, text_col, max_hamming=max_hamming, max_bucket=max_bucket, coverage_floor=None)),
-        ("containment", containment_pairs(df, threshold=containment_threshold, max_bucket=max_bucket, text_col=text_col)),
+        ("containment", containment_pairs(df, threshold=containment_threshold, max_bucket=max_bucket, text_col=text_col, coverage_floor=None)),
     ]
     if include_embedding:
         from solana_data_etl_pipeline_spark.operators.text import hash_embed
@@ -2424,6 +2573,7 @@ def dedup_family_agreement(
                     hash_embed(df, text_col=text_col),
                     threshold=embedding_threshold,
                     max_bucket=max_bucket,
+                    coverage_floor=None,
                 ).select(
                     F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
                 ),

@@ -199,7 +199,16 @@ def materialize_lsh_rows(
     norms per query -- those are the dominant per-call cost once the
     corpus outweighs the candidate set. The double vector and its
     norm are stored parquet-exact, so the probe is value-identical to
-    the inline form (pinned by test)."""
+    the inline form (pinned by test).
+
+    The BUILD PARAMETERS are written beside the rows as
+    `{path}/_lsh_meta` (ADVICE r12: a probe at different
+    n_planes/n_tables/dim buckets queries in a DIFFERENT hash space
+    and silently returns near-empty/wrong neighbor sets -- the index
+    must define the probe geometry, the embedding_index_tables /
+    minhash_index_scheme contract). The underscore prefix keeps the
+    sidecar invisible to the parquet scan of `path`, and it is
+    written through the session's filesystem so remote stores work."""
     buckets = table_bucket_col(F.col("embedding"), n_planes, n_tables, dim)
     rows = emb_df.select(
         "vec_id",
@@ -208,16 +217,35 @@ def materialize_lsh_rows(
         F.posexplode(buckets).alias("table", "bucket"),
     )
     rows.write.mode("overwrite").parquet(path)
+    emb_df.sparkSession.createDataFrame(
+        [(n_planes, dim, n_tables)], "n_planes int, dim int, n_tables int"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
     return path
 
 
+def lsh_index_meta(spark, path: str) -> dict | None:
+    """Read the build-parameter sidecar materialize_lsh_rows writes
+    (`{path}/_lsh_meta`); None for a pre-meta legacy index."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        r = spark.read.json(f"{path}/_lsh_meta").first()
+        return {
+            "n_planes": int(r["n_planes"]),
+            "dim": int(r["dim"]),
+            "n_tables": int(r["n_tables"]),
+        }
+    except AnalysisException:
+        return None
+
+
 def knn_lsh_indexed(
-    index_rows: DataFrame,
+    index: DataFrame | str,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = LSH_PLANES,
-    dim: int = EMB_DIM,
-    n_tables: int = LSH_TABLES,
+    n_planes: int | None = None,
+    dim: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """knn_lsh's probe against the stored bucket index
     (materialize_lsh_rows): queries compute their own buckets from
@@ -227,10 +255,48 @@ def knn_lsh_indexed(
     Result-identical to knn_lsh on the same corpus (shared oracle /
     row-identity test contract).
 
+    PARAMETER PINNING (ADVICE r12): pass `index` as the PATH the
+    index was materialized at and the probe geometry is resolved
+    from the `_lsh_meta` sidecar -- the index defines n_planes / dim
+    / n_tables, and explicitly-passed values that CONFLICT with the
+    sidecar raise ValueError instead of silently bucketing queries
+    in a different hash space (which returns near-empty/wrong
+    neighbor sets, not an error). A DataFrame `index` (or a pre-meta
+    legacy path) keeps the caller-supplied/default geometry -- the
+    caller owns the match in that form.
+
     Scale shape: query cost is the index rows in the probed buckets
     (|queries| x n_tables bucket keys broadcast onto the index read)
     -- the corpus-side hyperplane dots, norms, and explode moved to
     ingest cadence."""
+    if isinstance(index, str):
+        spark = queries.sparkSession
+        meta = lsh_index_meta(spark, index)
+        if meta is not None:
+            for name, got in (
+                ("n_planes", n_planes),
+                ("dim", dim),
+                ("n_tables", n_tables),
+            ):
+                if got is not None and got != meta[name]:
+                    raise ValueError(
+                        f"knn_lsh_indexed: probe {name}={got} does not match "
+                        f"the stored index's build {name}={meta[name]} at "
+                        f"{index} -- a mismatched probe buckets queries in a "
+                        f"different hash space and silently returns wrong "
+                        f"neighbors; rebuild the index or drop the override"
+                    )
+            n_planes, dim, n_tables = (
+                meta["n_planes"],
+                meta["dim"],
+                meta["n_tables"],
+            )
+        index_rows = spark.read.parquet(index)
+    else:
+        index_rows = index
+    n_planes = LSH_PLANES if n_planes is None else n_planes
+    dim = EMB_DIM if dim is None else dim
+    n_tables = LSH_TABLES if n_tables is None else n_tables
     buckets = table_bucket_col(F.col("embedding"), n_planes, n_tables, dim)
     q = queries.select(
         F.col("query_id"),

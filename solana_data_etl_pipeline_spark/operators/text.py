@@ -586,7 +586,7 @@ def _rrf_fuse(lex: DataFrame, sem: DataFrame, k: int, rrf_k: int) -> DataFrame:
 def hybrid_rank_indexed(
     spark,
     index_path: str,
-    lsh_index_rows: DataFrame,
+    lsh_index,
     query_terms: list[str],
     k: int = 10,
     rrf_k: int = 60,
@@ -597,10 +597,12 @@ def hybrid_rank_indexed(
     the materialized inverted index (bm25_rank_indexed -- result
     pinned identical to the scan form through the shared oracle) and
     the semantic member probes a stored LSH bucket index over the
-    hash_embed corpus vectors (`lsh_index_rows`: the exploded
-    (vec_id, c_emb, c_norm, table, bucket) parquet
-    similarity.materialize_lsh_rows writes once at ingest cadence)
-    instead of re-encoding and re-bucketing the corpus per query.
+    hash_embed corpus vectors (`lsh_index`: the PATH of -- or the
+    exploded (vec_id, c_emb, c_norm, table, bucket) rows from -- the
+    parquet similarity.materialize_lsh_rows writes once at ingest
+    cadence; passing the path engages the `_lsh_meta` build-parameter
+    pinning, ADVICE r12) instead of re-encoding and re-bucketing the
+    corpus per query.
     Result-identical to hybrid_rank on the same corpus: parquet
     stores the encoder's doubles and norms exactly, the query side
     buckets with the same fixed plane matrices, BM25's integer-ppm
@@ -616,13 +618,13 @@ def hybrid_rank_indexed(
     lex = bm25_rank_indexed(spark, index_path, query_terms, top_k=k).select(
         "doc_id", F.col("rank").alias("lex_rank")
     )
-    qdf = lsh_index_rows.sparkSession.createDataFrame(
+    qdf = spark.createDataFrame(
         [(-1, " ".join(query_terms))], "doc_id long, text string"
     )
     qvec = hash_embed(qdf).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    sem = knn_lsh_indexed(lsh_index_rows, qvec, k=k).select(
+    sem = knn_lsh_indexed(lsh_index, qvec, k=k).select(
         F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
     )
     return _rrf_fuse(lex, sem, k, rrf_k)
@@ -913,6 +915,8 @@ def winnow_overlap_pairs(
     window: int = 4,
     max_bucket: int | None = None,
     text_col: str = "text",
+    coverage_floor: float | None = 0.5,
+    on_low_coverage: str = "raise",
 ) -> DataFrame:
     """Document pairs sharing >= `min_shared` winnowing fingerprints --
     the MOSS overlap detector: near-dup / plagiarism candidates from
@@ -928,8 +932,39 @@ def winnow_overlap_pairs(
     pipeline itself is zero-shuffle. `max_bucket` caps degenerate
     fingerprint buckets (boilerplate strings) with a count window over
     the join key, reusing the join's exchange -- the same guard as
-    every LSH plan here."""
+    every LSH plan here.
+
+    COVERAGE-FLOOR GUARD (VERDICT r12 #3 -- this family is the one
+    the generalization exists for: measured cap coverage on the
+    synthetic corpus is 0.0021 at the registry cap, i.e. a capped
+    default-parameter run is near-BLIND): a capped call checks the
+    winnow_cap_stats estimate against `coverage_floor` through the
+    shared check_cap_coverage (cached per plan+params) and raises
+    CapCoverageError by default. `on_low_coverage="warn"` is for the
+    registered capped demos (priced next to the uncapped twin and
+    the materialized-index delta probe, which is the steady-state
+    scale path for local content keys); `coverage_floor=None` opts
+    out where measuring the refusal is the point."""
     fp = winnow_fingerprints(df, k=k, window=window, text_col=text_col)
+    if max_bucket is not None and coverage_floor is not None:
+        from solana_data_etl_pipeline_spark.operators.dedup import (
+            check_cap_coverage,
+            lsh_cap_stats,
+        )
+
+        check_cap_coverage(
+            df,
+            lambda: lsh_cap_stats(fp, ["fingerprint"], max_bucket),
+            (min_shared, k, window, max_bucket, text_col),
+            family="winnow_overlap_pairs",
+            coverage_floor=coverage_floor,
+            on_low_coverage=on_low_coverage,
+            max_bucket=max_bucket,
+            route_hint=(
+                "probe a materialized winnowing index at delta cost "
+                "(delta_containment) or raise the cap for a bounded batch"
+            ),
+        )
     if max_bucket is not None:
         wspec = Window.partitionBy("fingerprint")
         fp = (

@@ -85,6 +85,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_pct=VAL_PCT,
         threshold=NEAR_DUP_THRESHOLD,
         max_bucket=DEDUP_MAX_BUCKET,
+        on_low_coverage="warn",
     )
     train = (
         docs.select("doc_id", "source")
@@ -150,6 +151,7 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_pct=VAL_PCT,
         threshold=NEAR_DUP_THRESHOLD,
         max_bucket=DEDUP_MAX_BUCKET,
+        on_low_coverage="warn",
     )
     train = (
         docs.select("doc_id", "source")
@@ -216,6 +218,7 @@ def corpus_curation_v3(
         val_pct=VAL_PCT,
         threshold=NEAR_DUP_THRESHOLD,
         max_bucket=DEDUP_MAX_BUCKET,
+        on_low_coverage="warn",
     )
     train = (
         docs.select("doc_id", "source")
@@ -343,6 +346,7 @@ def corpus_curation_v4(
         val_pct=VAL_PCT,
         threshold=NEAR_DUP_THRESHOLD,
         max_bucket=DEDUP_MAX_BUCKET,
+        on_low_coverage="warn",
     )
     gated = (
         docs.select("doc_id", "source", "text")
@@ -441,6 +445,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_pct=VAL_PCT,
         threshold=NEAR_DUP_THRESHOLD,
         max_bucket=DEDUP_MAX_BUCKET,
+        on_low_coverage="warn",
     )
     train = (
         docs.select("doc_id", "source")

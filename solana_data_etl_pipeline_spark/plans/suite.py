@@ -869,7 +869,9 @@ TEXT_QUERIES: dict[str, QueryFn] = {
         lambda spark, sf_dir: X.hybrid_rank_indexed(
             spark,
             _bm25_index_dir(spark, sf_dir),
-            spark.read.parquet(_text_lsh_index_dir(spark, sf_dir)),
+            # the PATH, not pre-read rows: engages the _lsh_meta
+            # build-parameter pinning (ADVICE r12)
+            _text_lsh_index_dir(spark, sf_dir),
             _BM25_TERMS,
         )
     ),
@@ -1214,7 +1216,8 @@ TEXT_QUERIES: dict[str, QueryFn] = {
     # MOSS overlap detector over the winnowed sample (capped buckets)
     "winnow_overlap_pairs": _docs(
         lambda df: X.winnow_overlap_pairs(
-            df, min_shared=2, max_bucket=DEDUP_MAX_BUCKET
+            df, min_shared=2, max_bucket=DEDUP_MAX_BUCKET,
+            on_low_coverage="warn",
         )
     ),
     # 'we can afford 10k training tokens': highest-alpha-ratio docs
@@ -2492,7 +2495,7 @@ def _bpe_sql_parts(n_merges: int = 8) -> tuple[str, str]:
   FROM {prev}, UNNEST(range(1, list_count(s))) AS u(i)
   GROUP BY 1, 2
 )""")
-        parts.append(f"""t{t} AS (
+        parts.append(f"""t{t} AS MATERIALIZED (
   SELECT CAST({t} AS INT) AS rank, lhs, rhs, lhs || rhs AS merged,
          CAST(pair_count AS BIGINT) AS pair_count
   FROM c{t} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
@@ -2516,8 +2519,23 @@ def _bpe_sql_parts(n_merges: int = 8) -> tuple[str, str]:
          COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos), false) AS skip
   FROM g{t}
 )""")
-        parts.append(f"""s{t} AS (
+        # the dry-round guard, mirrored from the Spark operator
+        # (text._bpe_loop stops at the last valid symbol state when a
+        # round finds no adjacent pair): when t{t} is empty, e{t}'s
+        # cross join collapses h{t}, so carry s{t-1} forward verbatim
+        # -- without this the oracle returns 0 rows on a dry corpus
+        # while the fixed operator returns the full corpus (ADVICE
+        # r12). A dry round means c{t} was empty, so every later
+        # round is dry too and the carry cascades consistently.
+        # MATERIALIZED: the carry makes s{t} reference s{t-1} twice
+        # (the merge chain AND the dry fallthrough) -- DuckDB inlines
+        # plain CTEs, so without materialization the chain re-evaluates
+        # 2^n_merges times (measured: "Too many open files" from the
+        # exploded parquet re-reads)
+        parts.append(f"""s{t} AS MATERIALIZED (
   SELECT w, wc, list(osym ORDER BY pos) AS s FROM h{t} WHERE NOT skip GROUP BY w, wc
+  UNION ALL
+  SELECT w, wc, s FROM {prev} WHERE NOT EXISTS (SELECT 1 FROM t{t})
 )""")
     union = "\nUNION ALL\n".join(
         f"SELECT rank, lhs, rhs, merged, pair_count FROM t{t}"
@@ -3133,7 +3151,7 @@ def _delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_QUERIES: dict[str, QueryFn] = {
     "dedup_exact": _docs(D.exact_duplicates),
     "dedup_minhash_lsh": _docs(
-        lambda df: D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+        lambda df: D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn")
     ),
     "dedup_ngram_jaccard": _docs(lambda df: D.ngram_jaccard_pairs(df, threshold=0.2)),
     "simhash_fingerprints": _docs(D.simhash),
@@ -3174,6 +3192,7 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
             load_table(spark, sf_dir, "embeddings"),
             threshold=0.35,
             max_bucket=DEDUP_MAX_BUCKET,
+            on_low_coverage="warn",
         )
     ),
     # incremental ingest path: corpus (doc_id % 10 != 7) is materialized
@@ -3206,21 +3225,22 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     ),
     "dedup_clusters": _docs(
         lambda df: D.connected_components(
-            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn")
         )
     ),
     # full-registry entry: the pairs->clean-corpus materialization
     # (unclustered docs + one representative per component)
     "dedup_keepers": _docs(
         lambda df: D.keep_representatives(
-            df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+            df, D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn")
         )
     ),
     # near-subset duplication: winnowing candidates + exact
     # containment verify (the mode Jaccard under-scores)
     "containment_pairs": _docs(
         lambda df: D.containment_pairs(
-            df, threshold=0.5, max_bucket=DEDUP_MAX_BUCKET
+            df, threshold=0.5, max_bucket=DEDUP_MAX_BUCKET,
+            on_low_coverage="warn",
         )
     ),
     # cross-family observability: the three registered text pair
@@ -3256,13 +3276,14 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # near-dup a val doc are dropped
     "leakage_free_split": _docs(
         lambda df: D.leakage_free_split(
-            df, val_pct=20, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET
+            df, val_pct=20, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET,
+            on_low_coverage="warn",
         )
     ),
     # dedup health reporting: how large are the near-dup families
     "dedup_cluster_sizes": _docs(
         lambda df: D.connected_components(
-            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET)
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn")
         )
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("_sz"))
@@ -3274,7 +3295,7 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     "dedup_keepers_quality": _docs(
         lambda df: D.keep_representatives_by(
             df,
-            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET),
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn"),
             score_col="n_chars",
         )
     ),
@@ -3336,6 +3357,7 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
                 load_table(spark, sf_dir, "embeddings"),
                 threshold=0.35,
                 max_bucket=DEDUP_MAX_BUCKET,
+                on_low_coverage="warn",
             ),
             id_col="vec_id",
             src_col="vec_a",

@@ -513,11 +513,17 @@ def run_document_stream(
             # first batch: batch-internal pairs at the SAME table count
             # as the maintained index/gate (2-table recall 0.72 is not
             # a shippable drop gate -- the EMBED_INDEX_TABLES rationale)
+            # coverage_floor=None: the streaming semantic gate handles
+            # cap blindness STRUCTURALLY -- over-cap (blind) documents
+            # are routed to the acting blind-doc path instead of being
+            # silently admitted, so a batch-level raise would duplicate
+            # a guarantee the stream already makes per document
             pairs = D.embedding_near_dup_lsh(
                 vecs,
                 threshold=semantic_threshold,
                 max_bucket=semantic_max_bucket,
                 n_tables=D.EMBED_INDEX_TABLES,
+                coverage_floor=None,
             )
             dropped = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
             return kept.select("doc_id").join(

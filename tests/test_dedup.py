@@ -108,7 +108,7 @@ def test_lsh_max_bucket_caps_hot_buckets(docs_df):
     # width-3 buckets; cap at 2 removes exactly those buckets' pairs
     capped = {
         (r.doc_a, r.doc_b)
-        for r in D.minhash_lsh_pairs(docs_df, threshold=0.2, max_bucket=2).collect()
+        for r in D.minhash_lsh_pairs(docs_df, threshold=0.2, max_bucket=2, coverage_floor=None).collect()
     }
     assert not {(0, 3), (0, 4), (3, 4)} & capped
     # uncapped behavior unchanged when the cap is above every width
@@ -193,7 +193,7 @@ def test_embedding_near_dup_lsh_max_bucket_drops_hot_bucket(spark):
     rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
     rows += [(100, [0.0, 0.0, -1.0, -0.05]), (101, [0.0, 0.0, -1.0, 0.05])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    capped = D.embedding_near_dup_lsh(emb, threshold=0.9, max_bucket=10)
+    capped = D.embedding_near_dup_lsh(emb, threshold=0.9, max_bucket=10, coverage_floor=None)
     got = {(r.vec_a, r.vec_b) for r in capped.collect()}
     assert all(a >= 100 for a, _ in got)
     uncapped = D.embedding_near_dup_lsh(emb, threshold=0.9).count()
@@ -247,7 +247,7 @@ def test_minhash_lsh_max_bucket_caps_degenerate_class(spark):
         (101, " ".join([f"s{j}" for j in range(19)] + ["iota"])),
     ]
     df = spark.createDataFrame(clones + others, "doc_id long, text string")
-    capped = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=10).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=10, coverage_floor=None).collect()}
     assert capped == {(100, 101)}
     assert D.minhash_lsh_pairs(df, threshold=0.2).count() == 436
     ex = {r.dup_count for r in D.exact_duplicates(df).collect()}
@@ -509,6 +509,89 @@ def test_cap_stats_fire_on_dense_corpus(spark):
     # same contract on the minhash band buckets
     mh = D.minhash_cap_stats(df, max_bucket=5).collect()[0]
     assert mh.dropped_buckets > 0 and mh.est_pair_coverage < 1.0
+
+
+def test_coverage_floor_guard_generalizes_to_every_capped_family(spark):
+    """VERDICT r12 #3: the r12 simhash-only coverage-floor guard must
+    cover every capped pair-emitting family -- a registry caller
+    cannot silently run a near-blind capped plan on ANY of minhash /
+    embedding / winnow / containment. Each family here gets a
+    degenerate corpus (one clone class wider than the cap, so nearly
+    all candidate pairs are refused), then: default raises
+    CapCoverageError, "warn" runs with a loud RuntimeWarning, and
+    coverage_floor=None opts out silently."""
+    import warnings as _warnings
+
+    clones = [(i, " ".join(f"w{j}" for j in range(20))) for i in range(30)]
+    docs = spark.createDataFrame(clones, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cases = [
+        ("minhash", lambda **kw: D.minhash_lsh_pairs(docs, threshold=0.2, max_bucket=5, **kw)),
+        ("embedding", lambda **kw: D.embedding_near_dup_lsh(emb, threshold=0.9, max_bucket=5, **kw)),
+        ("containment", lambda **kw: D.containment_pairs(docs, threshold=0.5, max_bucket=5, **kw)),
+    ]
+    from solana_data_etl_pipeline_spark.operators import text as X
+
+    cases.append(
+        ("winnow", lambda **kw: X.winnow_overlap_pairs(docs, min_shared=1, max_bucket=5, **kw))
+    )
+    for family, build in cases:
+        with pytest.raises(D.CapCoverageError, match="routing rule"):
+            build().count()
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            build(on_low_coverage="warn").count()
+        assert any("nearly blind" in str(w.message) for w in caught), family
+        with _warnings.catch_warnings(record=True) as caught2:
+            _warnings.simplefilter("always")
+            build(coverage_floor=None).count()
+        assert not [w for w in caught2 if issubclass(w.category, RuntimeWarning)], family
+    # SimhashCoverageError stays catchable as the family subclass
+    assert issubclass(D.SimhashCoverageError, D.CapCoverageError)
+
+
+def test_cap_guard_estimate_is_cached_per_plan_and_params(spark):
+    """ADVICE r12: the guard's corpus-scale cap-stats job must run
+    once per (plan, params), not on every plan construction -- bench
+    re-invokes a registered query callable per timed sample, and the
+    eager per-call collect doubled each sample. The cache key is the
+    SEMANTIC hash of the analyzed plan: stable for file-scan-backed
+    frames (every registered query -- verified here with a rebuilt
+    parquet read), NOT for rebuilt createDataFrame LocalRelations
+    (fresh attribute ids each call), which simply re-pay the stats
+    job -- correct either way, cached where it matters."""
+
+    def fresh():
+        # parquet-backed like every registered query; the tiny cap
+        # keeps the guard on the raise path so .count() never runs
+        # the pair join itself
+        from solana_data_etl_pipeline_spark.plans.suite import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    before = len(D._CAP_GUARD_CACHE)
+    with pytest.raises(D.CapCoverageError):
+        D.minhash_lsh_pairs(fresh(), threshold=0.2, max_bucket=1).count()
+    after_first = len(D._CAP_GUARD_CACHE)
+    assert after_first == before + 1
+    # a REBUILT identical frame (new DataFrame object, same analyzed
+    # plan) must not add a second cache entry
+    with pytest.raises(D.CapCoverageError):
+        D.minhash_lsh_pairs(fresh(), threshold=0.2, max_bucket=1).count()
+    assert len(D._CAP_GUARD_CACHE) == after_first
+    # different params = different cache entry (whether or not the
+    # looser cap clears the floor -- only the key matters here)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        D.minhash_lsh_pairs(
+            fresh(), threshold=0.2, max_bucket=2, on_low_coverage="warn"
+        )
+    assert len(D._CAP_GUARD_CACHE) == after_first + 1
 
 
 def test_decontaminate_split_is_cluster_level_not_direct_pair(spark):

@@ -176,6 +176,44 @@ def test_knn_lsh_indexed_identical_to_inline(emb, queries, tmp_path):
         ).collect()
     )
     assert inline == stored and inline  # identical, non-vacuous
+    # the PATH form resolves geometry from the _lsh_meta sidecar and
+    # returns the same rows
+    by_path = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in V.knn_lsh_indexed(path, queries, k=K).collect()
+    )
+    assert by_path == inline
+
+
+def test_knn_lsh_indexed_pins_probe_params_to_build_params(emb, queries, tmp_path):
+    """ADVICE r12: materialize_lsh_rows writes its build parameters
+    beside the rows, and a PATH probe with conflicting explicit
+    parameters must ERROR -- a mismatched probe buckets queries in a
+    different hash space and silently returns near-empty/wrong
+    neighbor sets otherwise."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "lsh_rows")
+    V.materialize_lsh_rows(emb, path, n_tables=2)
+    meta = V.lsh_index_meta(emb.sparkSession, path)
+    assert meta == {"n_planes": V.LSH_PLANES, "dim": V.EMB_DIM, "n_tables": 2}
+    # matching explicit value passes; conflicting value raises
+    V.knn_lsh_indexed(path, queries, k=K, n_tables=2)
+    with _pytest.raises(ValueError, match="different hash space"):
+        V.knn_lsh_indexed(path, queries, k=K, n_tables=4)
+    with _pytest.raises(ValueError, match="n_planes"):
+        V.knn_lsh_indexed(path, queries, k=K, n_planes=V.LSH_PLANES + 1)
+    # omitted params are resolved FROM the index (probe uses 2 tables)
+    resolved = V.knn_lsh_indexed(path, queries, k=K)
+    two = V.knn_lsh(emb, queries, k=K, n_tables=2)
+    assert sorted(map(tuple, resolved.collect())) == sorted(map(tuple, two.collect()))
+    # a pre-meta legacy index (sidecar removed) keeps caller geometry
+    import shutil
+
+    shutil.rmtree(f"{path}/_lsh_meta")
+    assert V.lsh_index_meta(emb.sparkSession, path) is None
+    legacy = V.knn_lsh_indexed(path, queries, k=K, n_tables=2)
+    assert sorted(map(tuple, legacy.collect())) == sorted(map(tuple, two.collect()))
 
 
 def test_knn_lsh_multi_table_candidates_superset_and_dedup(emb, queries):

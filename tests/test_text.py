@@ -513,7 +513,7 @@ def test_winnow_overlap_pairs_detects_shared_substrings(spark):
     # bucket cap drops boilerplate fingerprints: with cap 1, every
     # fingerprint shared by both docs sits in a width-2 bucket -> gone
     assert (
-        X.winnow_overlap_pairs(df, min_shared=1, max_bucket=1).count() == 0
+        X.winnow_overlap_pairs(df, min_shared=1, max_bucket=1, coverage_floor=None).count() == 0
     )
 
 
@@ -737,6 +737,49 @@ def test_bpe_train_dry_corpus_stops_early(spark):
     assert set(got) == {1, 2}
     for r in got.values():
         assert (r.n_words, r.n_chars, r.n_bpe_learned) == (3, 3, 3)
+
+
+def test_bpe_dry_corpus_oracle_matches_operator(spark):
+    """ADVICE r12: the Spark-side dry-round guard (stop at last valid
+    symbol state) must be mirrored in the DuckDB oracle -- before the
+    fix, a dry round t collapsed the oracle's s{t}..s{n} CTEs to
+    empty, so the bpe_encode oracle returned 0 rows while the fixed
+    operator returned the full corpus, failing parity loudly on any
+    corpus that runs dry. Both the fully-dry (round 1) and
+    partially-dry (round 2) regimes are checked on BOTH engines."""
+    import duckdb
+
+    from solana_data_etl_pipeline_spark.plans.suite import (
+        _bpe_encode_sql,
+        _bpe_train_sql,
+    )
+
+    for rows in (
+        [(1, "a b c"), (2, "b c a")],  # dry from round 1
+        [(1, "ab ab")],  # learns round 1, dry from round 2
+    ):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got_enc = {
+            (r.doc_id, r.n_words, r.n_chars, r.n_bpe_learned, r.fertility_bp)
+            for r in X.bpe_encode(df, n_merges=4).collect()
+        }
+        ora_enc = {
+            tuple(t) for t in con.execute(_bpe_encode_sql(4)).fetchall()
+        }
+        assert got_enc == ora_enc and got_enc, rows  # non-vacuous
+        got_train = {
+            (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in X.bpe_train(df, n_merges=4).collect()
+        }
+        ora_train = {
+            tuple(t) for t in con.execute(_bpe_train_sql(4)).fetchall()
+        }
+        assert got_train == ora_train, rows
+        con.close()
 
 
 def test_bpe_train_partial_dry_keeps_learned_merges(spark):
