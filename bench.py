@@ -175,6 +175,27 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     twins["int8_build"] = round(statistics.median(samples), 3)
 
+    # the MRL (truncated-prefix) rung's cold fit+write (VERDICT r12
+    # #6: the suite entry now probes the per-sf stored 16-dim layout
+    # like its int8/PQ siblings; this twin prices the amortization)
+    from solana_data_etl_pipeline_spark.operators.similarity import _dvec as _dv_build
+    from solana_data_etl_pipeline_spark.plans.suite import MRL_DIM as _MRL_DIM
+
+    samples = []
+    for _ in range(RUNS):
+        d = tempfile.mkdtemp(prefix="mrl_build_bench_")
+        t0 = time.perf_counter()
+        _lc_build(
+            _emb.select(
+                "vec_id",
+                F.slice(_dv_build(F.col("embedding")), 1, _MRL_DIM).alias("embedding"),
+            ),
+            dim=_MRL_DIM,
+        ).write.mode("overwrite").parquet(d)
+        samples.append(time.perf_counter() - t0)
+        shutil.rmtree(d, ignore_errors=True)
+    twins["mrl_build"] = round(statistics.median(samples), 3)
+
     _docs_build = _lt(spark, sf_dir, "documents")
     samples = []
     for _ in range(RUNS):
@@ -788,6 +809,7 @@ def main() -> None:
             "bpe_vocab",
             "cluster_membership",
             "ivf_cells",
+            "mrl_cells",
         ],
     }
     # Full payload first (tools/solobench.py captures complete stdout

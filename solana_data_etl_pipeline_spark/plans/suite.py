@@ -3003,6 +3003,35 @@ DIMENSION_SQL["merge_dim_wallets"] = DIMENSION_SQL["dim_wallets"]
 # cheap dedup_exact pass. The oracle SQL applies the identical cap.
 DEDUP_MAX_BUCKET = 50
 
+#: the registry-wide coverage floor the generalized guard checks
+#: (operators/dedup.py check_cap_coverage default; cap_guard_report
+#: renders the same threshold as its verdict column)
+CAP_COVERAGE_FLOOR = 0.5
+
+
+def _cap_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four capped families' cap-stats rows + the coverage-floor
+    guard's verdict at the registry floor, one row per family (see
+    the registration comment at DEDUP_QUERIES['cap_guard_report'])."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    frames = [
+        ("embedding", D.embedding_cap_stats(emb, max_bucket=DEDUP_MAX_BUCKET)),
+        ("minhash", D.minhash_cap_stats(docs, max_bucket=DEDUP_MAX_BUCKET)),
+        ("simhash", D.simhash_cap_stats(docs, max_bucket=DEDUP_MAX_BUCKET)),
+        ("winnow", X.winnow_cap_stats(docs, max_bucket=DEDUP_MAX_BUCKET)),
+    ]
+    out = None
+    for fam, f in frames:
+        t = f.select(F.lit(fam).alias("family"), "*")
+        out = t if out is None else out.unionByName(t)
+    return out.withColumn(
+        "guard_verdict",
+        F.when(
+            F.col("est_pair_coverage") >= CAP_COVERAGE_FLOOR, F.lit("pass")
+        ).otherwise(F.lit("route")),
+    ).orderBy("family")
+
 
 #: materialized LSH index dirs keyed by sf_dir -- the index build is
 #: the SETUP of the incremental-dedup scenario (ingest/compaction
@@ -3329,6 +3358,18 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     ),
     "winnow_cap_stats": _docs(
         lambda df: X.winnow_cap_stats(df, max_bucket=DEDUP_MAX_BUCKET)
+    ),
+    # the r13 generalized coverage-floor guard as ONE queryable
+    # artifact (VERDICT r12 #3 made observable): all four capped
+    # families' cap-stats rows side by side with the guard's verdict
+    # at the registry floor -- the table a caller reads to know which
+    # families the cap leaves honest ('pass') and which must route to
+    # cluster/keeper or index-probe paths ('route', exactly the
+    # regimes check_cap_coverage refuses to run silently). Oracle
+    # composed from the four cap-stats SQLs verbatim, so the report
+    # is pinned to exactly their bucket semantics.
+    "cap_guard_report": (
+        lambda spark, sf_dir: _cap_guard_report(spark, sf_dir)
     ),
     # estimator calibration: per-decile signature-estimate error vs
     # exact Jaccard over the registered plan's own candidate pairs --
@@ -4431,6 +4472,21 @@ DEDUP_SQL["winnow_cap_stats"] = (
     + _cap_stats_suffix("k1, k2", DEDUP_MAX_BUCKET)
 )
 
+# the generalized guard's report: the four cap-stats oracles verbatim
+# as subqueries (DuckDB allows WITH inside a parenthesized subquery),
+# each tagged with its family and the floor verdict the guard applies
+DEDUP_SQL["cap_guard_report"] = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{fam}' AS family, t.*, "
+        f"CASE WHEN t.est_pair_coverage >= {CAP_COVERAGE_FLOOR} "
+        f"THEN 'pass' ELSE 'route' END AS guard_verdict "
+        f"FROM ({DEDUP_SQL[fam + '_cap_stats']}) t"
+        for fam in ("embedding", "minhash", "simhash", "winnow")
+    )
+    + "\n) ORDER BY family"
+)
+
 
 # embedding keepers: the dedup_embedding_cosine pair pipeline feeding
 # the same recursive-CC + keepers suffix as dedup_keepers
@@ -5142,6 +5198,34 @@ SIMILARITY_SQL["knn_ivf_pq"] = _lloyd_ivf_sql(
 #: Matryoshka prefix width: first 16 of 64 dims (4x memory cut)
 MRL_DIM = 16
 
+#: per-sf cached truncated-prefix index layout (the _ivf_layout stance)
+_MRL_LAYOUT: dict[str, str] = {}
+
+
+def _mrl_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MRL index as its stored production artifact: the 16-dim
+    truncated vectors and their Lloyd cell assignment, written once
+    per sf exactly like _int8_layout / _pq_layout (VERDICT r12 #6 --
+    the inline per-query fit was the heaviest window entry; MRL
+    deployments store and search the prefix space, so the fit IS an
+    ingest artifact). Cold build cost = bench.py's `mrl_build` twin."""
+    path = _MRL_LAYOUT.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        emb16 = emb.select(
+            "vec_id",
+            F.slice(V._dvec(F.col("embedding")), 1, MRL_DIM).alias("embedding"),
+        )
+        path = tempfile.mkdtemp(prefix="mrl_layout_")
+        V.lloyd_cells(emb16, dim=MRL_DIM).write.mode("overwrite").parquet(path)
+        _MRL_LAYOUT[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
+
 
 def _knn_ivf_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DIMENSION-truncation rung of the compression ladder
@@ -5163,9 +5247,13 @@ def _knn_ivf_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb16.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # the truncated assignment feeds both knn_ivf consumers (centroid
-    # agg + candidate join) -- checkpoint once, like every Lloyd form
-    assigned = V.lloyd_cells(emb16, dim=MRL_DIM).localCheckpoint(eager=False)
+    # the 16-dim Lloyd fit is the per-sf stored layout (_mrl_layout;
+    # build cost = bench `mrl_build`) -- the _cluster_member stance
+    # every sibling rung uses (VERDICT r12 #6: the inline fit made
+    # this the heaviest window entry at 6.0 s solo while int8/PQ
+    # probed stored layouts). The oracle replays the fit, so results
+    # are unchanged.
+    assigned = _mrl_layout(spark, sf_dir)
     return V.knn_ivf(assigned, queries_df, k=10, nprobe=2, cell_col="cell")
 
 
@@ -5668,6 +5756,10 @@ DRIVER_ORDER = [
     #     bpe_train, bpe_encode, mixture_waterfill, epoch_plan,
     #     corpus_selection, corpus_card). ---
     "semdedup_exact_first",
+    # --- r13 registrant (never verdicted -> leads the window; the
+    #     r12-verdicted length_buckets left to hold the 50): the
+    #     generalized coverage-floor guard as a queryable artifact ---
+    "cap_guard_report",
     # --- reference A-query round-robin (A7/A10/A12 back in; last
     #     driver rows r11). ---
     "token_transfer_stats",
@@ -5707,7 +5799,6 @@ DRIVER_ORDER = [
     "stratified_holdout",
     "denoising_spans",
     "pack_boundaries",
-    "length_buckets",
     "canary_registry",
     "shard_manifest",
     "simhash_near_dup",

@@ -35,8 +35,8 @@ def test_driver_registry_is_within_budget_and_consistent():
     assert set(all_queries()) - set(all_oracle_sql()) == {"sketch_rollup"}
     # COVERAGE.md's "Registry note" states these counts; update BOTH
     # when registering a query (ADVICE r10: the doc drifted twice)
-    assert len(all_queries()) == 175
-    assert len(all_oracle_sql()) == 174
+    assert len(all_queries()) == 176
+    assert len(all_oracle_sql()) == 175
 
 
 def test_full_registry_matches_oracle(spark):
