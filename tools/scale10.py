@@ -208,6 +208,7 @@ def main() -> None:
     ]
     run_list = [n for n in HEAVY if not wanted or n in wanted]
     print(f"{'query':28s} {'sf0.1':>8s} {f'{REPLICAS}x':>8s} {'ratio':>6s}")
+    results: dict[str, dict] = {}
     for name in run_list:
         row = {}
         for tag, d in (("base", BASE), ("x10", OUT)):
@@ -217,9 +218,21 @@ def main() -> None:
                 qs[name](spark, d).write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
             row[tag] = statistics.median(samples)
+        results[name] = {
+            "base_sec": round(row["base"], 3),
+            f"x{REPLICAS}_sec": round(row["x10"], 3),
+            "ratio": round(row["x10"] / row["base"], 2),
+        }
         print(
             f"{name:28s} {row['base']:8.2f} {row['x10']:8.2f} {row['x10'] / row['base']:6.2f}"
         )
+    if "--json" in sys.argv:
+        # machine-readable tail for tools/solobench.py (the BENCH_SOLO
+        # replica10 section -- VERDICT r12 #5: the semdedup pair's
+        # replica-protocol contrast stays measured, not remembered)
+        import json as _json
+
+        print(_json.dumps({"replicas": REPLICAS, "queries": results}))
 
 
 if __name__ == "__main__":

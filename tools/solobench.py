@@ -59,6 +59,25 @@ def main() -> int:
     line = max(json_lines, key=len)
     payload = json.loads(line)
     payload["solo"] = {"loadavg_1m_at_start": round(load1, 2), "loadavg_5m_at_start": round(load5, 2)}
+
+    # the semdedup replica-protocol pair (VERDICT r12 #5): the
+    # 10x-byte-identical-replica contrast (plain form quadratic-class
+    # vs the exact-first composition ~flat) is re-MEASURED every
+    # round and recorded in the artifact, so the ladder's scaling
+    # claim never degrades into a remembered number. ~2 min on top of
+    # the bench run; non-fatal if the scale10 harness fails.
+    here = os.path.dirname(os.path.abspath(__file__))
+    s10 = [sys.executable, os.path.join(here, "scale10.py"), "--json",
+           "semdedup_near_dup", "semdedup_exact_first"]
+    if os.path.isdir(os.path.join(os.path.dirname(here), ".scale10")):
+        s10.insert(2, "--skip-gen")
+    rep = subprocess.run(s10, capture_output=True, text=True)
+    rep_lines = [l for l in rep.stdout.splitlines() if l.startswith("{")]
+    if rep.returncode == 0 and rep_lines:
+        payload["replica10"] = json.loads(rep_lines[-1])
+    else:
+        sys.stderr.write(rep.stderr[-1500:])
+        print("scale10 replica pair failed; BENCH_SOLO omits replica10", file=sys.stderr)
     path = f"BENCH_SOLO_r{rnd:02d}.json"
     # Contamination backstop (learned the hard way: three runs that
     # PASSED the loadavg gate recorded 1.2x-5.5x the standing total
