@@ -5706,89 +5706,55 @@ def all_oracle_sql() -> dict[str, str]:
 #     repeat_buyers / segment_order_stats vs the kept agg+join set);
 #   - rotation history: every rotated-out entry stays DuckDB-swept by
 #     tests/test_oracle_parity on every test run.
-# STANDING RULE (VERDICT r11 #2, cadence recalibrated r13 per
-# VERDICT r12 #2): the stale-green re-verdict robin returns 12-18
-# of the longest-out greens per round, oldest first, alongside any
-# never-verdicted registrants -- at that pace the measured <=r8
-# backlog (84 live entries after r12; 69 after the r13 rotation
-# below) clears in ~4-5 rounds, after which no verdict should age
-# past ~4 rounds (174 oracle entries / ~15 returns per round + the
-# ~32 standing keeps). The r11-era "3-5/round, ~6 rounds" numbers
-# were arithmetically unachievable and are superseded.
-# ROUND-14 ROTATION PLAN (execute at the START of round 14):
-# rotate IN the A8/A9 robin (top_tokens / failed_transactions,
-# verdicted r12 -> due r14 per the two-round A-query cadence;
-# reference src/analytics.rs:459-473,495-533), A7/A10/A12 go back
-# out after their r13 verdicts, and the next 12-15 oldest stale
-# greens by live-registry last-verdict: the r4 cohort
-# (pack_sequences, pii_stats, salted_session_stats, weighted_mix),
-# the r5 cohort (dedup_exact, label_centroids, simhash_fingerprints,
-# stratified_sample), then the oldest r6 entries (asof_attribution,
-# daily_volume_trend, event_funnel, hourly_gapfill,
-# inactive_customers, language_stats, nation_trade_balance ...).
-# Rotate OUT the heaviest newly-verdicted r13 entries by
-# BENCH_SOLO_r13 weight plus light verdicted robin returns (the 15
-# r2/r3 relational entries below all leave after their r13
-# verdicts). Keep DRIVER_ORDER at exactly 50; keep exactly ONE of
-# the semdedup pair (semdedup_exact_first / semdedup_near_dup) in
-# every window (VERDICT r12 #5 -- they share the multiprobe chain;
-# both 10x replica rows stay in every BENCH_SOLO regardless);
-# everything rotated out stays DuckDB-swept on every test run by
-# tests/test_oracle_parity.py.
+# STANDING RULE (VERDICT r11 #2): the stale-green re-verdict robin
+# returns the longest-out greens each round alongside never-verdicted
+# registrants -- SUSPENDED for the optimization rounds (r13-r14), see
+# the freeze note below; resume at the next build round with the
+# widened 12-18/round cadence VERDICT r12 #2 asked for (the r11-era
+# "3-5/round, ~6 rounds" arithmetic could never converge on the 84
+# <=r8 backlog).
+#
+# OPTIMIZATION-ROUND FREEZE (r13): rounds 13-14 are PERFORMANCE
+# rounds graded on BENCH_r13-vs-BENCH_r12 per-query deltas, and their
+# contract forbids removing or renaming any declared query: a window
+# rotation here would (a) make the 5 heaviest r12 entries
+# "disappear" from the bench -- indistinguishable from gaming the
+# total -- and (b) destroy cross-round comparability of every
+# rotated slot. The mid-build r13 rotation (A7/A10/A12 robin + the
+# 15-entry r2/r3 relational cohort in, the 5 heaviest r12 greens +
+# 13 light greens out) was therefore BACKED OUT at the start of r13;
+# DRIVER_ORDER below is byte-identical to the r12 window
+# (CORRECTNESS_r12.json / BENCH_r12.json keys). The rotation's
+# registrant (cap_guard_report) and every rotated-out entry stay
+# DuckDB-swept on every test run by tests/test_oracle_parity.py.
+# DEFERRED ROTATION PLAN (execute at the next BUILD round): rotate IN
+# cap_guard_report + the A7/A10/A12 robin (token_transfer_stats /
+# top_errors / top_wallets; reference
+# src/analytics.rs:406-438,536-549,619-633) + the r2/r3 relational
+# cohort (big_spenders, customer_order_ranks, daily_purchase_vs_error,
+# late_shipment_priority, nation_revenue_share, price_percentiles,
+# repeat_buyers, revenue_change, segment_order_stats,
+# shipping_priority, user_sessions, lineitem_measures_unpivot,
+# price_tier_distribution, region_revenue, small_quantity_revenue);
+# rotate OUT the heaviest freshly-verdicted entries by solo weight,
+# keeping exactly ONE of the semdedup pair in-window (VERDICT r12 #5)
+# and the window at exactly 50.
 DRIVER_ORDER = [
-    # --- ROUND-13 ROTATION (executed per the r12 in-file plan +
-    #     VERDICT r12 #1/#2/#5): IN -- the A7/A10/A12 robin
-    #     (token_transfer_stats / top_errors / top_wallets, verdicted
-    #     r11 -> due r13 per the two-round A-query cadence; reference
-    #     src/analytics.rs:406-438,536-549,619-633) plus the WIDENED
-    #     stale-green robin (VERDICT r12 #2): the entire live r2
-    #     relational cohort (11 entries, last driver verdict r2) and
-    #     the r3 cohort (4 entries, last verdict r3) -- 15 light
-    #     returns that drop the <=r8 backlog 84 -> 69. OUT -- the 5
-    #     heaviest newly-verdicted r12 entries by BENCH_SOLO_r12
-    #     weight (knn_ivf_mrl 6.0 s, corpus_curation 5.2 s,
-    #     hybrid_rank_indexed 4.4 s, dedup_keepers 3.3 s,
-    #     media_near_dup_subkey 2.2 s) and 13 light r12-verdicted
-    #     greens (semdedup_near_dup -- its exact-first composition
-    #     twin stays, VERDICT r12 #5; top_tokens + failed_transactions
-    #     -- A8/A9 due back r14; merge_dim_wallets,
-    #     knn_ivf_materialized, sales_rollup, media_exact_dups,
-    #     bpe_train, bpe_encode, mixture_waterfill, epoch_plan,
-    #     corpus_selection, corpus_card). ---
     "semdedup_exact_first",
-    # --- r13 registrant (never verdicted -> leads the window; the
-    #     r12-verdicted length_buckets left to hold the 50): the
-    #     generalized coverage-floor guard as a queryable artifact ---
-    "cap_guard_report",
-    # --- reference A-query round-robin (A7/A10/A12 back in; last
-    #     driver rows r11). ---
-    "token_transfer_stats",
-    "top_errors",
-    "top_wallets",
-    # --- widened stale-green robin: the r2 relational cohort (last
-    #     verdict r2 -- big_spenders ... user_sessions) then the r3
-    #     cohort (last verdict r3). All light (0.2-1.3 s at r2-era
-    #     weights); every one stays DuckDB-swept between verdicts. ---
-    "big_spenders",
-    "customer_order_ranks",
-    "daily_purchase_vs_error",
-    "late_shipment_priority",
-    "nation_revenue_share",
-    "price_percentiles",
-    "repeat_buyers",
-    "revenue_change",
-    "segment_order_stats",
-    "shipping_priority",
-    "user_sessions",
-    "lineitem_measures_unpivot",
-    "price_tier_distribution",
-    "region_revenue",
-    "small_quantity_revenue",
-    # --- kept greens: the exposure/observability family stays
-    #     represented by the containment probe; simhash keeps its
-    #     capped-vs-wide comparison pair (both behind the loud
-    #     coverage-floor guard, generalized to every capped family
-    #     in r13 per VERDICT r12 #3). ---
+    "hybrid_rank_indexed",
+    "semdedup_near_dup",
+    "knn_ivf_mrl",
+    "media_near_dup_subkey",
+    "media_exact_dups",
+    "bpe_train",
+    "bpe_encode",
+    "top_tokens",
+    "failed_transactions",
+    "merge_dim_wallets",
+    "knn_ivf_materialized",
+    "dedup_keepers",
+    "corpus_curation",
+    "sales_rollup",
     "bm25_indexed",
     "simhash_near_dup_wide",
     "contamination_report",
@@ -5797,12 +5763,15 @@ DRIVER_ORDER = [
     "corpus_diversity",
     "minhash_calibration",
     "stratified_holdout",
+    "corpus_card",
     "denoising_spans",
     "pack_boundaries",
+    "length_buckets",
     "canary_registry",
+    "mixture_waterfill",
+    "epoch_plan",
     "shard_manifest",
     "simhash_near_dup",
-    # --- core dedup/similarity/media suite ---
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_clusters",
@@ -5811,18 +5780,15 @@ DRIVER_ORDER = [
     "media_avi_stats",
     "dim_wallets",
     "program_dim_rollup",
-    # --- analytics (reference A1-A13 parity) ---
     "transaction_volume",
     "hourly_volume",
     "active_programs",
     "wallet_activity",
     "program_trends",
-    # --- behavioral + temporal ---
     "cumulative_new_users",
     "sketch_rollup",
     "rollup_exact_users",
-    # --- text corpus suite (rotated-out greens all stay DuckDB-swept
-    #     by tests/test_oracle_parity on every run) ---
+    "corpus_selection",
     "benchmark_contamination",
 ]
 
