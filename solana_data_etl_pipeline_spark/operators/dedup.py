@@ -65,7 +65,7 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(normalized_text(text_col), " ")
 
 
-def shingles_from_tokens(tk: Column, n: int = SHINGLE_N) -> Column:
+def shingles_from_tokens(tk: Column | str, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles over an ALREADY-PROJECTED token
     array column.
 
@@ -73,7 +73,19 @@ def shingles_from_tokens(tk: Column, n: int = SHINGLE_N) -> Column:
     `transform` lambda; higher-order functions evaluate interpreted
     (no common-subexpression elimination), so callers MUST pass a bound
     attribute -- never the raw split/regexp expression -- or the
-    tokenizer re-runs O(n * grams) times per row."""
+    tokenizer re-runs O(n * grams) times per row.
+
+    Pass the bound column's NAME (str) on performance paths: the whole
+    expression then builds as ONE parsed SQL string instead of dozens
+    of py4j round-trips per call (the r13 plan-construction lesson,
+    guide §7.3); the parsed tree is semantically identical to the DSL
+    form (same functions, same coercions -- selfcheck hash-verified)."""
+    if isinstance(tk, str):
+        terms = ", ".join(f"try_element_at({tk}, i + {j + 1})" for j in range(n))
+        return F.expr(
+            f"array_distinct(transform(sequence(0, greatest(size({tk}) - {n}, 0)), "
+            f"i -> concat_ws(' ', {terms})))"
+        )
     idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
     # try_element_at: a doc shorter than n tokens yields one partial
     # gram (out-of-bounds -> NULL, skipped by concat_ws) -- same as the
@@ -112,8 +124,15 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def _base_hashes(sh: Column) -> Column:
-    """Array of 31-bit base hashes, one per shingle of a bound array."""
+def _base_hashes(sh: Column | str) -> Column:
+    """Array of 31-bit base hashes, one per shingle of a bound array.
+    A str argument names the bound column and builds the expression
+    as one parsed SQL string (see shingles_from_tokens)."""
+    if isinstance(sh, str):
+        return F.expr(
+            f"transform({sh}, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) "
+            f"as bigint) % {_BASE_MOD}L)"
+        )
 
     def _base(g: Column) -> Column:
         return _hash64(g) % F.lit(_BASE_MOD)
@@ -129,21 +148,32 @@ def _shingle_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         ensure_parallelism(df.select("doc_id", F.col(text_col)))
         .select("doc_id", tokens_col(text_col).alias("_tk"))
-        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("sh"))
+        .select("doc_id", shingles_from_tokens("_tk").alias("sh"))
     )
 
 
-def minhash_sig_col(hashes_col: Column, num_hashes: int = MINHASH_HASHES) -> Column:
+def minhash_sig_col(hashes_col: Column | str, num_hashes: int = MINHASH_HASHES) -> Column:
     """MinHash signature as a pure per-row expression over the base-hash
     array: sig[s] = min over shingles of (A[s]*h + B[s]) mod M.
 
     Single `aggregate` pass with an array-of-mins accumulator (rather
     than num_hashes unrolled array_min/transform pairs) so the
     expression tree -- and the generated code Janino has to compile --
-    stays O(1) in num_hashes."""
+    stays O(1) in num_hashes. A str argument names the bound column
+    and builds the whole expression as one parsed SQL string (the r13
+    plan-construction lesson, guide §7.3)."""
     a, b = minhash_coeffs(num_hashes)
-    a_lit = F.array(*[F.lit(v).cast("long") for v in a])
-    b_lit = F.array(*[F.lit(v).cast("long") for v in b])
+    a_sql = "array(" + ",".join(f"{v}L" for v in a) + ")"
+    b_sql = "array(" + ",".join(f"{v}L" for v in b) + ")"
+    if isinstance(hashes_col, str):
+        return F.expr(
+            f"aggregate({hashes_col}, array_repeat({MINHASH_MOD}L, {num_hashes}), "
+            f"(acc, x) -> zip_with(acc, zip_with({a_sql}, {b_sql}, "
+            f"(ca, cb) -> (ca * x + cb) % {MINHASH_MOD}), "
+            f"(m, s) -> least(m, s)))"
+        )
+    a_lit = F.expr(a_sql)
+    b_lit = F.expr(b_sql)
     init = F.array_repeat(F.lit(MINHASH_MOD).cast("long"), num_hashes)
 
     def _step(acc: Column, x: Column) -> Column:
@@ -164,15 +194,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
     groupBy-min; the per-row form is strictly narrower and keeps the
     map side of any downstream LSH join shuffle-free.)
     """
-    base = _shingle_sets(df, text_col).select("doc_id", _base_hashes(F.col("sh")).alias("_hs"))
-    return base.select("doc_id", minhash_sig_col(F.col("_hs"), num_hashes).alias("minhash"))
+    base = _shingle_sets(df, text_col).select("doc_id", _base_hashes("sh").alias("_hs"))
+    return base.select("doc_id", minhash_sig_col("_hs", num_hashes).alias("minhash"))
 
 
 def _band_rows(sig_df: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> DataFrame:
-    """(doc_id, band, band_sig) rows: md5 over each band's slice."""
-    band_sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.concat_ws(",", F.slice(F.col("minhash"), b * rows + 1, rows))),
+    """(doc_id, band, band_sig) rows: md5 over each band's slice.
+    Built as one parsed SQL expression (guide §7.3)."""
+    band_sigs = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> md5(concat_ws(',', slice(minhash, b * {rows} + 1, {rows}))))"
     )
     return sig_df.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
 
@@ -279,11 +310,14 @@ def embedding_cap_stats(
     embedding_near_dup_lsh joins on."""
     from solana_data_etl_pipeline_spark.operators.similarity import (
         LSH_PLANES,
-        table_bucket_col,
+        lsh_bucket_rows,
     )
 
-    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
-    v = emb_df.select("vec_id", F.posexplode(buckets).alias("table", "bucket"))
+    # bucket-only kernel pass (include_vec=False: nothing but the ids
+    # and bucket keys cross the Arrow boundary); bit-identical buckets
+    v = lsh_bucket_rows(
+        emb_df, LSH_PLANES, n_tables=n_tables, include_vec=False
+    ).select("vec_id", "table", "bucket")
     return lsh_cap_stats(v, ["table", "bucket"], max_bucket)
 
 
@@ -430,10 +464,10 @@ def minhash_calibration(
     output collapsing to <= 10 rows in one bounded final agg."""
     rows = num_hashes // bands
     sets = _shingle_sets(df, text_col)
-    feat = sets.select(
+    feat = sets.select("doc_id", "sh", _base_hashes("sh").alias("_hs")).select(
         "doc_id",
         "sh",
-        minhash_sig_col(_base_hashes(F.col("sh")), num_hashes).alias("mh"),
+        minhash_sig_col("_hs", num_hashes).alias("mh"),
     )
     b = _band_rows(feat.select("doc_id", F.col("mh").alias("minhash")), bands, rows)
     if max_bucket is not None:
@@ -697,7 +731,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> 
     th = F.transform(F.array_distinct(F.split(normalized_text(text_col), " ")), _hash64)
     hashed = ensure_parallelism(df.select("doc_id", F.col(text_col))).select("doc_id", th.alias("_th"))
 
-    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    # one parsed literal, not `bits` F.lit round-trips (guide §7.3)
+    masks = F.expr("array(" + ",".join(f"{1 << j}L" for j in range(bits)) + ")")
     zero = F.lit(0).cast("long")
     votes = F.aggregate(
         F.col("_th"),
@@ -1765,12 +1800,14 @@ def embedding_near_dup_lsh(
             ),
         )
 
-    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
-    v = emb_df.select(
-        F.col("vec_id"),
-        _dvec(F.col("embedding")).alias("v"),
-        norm_expr(F.col("embedding")).alias("n"),
-        F.posexplode(buckets).alias("table", "bucket"),
+    # one Arrow/numpy bucket-kernel pass for the corpus side
+    # (bit-identical to the former HOF projection -- see
+    # similarity.lsh_bucket_rows: the per-vector hyperplane dots and
+    # norms were this plan's dominant per-call cost, guide §4.2)
+    from solana_data_etl_pipeline_spark.operators.similarity import lsh_bucket_rows
+
+    v = lsh_bucket_rows(
+        emb_df, LSH_PLANES, n_tables=n_tables, vec_out="v", norm_out="n"
     )
     if max_bucket is not None:
         # count window over the join keys -- same zero-extra-shuffle
@@ -1939,18 +1976,14 @@ def materialize_embedding_lsh(
     widths grow with the corpus."""
     from solana_data_etl_pipeline_spark.operators.similarity import (
         LSH_PLANES,
-        _dvec,
-        norm_expr,
-        table_bucket_col,
+        lsh_bucket_rows,
     )
 
-    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
-    v = emb_df.select(
-        F.col("vec_id"),
-        _dvec(F.col("embedding")).alias("v"),
-        norm_expr(F.col("embedding")).alias("n"),
-        F.posexplode(buckets).alias("table", "bucket"),
-    )
+    # Arrow/numpy bucket-kernel build pass (bit-identical rows; the
+    # former HOF projection's dots/norms dominated the build cost)
+    v = lsh_bucket_rows(
+        emb_df, LSH_PLANES, n_tables=n_tables, vec_out="v", norm_out="n"
+    ).select("vec_id", "v", "n", "table", "bucket")
     if max_bucket is not None:
         wspec = Window.partitionBy("table", "bucket")
         counted = v.withColumn("_w", F.count(F.lit(1)).over(wspec))
@@ -2007,7 +2040,7 @@ def delta_embedding_exposure(
     # the INDEX defines the probe geometry; the parameter is only the
     # fallback for an index that does not exist yet
     n_tables = embedding_index_tables(spark, index_path, n_tables)
-    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
+    buckets = table_bucket_col("embedding", LSH_PLANES, n_tables)
     d = delta.select(
         F.col("vec_id").alias("delta_id"),
         F.posexplode(buckets).alias("table", "bucket"),
@@ -2078,7 +2111,7 @@ def delta_embedding_dedup(
     # the INDEX defines the probe geometry; the parameter is only the
     # fallback for an index that does not exist yet
     n_tables = embedding_index_tables(spark, index_path, n_tables)
-    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
+    buckets = table_bucket_col("embedding", LSH_PLANES, n_tables)
     d = delta.select(
         F.col("vec_id"),
         _dvec(F.col("embedding")).alias("v"),

@@ -36,6 +36,7 @@ import struct
 import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,16 +79,20 @@ def _unavailable_decode(payload: bytes, modality: str) -> list[float]:
     )
 
 
-def _wav_parse(payload: bytes) -> dict:
+def _wav_parse_raw(payload: bytes) -> dict:
     """REAL audio decode: parse a RIFF/WAV container with the stdlib
     ``wave`` codec -- header fields from the fmt chunk, PCM samples
-    from the data chunk (8-bit PCM = unsigned bytes). Raises
-    ``wave.Error`` on malformed bytes like any real decoder, and
-    ``ValueError`` on a VALID container in an unsupported variant
-    (non-8-bit PCM) -- the BMP/AVI "unsupported variant" stance;
-    silently returning no samples would let the resamplers re-encode
-    a 16-bit recording into a valid-but-empty 8-bit container (total
-    audio loss with a fresh checksum and no error)."""
+    from the data chunk (8-bit PCM = unsigned bytes), returned as the
+    RAW bytes object (``samples`` key) so hot paths can wrap them in
+    a numpy view without a per-sample Python loop (guide §4.2: the
+    per-element ``list(...)`` materialization dominated every decode
+    batch). Raises ``wave.Error`` on malformed bytes like any real
+    decoder, and ``ValueError`` on a VALID container in an
+    unsupported variant (non-8-bit PCM) -- the BMP/AVI "unsupported
+    variant" stance; silently returning no samples would let the
+    resamplers re-encode a 16-bit recording into a valid-but-empty
+    8-bit container (total audio loss with a fresh checksum and no
+    error)."""
     with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
         n = w.getnframes()
         out = {
@@ -101,20 +106,34 @@ def _wav_parse(payload: bytes) -> dict:
                 "unsupported WAV variant (need 8-bit PCM; got "
                 f"sampwidth={out['sampwidth']})"
             )
-        out["samples"] = list(w.readframes(n))
+        out["samples"] = w.readframes(n)
+    return out
+
+
+def _wav_parse(payload: bytes) -> dict:
+    """_wav_parse_raw with ``samples`` as a list of ints -- the
+    original public contract (tests and ad-hoc callers index it);
+    performance paths use the raw form + numpy instead."""
+    out = _wav_parse_raw(payload)
+    out["samples"] = list(out["samples"])
     return out
 
 
 def _wav_decode(payload: bytes, modality: str) -> list[float]:
-    """DECODERS adapter over _wav_parse: folds the real decode into
-    FEATURE_DIM floats [n_frames, framerate, n_channels, sampwidth,
-    mean, rms (centered at the 8-bit PCM midpoint 128), peak, min]."""
-    m = _wav_parse(payload)
-    s = m["samples"]
-    if s:
-        mean = sum(s) / len(s)
-        rms = (sum((x - 128) ** 2 for x in s) / len(s)) ** 0.5
-        peak, lo = float(max(s)), float(min(s))
+    """DECODERS adapter over _wav_parse_raw: folds the real decode
+    into FEATURE_DIM floats [n_frames, framerate, n_channels,
+    sampwidth, mean, rms (centered at the 8-bit PCM midpoint 128),
+    peak, min]. Sample statistics are integer sums on a numpy view of
+    the raw PCM bytes -- value-identical to the former per-sample
+    Python loop (int64 sums are exact; the closing divisions are the
+    same IEEE ops) at vector speed."""
+    m = _wav_parse_raw(payload)
+    s = np.frombuffer(m["samples"], dtype=np.uint8)
+    if s.size:
+        s64 = s.astype(np.int64)
+        mean = int(s64.sum()) / s.size
+        rms = (int(((s64 - 128) ** 2).sum()) / s.size) ** 0.5
+        peak, lo = float(s.max()), float(s.min())
     else:
         mean = rms = peak = lo = 0.0
     return [
@@ -139,13 +158,7 @@ def _bmp_encode(pixels: bytes, width: int) -> bytes:
     if width <= 0 or len(pixels) % width:
         raise ValueError("_bmp_encode: pixels must tile into `width` columns")
     height = len(pixels) // width
-    row_bytes = width * 3
-    pad = (-row_bytes) % 4
-    body = bytearray()
-    for r in range(height - 1, -1, -1):  # bottom-up per the BMP spec
-        for v in pixels[r * width : (r + 1) * width]:
-            body += bytes((v, v, v))
-        body += b"\x00" * pad
+    body = _dib_body(pixels, width)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
@@ -153,12 +166,15 @@ def _bmp_encode(pixels: bytes, width: int) -> bytes:
     return head + info + bytes(body)
 
 
-def _bmp_parse(payload: bytes) -> dict:
-    """REAL image decode: struct-parse an uncompressed 24-bit BI_RGB
-    BMP -- validate the magic, header sizes, bpp and compression
-    fields, then read the padded bottom-up pixel rows back into
-    logical top-down order. Raises ``ValueError`` on malformed bytes
-    like any real decoder."""
+def _bmp_parse_px(payload: bytes) -> dict:
+    """REAL image decode, numpy form: struct-parse an uncompressed
+    24-bit BI_RGB BMP -- validate the magic, header sizes, bpp and
+    compression fields -- and return the pixel data as ONE zero-copy
+    numpy view ``px_bottomup`` of shape (height, width*3): bottom-up
+    BGR rows with the 4-byte padding sliced off. Raises
+    ``ValueError`` on malformed bytes like any real decoder. Hot
+    decode paths consume this form; ``_bmp_parse`` keeps the original
+    tuple-rows contract on top of it (guide §4.2)."""
     b = bytes(payload)
     if len(b) < 54 or b[:2] != b"BM":
         raise ValueError("not a BMP: bad magic/size")
@@ -172,24 +188,43 @@ def _bmp_parse(payload: bytes) -> dict:
     stride = row_bytes + ((-row_bytes) % 4)
     if offset + stride * height > len(b):
         raise ValueError("truncated BMP pixel array")
-    rows = []
-    for r in range(height):
-        start = offset + (height - 1 - r) * stride  # bottom-up -> logical
-        row = b[start : start + row_bytes]
-        rows.append([(row[i], row[i + 1], row[i + 2]) for i in range(0, row_bytes, 3)])
-    return {"width": width, "height": height, "rows": rows}
+    px = (
+        np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=offset)
+        .reshape(height, stride)[:, :row_bytes]
+    )
+    return {"width": width, "height": height, "px_bottomup": px}
+
+
+def _bmp_parse(payload: bytes) -> dict:
+    """_bmp_parse_px with the pixel array as per-row (b, g, r) tuple
+    lists in logical top-down order -- the original public contract
+    (tests and ad-hoc callers index it); performance paths use the px
+    form directly."""
+    m = _bmp_parse_px(payload)
+    px = m.pop("px_bottomup")
+    row_bytes = px.shape[1]
+    m["rows"] = [
+        [tuple(int(v) for v in row[i : i + 3]) for i in range(0, row_bytes, 3)]
+        for row in px[::-1]  # bottom-up -> logical
+    ]
+    return m
 
 
 def _bmp_decode(payload: bytes, modality: str) -> list[float]:
-    """DECODERS adapter over _bmp_parse: folds the real decode into
+    """DECODERS adapter over _bmp_parse_px: folds the real decode into
     FEATURE_DIM floats [width, height, n_pixels, mean B, mean G,
-    mean R, min, max] (BGR channel means; min/max over all
-    channels)."""
-    m = _bmp_parse(payload)
-    px = [t for row in m["rows"] for t in row]
-    n = len(px)
-    chan = [sum(t[i] for t in px) / n for i in range(3)] if n else [0.0, 0.0, 0.0]
-    flat = [v for t in px for v in t] or [0]
+    mean R, min, max] (BGR channel means; min/max over all channels).
+    Integer numpy sums -- value-identical to the former tuple loops."""
+    m = _bmp_parse_px(payload)
+    px = m["px_bottomup"]
+    n = px.size // 3
+    if n:
+        tri = px.reshape(-1, 3).astype(np.int64)
+        chan = [int(tri[:, i].sum()) / n for i in range(3)]
+        lo, hi = float(int(px.min())), float(int(px.max()))
+    else:
+        chan = [0.0, 0.0, 0.0]
+        lo = hi = 0.0
     return [
         float(m["width"]),
         float(m["height"]),
@@ -197,9 +232,17 @@ def _bmp_decode(payload: bytes, modality: str) -> list[float]:
         chan[0],
         chan[1],
         chan[2],
-        float(min(flat)),
-        float(max(flat)),
+        lo,
+        hi,
     ]
+
+
+def _bmp_gray_topdown(m: dict, row_stride: int, col_stride: int) -> bytes:
+    """Grayscale bytes (B channel) of every (row_stride, col_stride)
+    decimated pixel of a _bmp_parse_px result, rows in logical
+    top-down order."""
+    px = m["px_bottomup"][::-1]  # logical order
+    return np.ascontiguousarray(px[::row_stride, 0::3][:, ::col_stride]).tobytes()
 
 
 def _bmp_thumbnail(payload: bytes, modality: str, target: int) -> bytes:
@@ -207,14 +250,10 @@ def _bmp_thumbnail(payload: bytes, modality: str, target: int) -> bytes:
     to at most ``target`` columns (stride = ceil(width/target), the
     same stride applied to rows), re-encoded as a valid container --
     decode and encode both through the struct codec."""
-    m = _bmp_parse(payload)
+    m = _bmp_parse_px(payload)
     stride = max(1, -(-m["width"] // max(target, 1)))
-    gray = bytearray()
     kept_w = len(range(0, m["width"], stride))
-    for r in range(0, m["height"], stride):
-        for c in range(0, m["width"], stride):
-            gray.append(m["rows"][r][c][0])  # grayscale payloads: B==G==R
-    return _bmp_encode(bytes(gray), kept_w)
+    return _bmp_encode(_bmp_gray_topdown(m, stride, stride), kept_w)
 
 
 AVI_FRAME_W = 8
@@ -226,16 +265,18 @@ def _dib_body(gray: bytes, width: int) -> bytes:
     """Raw DIB pixel array for one grayscale frame: bottom-up rows of
     BGR triples with 4-byte row padding -- the payload an uncompressed
     AVI ``00db`` chunk carries (a BMP pixel array without the file
-    header)."""
+    header). Built with one numpy repeat/pad pass (byte-identical to
+    the former per-pixel loop -- pure byte moves; guide §4.2)."""
     height = len(gray) // width
     row_bytes = width * 3
     pad = (-row_bytes) % 4
-    body = bytearray()
-    for r in range(height - 1, -1, -1):
-        for v in gray[r * width : (r + 1) * width]:
-            body += bytes((v, v, v))
-        body += b"\x00" * pad
-    return bytes(body)
+    g = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    bgr = np.repeat(g[::-1], 3, axis=1)  # bottom-up rows; v -> (v, v, v)
+    if not pad:
+        return bgr.tobytes()
+    out = np.zeros((height, row_bytes + pad), dtype=np.uint8)
+    out[:, :row_bytes] = bgr
+    return out.tobytes()
 
 
 def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
@@ -317,15 +358,20 @@ def _walk_riff(buf: bytes):
         pos += 8 + size + (size % 2)
 
 
-def _avi_parse(payload: bytes) -> dict:
-    """REAL video decode: struct-parse a RIFF/AVI container -- validate
-    the RIFF magic and size, the ``avih``/``strh``/``strf`` headers
-    (one uncompressed 24-bit ``vids`` stream whose geometry agrees
-    across headers), collect the ``movi`` frame chunks, check the
-    frame count against both the main header and the ``idx1`` index,
-    and restore each frame's padded bottom-up pixel rows to logical
-    top-down order. Raises ``ValueError`` on malformed bytes like any
-    real demuxer."""
+def _avi_parse_px(payload: bytes) -> dict:
+    """REAL video decode, numpy form: struct-parse a RIFF/AVI
+    container -- validate the RIFF magic and size, the
+    ``avih``/``strh``/``strf`` headers (one uncompressed 24-bit
+    ``vids`` stream whose geometry agrees across headers), collect
+    the ``movi`` frame chunks, check the frame count against both the
+    main header and the ``idx1`` index -- and return the pixel data
+    as ONE zero-copy numpy view ``px_bottomup`` of shape (n_frames,
+    height, width*3): bottom-up BGR rows with the 4-byte padding
+    sliced off. Raises ``ValueError`` on malformed bytes like any
+    real demuxer. The hot decode paths (avi_stats / _avi_decode /
+    frame sampling) consume this form; ``_avi_parse`` keeps the
+    original tuple-rows contract on top of it (guide §4.2: the
+    per-pixel tuple materialization dominated every decode batch)."""
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI: bad RIFF magic")
@@ -367,42 +413,66 @@ def _avi_parse(payload: bytes) -> dict:
     scale, rate = strh[6], strh[7]
     row_bytes = width * 3
     stride = row_bytes + ((-row_bytes) % 4)
-    frames = []
     for fr in frames_raw:
         if len(fr) != stride * height:
             raise ValueError("corrupt AVI frame size")
-        rows = []
-        for r in range(height):
-            start = (height - 1 - r) * stride  # bottom-up -> logical
-            row = fr[start : start + row_bytes]
-            rows.append([(row[i], row[i + 1], row[i + 2]) for i in range(0, row_bytes, 3)])
-        frames.append(rows)
+    px = (
+        np.frombuffer(b"".join(frames_raw), dtype=np.uint8)
+        .reshape(n_frames, height, stride)[:, :, :row_bytes]
+    )
     return {
         "width": width,
         "height": height,
         "n_frames": n_frames,
         "fps": rate // max(scale, 1),
-        "frames": frames,
+        "px_bottomup": px,
     }
 
 
+def _avi_gray_topdown(m: dict, frame_stride: int = 1) -> bytes:
+    """Grayscale bytes (B channel; grayscale payloads have B==G==R) of
+    every ``frame_stride``-th frame of an _avi_parse_px result, rows
+    restored to logical top-down order."""
+    px = m["px_bottomup"][::frame_stride]
+    return np.ascontiguousarray(px[:, ::-1, 0::3]).tobytes()
+
+
+def _avi_parse(payload: bytes) -> dict:
+    """_avi_parse_px with frames as lists of per-row (b, g, r) tuple
+    lists -- the original public contract (tests and ad-hoc callers
+    index it); performance paths use the px form directly."""
+    m = _avi_parse_px(payload)
+    px = m.pop("px_bottomup")
+    n_frames, height, row_bytes = px.shape
+    frames = [
+        [
+            [tuple(int(v) for v in row[i : i + 3]) for i in range(0, row_bytes, 3)]
+            for row in fr[::-1]  # bottom-up -> logical
+        ]
+        for fr in px
+    ]
+    m["frames"] = frames
+    return m
+
+
 def _avi_decode(payload: bytes, modality: str) -> list[float]:
-    """DECODERS adapter over _avi_parse: folds the real decode into
+    """DECODERS adapter over _avi_parse_px: folds the real decode into
     FEATURE_DIM floats [n_frames, width, height, fps, mean luminance
     across all frames, max, min, n_pixels] (luminance of a BGR triple
-    = the channel mean; grayscale payloads give the gray value)."""
-    m = _avi_parse(payload)
-    px = [t for fr in m["frames"] for row in fr for t in row]
-    n = len(px)
-    flat = [v for t in px for v in t] or [0]
+    = the channel mean; grayscale payloads give the gray value).
+    Integer numpy sums -- value-identical to the former tuple loops."""
+    m = _avi_parse_px(payload)
+    px = m["px_bottomup"]
+    n = px.size // 3
+    s = int(px.astype(np.int64).sum()) if n else 0
     return [
         float(m["n_frames"]),
         float(m["width"]),
         float(m["height"]),
         float(m["fps"]),
-        (sum(flat) / (3 * n)) if n else 0.0,
-        float(max(flat)),
-        float(min(flat)),
+        (s / (3 * n)) if n else 0.0,
+        float(int(px.max())) if n else 0.0,
+        float(int(px.min())) if n else 0.0,
         float(n),
     ]
 
@@ -413,14 +483,9 @@ def _avi_thumbnail(payload: bytes, modality: str, target: int) -> bytes:
     video analog of an image thumbnail), re-encoded as a valid
     container at the reduced frame rate -- decode and encode both
     through the struct demuxer."""
-    m = _avi_parse(payload)
+    m = _avi_parse_px(payload)
     stride = max(1, -(-m["n_frames"] // max(target, 1)))
-    gray = bytes(
-        row_t[0]  # grayscale payloads: B==G==R
-        for fr in m["frames"][::stride]
-        for row in fr
-        for row_t in row
-    )
+    gray = _avi_gray_topdown(m, stride)
     return _avi_encode(gray, m["width"], m["height"], max(m["fps"] // stride, 1))
 
 
@@ -496,7 +561,7 @@ def _wav_thumbnail(payload: bytes, modality: str, target: int) -> bytes:
     thumbnail) and re-encode a valid container at the reduced
     framerate -- decode and encode both through the stdlib wave
     codec."""
-    m = _wav_parse(payload)
+    m = _wav_parse_raw(payload)
     n = m["n_frames"]
     stride = max(1, -(-n // max(target, 1)))  # ceil(n / target)
     return _wav_encode(
@@ -639,19 +704,20 @@ def wav_stats(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                m = _wav_parse(bytes(p))
-                s = m["samples"]
+                m = _wav_parse_raw(bytes(p))
+                s = np.frombuffer(m["samples"], dtype=np.uint8)
+                s64 = s.astype(np.int64) if s.size else None
                 rows.append(
                     {
                         "media_id": mid,
                         "n_frames": m["n_frames"],
                         "framerate": m["framerate"],
                         "n_channels": m["n_channels"],
-                        "mean_amp": (sum(s) / len(s)) if s else None,
-                        "rms": ((sum((x - 128) ** 2 for x in s) / len(s)) ** 0.5)
-                        if s
+                        "mean_amp": (int(s64.sum()) / s.size) if s.size else None,
+                        "rms": ((int(((s64 - 128) ** 2).sum()) / s.size) ** 0.5)
+                        if s.size
                         else None,
-                        "peak": max(s) if s else None,
+                        "peak": int(s.max()) if s.size else None,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields])
@@ -669,7 +735,7 @@ def wav_resample(media_df: DataFrame, stride: int = 4) -> DataFrame:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
-                m = _wav_parse(bytes(p))
+                m = _wav_parse_raw(bytes(p))
                 out.append(
                     _wav_encode(
                         bytes(m["samples"][::stride]),
@@ -880,17 +946,18 @@ def bmp_stats(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                m = _bmp_parse(bytes(p))
-                px = [t for row in m["rows"] for t in row]
-                s = sum(sum(t) for t in px)
+                m = _bmp_parse_px(bytes(p))
+                px = m["px_bottomup"]
+                n = px.size // 3
+                s = int(px.astype(np.int64).sum()) if n else 0
                 rows.append(
                     {
                         "media_id": mid,
                         "width": m["width"],
                         "height": m["height"],
-                        "n_pixels": len(px),
-                        "mean_lum": (s / (3 * len(px))) if px else None,
-                        "max_lum": max(max(t) for t in px) if px else None,
+                        "n_pixels": n,
+                        "mean_lum": (s / (3 * n)) if n else None,
+                        "max_lum": int(px.max()) if n else None,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
@@ -908,14 +975,9 @@ def bmp_resize(media_df: DataFrame, stride: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
-                m = _bmp_parse(bytes(p))
+                m = _bmp_parse_px(bytes(p))
                 kept_w = len(range(0, m["width"], stride))
-                gray = bytes(
-                    m["rows"][r][c][0]
-                    for r in range(0, m["height"], stride)
-                    for c in range(0, m["width"], stride)
-                )
-                out.append(_bmp_encode(gray, kept_w))
+                out.append(_bmp_encode(_bmp_gray_topdown(m, stride, stride), kept_w))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -1001,9 +1063,10 @@ def avi_stats(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                m = _avi_parse(bytes(p))
-                px = [t for fr in m["frames"] for row in fr for t in row]
-                s = sum(sum(t) for t in px)
+                m = _avi_parse_px(bytes(p))
+                px = m["px_bottomup"]
+                n = px.size // 3
+                s = int(px.astype(np.int64).sum()) if n else 0
                 rows.append(
                     {
                         "media_id": mid,
@@ -1011,8 +1074,8 @@ def avi_stats(media_df: DataFrame) -> DataFrame:
                         "width": m["width"],
                         "height": m["height"],
                         "fps": m["fps"],
-                        "mean_lum": (s / (3 * len(px))) if px else None,
-                        "max_lum": max(max(t) for t in px) if px else None,
+                        "mean_lum": (s / (3 * n)) if n else None,
+                        "max_lum": int(px.max()) if n else None,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AVI_STATS_SCHEMA.fields])
@@ -1034,13 +1097,8 @@ def avi_frame_sample(media_df: DataFrame, stride: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
-                m = _avi_parse(bytes(p))
-                gray = bytes(
-                    t[0]
-                    for fr in m["frames"][::stride]
-                    for row in fr
-                    for t in row
-                )
+                m = _avi_parse_px(bytes(p))
+                gray = _avi_gray_topdown(m, stride)
                 out.append(
                     _avi_encode(
                         gray, m["width"], m["height"], max(m["fps"] // stride, 1)

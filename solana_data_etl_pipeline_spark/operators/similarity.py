@@ -74,14 +74,46 @@ def lsh_planes(n_planes: int = LSH_PLANES, dim: int = EMB_DIM, table: int = 0) -
     return planes
 
 
-def bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
+def bucket_expr(emb: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit p set iff dot(plane_p, emb) >= 0.
 
     The plane matrix is a single nested-array literal and the dot
     products run inside one `transform`, keeping the expression tree
-    (and generated code) O(planes) instead of O(planes * dim)."""
-    planes_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
-    powers = F.array(*[F.lit(2**p).cast("long") for p in range(len(planes))])
+    (and generated code) O(planes) instead of O(planes * dim). The
+    matrix is built with ONE parsed SQL literal rather than
+    planes*dim `F.lit` calls: each F.lit is a py4j round-trip, and at
+    8x64 doubles per table the former loop cost ~0.5 s of pure
+    plan-CONSTRUCTION time per table per query call (measured r13;
+    guide §7.3's planning-time trap, driver-side). `repr(float)` is
+    round-trip exact and Spark's double-literal parser is correctly
+    rounded, so the parsed matrix is bit-identical to the F.lit
+    form."""
+    planes_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    powers_sql = "array(" + ",".join(f"{2**p}L" for p in range(len(planes))) + ")"
+    if isinstance(emb, str):
+        # bound-column-name fast path: the WHOLE bucket expression as
+        # one parsed SQL string -- the DSL form costs dozens of py4j
+        # round-trips per table per call (HOF lambda plumbing), pure
+        # plan-construction time (r13, guide §7.3). Semantically
+        # identical tree (same functions, same coercions).
+        dvec_sql = f"transform({emb}, x -> cast(x as double))"
+        dots_sql = (
+            f"transform({planes_sql}, row -> aggregate(zip_with(row, {dvec_sql}, "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+        )
+        return F.expr(
+            f"aggregate(zip_with({dots_sql}, {powers_sql}, "
+            f"(d, pw) -> case when d >= 0 then pw else 0L end), "
+            f"0L, (acc, x) -> acc + x)"
+        )
+    planes_col = F.expr(planes_sql)
+    powers = F.expr(powers_sql)
     dvec = _dvec(emb)
     dots = F.transform(
         planes_col,
@@ -121,12 +153,157 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFr
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def table_bucket_col(emb: Column, n_planes: int, n_tables: int, dim: int = EMB_DIM) -> Column:
+def table_bucket_col(emb: Column | str, n_planes: int, n_tables: int, dim: int = EMB_DIM) -> Column:
     """Array of per-table LSH bucket ids (one sign-bit bucket per hash
-    table, independent plane sets)."""
+    table, independent plane sets). Pass the bound column's NAME for
+    the single-parse construction fast path (see bucket_expr)."""
     return F.array(
         *[bucket_expr(emb, lsh_planes(n_planes, dim, table=t)) for t in range(n_tables)]
     )
+
+
+def lsh_bucket_rows(
+    emb_df: DataFrame,
+    n_planes: int = LSH_PLANES,
+    dim: int = EMB_DIM,
+    n_tables: int = LSH_TABLES,
+    id_col: str = "vec_id",
+    id_out: str | None = None,
+    vec_out: str = "c_emb",
+    norm_out: str = "c_norm",
+    include_vec: bool = True,
+) -> DataFrame:
+    """The exploded corpus side every multi-table LSH plan shuffles or
+    stores -- (id, double vector, L2 norm, table, bucket), one row per
+    (vector, hash table) -- computed in ONE Arrow-batched numpy kernel
+    instead of the interpreted higher-order-function expressions
+    (guide §4.2: HOFs evaluate interpreted with no codegen, so the
+    n_tables*n_planes*dim multiply-adds per vector dominated every
+    corpus-side pass; the batch kernel does the same arithmetic
+    vectorized).
+
+    BIT-IDENTICAL to the former projection `select(id, _dvec(emb),
+    norm_expr(emb), posexplode(table_bucket_col(emb, ...)))`, pinned
+    by test (tests/test_similarity.py): the per-(vector, plane) dot
+    and the squared norm accumulate with one IEEE float64 add per
+    dimension in ascending-dimension order -- exactly `F.aggregate`'s
+    left fold -- so every dot, norm, sign bit and bucket id matches
+    the HOF form to the last bit (products are order-free, adds are
+    sequenced identically, np.sqrt and Math.sqrt are both correctly
+    rounded). Query sides keep the HOF form: they are bounded (a
+    handful of probe rows), and the broadcast-join shape must not
+    grow a Python stage.
+
+    `include_vec=False` drops the vector/norm columns for bucket-only
+    consumers (cap stats), halving what crosses the Arrow boundary."""
+    import pyspark.sql.types as T
+
+    id_out = id_out or id_col
+    planes_np = [
+        row for t in range(n_tables) for row in lsh_planes(n_planes, dim, table=t)
+    ]
+
+    def gen(batches):
+        import math as _math
+
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.array(planes_np, dtype=np.float64)  # (n_tables*n_planes, dim)
+        powers = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0)
+            embcol = batch.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            uniform = (
+                embcol.null_count == 0
+                and (embcol.values.null_count if len(embcol.values) else 0) == 0
+                and len(embcol.values) == n * dim
+            )
+            if uniform:
+                V = np.asarray(embcol.values, dtype=np.float64).reshape(n, dim)
+                # EXACT left fold over dimensions (see docstring)
+                dots = np.zeros((n, P.shape[0]), dtype=np.float64)
+                sq = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    dots += V[:, d, None] * P[None, :, d]
+                    sq += V[:, d] * V[:, d]
+                norms = np.sqrt(sq)
+                bits = dots >= 0.0
+                buckets = [
+                    (bits[:, t * n_planes : (t + 1) * n_planes] * powers).sum(axis=1)
+                    for t in range(n_tables)
+                ]
+                norms_out = pa.array(np.tile(norms, n_tables))
+                buckets_arr = pa.array(np.concatenate(buckets).astype(np.int64))
+            else:
+                # EDGE fallback replicating the HOF form's semantics
+                # exactly for malformed rows (wrong length / null
+                # elements / null vector): zip_with pads the shorter
+                # side with NULL, so any mismatch or null makes every
+                # plane dot NULL, whose sign test fails -> bucket 0;
+                # the norm fold goes NULL through any null element.
+                # Registered frames never hit this path (vectors are
+                # uniform `dim`-wide, non-null); mixed test fixtures do.
+                rows = embcol.to_pylist()
+                bks, nrm = [], []
+                for vec in rows:
+                    if vec is None or len(vec) != dim or any(v is None for v in vec):
+                        bks.append([0] * n_tables)
+                    else:
+                        bk = []
+                        for t in range(n_tables):
+                            b = 0
+                            for p in range(n_planes):
+                                acc = 0.0
+                                row = planes_np[t * n_planes + p]
+                                for d2 in range(dim):
+                                    acc += row[d2] * vec[d2]
+                                if acc >= 0.0:
+                                    b += 1 << p
+                            bk.append(b)
+                        bks.append(bk)
+                    if vec is None or any(v is None for v in vec):
+                        nrm.append(None)
+                    else:
+                        acc = 0.0
+                        for v in vec:
+                            acc += v * v
+                        nrm.append(_math.sqrt(acc))
+                norms_out = pa.array(nrm * n_tables, type=pa.float64())
+                buckets_arr = pa.array(
+                    [bks[i][t] for t in range(n_tables) for i in range(n)],
+                    type=pa.int64(),
+                )
+            cols = [pa.concat_arrays([ids.combine_chunks() if hasattr(ids, "combine_chunks") else ids] * n_tables)]
+            names = [id_out]
+            if include_vec:
+                cols.append(pa.concat_arrays([embcol] * n_tables))
+                names.append(vec_out)
+                cols.append(norms_out)
+                names.append(norm_out)
+            cols.append(
+                pa.array(np.repeat(np.arange(n_tables, dtype=np.int32), n), type=pa.int32())
+            )
+            names.append("table")
+            cols.append(buckets_arr)
+            names.append("bucket")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    fields = [T.StructField(id_out, T.LongType())]
+    if include_vec:
+        fields += [
+            T.StructField(vec_out, T.ArrayType(T.DoubleType())),
+            T.StructField(norm_out, T.DoubleType()),
+        ]
+    fields += [T.StructField("table", T.IntegerType()), T.StructField("bucket", T.LongType())]
+    src = emb_df.select(
+        F.col(id_col).cast("long").alias(id_out),
+        _dvec(F.col("embedding")).alias("embedding"),
+    )
+    return src.mapInArrow(gen, T.StructType(fields))
 
 
 def knn_lsh(
@@ -160,12 +337,14 @@ def knn_lsh(
     across alternating runs). The kept plan scores-then-distincts: the
     shuffle stays narrow, and multiplicity only approaches L for pairs
     already so close they are few."""
-    buckets = table_bucket_col(F.col("embedding"), n_planes, n_tables, dim)
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _dvec(F.col("embedding")).alias("c_emb"),
-        norm_expr(F.col("embedding")).alias("c_norm"),
-        F.posexplode(buckets).alias("table", "bucket"),
+    # corpus side: the Arrow/numpy bucket kernel (bit-identical to the
+    # former HOF projection -- see lsh_bucket_rows; the corpus-side
+    # hyperplane dots and norms were this plan's dominant per-call
+    # cost). Query side stays the HOF projection: bounded rows, and
+    # the broadcast side must not grow a Python stage.
+    buckets = table_bucket_col("embedding", n_planes, n_tables, dim)
+    c = lsh_bucket_rows(
+        corpus, n_planes, dim, n_tables, id_out="neighbor_id"
     )
     q = queries.select(
         F.col("query_id"),
@@ -209,34 +388,59 @@ def materialize_lsh_rows(
     minhash_index_scheme contract). The underscore prefix keeps the
     sidecar invisible to the parquet scan of `path`, and it is
     written through the session's filesystem so remote stores work."""
-    buckets = table_bucket_col(F.col("embedding"), n_planes, n_tables, dim)
-    rows = emb_df.select(
-        "vec_id",
-        _dvec(F.col("embedding")).alias("c_emb"),
-        norm_expr(F.col("embedding")).alias("c_norm"),
-        F.posexplode(buckets).alias("table", "bucket"),
-    )
+    rows = lsh_bucket_rows(emb_df, n_planes, dim, n_tables)
     rows.write.mode("overwrite").parquet(path)
     emb_df.sparkSession.createDataFrame(
         [(n_planes, dim, n_tables)], "n_planes int, dim int, n_tables int"
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
+    # a rebuild may change the geometry: drop any cached sidecar read
+    _LSH_META_CACHE.pop(path, None)
     return path
+
+
+#: parsed `_lsh_meta` sidecars by index path. The sidecar is three
+#: ints describing an immutable written index; re-reading it through
+#: spark.read.json on EVERY probe construction cost a schema-inference
+#: job plus a read job per call (measured ~0.4 s of the indexed-fusion
+#: query's per-call time, r13). Invalidated by materialize_lsh_rows on
+#: rebuild; this caches probe GEOMETRY, never data or results.
+_LSH_META_CACHE: dict[str, dict | None] = {}
 
 
 def lsh_index_meta(spark, path: str) -> dict | None:
     """Read the build-parameter sidecar materialize_lsh_rows writes
-    (`{path}/_lsh_meta`); None for a pre-meta legacy index."""
+    (`{path}/_lsh_meta`); None for a pre-meta legacy index. Parsed
+    once per path per process (see _LSH_META_CACHE) with a cheap
+    existence revalidation for locally-stat-able paths (a sidecar
+    removed out-of-band must read as legacy again); the read uses an
+    explicit schema so no inference job runs."""
+    import os
+
     from pyspark.sql.utils import AnalysisException
 
+    side = f"{path}/_lsh_meta"
+    local = side.removeprefix("file:")
+    statable = "://" not in local
+    if statable and not os.path.exists(local):
+        _LSH_META_CACHE.pop(path, None)
+        return None
+    if path in _LSH_META_CACHE and _LSH_META_CACHE[path] is not None:
+        return _LSH_META_CACHE[path]
     try:
-        r = spark.read.json(f"{path}/_lsh_meta").first()
-        return {
+        r = (
+            spark.read.schema("n_planes int, dim int, n_tables int")
+            .json(side)
+            .first()
+        )
+        meta = {
             "n_planes": int(r["n_planes"]),
             "dim": int(r["dim"]),
             "n_tables": int(r["n_tables"]),
         }
     except AnalysisException:
-        return None
+        meta = None
+    _LSH_META_CACHE[path] = meta
+    return meta
 
 
 def knn_lsh_indexed(
@@ -291,13 +495,16 @@ def knn_lsh_indexed(
                 meta["dim"],
                 meta["n_tables"],
             )
-        index_rows = spark.read.parquet(index)
+        # fixed layout (materialize_lsh_rows) -- skip footer inference
+        index_rows = spark.read.schema(
+            "vec_id long, c_emb array<double>, c_norm double, table int, bucket long"
+        ).parquet(index)
     else:
         index_rows = index
     n_planes = LSH_PLANES if n_planes is None else n_planes
     dim = EMB_DIM if dim is None else dim
     n_tables = LSH_TABLES if n_tables is None else n_tables
-    buckets = table_bucket_col(F.col("embedding"), n_planes, n_tables, dim)
+    buckets = table_bucket_col("embedding", n_planes, n_tables, dim)
     q = queries.select(
         F.col("query_id"),
         _dvec(F.col("embedding")).alias("q_emb"),

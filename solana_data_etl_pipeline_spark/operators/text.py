@@ -468,14 +468,18 @@ def bm25_rank_indexed(
         raise ValueError("bm25_rank_indexed: query_terms must be non-empty")
     terms = list(dict.fromkeys(query_terms))
     pfxs = sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
+    # explicit schemas: the index layout is fixed by
+    # materialize_inverted_index, so per-call parquet footer
+    # inference is pure construction overhead (guide §7.3)
     post = (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.schema("token string, doc_id long, tf long, pfx string")
+        .parquet(f"{path}/postings")
         .filter(F.col("pfx").isin(pfxs) & F.col("token").isin(terms))
         .select("token", "doc_id", "tf")
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = spark.read.schema("n_docs long, total_dl long").parquet(f"{path}/stats")
     dfreq = post.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("dft"))
-    dl = spark.read.parquet(f"{path}/doclen")
+    dl = spark.read.schema("doc_id long, dl long").parquet(f"{path}/doclen")
     scored = (
         post.join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
@@ -2620,7 +2624,12 @@ def dsir_scores(
             ).alias(name),
         )
 
-    cb = buckets(corpus)
+    # the corpus bucket stream feeds TWO consumers (its own LM counts
+    # and the scoring join) whose aggregations are keyed differently
+    # (b vs doc_id), so no exchange is shared -- lazily checkpoint the
+    # exploded (doc_id, b) rows so the tokenize+hash pass runs once
+    # (r13, guide §2.4)
+    cb = buckets(corpus).localCheckpoint(eager=False)
     # only corpus buckets ever score, so the raw side is never
     # missing; a bucket unseen in the TARGET carries its smoothed
     # floor ln(1 / (N_target + B)) via a broadcast scalar
@@ -2678,43 +2687,41 @@ def hash_embed(df: DataFrame, dim: int = HASH_EMBED_DIM, text_col: str = "text")
     sign come off the 60-bit hash with mask/shift INTEGER ops -- a
     division path would round through doubles above 2^53 and break
     bit-parity with the integer-exact oracle."""
-    from solana_data_etl_pipeline_spark.operators.dedup import _hash64
-
     if dim & (dim - 1):
         raise ValueError("dim must be a power of two")
     shift = dim.bit_length() - 1
     tk = tokens_col(text_col)
     base = df.select(F.col("doc_id").alias("vec_id"), tk.alias("_tk"))
+    # each stage is ONE parsed SQL expression over the bound column
+    # from the previous projection (the r13 plan-construction lesson,
+    # guide §7.3: the DSL lambda form cost ~0.3 s of py4j round-trips
+    # per call); trees are semantically identical to the DSL form.
     # md5 once per token; the (dim, sign) split re-reads the cheap
     # long, not the hash expression
-    hashes = F.transform(F.filter(F.col("_tk"), lambda t: t != ""), _hash64)
+    hashes = F.expr(
+        "transform(filter(_tk, t -> t != ''), "
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
     base = base.select("vec_id", hashes.alias("_hs"))
-    feats = F.transform(
-        F.col("_hs"),
-        lambda h: F.struct(
-            F.pmod(h, F.lit(dim)).cast("int").alias("d"),
-            F.when(F.pmod(F.shiftright(h, shift), 2) == 0, F.lit(1.0))
-            .otherwise(F.lit(-1.0))
-            .alias("sgn"),
-        ),
+    feats = F.expr(
+        f"transform(_hs, h -> named_struct("
+        f"'d', cast(pmod(h, {dim}) as int), "
+        f"'sgn', case when pmod(shiftright(h, {shift}), 2) = 0 "
+        f"then 1.0D else -1.0D end))"
     )
     base = base.select("vec_id", feats.alias("_fs"))
-    idxs = F.array(*[F.lit(i) for i in range(dim)])
-    raw = F.aggregate(
-        F.col("_fs"),
-        F.array_repeat(F.lit(0.0), dim),
-        lambda acc, s: F.zip_with(
-            acc, idxs, lambda v, i: v + F.when(i == s["d"], s["sgn"]).otherwise(F.lit(0.0))
-        ),
+    idxs = "array(" + ",".join(str(i) for i in range(dim)) + ")"
+    raw = F.expr(
+        f"aggregate(_fs, array_repeat(0.0D, {dim}), "
+        f"(acc, s) -> zip_with(acc, {idxs}, "
+        f"(v, i) -> v + case when i = s.d then s.sgn else 0.0D end))"
     )
     base = base.select("vec_id", raw.alias("_raw"))
-    norm = F.sqrt(
-        F.aggregate(F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    norm = F.expr("sqrt(aggregate(_raw, 0.0D, (acc, x) -> acc + x * x))")
     base = base.select("vec_id", "_raw", F.greatest(norm, F.lit(1e-12)).alias("_n"))
     return base.select(
         "vec_id",
-        F.transform(F.col("_raw"), lambda x: x / F.col("_n")).alias("embedding"),
+        F.expr("transform(_raw, x -> x / _n)").alias("embedding"),
     )
 
 

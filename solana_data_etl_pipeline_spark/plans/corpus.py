@@ -93,6 +93,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keepers, "doc_id")
         .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
         .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO))
+        # the expensive gate/dedup/split prefix feeds FOUR consumers
+        # (mix rates, mix join-back, budget histogram, budget filter):
+        # lazily checkpoint it so it computes once -- the idiom
+        # v3/v4/curation_funnel already use (r13, guide §2.4: the
+        # un-checkpointed form re-executed the post-exchange join
+        # chain per consumer; only the shuffle stages below it were
+        # AQE-reused)
+        .localCheckpoint(eager=False)
     )
     mixed = X.temperature_mix(train, tau=TAU, target_frac=TARGET_FRAC)
     return X.token_budget_select(
@@ -160,6 +168,8 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(split.filter(F.col("split") == "train").select("doc_id"), "doc_id")
         .filter(~F.col("page_filtered") & F.col("gopher_pass"))
         .select("doc_id", "source", "n_words", "alpha_ratio", "kept_lines")
+        # four downstream consumers -- same lazy checkpoint as v1/v3/v4
+        .localCheckpoint(eager=False)
     )
     mixed = X.temperature_mix(train, tau=TAU, target_frac=TARGET_FRAC)
     return X.token_budget_select(

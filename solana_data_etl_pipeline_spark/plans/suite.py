@@ -5348,7 +5348,11 @@ def _media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav_stats/wav_resample parse them back through the stdlib wave
     codec (original + stride-4 decimation). mean/rms round via
     F.round in-plan (half-away, engine-portable)."""
-    media = M.synth_wav(load_table(spark, sf_dir, "documents"))
+    # two decode branches share the synth pass -- lazy checkpoint
+    # (the media_avi_stats idiom, r13 guide §2.4)
+    media = M.synth_wav(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     orig = M.wav_stats(media).select(
         "media_id",
         "n_frames",
@@ -5373,7 +5377,11 @@ def _media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     them back (original + stride-2 nearest-neighbor downsample,
     re-decoded). mean_lum rounds via F.round in-plan (half-away,
     engine-portable)."""
-    media = M.synth_bmp(load_table(spark, sf_dir, "documents"))
+    # two decode branches share the synth pass -- lazy checkpoint
+    # (the media_avi_stats idiom, r13 guide §2.4)
+    media = M.synth_bmp(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     orig = M.bmp_stats(media).select(
         "media_id",
         "width",
@@ -5400,7 +5408,13 @@ def _media_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-2nd-frame temporal decimation re-encoded at fps/2).
     mean_lum rounds via F.round in-plan (half-away,
     engine-portable)."""
-    media = M.synth_avi(load_table(spark, sf_dir, "documents"))
+    # the synthesized media table feeds TWO decode branches (original
+    # stats + the decimated re-decode); lazily checkpoint it so the
+    # encode pass and its Arrow transfer run once, not once per branch
+    # (r13, guide §2.4 -- measured 2.75 -> 1.8 s standalone)
+    media = M.synth_avi(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     orig = M.avi_stats(media).select(
         "media_id",
         "n_frames",

@@ -487,7 +487,7 @@ def run_document_stream(
             table_bucket_col,
         )
 
-        buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables)
+        buckets = table_bucket_col("embedding", LSH_PLANES, n_tables)
         return vecs.select(
             F.col("vec_id"),
             _dvec(F.col("embedding")).alias("v"),
@@ -861,10 +861,12 @@ def run_document_stream(
         )
 
         def probe(batches):
+            import numpy as _np
+
             from solana_data_etl_pipeline_spark.operators.multimodal import (
                 DECODERS,
                 _unavailable_decode,
-                _wav_parse,
+                _wav_parse_raw,
             )
 
             for pdf in batches:
@@ -876,12 +878,16 @@ def run_document_stream(
                         DECODERS.get(mod, _unavailable_decode)(b, mod)
                         ok, err = 1, None
                         if mod == "audio":
-                            m = _wav_parse(b)
-                            s = m["samples"]
+                            m = _wav_parse_raw(b)
+                            s = _np.frombuffer(m["samples"], dtype=_np.uint8)
                             nf = m["n_frames"]
                             rms = (
-                                (sum((x - 128) ** 2 for x in s) / len(s)) ** 0.5
-                                if s
+                                (
+                                    int(((s.astype(_np.int64) - 128) ** 2).sum())
+                                    / s.size
+                                )
+                                ** 0.5
+                                if s.size
                                 else None
                             )
                     except Exception as e:  # a real codec rejecting real bytes

@@ -326,9 +326,15 @@ def test_curation_v3_planners_stay_source_sized(plans):
     # plan stays JVM-side and cartesian-free like the rest of the
     # family (the broadcast-scalar crossJoins plan as
     # BroadcastNestedLoopJoin, never CartesianProduct).
+    # r13: v1/v2 now lazily checkpoint the shared gate/dedup/split
+    # prefix exactly like v3 always did (plans/corpus.py), so the two
+    # static plans compare PLANNER overhead over the same truncated
+    # prefix: v3's extra exchanges are the capacity agg + weight, the
+    # two allocators' bounded aggregations, the total-capacity scalar,
+    # and the served join-backs -- all SOURCES-sized, six at most.
     v2 = plans("corpus_curation_v2").count("Exchange")
     v3 = plans("corpus_curation_v3")
-    assert v3.count("Exchange") <= v2 + 3, (v3.count("Exchange"), v2)
+    assert v3.count("Exchange") <= v2 + 6, (v3.count("Exchange"), v2)
     assert "EvalPython" not in v3 and "CartesianProduct" not in v3
     # the per-source allocation reaches the per-doc selection as a
     # broadcast, never a corpus shuffle join on source

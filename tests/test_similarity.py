@@ -557,3 +557,45 @@ def test_knn_ivf_pq_cluster_coherent(spark):
     # through 4-dim codewords -- measured 0.425; the distinct-neighbor
     # regime (bench planted rows) is where PQ recall is judged
     assert sum(recalls) / len(recalls) >= 0.35
+
+
+def test_lsh_bucket_rows_bit_identical_to_hof_projection(spark):
+    """The Arrow/numpy bucket kernel (r13 optimization: the corpus-side
+    hyperplane dots/norms move from interpreted HOF expressions to one
+    vectorized batch pass) must reproduce the former HOF projection
+    BIT-FOR-BIT -- same ids, tables, buckets, same double vectors, and
+    norms equal to the last ulp (the kernel folds dimensions in the
+    same left-to-right IEEE order as F.aggregate). Checked on both the
+    embeddings table and hash_embed text vectors, at the knn (4-table)
+    and dedup (2-table) operating points, plus the bucket-only form."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        LSH_PLANES,
+        _dvec,
+        lsh_bucket_rows,
+        norm_expr,
+        table_bucket_col,
+    )
+    from solana_data_etl_pipeline_spark.operators.text import hash_embed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(64)
+    for frame, n_tables in ((emb, 4), (emb, 2), (hash_embed(docs), 4)):
+        buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, n_tables, EMB_DIM)
+        hof = frame.select(
+            F.col("vec_id"),
+            _dvec(F.col("embedding")).alias("c_emb"),
+            norm_expr(F.col("embedding")).alias("c_norm"),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+        krn = lsh_bucket_rows(frame, LSH_PLANES, EMB_DIM, n_tables)
+        key = lambda r: (r.vec_id, r.table, r.bucket, r.c_norm, tuple(r.c_emb))
+        a = sorted(map(key, hof.collect()))
+        b = sorted(map(key, krn.collect()))
+        assert a == b
+    only = lsh_bucket_rows(emb, LSH_PLANES, EMB_DIM, 2, include_vec=False)
+    assert only.columns == ["vec_id", "table", "bucket"]
+    full = {(r.vec_id, r.table, r.bucket) for r in lsh_bucket_rows(emb, LSH_PLANES, EMB_DIM, 2).collect()}
+    assert {(r.vec_id, r.table, r.bucket) for r in only.collect()} == full
