@@ -217,13 +217,30 @@ def lsh_bucket_rows(
             n = len(ids)
             if n == 0:
                 continue
-            uniform = (
-                embcol.null_count == 0
-                and (embcol.values.null_count if len(embcol.values) else 0) == 0
-                and len(embcol.values) == n * dim
-            )
+            # Uniformity must hold PER ROW, not just in aggregate: a
+            # batch of mixed-length vectors whose lengths sum to n*dim
+            # would reshape misaligned and silently emit wrong buckets
+            # (ADVICE r13). Validate every list length from the offsets
+            # and flatten() (which honors a nonzero slice offset, where
+            # .values does not) before taking the vectorized path.
+            try:
+                uniform = embcol.null_count == 0 and bool(
+                    np.all(
+                        np.diff(
+                            embcol.offsets.to_numpy(zero_copy_only=False).astype(
+                                np.int64
+                            )
+                        )
+                        == dim
+                    )
+                )
+            except (AttributeError, pa.ArrowInvalid):
+                uniform = False
             if uniform:
-                V = np.asarray(embcol.values, dtype=np.float64).reshape(n, dim)
+                flat = embcol.flatten()
+                uniform = flat.null_count == 0 and len(flat) == n * dim
+            if uniform:
+                V = np.asarray(flat, dtype=np.float64).reshape(n, dim)
                 # EXACT left fold over dimensions (see docstring)
                 dots = np.zeros((n, P.shape[0]), dtype=np.float64)
                 sq = np.zeros(n, dtype=np.float64)
@@ -432,11 +449,17 @@ def lsh_index_meta(spark, path: str) -> dict | None:
             .json(side)
             .first()
         )
-        meta = {
-            "n_planes": int(r["n_planes"]),
-            "dim": int(r["dim"]),
-            "n_tables": int(r["n_tables"]),
-        }
+        # an empty or unparseable sidecar yields no row / null fields
+        # under the explicit schema (the inference-based read raised);
+        # classify it as a legacy index, as before (ADVICE r13)
+        if r is None or any(r[k] is None for k in ("n_planes", "dim", "n_tables")):
+            meta = None
+        else:
+            meta = {
+                "n_planes": int(r["n_planes"]),
+                "dim": int(r["dim"]),
+                "n_tables": int(r["n_tables"]),
+            }
     except AnalysisException:
         meta = None
     _LSH_META_CACHE[path] = meta
@@ -495,10 +518,19 @@ def knn_lsh_indexed(
                 meta["dim"],
                 meta["n_tables"],
             )
-        # fixed layout (materialize_lsh_rows) -- skip footer inference
-        index_rows = spark.read.schema(
-            "vec_id long, c_emb array<double>, c_norm double, table int, bucket long"
-        ).parquet(index)
+        if meta is not None:
+            # fixed layout (materialize_lsh_rows wrote the sidecar, so
+            # the column types are its own casts) -- skip footer
+            # inference
+            index_rows = spark.read.schema(
+                "vec_id long, c_emb array<double>, c_norm double, table int, bucket long"
+            ).parquet(index)
+        else:
+            # pre-meta legacy index: the writer did not pin types
+            # (vec_id may be int32), and Spark's parquet reader fails
+            # on a declared-type mismatch instead of upcasting -- keep
+            # the inferred read for that form (ADVICE r13)
+            index_rows = spark.read.parquet(index)
     else:
         index_rows = index
     n_planes = LSH_PLANES if n_planes is None else n_planes

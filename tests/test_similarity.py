@@ -599,3 +599,44 @@ def test_lsh_bucket_rows_bit_identical_to_hof_projection(spark):
     assert only.columns == ["vec_id", "table", "bucket"]
     full = {(r.vec_id, r.table, r.bucket) for r in lsh_bucket_rows(emb, LSH_PLANES, EMB_DIM, 2).collect()}
     assert {(r.vec_id, r.table, r.bucket) for r in only.collect()} == full
+
+
+def test_lsh_bucket_rows_mixed_lengths_summing_to_n_dim(spark):
+    """ADVICE r13 (medium): the kernel's fast-path uniformity check
+    tested only the TOTAL flattened length, so a batch of mixed-length
+    vectors whose lengths sum to n*dim (e.g. dim-1 and dim+1) took the
+    reshape path misaligned and silently emitted wrong buckets/norms.
+    Such rows must take the exact HOF-semantics fallback: bucket 0 per
+    table (zip_with NULL-padding kills every plane dot) and the norm of
+    whatever elements exist."""
+    from pyspark.sql import functions as F
+
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        LSH_PLANES,
+        _dvec,
+        lsh_bucket_rows,
+        norm_expr,
+        table_bucket_col,
+    )
+
+    rows = [
+        (1, [float(i) for i in range(EMB_DIM - 1)]),
+        (2, [float(i) for i in range(EMB_DIM + 1)]),
+        (3, [0.25 * i - 1.0 for i in range(EMB_DIM)]),  # one well-formed row
+    ]
+    frame = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    buckets = table_bucket_col(F.col("embedding"), LSH_PLANES, 2, EMB_DIM)
+    hof = frame.select(
+        F.col("vec_id"),
+        _dvec(F.col("embedding")).alias("c_emb"),
+        norm_expr(F.col("embedding")).alias("c_norm"),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    krn = lsh_bucket_rows(frame, LSH_PLANES, EMB_DIM, 2)
+    key = lambda r: (r.vec_id, r.table, r.bucket, r.c_norm, tuple(r.c_emb))
+    assert sorted(map(key, hof.collect())) == sorted(map(key, krn.collect()))
+    # the malformed rows land in bucket 0 for every table
+    by_id = {(r.vec_id, r.table): r.bucket for r in krn.collect()}
+    assert by_id[(1, 0)] == 0 and by_id[(1, 1)] == 0
+    assert by_id[(2, 0)] == 0 and by_id[(2, 1)] == 0
