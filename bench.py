@@ -96,6 +96,26 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # r14 window hygiene (VERDICT r13 #3/#5): several queries
+    # localCheckpoint intermediates (curation train, dsir buckets, CC
+    # labels); the blocks persist on executors until GC and accumulate
+    # ACROSS the timed window -- the documented r9-r11 cross-entry
+    # drag class (second-half mean speedup 0.96 vs 1.01 in PERF_r13).
+    # Drop them with an explicit BLOCKING unpersist after each timed
+    # sample, OUTSIDE the timed region (unlike the reverted
+    # gc.collect() attempt, whose ASYNC ContextCleaner deletions then
+    # contended inside the next sample's timed region). Every
+    # per-query checkpoint is sample-local -- the per-sf layout caches
+    # hold PATHS, not frames -- so nothing long-lived is dropped; the
+    # timed loop itself is byte-identical to r12/r13.
+    def _drop_sample_blocks(sess) -> None:
+        try:
+            jmap = sess.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(True)
+        except Exception:
+            pass  # hygiene must never fail the bench
+
     timings: dict[str, float] = {}
     for name in DRIVER_ORDER:
         fn = qs[name]
@@ -107,6 +127,7 @@ def main() -> None:
             # Catalyst prune the computed expressions and under-measure)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            _drop_sample_blocks(spark)
         timings[name] = round(statistics.median(samples), 3)
 
     # non-graded baselines: the deliberately-unregistered quadratic
@@ -786,11 +807,13 @@ def main() -> None:
     for name in heavy5:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _drop_sample_blocks(spark)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            _drop_sample_blocks(spark)
         standalone_warm[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)

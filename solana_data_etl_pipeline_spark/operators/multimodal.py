@@ -704,25 +704,26 @@ def wav_stats(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                m = _wav_parse_raw(bytes(p))
-                s = np.frombuffer(m["samples"], dtype=np.uint8)
-                s64 = s.astype(np.int64) if s.size else None
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "n_frames": m["n_frames"],
-                        "framerate": m["framerate"],
-                        "n_channels": m["n_channels"],
-                        "mean_amp": (int(s64.sum()) / s.size) if s.size else None,
-                        "rms": ((int(((s64 - 128) ** 2).sum()) / s.size) ** 0.5)
-                        if s.size
-                        else None,
-                        "peak": int(s.max()) if s.size else None,
-                    }
-                )
+                rows.append({"media_id": mid, **_wav_stats_vals(_wav_parse_raw(bytes(p)))})
             yield pd.DataFrame(rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields])
 
     return media_df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+def _wav_stats_vals(m: dict) -> dict:
+    """The per-item arithmetic of wav_stats over one parsed container
+    (_wav_parse_raw result) -- shared by the stats operator and the
+    fused synth+stats kernels so the two can never diverge."""
+    s = np.frombuffer(m["samples"], dtype=np.uint8)
+    s64 = s.astype(np.int64) if s.size else None
+    return {
+        "n_frames": m["n_frames"],
+        "framerate": m["framerate"],
+        "n_channels": m["n_channels"],
+        "mean_amp": (int(s64.sum()) / s.size) if s.size else None,
+        "rms": ((int(((s64 - 128) ** 2).sum()) / s.size) ** 0.5) if s.size else None,
+        "peak": int(s.max()) if s.size else None,
+    }
 
 
 def wav_resample(media_df: DataFrame, stride: int = 4) -> DataFrame:
@@ -807,7 +808,21 @@ def media_near_dup_pairs(
     (124,750 candidates) becomes 72 sub-blocks, max width 34,
     candidate mass 10,623 (11.7x cut), pair set unchanged (1,688).
     Returns (media_a, media_b, n_frames, d_mean_bp, d_rms_bp)."""
-    feats = wav_stats(media_df).select(
+    return media_near_dup_pairs_from_stats(wav_stats(media_df), tol_bp, sub_key)
+
+
+def media_near_dup_pairs_from_stats(
+    stats_df: DataFrame,
+    tol_bp: int = MEDIA_NEAR_DUP_TOL_BP,
+    sub_key: bool = False,
+) -> DataFrame:
+    """media_near_dup_pairs' blocking/verify tail over an
+    already-decoded stats frame (WAV_STATS_SCHEMA columns) -- lets
+    callers feed the fused synth_wav_stats kernel, which keeps the
+    payload bytes from ever crossing the Arrow boundary (r14; the
+    pair logic and result are IDENTICAL, media_near_dup_pairs
+    delegates here)."""
+    feats = stats_df.select(
         "media_id",
         "n_frames",
         F.round(F.col("mean_amp") * 10000, 0).cast("long").alias("mean_bp"),
@@ -946,23 +961,26 @@ def bmp_stats(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                m = _bmp_parse_px(bytes(p))
-                px = m["px_bottomup"]
-                n = px.size // 3
-                s = int(px.astype(np.int64).sum()) if n else 0
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "width": m["width"],
-                        "height": m["height"],
-                        "n_pixels": n,
-                        "mean_lum": (s / (3 * n)) if n else None,
-                        "max_lum": int(px.max()) if n else None,
-                    }
-                )
+                rows.append({"media_id": mid, **_bmp_stats_vals(_bmp_parse_px(bytes(p)))})
             yield pd.DataFrame(rows, columns=[f.name for f in BMP_STATS_SCHEMA.fields])
 
     return media_df.mapInPandas(run, schema=BMP_STATS_SCHEMA)
+
+
+def _bmp_stats_vals(m: dict) -> dict:
+    """The per-item arithmetic of bmp_stats over one parsed container
+    (_bmp_parse_px result) -- shared by the stats operator and the
+    fused synth+stats kernel so the two can never diverge."""
+    px = m["px_bottomup"]
+    n = px.size // 3
+    s = int(px.astype(np.int64).sum()) if n else 0
+    return {
+        "width": m["width"],
+        "height": m["height"],
+        "n_pixels": n,
+        "mean_lum": (s / (3 * n)) if n else None,
+        "max_lum": int(px.max()) if n else None,
+    }
 
 
 def bmp_resize(media_df: DataFrame, stride: int = 2) -> DataFrame:
@@ -1063,24 +1081,27 @@ def avi_stats(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                m = _avi_parse_px(bytes(p))
-                px = m["px_bottomup"]
-                n = px.size // 3
-                s = int(px.astype(np.int64).sum()) if n else 0
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "n_frames": m["n_frames"],
-                        "width": m["width"],
-                        "height": m["height"],
-                        "fps": m["fps"],
-                        "mean_lum": (s / (3 * n)) if n else None,
-                        "max_lum": int(px.max()) if n else None,
-                    }
-                )
+                rows.append({"media_id": mid, **_avi_stats_vals(_avi_parse_px(bytes(p)))})
             yield pd.DataFrame(rows, columns=[f.name for f in AVI_STATS_SCHEMA.fields])
 
     return media_df.mapInPandas(run, schema=AVI_STATS_SCHEMA)
+
+
+def _avi_stats_vals(m: dict) -> dict:
+    """The per-item arithmetic of avi_stats over one parsed container
+    (_avi_parse_px result) -- shared by the stats operator and the
+    fused synth+stats kernel so the two can never diverge."""
+    px = m["px_bottomup"]
+    n = px.size // 3
+    s = int(px.astype(np.int64).sum()) if n else 0
+    return {
+        "n_frames": m["n_frames"],
+        "width": m["width"],
+        "height": m["height"],
+        "fps": m["fps"],
+        "mean_lum": (s / (3 * n)) if n else None,
+        "max_lum": int(px.max()) if n else None,
+    }
 
 
 def avi_frame_sample(media_df: DataFrame, stride: int = 2) -> DataFrame:
@@ -1115,6 +1136,228 @@ def avi_frame_sample(media_df: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return media_df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fused synth+decode kernels (r14, guide §4.2/§2.3): the *_stats suite
+# entries composed synth -> [checkpoint] -> decode -> decimate ->
+# re-encode -> re-decode as FOUR Python stages, shipping the payload
+# bytes across the Arrow boundary at every seam (and, r13, storing
+# them in a localCheckpoint between the two decode branches). Every
+# operation in that chain is per-item and independent, so one kernel
+# runs the identical helper sequence per item -- encode, parse, stats,
+# decimate, re-encode, re-parse, stats -- and emits ONLY the narrow
+# stats row: the payload bytes never cross the Python/JVM boundary at
+# all, no checkpoint holds them, and the join of the two branches
+# disappears. Row-identical to the composed operators by construction
+# (same helpers, same order; pinned by tests).
+
+
+def _synth_stats_frame(df: DataFrame, per_text, schema, text_col: str, id_col: str) -> DataFrame:
+    """Shared plumbing for the fused kernels: one Arrow-batched
+    map-side pass over (id, text), per_text(text) -> stats dict."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = [
+                {"media_id": mid, **per_text(t)}
+                for mid, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, schema=schema
+    )
+
+
+def synth_wav_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    framerate: int = 8000,
+) -> DataFrame:
+    """wav_stats(synth_wav(df)) fused into one kernel: the container is
+    encoded AND parsed back in-process, so the payload bytes never
+    cross the Arrow boundary. Row-identical to the composition
+    (same _wav_encode / _wav_parse_raw / _wav_stats_vals sequence)."""
+
+    def per_text(t: str) -> dict:
+        return _wav_stats_vals(_wav_parse_raw(_wav_encode(t.encode("ascii"), framerate)))
+
+    return _synth_stats_frame(df, per_text, WAV_STATS_SCHEMA, text_col, id_col)
+
+
+WAV_STATS_DECIMATED_SCHEMA = T.StructType(
+    list(WAV_STATS_SCHEMA.fields)
+    + [
+        T.StructField("rs_n_frames", T.LongType()),
+        T.StructField("rs_framerate", T.LongType()),
+        T.StructField("rs_mean_amp", T.DoubleType()),
+    ]
+)
+
+
+def synth_wav_stats_decimated(
+    df: DataFrame,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    framerate: int = 8000,
+) -> DataFrame:
+    """The full media_wav_stats chain -- synth_wav -> wav_stats plus
+    wav_resample(stride) -> wav_stats -- fused into one kernel: the
+    decimated branch still round-trips through the real codec
+    (_wav_encode at framerate/stride, re-parsed), exactly the composed
+    operators' helper sequence, but no payload crosses Arrow and no
+    checkpoint holds it. Row-identical to the composition (pinned)."""
+
+    def per_text(t: str) -> dict:
+        m = _wav_parse_raw(_wav_encode(t.encode("ascii"), framerate))
+        vals = _wav_stats_vals(m)
+        rs = _wav_stats_vals(
+            _wav_parse_raw(
+                _wav_encode(bytes(m["samples"][::stride]), max(m["framerate"] // stride, 1))
+            )
+        )
+        vals["rs_n_frames"] = rs["n_frames"]
+        vals["rs_framerate"] = rs["framerate"]
+        vals["rs_mean_amp"] = rs["mean_amp"]
+        return vals
+
+    return _synth_stats_frame(df, per_text, WAV_STATS_DECIMATED_SCHEMA, text_col, id_col)
+
+
+BMP_STATS_RESIZED_SCHEMA = T.StructType(
+    list(BMP_STATS_SCHEMA.fields)
+    + [
+        T.StructField("rs_width", T.LongType()),
+        T.StructField("rs_height", T.LongType()),
+        T.StructField("rs_n_pixels", T.LongType()),
+        T.StructField("rs_mean_lum", T.DoubleType()),
+    ]
+)
+
+
+def synth_bmp_stats_resized(
+    df: DataFrame,
+    stride: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = BMP_WIDTH,
+) -> DataFrame:
+    """The full media_bmp_stats chain -- synth_bmp -> bmp_stats plus
+    bmp_resize(stride) -> bmp_stats -- fused into one kernel (same
+    helper sequence as the composed operators, including the resized
+    branch's real re-encode/re-parse round trip). Row-identical."""
+
+    def per_text(t: str) -> dict:
+        raw = t.encode("ascii")
+        h = max(1, -(-len(raw) // width))
+        m = _bmp_parse_px(_bmp_encode(raw.ljust(h * width, b"\x00"), width))
+        vals = _bmp_stats_vals(m)
+        kept_w = len(range(0, m["width"], stride))
+        rs = _bmp_stats_vals(
+            _bmp_parse_px(_bmp_encode(_bmp_gray_topdown(m, stride, stride), kept_w))
+        )
+        vals["rs_width"] = rs["width"]
+        vals["rs_height"] = rs["height"]
+        vals["rs_n_pixels"] = rs["n_pixels"]
+        vals["rs_mean_lum"] = rs["mean_lum"]
+        return vals
+
+    return _synth_stats_frame(df, per_text, BMP_STATS_RESIZED_SCHEMA, text_col, id_col)
+
+
+AVI_STATS_SAMPLED_SCHEMA = T.StructType(
+    list(AVI_STATS_SCHEMA.fields)
+    + [
+        T.StructField("rs_n_frames", T.LongType()),
+        T.StructField("rs_fps", T.LongType()),
+        T.StructField("rs_mean_lum", T.DoubleType()),
+    ]
+)
+
+
+def synth_avi_stats_sampled(
+    df: DataFrame,
+    stride: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = AVI_FRAME_W,
+    height: int = AVI_FRAME_H,
+    fps: int = AVI_FPS,
+) -> DataFrame:
+    """The full media_avi_stats chain -- synth_avi -> avi_stats plus
+    avi_frame_sample(stride) -> avi_stats -- fused into one kernel
+    (same helper sequence as the composed operators, including the
+    sampled branch's real re-encode at fps/stride and re-demux).
+    Row-identical to the composition (pinned)."""
+
+    def per_text(t: str) -> dict:
+        fpx = width * height
+        raw = t.encode("ascii")
+        n = max(1, -(-len(raw) // fpx))
+        m = _avi_parse_px(_avi_encode(raw.ljust(n * fpx, b"\x00"), width, height, fps))
+        vals = _avi_stats_vals(m)
+        gray = _avi_gray_topdown(m, stride)
+        rs = _avi_stats_vals(
+            _avi_parse_px(
+                _avi_encode(gray, m["width"], m["height"], max(m["fps"] // stride, 1))
+            )
+        )
+        vals["rs_n_frames"] = rs["n_frames"]
+        vals["rs_fps"] = rs["fps"]
+        vals["rs_mean_lum"] = rs["mean_lum"]
+        return vals
+
+    return _synth_stats_frame(df, per_text, AVI_STATS_SAMPLED_SCHEMA, text_col, id_col)
+
+
+MEDIA_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def synth_wav_digest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    framerate: int = 8000,
+) -> DataFrame:
+    """synth_wav minus the payload column: the container is still
+    encoded per item (the checksum is sha256 over the REAL bytes,
+    identical to synth_wav's), but digest-only consumers
+    (media_exact_dups) no longer ship the payload across the Arrow
+    boundary just to drop it. Column-identical to
+    synth_wav(df).drop('payload') (pinned)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _wav_encode(t.encode("ascii"), framerate) for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "modality": "audio",
+                    "byte_len": [len(b) for b in payloads],
+                    "checksum": [hashlib.sha256(b).hexdigest() for b in payloads],
+                }
+            )
+
+    from solana_data_etl_pipeline_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        run, schema=MEDIA_DIGEST_SCHEMA
+    )
 
 
 def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -366,7 +366,10 @@ def corpus_curation_v4(
         .filter(~F.col("page_filtered") & F.col("gopher_pass"))
         .select("doc_id", "source", "text", "n_words", "alpha_ratio", "kept_lines")
     )
-    mstats = M.wav_stats(M.synth_wav(gated.select("doc_id", "text"))).select(
+    # fused synth+decode kernel (r14): identical codec sequence to
+    # wav_stats(synth_wav(...)), but the payload bytes never cross the
+    # Arrow boundary between the two stages
+    mstats = M.synth_wav_stats(gated.select("doc_id", "text")).select(
         F.col("media_id").alias("doc_id"),
         F.col("n_frames").alias("media_frames"),
         F.round("rms", 4).alias("media_rms"),

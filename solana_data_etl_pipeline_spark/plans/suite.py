@@ -5348,26 +5348,24 @@ def _media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav_stats/wav_resample parse them back through the stdlib wave
     codec (original + stride-4 decimation). mean/rms round via
     F.round in-plan (half-away, engine-portable)."""
-    # two decode branches share the synth pass -- lazy checkpoint
-    # (the media_avi_stats idiom, r13 guide §2.4)
-    media = M.synth_wav(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
-    orig = M.wav_stats(media).select(
+    # ONE fused synth+decode kernel (r14, guide §4.2): the r13 form
+    # lazily checkpointed the synth output so two decode branches
+    # shared it -- that stored the payload BYTES on executors and
+    # still shipped them across the Arrow boundary three times; the
+    # fused kernel runs the identical codec sequence per item and
+    # emits only the narrow stats row (no checkpoint, no join).
+    fused = M.synth_wav_stats_decimated(load_table(spark, sf_dir, "documents"), stride=4)
+    return fused.select(
         "media_id",
         "n_frames",
         "framerate",
         F.round("mean_amp", 4).alias("mean_amp"),
         F.round("rms", 4).alias("rms"),
         "peak",
-    )
-    rs = M.wav_stats(M.wav_resample(media, stride=4)).select(
-        "media_id",
-        F.col("n_frames").alias("rs_n_frames"),
-        F.col("framerate").alias("rs_framerate"),
-        F.round("mean_amp", 4).alias("rs_mean_amp"),
-    )
-    return orig.join(rs, "media_id").orderBy("media_id")
+        "rs_n_frames",
+        "rs_framerate",
+        F.round("rs_mean_amp", 4).alias("rs_mean_amp"),
+    ).orderBy("media_id")
 
 
 def _media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5377,27 +5375,22 @@ def _media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     them back (original + stride-2 nearest-neighbor downsample,
     re-decoded). mean_lum rounds via F.round in-plan (half-away,
     engine-portable)."""
-    # two decode branches share the synth pass -- lazy checkpoint
-    # (the media_avi_stats idiom, r13 guide §2.4)
-    media = M.synth_bmp(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
-    orig = M.bmp_stats(media).select(
+    # ONE fused synth+decode kernel (r14, guide §4.2) -- see
+    # _media_wav_stats for the rationale; identical codec sequence,
+    # payload never crosses Arrow, no checkpoint, no join.
+    fused = M.synth_bmp_stats_resized(load_table(spark, sf_dir, "documents"), stride=2)
+    return fused.select(
         "media_id",
         "width",
         "height",
         "n_pixels",
         F.round("mean_lum", 4).alias("mean_lum"),
         "max_lum",
-    )
-    rs = M.bmp_stats(M.bmp_resize(media, stride=2)).select(
-        "media_id",
-        F.col("width").alias("rs_width"),
-        F.col("height").alias("rs_height"),
-        F.col("n_pixels").alias("rs_n_pixels"),
-        F.round("mean_lum", 4).alias("rs_mean_lum"),
-    )
-    return orig.join(rs, "media_id").orderBy("media_id")
+        "rs_width",
+        "rs_height",
+        "rs_n_pixels",
+        F.round("rs_mean_lum", 4).alias("rs_mean_lum"),
+    ).orderBy("media_id")
 
 
 def _media_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5408,14 +5401,16 @@ def _media_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-2nd-frame temporal decimation re-encoded at fps/2).
     mean_lum rounds via F.round in-plan (half-away,
     engine-portable)."""
-    # the synthesized media table feeds TWO decode branches (original
-    # stats + the decimated re-decode); lazily checkpoint it so the
-    # encode pass and its Arrow transfer run once, not once per branch
-    # (r13, guide §2.4 -- measured 2.75 -> 1.8 s standalone)
-    media = M.synth_avi(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
-    orig = M.avi_stats(media).select(
+    # ONE fused synth+decode kernel (r14, guide §4.2): the r13 lazy
+    # checkpoint of the synth table (shared by the two decode
+    # branches) stored payload BYTES on executors and regressed both
+    # checkpointed entries in the driver run (VERDICT r13 #3); the
+    # fused kernel runs the identical codec sequence per item --
+    # encode, demux, stats, decimate, re-encode at fps/2, re-demux,
+    # stats -- and emits only the narrow stats row (no checkpoint, no
+    # join, payload never crosses the Arrow boundary).
+    fused = M.synth_avi_stats_sampled(load_table(spark, sf_dir, "documents"), stride=2)
+    return fused.select(
         "media_id",
         "n_frames",
         "width",
@@ -5423,14 +5418,10 @@ def _media_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fps",
         F.round("mean_lum", 4).alias("mean_lum"),
         "max_lum",
-    )
-    rs = M.avi_stats(M.avi_frame_sample(media, stride=2)).select(
-        "media_id",
-        F.col("n_frames").alias("rs_n_frames"),
-        F.col("fps").alias("rs_fps"),
-        F.round("mean_lum", 4).alias("rs_mean_lum"),
-    )
-    return orig.join(rs, "media_id").orderBy("media_id")
+        "rs_n_frames",
+        "rs_fps",
+        F.round("rs_mean_lum", 4).alias("rs_mean_lum"),
+    ).orderBy("media_id")
 
 
 MULTIMODAL_QUERIES: dict[str, QueryFn] = {
@@ -5476,17 +5467,24 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     # Exact = one hash agg on the map-side sha256 payload digest;
     # synth payloads are injective in the text, so the oracle groups
     # by RAW text (byte-equality semantics, no normalization).
+    # digest-only synth (r14, guide §4.1: pass/emit only what the
+    # consumer needs): the checksum is sha256 over the same real
+    # encoded container, but the payload bytes no longer cross the
+    # Arrow boundary just to be dropped by the digest groupBy
     "media_exact_dups": (
         lambda spark, sf_dir: M.media_exact_dups(
-            M.synth_wav(load_table(spark, sf_dir, "documents"))
+            M.synth_wav_digest(load_table(spark, sf_dir, "documents"))
         )
     ),
     # Near-dup = REAL-decode feature agreement (equal duration block
     # + mean/RMS within integer basis-point tolerance) -- catches
-    # same-signal re-encodes whose bytes differ.
+    # same-signal re-encodes whose bytes differ. Features come from
+    # the fused synth+decode kernel (r14): identical codec sequence,
+    # but the payload never crosses the Arrow boundary between the
+    # synth and stats stages.
     "media_near_dup": (
-        lambda spark, sf_dir: M.media_near_dup_pairs(
-            M.synth_wav(load_table(spark, sf_dir, "documents"))
+        lambda spark, sf_dir: M.media_near_dup_pairs_from_stats(
+            M.synth_wav_stats(load_table(spark, sf_dir, "documents"))
         )
     ),
     # the hot-key-proof blocking form (SCALE.md r11): sub-keyed on
@@ -5495,8 +5493,8 @@ MULTIMODAL_QUERIES: dict[str, QueryFn] = {
     # shares that entry's oracle VERBATIM (the bm25_indexed pinning
     # idiom: the strongest identity statement the gate can make)
     "media_near_dup_subkey": (
-        lambda spark, sf_dir: M.media_near_dup_pairs(
-            M.synth_wav(load_table(spark, sf_dir, "documents")), sub_key=True
+        lambda spark, sf_dir: M.media_near_dup_pairs_from_stats(
+            M.synth_wav_stats(load_table(spark, sf_dir, "documents")), sub_key=True
         )
     ),
 }

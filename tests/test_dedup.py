@@ -415,6 +415,13 @@ def test_connected_components_three_tiers_identical_labels(spark):
         comp_members.setdefault(lab, []).append(node)
     for lab, members in comp_members.items():
         assert lab == min(members)
+    # FOURTH form (r14): a repeat construction of the SAME pair plan
+    # hits the cached tier decision and returns the LAZY in-task
+    # union-find kernel -- no eager job at construction, identical
+    # labels. (The 'driver' call above populated _CC_TIER_CACHE.)
+    assert any(k[1:3] == ("doc_a", "doc_b") for k in D._CC_TIER_CACHE)
+    lazy = D.connected_components(pairs)
+    assert {r.id: r.cluster_id for r in lazy.collect()} == maps["driver"]
 
 
 def test_keep_representatives_by_score(spark):

@@ -429,3 +429,117 @@ def test_media_near_dup_sub_key_identical_under_degenerate_durations(spark):
     assert sub.n_blocks > 10
     assert sub.max_width < 60
     assert sub.candidate_pairs < plain.candidate_pairs // 3
+
+
+# ---------------------------------------------------------------------------
+# Fused synth+decode kernels (r14): the fused one-pass forms must be
+# ROW-IDENTICAL to the composed operator chains they replace -- same
+# helpers in the same order, verified end-to-end on a corpus slice
+# plus the edge cases (empty text, exactly-one-unit text, long text).
+
+
+@pytest.fixture(scope="module")
+def fusion_docs(spark):
+    rows = [
+        (1, "hello world of spark and more text to fill frames"),
+        (2, ""),
+        (3, "a"),
+        (4, "b" * 64),  # exactly one AVI frame
+        (5, "c" * 65),  # one byte past a frame boundary
+        (6, "The quick brown fox jumps over the lazy dog " * 12),
+    ]
+    corpus = [
+        (100 + r.doc_id, r.text)
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40)
+        .collect()
+    ]
+    return spark.createDataFrame(rows + corpus, "doc_id long, text string")
+
+
+def _rows_sorted(df):
+    return sorted(
+        ([None if v is None else v for v in r] for r in df.collect()),
+        key=lambda t: t[0],
+    )
+
+
+def test_synth_wav_stats_identical_to_composition(spark, fusion_docs):
+    composed = M.wav_stats(M.synth_wav(fusion_docs))
+    fused = M.synth_wav_stats(fusion_docs)
+    assert fused.columns == composed.columns
+    assert _rows_sorted(fused) == _rows_sorted(composed)
+
+
+def test_synth_wav_stats_decimated_identical_to_composition(spark, fusion_docs):
+    media = M.synth_wav(fusion_docs).localCheckpoint()
+    from pyspark.sql import functions as F
+
+    orig = M.wav_stats(media)
+    rs = M.wav_stats(M.wav_resample(media, stride=4)).select(
+        "media_id",
+        F.col("n_frames").alias("rs_n_frames"),
+        F.col("framerate").alias("rs_framerate"),
+        F.col("mean_amp").alias("rs_mean_amp"),
+    )
+    composed = orig.join(rs, "media_id")
+    fused = M.synth_wav_stats_decimated(fusion_docs, stride=4)
+    assert fused.columns == composed.columns
+    assert _rows_sorted(fused) == _rows_sorted(composed)
+
+
+def test_synth_bmp_stats_resized_identical_to_composition(spark, fusion_docs):
+    media = M.synth_bmp(fusion_docs).localCheckpoint()
+    from pyspark.sql import functions as F
+
+    orig = M.bmp_stats(media)
+    rs = M.bmp_stats(M.bmp_resize(media, stride=2)).select(
+        "media_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        F.col("n_pixels").alias("rs_n_pixels"),
+        F.col("mean_lum").alias("rs_mean_lum"),
+    )
+    composed = orig.join(rs, "media_id")
+    fused = M.synth_bmp_stats_resized(fusion_docs, stride=2)
+    assert fused.columns == composed.columns
+    assert _rows_sorted(fused) == _rows_sorted(composed)
+
+
+def test_synth_avi_stats_sampled_identical_to_composition(spark, fusion_docs):
+    media = M.synth_avi(fusion_docs).localCheckpoint()
+    from pyspark.sql import functions as F
+
+    orig = M.avi_stats(media)
+    rs = M.avi_stats(M.avi_frame_sample(media, stride=2)).select(
+        "media_id",
+        F.col("n_frames").alias("rs_n_frames"),
+        F.col("fps").alias("rs_fps"),
+        F.col("mean_lum").alias("rs_mean_lum"),
+    )
+    composed = orig.join(rs, "media_id")
+    fused = M.synth_avi_stats_sampled(fusion_docs, stride=2)
+    assert fused.columns == composed.columns
+    assert _rows_sorted(fused) == _rows_sorted(composed)
+
+
+def test_synth_wav_digest_identical_to_synth_minus_payload(spark, fusion_docs):
+    composed = M.synth_wav(fusion_docs).drop("payload")
+    fused = M.synth_wav_digest(fusion_docs)
+    assert fused.columns == composed.columns
+    assert _rows_sorted(fused) == _rows_sorted(composed)
+
+
+def test_media_near_dup_pairs_from_stats_identical(spark, fusion_docs):
+    media = M.synth_wav(fusion_docs).localCheckpoint()
+    for sub_key in (False, True):
+        composed = {
+            tuple(r) for r in M.media_near_dup_pairs(media, sub_key=sub_key).collect()
+        }
+        fused = {
+            tuple(r)
+            for r in M.media_near_dup_pairs_from_stats(
+                M.synth_wav_stats(fusion_docs), sub_key=sub_key
+            ).collect()
+        }
+        assert fused == composed

@@ -36,17 +36,29 @@ def main() -> None:
 
     _configure(spark)
     qs = all_queries()
+
+    def _drop_sample_blocks() -> None:
+        # mirror bench.py's r14 window hygiene: blocking unpersist of
+        # sample-local checkpoint blocks, outside the timed region
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(True)
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         spark.sparkContext.setJobDescription(f"qtime warm: {name}")
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _drop_sample_blocks()
         samples = []
         for i in range(runs):
             spark.sparkContext.setJobDescription(f"qtime sample {i}: {name}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            _drop_sample_blocks()
         timings[name] = round(statistics.median(samples), 3)
     print(json.dumps({"queries": timings, "runs": runs, "load1_at_start": round(load1, 2), "sf_dir": sf_dir}))
 
