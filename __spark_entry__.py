@@ -20,6 +20,11 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # coalesce post-shuffle partitions by bytes, not core count (see
+    # session.py -- measured r14 win on the small-shuffle queries at
+    # both 8 and 32 cores; scale-adaptive: the advisory byte target
+    # keeps corpus-scale shuffles wide)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 

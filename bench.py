@@ -253,6 +253,31 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
     twins["bpe_train_build"] = round(statistics.median(samples), 3)
 
+    # the stored text-retrieval layouts the indexed entries probe --
+    # the 256-way-pfx bm25 postings and the (table, bucket)-partitioned
+    # LSH bucket directory (r14) -- are ingest-cadence artifacts built
+    # by the warm pass; their cold build+write costs are priced here
+    # so the amortization hides nothing (VERDICT r13 #4)
+    from solana_data_etl_pipeline_spark.operators.similarity import (
+        materialize_lsh_rows as _mlr_build,
+    )
+    from solana_data_etl_pipeline_spark.operators.text import (
+        materialize_inverted_index as _mii_build,
+    )
+
+    for tag, build in (
+        ("bm25_index_build", lambda d: _mii_build(_docs_build, d)),
+        ("lsh_index_build", lambda d: _mlr_build(_he_build(_docs_build), d)),
+    ):
+        samples = []
+        for _ in range(RUNS):
+            d = tempfile.mkdtemp(prefix=f"{tag}_bench_")
+            t0 = time.perf_counter()
+            build(d)
+            samples.append(time.perf_counter() - t0)
+            shutil.rmtree(d, ignore_errors=True)
+        twins[tag] = round(statistics.median(samples), 3)
+
     # the semdedup keeper layouts the suite entries probe are likewise
     # ingest-cadence artifacts (dedup runs once per corpus snapshot;
     # consumers read keepers) -- their cold computation+write costs

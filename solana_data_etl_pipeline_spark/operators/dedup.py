@@ -1109,7 +1109,9 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, _cc_label_schema(edges.schema["src"].dataType))
 
 
-def _cc_lazy_driver_labels(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+def _cc_lazy_driver_labels(
+    pairs: DataFrame, src_col: str, dst_col: str, checkpoint: bool = True
+) -> DataFrame:
     """The driver tier's union-find as a LAZY single-task kernel: the
     pair list repartitions to one task (one exchange of <=100k narrow
     rows) and the same _union_find_labels runs inside it, so the
@@ -1123,9 +1125,17 @@ def _cc_lazy_driver_labels(pairs: DataFrame, src_col: str, dst_col: str) -> Data
     tier eagerly, which is the contract. Labels are identical to the
     collect form: same union-find, order/duplicate-insensitive, and
     symmetrization/dedup of the edge list is unnecessary for a
-    union-find. The result is lazily localCheckpoint'd: downstream
-    consumers (keepers' rep filter + anti-join) read the one-task
-    result instead of re-running the pair pipeline per consumer."""
+    union-find. With `checkpoint` (the default) the result is lazily
+    localCheckpoint'd: downstream consumers (keepers' rep filter +
+    anti-join; curation's split machinery) read the one-task result
+    instead of re-running the pair pipeline per consumer, and the
+    checkpoint truncates the caller's OWN plan so enclosing
+    checkpoints (curation `train`) do not re-plan the pair subtree.
+    A SINGLE-consumer caller passes labels_checkpoint=False through
+    connected_components: planning the checkpoint's physical plan at
+    construction costs ~0.8 s of driver time for the minhash tree
+    (measured r14: dedup_clusters 2.68 -> 1.85 s), bought for nothing
+    when the labels feed exactly one downstream operator."""
     import pandas as pd
 
     dt = pairs.schema[src_col].dataType
@@ -1149,12 +1159,12 @@ def _cc_lazy_driver_labels(pairs: DataFrame, src_col: str, dst_col: str) -> Data
                 }
             )
 
-    return (
+    labels = (
         pairs.select(F.col(src_col), F.col(dst_col))
         .repartition(1)
         .mapInPandas(run, _cc_label_schema(dt))
-        .localCheckpoint(eager=False)
     )
+    return labels.localCheckpoint(eager=False) if checkpoint else labels
 
 
 #: edge-count per (pair-plan semantic hash, cols, thresholds) -- the
@@ -1174,6 +1184,7 @@ def connected_components(
     dst_col: str = "doc_b",
     max_iterations: int = 20,
     *,
+    labels_checkpoint: bool = True,
     _driver_threshold: int = 100_000,
     _broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
@@ -1223,7 +1234,10 @@ def connected_components(
     same plan skip the eager job, and under the driver threshold the
     union-find runs LAZILY inside the caller's action
     (_cc_lazy_driver_labels) -- identical labels, no plan-construction
-    jobs, no checkpoint blocks left behind per construction."""
+    jobs, no checkpoint blocks left behind per construction.
+    `labels_checkpoint=False` is the single-consumer opt-out of the
+    lazy path's multi-consumer checkpoint (see _cc_lazy_driver_labels;
+    results are identical either way)."""
     tier_key = (
         _guard_plan_key(pairs),
         src_col,
@@ -1233,7 +1247,9 @@ def connected_components(
     )
     n_cached = _CC_TIER_CACHE.get(tier_key)
     if n_cached is not None and n_cached <= _driver_threshold:
-        return _cc_lazy_driver_labels(pairs, src_col, dst_col)
+        return _cc_lazy_driver_labels(
+            pairs, src_col, dst_col, checkpoint=labels_checkpoint
+        )
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -2338,7 +2354,9 @@ def _semdedup_select_keepers(scored: DataFrame, pairs: DataFrame) -> DataFrame:
     components -> lowest-centroid-cosine representative per group,
     singletons passed through at group_size 1. `scored` must carry
     (vec_id, _cl, centroid_cos)."""
-    comp = connected_components(pairs, "vec_a", "vec_b")
+    # labels feed exactly one join (members below, which has its own
+    # checkpoint): skip the lazy path's multi-consumer checkpoint
+    comp = connected_components(pairs, "vec_a", "vec_b", labels_checkpoint=False)
     # members feeds BOTH output branches (singletons + group reps);
     # lazily checkpointed so the scoring join computes once -- and it
     # is the narrow projection (no vectors), so the checkpoint is a

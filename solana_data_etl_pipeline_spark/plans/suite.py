@@ -3254,7 +3254,11 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     ),
     "dedup_clusters": _docs(
         lambda df: D.connected_components(
-            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn")
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn"),
+            # the labels ARE the output (one consumer): skip the lazy
+            # path's multi-consumer checkpoint and its ~0.8 s of
+            # construction-time physical planning (r14)
+            labels_checkpoint=False,
         )
     ),
     # full-registry entry: the pairs->clean-corpus materialization
@@ -3312,7 +3316,8 @@ DEDUP_QUERIES: dict[str, QueryFn] = {
     # dedup health reporting: how large are the near-dup families
     "dedup_cluster_sizes": _docs(
         lambda df: D.connected_components(
-            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn")
+            D.minhash_lsh_pairs(df, threshold=0.2, max_bucket=DEDUP_MAX_BUCKET, on_low_coverage="warn"),
+            labels_checkpoint=False,  # single consumer (the size rollup)
         )
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("_sz"))

@@ -38,6 +38,15 @@ def get_spark(app_name: str = "solana-etl-spark", master: str | None = None) -> 
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by BYTES (the advisory
+        # size), not by core count: with the default parallelismFirst
+        # the tiny shuffles of sub-GB stages stay fragmented across
+        # 2x cores partitions and task overhead dominates -- measured
+        # r14: dedup_minhash_lsh 2.30->1.84 s at 32 cores, 1.97->1.30 s
+        # at 8 (the PERF_r13 anti-scaling class). Scale-adaptive by
+        # construction: at 100 TB the same advisory target keeps
+        # shuffles wide because the bytes are there (guide §2.2).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
